@@ -1,0 +1,47 @@
+"""Engine facade — the library entry point (reference EP2, SURVEY §3).
+
+The reference exposes ``new LineParser(ds, conf).parse(sql)`` then
+``getColLines()/getInputTables()/getOutputTables()``
+(``LineParser.java:790-805``). Here the same surface is:
+
+    eng = Engine(spark, sf_dir="/root/testdata/sf0.01")
+    eng.run(sql)                 # execute (the reference only parses)
+    eng.lineage(sql)             # list of ColLine dicts
+    eng.input_tables(sql), eng.output_tables(sql)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_parse_lineage_spark.session import configure, get_spark
+from hive_parse_lineage_spark.sources.loader import DEFAULT_SF_DIR, load_tables
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None,
+                 sf_dir: str | None = None,
+                 register_tables: bool = True):
+        self.spark = configure(spark) if spark is not None else get_spark()
+        self.sf_dir = sf_dir or DEFAULT_SF_DIR
+        if register_tables:
+            self.tables = load_tables(self.spark, self.sf_dir)
+
+    # -- execution -------------------------------------------------------
+    def run(self, sql: str) -> DataFrame:
+        """Execute one SQL statement (Spark SQL; Catalyst plans/optimizes)."""
+        return self.spark.sql(sql)
+
+    # -- lineage (the reference's core capability) -----------------------
+    def lineage(self, sql_text: str) -> list[dict]:
+        """Column-level lineage edges for a SQL script (may be multi-statement)."""
+        from hive_parse_lineage_spark.plans.lineage import extract_lineage
+        return extract_lineage(self.spark, sql_text).col_lines
+
+    def input_tables(self, sql_text: str) -> set[str]:
+        from hive_parse_lineage_spark.plans.lineage import extract_lineage
+        return extract_lineage(self.spark, sql_text).input_tables
+
+    def output_tables(self, sql_text: str) -> set[str]:
+        from hive_parse_lineage_spark.plans.lineage import extract_lineage
+        return extract_lineage(self.spark, sql_text).output_tables

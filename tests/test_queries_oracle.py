@@ -1,0 +1,30 @@
+"""Oracle-differential tests: every declared query (SURVEY §2b Q01-Q43)
+must hash-match DuckDB on sf0.01 — the primary correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_parse_lineage_spark.queries import DECLARED_QUERIES
+
+
+@pytest.mark.parametrize("name", list(DECLARED_QUERIES))
+def test_declared_query_matches_oracle(name, spark, tables, duck):
+    from tests.oracle import compare
+    sql = DECLARED_QUERIES[name]
+    res = compare(spark.sql(sql), sql, duck)
+    assert res["hash_match"], res
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns == ["l_orderkey", "revenue", "odate"]
+
+
+def test_queries_oracle_keys_align():
+    import __spark_entry__ as e
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
