@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness — runs the declared query surface and prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS    (default all cores)
+       BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
+       BENCH_PASSES        timed passes (default 2)
+
+Methodology: one untimed warm-up pass (JIT + codegen compilation of all
+43 unique plans dominates a cold first pass), then BENCH_PASSES timed
+passes; per-query time is the min across passes (the host shows
+intermittent multi-second noise bursts; min-of-passes samples past
+them). Materialization is ``toPandas()`` (Arrow) — comparable to the
+DuckDB baseline's ``fetchdf()``: both pay result transfer, neither
+writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# Bench-specific tuning, applied on top of session.RUNTIME_CONFS:
+# - shuffled-hash over sort-merge: every bench join has a small build side;
+#   at 100 TB the planner would still pick SMJ where the build side is big
+#   because this is a preference, not a force.
+# - AQE coalesces aggressively toward 64 MB partitions (tiny-data bench →
+#   usually 1 post-shuffle partition, minimal task overhead).
+BENCH_CONFS = {
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _timed_passes(run_one, queries: dict[str, str], n_passes: int):
+    for name, sql in queries.items():  # warm-up (untimed)
+        run_one(sql)
+    times: dict[str, float] = {}
+    pass_totals: list[float] = []
+    for _ in range(n_passes):
+        t_pass = 0.0
+        for name, sql in queries.items():
+            t0 = time.perf_counter()
+            run_one(sql)
+            dt = time.perf_counter() - t0
+            t_pass += dt
+            times[name] = round(min(times.get(name, dt), dt), 4)
+        pass_totals.append(round(t_pass, 4))
+    return times, pass_totals
+
+
+def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int):
+    from pyspark.sql import SparkSession
+
+    from hive_parse_lineage_spark.session import RUNTIME_CONFS
+    from hive_parse_lineage_spark.sources.loader import load_tables
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in {**RUNTIME_CONFS, **BENCH_CONFS}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, sf_dir)
+    return _timed_passes(lambda sql: spark.sql(sql).toPandas(), queries, n_passes)
+
+
+def bench_duckdb(sf_dir: str, queries: dict[str, str], n_passes: int):
+    import duckdb
+
+    from hive_parse_lineage_spark.sources.loader import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return _timed_passes(lambda sql: con.execute(sql).fetchdf(), queries, n_passes)
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hive_parse_lineage_spark.queries import DECLARED_QUERIES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    engine = os.environ.get("BENCH_ENGINE", "spark")
+    n_passes = int(os.environ.get("BENCH_PASSES", "2"))
+    fn = bench_duckdb if engine == "duckdb" else bench_spark
+    times, pass_totals = fn(sf_dir, dict(DECLARED_QUERIES), n_passes)
+    total = round(sum(times.values()), 4)
+    print(json.dumps({
+        "metric": f"{engine}_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": infer_sf(sf_dir),
+        "passes": n_passes,
+        "pass_totals": pass_totals,
+    }))
+
+
+if __name__ == "__main__":
+    main()
