@@ -1,0 +1,560 @@
+"""Column-level lineage via Catalyst analyzed-plan traversal.
+
+This is the new engine's version of the reference's core capability
+(``LineParser.java`` — a ~700-line hand-rolled Hive-AST walker).
+Everything the reference does manually — alias resolution
+(``LineParser.java:561-591``), ``select *`` expansion (403-420),
+subquery binding (369-383), db qualification (770-788) — is done for us
+by Spark's analyzer; we traverse the *analyzed* (not optimized) logical
+plan so user-written structure (aliases, subqueries) is still visible,
+mirroring the reference's walk of the raw AST.
+
+Output model is the reference's ``ColLine``
+(``entity/ColLine.java:12-31``): (target_table, target_column,
+target_alias, sources, conditions), with the reference's string
+conventions (SURVEY §1.3): ``db.table.col`` identities, default db
+``default``, condition tags ``WHERE:`` / ``<JOINTYPE>:`` / ``COLFUN:``
+(``LineParser.java:433,448-454,499-506``).
+
+Deliberate divergences from the reference (documented bugs NOT
+reproduced):
+- union edges carry ALL branch sources (reference keeps only the last,
+  ``entity/ColLineParse.java:48-50``);
+- output binding does not crash on qualified table names (reference's
+  ``split(".")`` regex bug, ``LineParser.java:114``);
+- statements are analyzed, never executed — lineage extraction of an
+  INSERT/CTAS has no side effects (parse + analyze only).
+
+Known v1 limits: scalar subqueries in the SELECT list contribute their
+rendered SQL as a COLFUN condition but their inner columns are not
+traced as sources; conditions accumulate per statement subtree (a
+superset of the reference's per-query-context sets for nested queries).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+# ---------------------------------------------------------------------------
+# data model (ColLine: entity/ColLine.java:12-31)
+# ---------------------------------------------------------------------------
+
+COLUMN_SEP = "."      # common/Constants.java:5
+SOURCE_JOIN = "&"     # common/Constants.java:4 — multi-source separator
+DEFAULT_DB = "default"  # LineParser.java:73,771
+
+#: Operation enum (common/Operation.java:3-5)
+OPERATIONS = ("SELECT", "INSERT", "DROP", "TRUNCATE", "LOAD",
+              "CREATETABLE", "ALTER", "DEFAULT")
+
+
+@dataclass
+class ColLine:
+    target_table: str | None      # None ≈ reference TOK_TMP_FILE (unnamed sink)
+    target_column: str | None     # physical target column (positional bind)
+    target_alias: str             # parsed name/alias (ColLineParse.toNameParse)
+    sources: list[str]            # sorted db.table.col names
+    conditions: list[str]         # sorted WHERE:/JOIN:/COLFUN: strings
+
+    def to_dict(self) -> dict:
+        return {
+            "target_table": self.target_table,
+            "target_column": self.target_column,
+            "target_alias": self.target_alias,
+            "sources": self.sources,
+            "conditions": self.conditions,
+        }
+
+    def from_name(self) -> str:
+        """Reference rendering: sources joined with '&' (LineParser.java:476,541)."""
+        return SOURCE_JOIN.join(self.sources)
+
+
+@dataclass
+class StatementLineage:
+    sql: str
+    operation: str                # one of OPERATIONS
+    col_lines: list[ColLine] = field(default_factory=list)
+    input_tables: set[str] = field(default_factory=set)
+    output_tables: set[str] = field(default_factory=set)
+
+
+@dataclass
+class ScriptLineage:
+    statements: list[StatementLineage] = field(default_factory=list)
+
+    @property
+    def col_lines(self) -> list[dict]:
+        return [c.to_dict() for s in self.statements for c in s.col_lines]
+
+    @property
+    def input_tables(self) -> set[str]:
+        return set().union(*(s.input_tables for s in self.statements)) if self.statements else set()
+
+    @property
+    def output_tables(self) -> set[str]:
+        return set().union(*(s.output_tables for s in self.statements)) if self.statements else set()
+
+
+# ---------------------------------------------------------------------------
+# statement splitting (LineParser.java:85: split on unescaped ';')
+# ---------------------------------------------------------------------------
+
+_SPLIT_RE = re.compile(r"(?<!\\);")
+
+
+def split_statements(sql_text: str) -> list[str]:
+    return [s.strip() for s in _SPLIT_RE.split(sql_text) if s.strip()]
+
+
+# ---------------------------------------------------------------------------
+# py4j helpers
+# ---------------------------------------------------------------------------
+
+def _seq(s) -> list:
+    """Scala Seq -> python list."""
+    return [s.apply(i) for i in range(s.size())]
+
+
+def _opt(o):
+    """Scala Option -> value or None."""
+    return o.get() if o.isDefined() else None
+
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName().rstrip("$")
+
+
+# join-type labels: token text minus "TOK_" (LineParser.java:448-454)
+_JOIN_LABEL = {
+    "Inner": "JOIN",
+    "Cross": "JOIN",
+    "LeftOuter": "LEFTOUTERJOIN",
+    "RightOuter": "RIGHTOUTERJOIN",
+    "FullOuter": "FULLOUTERJOIN",
+    "LeftSemi": "LEFTSEMIJOIN",
+    "LeftAnti": "LEFTANTIJOIN",
+}
+
+_ALTER_CLASSES = {
+    "AddColumns", "DropColumns", "RenameColumn", "ReplaceColumns",
+    "AlterColumn", "AlterColumns", "RenameTable", "SetTableProperties",
+    "UnsetTableProperties", "SetTableLocation", "SetTableSerDeProperties",
+    "AddPartitions", "DropPartitions", "RenamePartitions", "RecoverPartitions",
+}
+
+# passthrough unary nodes: child mapping flows up unchanged, no conditions
+_PASSTHROUGH = {
+    "Sort", "GlobalLimit", "LocalLimit", "Limit", "Tail", "Offset",
+    "Distinct", "Deduplicate", "DeduplicateWithinWatermark",
+    "Repartition", "RepartitionByExpression", "Rebalance", "Sample",
+    "WithWatermark", "EventTimeWatermark", "UnresolvedHint", "ResolvedHint",
+    "CollectMetrics", "Pivot",
+}
+
+
+class _Walker:
+    """One instance per statement; not thread-safe (plan-sized state only)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.jss = spark._jsparkSession
+        self.parser = self.jss.sessionState().sqlParser()
+        self.analyzer = self.jss.sessionState().analyzer()
+        self.input_tables: set[str] = set()
+        self.cte_defs: dict[int, dict[int, set[str]]] = {}
+        self.current_db = DEFAULT_DB
+        try:
+            cur = spark.catalog.currentDatabase
+            self.current_db = cur() if callable(cur) else cur
+        except Exception:
+            pass
+
+    # -- naming ---------------------------------------------------------
+    def fill_db(self, name: str) -> str:
+        """Qualify with current db when unqualified (LineParser.java:770-788).
+
+        Spark 3-part names keep the trailing two parts (catalog stripped) —
+        the reference's 2-part ``db.table`` identity.
+        """
+        parts = [p for p in name.split(".") if p]
+        if len(parts) >= 2:
+            return ".".join(parts[-2:])
+        return f"{self.current_db}.{parts[0]}" if parts else name
+
+    def _table_ident(self, cat_table) -> str:
+        ident = cat_table.identifier()
+        db = _opt(ident.database())
+        return f"{db or self.current_db}.{ident.table()}"
+
+    # -- analysis -------------------------------------------------------
+    def parse(self, sql: str):
+        return self.parser.parsePlan(sql)
+
+    def analyze(self, parsed):
+        return self.analyzer.execute(parsed)
+
+    # -- plan traversal -------------------------------------------------
+    def walk(self, plan) -> tuple[dict[int, set[str]], set[str]]:
+        """Return (exprId -> base-column set for each output attribute,
+        conditions collected in this subtree)."""
+        cls = _cls(plan)
+
+        if cls == "SubqueryAlias":
+            child = plan.children().apply(0)
+            ccls = _cls(child)
+            if ccls == "SubqueryAlias":
+                # temp-view double wrap: SubqueryAlias alias -> SubqueryAlias view
+                inner = child.children().apply(0)
+                if _cls(inner) == "View":
+                    return self._walk_view(inner)
+            if ccls == "View":
+                return self._walk_view(child)
+            return self.walk(child)
+
+        if cls == "View":
+            return self._walk_view(plan)
+
+        if cls in ("LogicalRelation", "HiveTableRelation", "DataSourceV2Relation",
+                   "StreamingRelation", "StreamingRelationV2"):
+            return self._walk_relation(plan)
+
+        if cls in ("LocalRelation", "OneRowRelation", "Range"):
+            return {a.exprId().id(): set() for a in _seq(plan.output())}, set()
+
+        if cls == "Project":
+            return self._walk_named_list(plan, _seq(plan.projectList()), [])
+
+        if cls == "Aggregate":
+            return self._walk_named_list(plan, _seq(plan.aggregateExpressions()), [])
+
+        if cls == "Window":
+            mapping, conds = self.walk(plan.children().apply(0))
+            for ne in _seq(plan.windowExpressions()):
+                srcs = set()
+                for a in _seq(ne.references().toSeq()):
+                    srcs |= mapping.get(a.exprId().id(), set())
+                mapping[ne.exprId().id()] = srcs
+            return mapping, conds
+
+        if cls == "Filter":
+            mapping, conds = self.walk(plan.children().apply(0))
+            conds = set(conds)
+            conds.add("WHERE:" + self._expr_sql(plan.condition()))
+            return mapping, conds
+
+        if cls == "Join":
+            left, right = _seq(plan.children())
+            lm, lc = self.walk(left)
+            rm, rc = self.walk(right)
+            mapping = {**lm, **rm}
+            conds = lc | rc
+            cond = _opt(plan.condition())
+            label = _JOIN_LABEL.get(plan.joinType().toString(), "JOIN")
+            if cond is not None:
+                conds.add(f"{label}:{self._expr_sql(cond)}")
+            return mapping, conds
+
+        if cls in ("Union", "Intersect", "Except"):
+            # positional merge across branches, ALL sources kept
+            # (fixes ColLineParse.java:48-50 overwrite bug; LineParser.java:205-222)
+            children = _seq(plan.children())
+            walked = [self.walk(c) for c in children]
+            out = _seq(plan.output())
+            mapping: dict[int, set[str]] = {}
+            conds: set[str] = set()
+            child_outputs = [_seq(c.output()) for c in children]
+            for m, c in walked:
+                conds |= c
+            for i, attr in enumerate(out):
+                srcs: set[str] = set()
+                for (m, _), couts in zip(walked, child_outputs):
+                    if i < len(couts):
+                        srcs |= m.get(couts[i].exprId().id(), set())
+                mapping[attr.exprId().id()] = srcs
+            return mapping, conds
+
+        if cls == "Expand":
+            # CUBE/ROLLUP/GROUPING SETS: output attr i <- union of refs of the
+            # i-th expression of every projection row
+            mapping_child, conds = self.walk(plan.children().apply(0))
+            mapping: dict[int, set[str]] = {}
+            projections = [_seq(p) for p in _seq(plan.projections())]
+            for i, attr in enumerate(_seq(plan.output())):
+                srcs: set[str] = set()
+                for proj in projections:
+                    if i < len(proj):
+                        for a in _seq(proj[i].references().toSeq()):
+                            srcs |= mapping_child.get(a.exprId().id(), set())
+                mapping[attr.exprId().id()] = srcs
+            return mapping, conds
+
+        if cls == "Generate":
+            mapping, conds = self.walk(plan.children().apply(0))
+            gen_srcs: set[str] = set()
+            for a in _seq(plan.generator().references().toSeq()):
+                gen_srcs |= mapping.get(a.exprId().id(), set())
+            for attr in _seq(plan.generatorOutput()):
+                mapping[attr.exprId().id()] = set(gen_srcs)
+            return mapping, conds
+
+        if cls == "WithCTE":
+            # children: Seq[CTERelationDef] resolved first, then the main plan
+            for d in _seq(plan.cteDefs()):
+                m, _ = self.walk(d.child())
+                outs = _seq(d.child().output())
+                self.cte_defs[d.id()] = {
+                    i: m.get(a.exprId().id(), set()) for i, a in enumerate(outs)
+                }
+            return self.walk(plan.plan())
+
+        if cls == "CTERelationRef":
+            by_pos = self.cte_defs.get(plan.cteId(), {})
+            return {a.exprId().id(): by_pos.get(i, set())
+                    for i, a in enumerate(_seq(plan.output()))}, set()
+
+        if cls in _PASSTHROUGH:
+            if plan.children().size() == 0:
+                return {a.exprId().id(): set() for a in _seq(plan.output())}, set()
+            return self.walk(plan.children().apply(0))
+
+        # generic fallback: merge all children, attribute outputs by exprId
+        mapping: dict[int, set[str]] = {}
+        conds = set()
+        for c in _seq(plan.children()):
+            m, cc = self.walk(c)
+            mapping.update(m)
+            conds |= cc
+        for attr in _seq(plan.output()):
+            eid = attr.exprId().id()
+            if eid not in mapping:
+                srcs: set[str] = set()
+                for a in _seq(attr.references().toSeq()):
+                    srcs |= mapping.get(a.exprId().id(), set())
+                mapping[eid] = srcs
+        return mapping, conds
+
+    # -- leaf handling --------------------------------------------------
+    def _walk_view(self, view) -> tuple[dict[int, set[str]], set[str]]:
+        """A View is a table boundary (the reference stops at table names;
+        we do not trace through view definitions)."""
+        table = self.fill_db(self._table_ident(view.desc()))
+        self.input_tables.add(table)
+        return {a.exprId().id(): {f"{table}{COLUMN_SEP}{a.name()}"}
+                for a in _seq(view.output())}, set()
+
+    def _walk_relation(self, rel) -> tuple[dict[int, set[str]], set[str]]:
+        cls = _cls(rel)
+        table = None
+        try:
+            if cls == "LogicalRelation":
+                ct = _opt(rel.catalogTable())
+                if ct is not None:
+                    table = self.fill_db(self._table_ident_from(ct.identifier()))
+            elif cls == "HiveTableRelation":
+                table = self.fill_db(self._table_ident_from(rel.tableMeta().identifier()))
+            elif cls == "DataSourceV2Relation":
+                ident = _opt(rel.identifier())
+                if ident is not None:
+                    table = self.fill_db(ident.toString())
+        except Exception:
+            table = None
+        if table is None:
+            # direct file scan: identify by location, not a catalog table
+            try:
+                loc = rel.relation().location().rootPaths().apply(0).toString()
+                table = f"{DEFAULT_DB}.{loc.rsplit('/', 1)[-1].split('.')[0]}"
+            except Exception:
+                table = f"{DEFAULT_DB}.<unknown>"
+        self.input_tables.add(table)
+        return {a.exprId().id(): {f"{table}{COLUMN_SEP}{a.name()}"}
+                for a in _seq(rel.output())}, set()
+
+    def _table_ident_from(self, ident) -> str:
+        db = _opt(ident.database())
+        return f"{db or self.current_db}.{ident.table()}"
+
+    # -- projection handling --------------------------------------------
+    def _walk_named_list(self, plan, named_exprs, extra_conds):
+        mapping_child: dict[int, set[str]] = {}
+        conds: set[str] = set(extra_conds)
+        for c in _seq(plan.children()):
+            m, cc = self.walk(c)
+            mapping_child.update(m)
+            conds |= cc
+        mapping: dict[int, set[str]] = {}
+        for ne in named_exprs:
+            srcs: set[str] = set()
+            for a in _seq(ne.references().toSeq()):
+                srcs |= mapping_child.get(a.exprId().id(), set())
+            mapping[ne.exprId().id()] = srcs
+        # keep child mappings visible for grouping/ordering resolution upstream
+        mapping_child.update(mapping)
+        return mapping_child, conds
+
+    def _expr_sql(self, expr) -> str:
+        try:
+            return expr.sql()
+        except Exception:
+            return expr.toString()
+
+    # -- per-statement entry -------------------------------------------
+    def project_edges(self, plan, mapping: dict[int, set[str]],
+                      conds: set[str]) -> list[ColLine]:
+        """Emit one edge per output attribute of the statement root.
+
+        COLFUN tagging per LineParser.java:499-506: a projection whose
+        rendered form is not the bare column contributes a per-column
+        condition; literal-only outputs keep an empty source set
+        (notNormalCol / filterData, LineParser.java:513-525,758-761).
+        """
+        edges: list[ColLine] = []
+        named = self._root_named_exprs(plan)
+        base_conds = sorted(conds)
+        for ne in named:
+            name = ne.name()
+            eid = ne.exprId().id()
+            srcs = sorted(mapping.get(eid, set()))
+            col_conds = list(base_conds)
+            if _cls(ne) == "Alias":
+                child = ne.child()
+                if _cls(child) != "AttributeReference":
+                    col_conds.append("COLFUN:" + self._expr_sql(child))
+            edges.append(ColLine(None, None, name, srcs, sorted(col_conds)))
+        return edges
+
+    def _root_named_exprs(self, plan) -> list:
+        """Find the top-most projection list (descending through
+        sort/limit/etc), else fall back to plan.output()."""
+        cls = _cls(plan)
+        if cls == "Project":
+            return _seq(plan.projectList())
+        if cls == "Aggregate":
+            return _seq(plan.aggregateExpressions())
+        if cls in _PASSTHROUGH | {"Filter", "WithCTE"} and plan.children().size() > 0:
+            child = plan.plan() if cls == "WithCTE" else plan.children().apply(0)
+            return self._root_named_exprs(child)
+        return _seq(plan.output())
+
+
+# ---------------------------------------------------------------------------
+# statement classification + public API
+# ---------------------------------------------------------------------------
+
+def _ident_from_unresolved(node) -> str | None:
+    """Best-effort multipart identifier from parsed (unresolved) nodes."""
+    for acc in ("multipartIdentifier", "nameParts", "identifier", "name"):
+        try:
+            v = getattr(node, acc)()
+            if hasattr(v, "size"):
+                return ".".join(str(v.apply(i)) for i in range(v.size()))
+            if hasattr(v, "toString"):
+                return v.toString()
+            return str(v)
+        except Exception:
+            continue
+    return None
+
+
+def _statement_lineage(spark: SparkSession, sql: str) -> StatementLineage:
+    w = _Walker(spark)
+    parsed = w.parse(sql)
+    cls = _cls(parsed)
+
+    # --- DDL classification (LineParser.java:310-327,435-440): record
+    # tables + operation; never execute.
+    def ddl(op: str, node=None) -> StatementLineage:
+        target = None
+        probe = node if node is not None else parsed
+        for getter in ("child", "table", "name"):
+            try:
+                target = _ident_from_unresolved(getattr(probe, getter)())
+                if target:
+                    break
+            except Exception:
+                continue
+        if target is None:
+            target = _ident_from_unresolved(probe)
+        out = {w.fill_db(target)} if target else set()
+        return StatementLineage(sql, op, [], set(), out)
+
+    if cls in ("DropTable", "DropTableCommand", "DropView"):
+        return ddl("DROP")
+    if cls in ("TruncateTable", "TruncateTableCommand", "TruncatePartition"):
+        return ddl("TRUNCATE")
+    if cls in ("LoadData", "LoadDataCommand"):
+        return ddl("LOAD")
+    if cls in _ALTER_CLASSES or cls.startswith("Alter"):
+        return ddl("ALTER")
+    if cls in ("SetCatalogAndNamespace", "SetNamespaceCommand", "UseStatement"):
+        # USE db (LineParser.java:270-273): execute — updates session state only
+        spark.sql(sql)
+        return StatementLineage(sql, "DEFAULT", [], set(), set())
+
+    if cls == "InsertIntoStatement":
+        target = _ident_from_unresolved(parsed.table())
+        query = parsed.query()
+        return _query_lineage(spark, w, sql, query, "INSERT",
+                              w.fill_db(target) if target else None)
+
+    if cls in ("CreateTableAsSelect", "CreateTableAsSelectStatement",
+               "ReplaceTableAsSelect"):
+        target = _ident_from_unresolved(parsed.name())
+        try:
+            query = parsed.query()
+        except Exception:
+            query = None
+        return _query_lineage(spark, w, sql, query, "CREATETABLE",
+                              w.fill_db(target) if target else None)
+
+    if cls in ("CreateTable", "CreateTableCommand", "CreateView"):
+        return ddl("CREATETABLE", parsed)
+
+    # plain query
+    return _query_lineage(spark, w, sql, parsed, "SELECT", None)
+
+
+def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
+                   operation: str, target_table: str | None) -> StatementLineage:
+    if parsed_query is None:
+        return StatementLineage(sql, operation, [], set(),
+                                {target_table} if target_table else set())
+    analyzed = w.analyze(parsed_query)
+    mapping, conds = w.walk(analyzed)
+    edges = w.project_edges(analyzed, mapping, conds)
+
+    out_tables = {target_table} if target_table else set()
+    if target_table:
+        # positional output binding (LineParser.java:120-155): i-th select
+        # expression -> i-th physical (non-partition) column of the target,
+        # via spark.catalog — the reference's JDBC metadata fetch, minus its
+        # split(".") crash (LineParser.java:110-118).
+        phys_cols = _catalog_columns(spark, target_table)
+        for i, e in enumerate(edges):
+            e.target_table = target_table
+            e.target_column = phys_cols[i] if phys_cols and i < len(phys_cols) else e.target_alias
+    return StatementLineage(sql, operation, edges, set(w.input_tables), out_tables)
+
+
+def _catalog_columns(spark: SparkSession, table: str) -> list[str] | None:
+    try:
+        cols = spark.catalog.listColumns(table)
+        data = [c.name for c in cols if not c.isPartition]
+        return data or None
+    except Exception:
+        return None
+
+
+def extract_lineage(spark: SparkSession, sql_text: str) -> ScriptLineage:
+    """Lineage for a (possibly multi-statement) SQL script.
+
+    Equivalent of ``LineParser.parse`` (LineParser.java:83-99) +
+    ``getColLines/getInputTables/getOutputTables`` (157-162, 790-792).
+    """
+    script = ScriptLineage()
+    for stmt in split_statements(sql_text):
+        script.statements.append(_statement_lineage(spark, stmt))
+    return script

@@ -36,7 +36,8 @@ RUNTIME_CONFS: dict[str, str] = {
 
 def get_spark(app_name: str = "hive_parse_lineage_spark",
               cpus: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_confs: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) the canonical SparkSession.
 
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
@@ -56,7 +57,7 @@ def get_spark(app_name: str = "hive_parse_lineage_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **(extra_confs or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

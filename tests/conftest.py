@@ -12,9 +12,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from hive_parse_lineage_spark.session import get_spark
-    spark = get_spark("hive_parse_lineage_spark-tests", cpus=8, shuffle_partitions=8)
+    wh = tmp_path_factory.mktemp("warehouse")
+    spark = get_spark(
+        "hive_parse_lineage_spark-tests", cpus=8, shuffle_partitions=8,
+        extra_confs={"spark.sql.warehouse.dir": str(wh),
+                     "spark.ui.showConsoleProgress": "false"},
+    )
     yield spark
 
 

@@ -1,0 +1,204 @@
+"""Golden lineage tests (SURVEY §5.2(2), FIXTURES.md §B).
+
+Each case mirrors a reference AST-handler behavior (SURVEY §2a row
+cited per test). Catalog tables are created in a temp warehouse.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def lineage_tables(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS fact")
+    spark.sql("""CREATE TABLE IF NOT EXISTS default.srcpart
+        (ds STRING, hr STRING, userid BIGINT, clienttype STRING, datekey STRING)
+        USING parquet""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS default.dest1
+        (d_ds STRING, d_hr STRING, d_userid BIGINT, d_clienttype STRING, d_datekey STRING)
+        USING parquet PARTITIONED BY (ds STRING)""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS default.detail_usersequence_client
+        (orderid BIGINT, userid BIGINT, a STRING, b STRING, aaa STRING, bbb STRING)
+        USING parquet""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS default.t1
+        (col1 BIGINT, col2 BIGINT, c1 BIGINT, d STRING,
+         m MAP<STRING, BIGINT>, arr ARRAY<BIGINT>) USING parquet""")
+    spark.sql("""CREATE TABLE IF NOT EXISTS default.t2
+        (col1 BIGINT, col2 BIGINT, c1 BIGINT) USING parquet""")
+    spark.sql("CREATE TABLE IF NOT EXISTS fact.test (id BIGINT, v STRING) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS fact.test2 (id BIGINT, v STRING) USING parquet")
+    yield
+    spark.sql("USE default")
+
+
+def lineage(spark, sql):
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    return extract_lineage(spark, sql)
+
+
+def by_alias(lin):
+    return {c["target_alias"]: c for c in lin.col_lines}
+
+
+# --- #2 TOK_SWITCHDATABASE + #36 fillDB ---------------------------------
+def test_use_db_qualification(spark, lineage_tables):
+    lin = lineage(spark, "use fact; select id from test")
+    assert lin.col_lines == [{
+        "target_table": None, "target_column": None, "target_alias": "id",
+        "sources": ["fact.test.id"], "conditions": [],
+    }]
+    assert lin.input_tables == {"fact.test"}
+    spark.sql("USE default")
+
+
+# --- #5,#18,#19: the reference's own sample (LineParser.java:801-803) ---
+def test_reference_sample_insert(spark, lineage_tables):
+    sql = ("INSERT OVERWRITE TABLE dest1 PARTITION (ds='111') "
+           "SELECT s.* FROM srcpart TABLESAMPLE (BUCKET 1 OUT OF 1) s "
+           "WHERE s.ds='2008-04-08' and s.hr='11'")
+    lin = lineage(spark, sql)
+    st = lin.statements[0]
+    assert st.operation == "INSERT"
+    assert st.output_tables == {"default.dest1"}
+    assert st.input_tables == {"default.srcpart"}
+    # s.* expands to the 5 srcpart columns, positionally bound to dest1's
+    # 5 data columns (LineParser.java:143-152)
+    assert [c.target_column for c in st.col_lines] == \
+        ["d_ds", "d_hr", "d_userid", "d_clienttype", "d_datekey"]
+    assert st.col_lines[2].sources == ["default.srcpart.userid"]
+    conds = st.col_lines[0].conditions
+    assert any(c.startswith("WHERE:") and "2008-04-08" in c for c in conds)
+
+
+# --- #17 SELEXPR alias shapes + #29 FUNCTIONDI --------------------------
+def test_selexpr_alias_and_count_distinct(spark, lineage_tables):
+    sql = ("SELECT p.datekey AS datekey, count(distinct p.userid) AS buyer_count "
+           "FROM srcpart p GROUP BY p.datekey")
+    lin = lineage(spark, sql)
+    cols = by_alias(lin)
+    assert cols["datekey"]["sources"] == ["default.srcpart.datekey"]
+    assert cols["buyer_count"]["sources"] == ["default.srcpart.userid"]
+    assert any(c.startswith("COLFUN:") and "DISTINCT" in c.upper()
+               for c in cols["buyer_count"]["conditions"])
+
+
+# --- #31 CASE WHEN: sources from value branches -------------------------
+def test_case_when_projection(spark, lineage_tables):
+    sql = ("SELECT CASE WHEN s.userid > 5 THEN s.clienttype ELSE s.ds END AS bbbaaa "
+           "FROM srcpart s")
+    lin = lineage(spark, sql)
+    c = by_alias(lin)["bbbaaa"]
+    assert "default.srcpart.clienttype" in c["sources"]
+    assert "default.srcpart.ds" in c["sources"]
+    assert any(x.startswith("COLFUN:CASE WHEN") for x in c["conditions"])
+
+
+# --- #15 join types → condition tags ------------------------------------
+@pytest.mark.parametrize("kw,label", [
+    ("JOIN", "JOIN"),
+    ("LEFT JOIN", "LEFTOUTERJOIN"),
+    ("RIGHT JOIN", "RIGHTOUTERJOIN"),
+    ("FULL OUTER JOIN", "FULLOUTERJOIN"),
+    ("LEFT SEMI JOIN", "LEFTSEMIJOIN"),
+])
+def test_join_condition_tags(spark, lineage_tables, kw, label):
+    sql = (f"SELECT a.col1 FROM t1 a {kw} t2 b "
+           "ON a.col2 = b.col2 AND a.c1 > 1")
+    lin = lineage(spark, sql)
+    c = by_alias(lin)["col1"]
+    assert c["sources"] == ["default.t1.col1"]
+    assert any(x.startswith(f"{label}:") for x in c["conditions"]), c["conditions"]
+    assert lin.input_tables == {"default.t1", "default.t2"}
+
+
+# --- #16 union positional merge, ALL sources (fixes ColLineParse bug) ---
+def test_union_merge_all_sources(spark, lineage_tables):
+    sql = "SELECT c1 FROM t1 UNION ALL SELECT col2 FROM t2"
+    lin = lineage(spark, sql)
+    c = by_alias(lin)["c1"]
+    assert c["sources"] == ["default.t1.c1", "default.t2.col2"]
+
+
+# --- #1,#14: multi-statement script, reused aliases ---------------------
+def test_multi_statement_reused_aliases(spark, lineage_tables):
+    sql = ("SELECT x.col1 FROM (SELECT col1 FROM t1) x; "
+           "SELECT x.col1 FROM (SELECT col1 FROM t2) x")
+    lin = lineage(spark, sql)
+    assert len(lin.statements) == 2
+    assert lin.statements[0].col_lines[0].sources == ["default.t1.col1"]
+    assert lin.statements[1].col_lines[0].sources == ["default.t2.col1"]
+
+
+# --- #30,#32-35: functions, IN, IS NOT NULL, subscripts -----------------
+def test_function_projections(spark, lineage_tables):
+    sql = ("SELECT nvl(col1, 0) AS a, concat(d, d) AS b, m['k'] AS c, "
+           "arr[0] AS e, col1 in (1,2) AS f, c1 IS NOT NULL AS g FROM t1")
+    lin = lineage(spark, sql)
+    cols = by_alias(lin)
+    assert cols["a"]["sources"] == ["default.t1.col1"]
+    assert cols["b"]["sources"] == ["default.t1.d"]
+    assert cols["c"]["sources"] == ["default.t1.m"]
+    assert cols["e"]["sources"] == ["default.t1.arr"]
+    assert cols["f"]["sources"] == ["default.t1.col1"]
+    assert cols["g"]["sources"] == ["default.t1.c1"]
+    for k in "abcefg":
+        if k == "d":
+            continue
+        assert any(x.startswith("COLFUN:") for x in cols[k]["conditions"]), k
+
+
+# --- #7-#12: DDL classification + output sets ---------------------------
+def test_ctas(spark, lineage_tables):
+    lin = lineage(spark, "CREATE TABLE xtab AS SELECT col1, c1 FROM t1")
+    st = lin.statements[0]
+    assert st.operation == "CREATETABLE"
+    assert st.output_tables == {"default.xtab"}
+    assert st.input_tables == {"default.t1"}
+    assert st.col_lines[0].sources == ["default.t1.col1"]
+    # never executed: the table must not exist
+    assert not spark.catalog.tableExists("xtab")
+
+
+def test_ddl_classification(spark, lineage_tables):
+    cases = {
+        "DROP TABLE t1": ("DROP", "default.t1"),
+        "TRUNCATE TABLE t2": ("TRUNCATE", "default.t2"),
+        "ALTER TABLE t1 ADD COLUMNS (zz STRING)": ("ALTER", "default.t1"),
+        "ALTER TABLE t1 RENAME TO t1x": ("ALTER", "default.t1"),
+    }
+    for sql, (op, out) in cases.items():
+        lin = lineage(spark, sql)
+        st = lin.statements[0]
+        assert st.operation == op, sql
+        assert st.output_tables == {out}, sql
+    assert spark.catalog.tableExists("t1")  # nothing executed
+
+
+# --- #24 literal pruning (LineParser.java:513-525,758-761) --------------
+def test_literal_pruning(spark, lineage_tables):
+    lin = lineage(spark, "SELECT 1 AS one, 'lit' AS lit, col1 FROM t1")
+    cols = by_alias(lin)
+    assert cols["one"]["sources"] == []
+    assert cols["lit"]["sources"] == []
+    assert cols["col1"]["sources"] == ["default.t1.col1"]
+
+
+# --- cross-db sources ---------------------------------------------------
+def test_cross_db_join(spark, lineage_tables):
+    sql = ("SELECT a.id, b.v FROM fact.test a JOIN fact.test2 b ON a.id = b.id")
+    lin = lineage(spark, sql)
+    cols = by_alias(lin)
+    assert cols["id"]["sources"] == ["fact.test.id"]
+    assert cols["v"]["sources"] == ["fact.test2.v"]
+    assert lin.input_tables == {"fact.test", "fact.test2"}
+
+
+# --- INSERT INTO with explicit query over temp views --------------------
+def test_insert_from_tempview(spark, tables, lineage_tables):
+    sql = "INSERT INTO dest1 PARTITION (ds='1') SELECT r_name, r_name, r_regionkey, r_name, r_name FROM region"
+    lin = lineage(spark, sql)
+    st = lin.statements[0]
+    assert st.operation == "INSERT"
+    assert st.col_lines[2].target_column == "d_userid"
+    assert st.col_lines[2].sources == ["default.region.r_regionkey"]
