@@ -1,0 +1,235 @@
+"""Extended operator surface: LLM-data-pipeline queries (SURVEY §7 M4).
+
+Each entry pairs an idiomatic DataFrame implementation (the operator as
+a user would run it) with a DuckDB oracle when the semantics are
+SQL-expressible. Entries without an oracle (LSH/minhash/simhash — hash
+functions engine-specific) get the driver's rows-only check and are
+verified against Python/NumPy oracles in tests/test_llm_ops.py.
+
+Cross-engine determinism notes:
+- all float math is double-precision, left-to-right over arrays → IEEE
+  bit-identical between Spark and DuckDB;
+- DuckDB's list_cosine_similarity computes in the element type, so the
+  oracle casts embeddings to DOUBLE[] first;
+- token hash for fingerprints is pure arithmetic (ascii*length) so both
+  engines can compute it (production would use xxhash64 per token).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hive_parse_lineage_spark.functions import text as T
+from hive_parse_lineage_spark.sources.loader import load_tables
+
+_SW = {lang: ", ".join(f"'{w}'" for w in ws)
+       for lang, ws in T.STOPWORDS.items()}
+
+
+def _q(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        return fn(spark, tables)
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Spark implementations (DataFrame API)
+# ---------------------------------------------------------------------------
+
+def _x01_token_stats(spark, tables):
+    return (tables["documents"]
+            .select("doc_id",
+                    T.token_count("text").alias("n_tokens"),
+                    T.distinct_token_count("text").alias("n_distinct"),
+                    T.avg_token_length_hundredths("text").alias("avg_len_c"))
+            .orderBy("doc_id"))
+
+
+def _x02_lang_id(spark, tables):
+    best = F.greatest(*[T.stopword_hits("text", lang) for lang in sorted(T.STOPWORDS)])
+    return (tables["documents"]
+            .select("doc_id", T.language_id("text").alias("pred_lang"),
+                    best.alias("best_score"))
+            .orderBy("doc_id"))
+
+
+def _x03_quality_score(spark, tables):
+    return (tables["documents"]
+            .select("doc_id", T.quality_score("text").alias("score"))
+            .orderBy("doc_id"))
+
+
+def _x04_doc_fingerprint(spark, tables):
+    return (tables["documents"]
+            .select("doc_id", T.doc_fingerprint("text").alias("fp"))
+            .orderBy("doc_id"))
+
+
+def _x05_token_jaccard_pairs(spark, tables):
+    from hive_parse_lineage_spark.operators.dedup import ngram_jaccard_pairs
+    return (ngram_jaccard_pairs(tables["documents"], shingle_k=1,
+                                threshold=0.5, blocked=False)
+            .orderBy("id_a", "id_b"))
+
+
+def _x06_cosine_pairs(spark, tables):
+    from hive_parse_lineage_spark.functions.vector import cosine
+    e = tables["embeddings"]
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("v"))
+    cos = cosine(F.col("q"), F.col("v"))
+    return (c.crossJoin(F.broadcast(q))
+             .filter((F.col("query_id") != F.col("neighbor_id")) & (cos >= 0.25))
+             .select("query_id", "neighbor_id", F.round(cos, 4).alias("cosine"))
+             .orderBy("query_id", "neighbor_id"))
+
+
+def _x07_minhash_near_dup(spark, tables):
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    return (minhash_near_dups(tables["documents"], threshold=0.3,
+                              n_hashes=64, bands=16, shingle_k=2)
+            .orderBy("id_a", "id_b"))
+
+
+def _x08_simhash_near_dup(spark, tables):
+    from hive_parse_lineage_spark.operators.dedup import simhash_near_dups
+    return (simhash_near_dups(tables["documents"], max_hamming=3)
+            .orderBy("id_a", "id_b"))
+
+
+def _x09_knn_cosine_topk(spark, tables):
+    from hive_parse_lineage_spark.operators.similarity import cosine_topk
+    e = tables["embeddings"]
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    res = cosine_topk(e, q, k=5)
+    return res.filter(F.col("query_id") != F.col("vec_id")) \
+              .orderBy("query_id", "rank")
+
+
+def _x10_lsh_knn(spark, tables):
+    from hive_parse_lineage_spark.operators.similarity import lsh_topk
+    e = tables["embeddings"]
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return lsh_topk(e, q, k=5, n_bits=8).orderBy("query_id", "rank")
+
+
+def _x11_exact_dedup(spark, tables):
+    from hive_parse_lineage_spark.operators.dedup import exact_dedup
+    return (exact_dedup(tables["documents"])
+            .select("content_hash", "keep_id", "n_copies")
+            .orderBy("keep_id"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (column names aligned with the Spark results)
+# ---------------------------------------------------------------------------
+
+_ORACLES: dict[str, str] = {
+    "x01_token_stats": """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       CAST(FLOOR(list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')
+             * 100 / len(string_split(text, ' '))) AS BIGINT) AS avg_len_c
+FROM documents ORDER BY doc_id
+""",
+    "x02_lang_id": f"""
+WITH s AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sc AS (
+  SELECT doc_id,
+         len(list_intersect(toks, [{_SW['de']}])) AS s_de,
+         len(list_intersect(toks, [{_SW['en']}])) AS s_en,
+         len(list_intersect(toks, [{_SW['es']}])) AS s_es,
+         len(list_intersect(toks, [{_SW['fr']}])) AS s_fr,
+         len(list_intersect(toks, [{_SW['zh']}])) AS s_zh
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN s_de >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS pred_lang,
+       greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_score
+FROM sc ORDER BY doc_id
+""",
+    "x03_quality_score": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n,
+         len(list_distinct(toks)) AS nd,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_len
+  FROM t
+)
+SELECT doc_id,
+       ROUND( (nd / n) * 0.5
+            + (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25
+            + (CASE WHEN total_len / n >= 2.0 AND total_len / n <= 12.0
+                    THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS score
+FROM m ORDER BY doc_id
+""",
+    "x04_doc_fingerprint": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ' '),
+                          t -> (ascii(t) * length(t))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp
+FROM documents ORDER BY doc_id
+""",
+    "x05_token_jaccard_pairs": """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.toks, b.toks))
+             / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+FROM t a, t b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.toks, b.toks))
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+ORDER BY id_a, id_b
+""",
+    "x06_cosine_pairs": """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings q, embeddings c
+WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+  AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                             CAST(c.embedding AS DOUBLE[])) >= 0.25
+ORDER BY query_id, neighbor_id
+""",
+    "x11_exact_dedup": """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keep_id
+""",
+}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "x01_token_stats": _q(_x01_token_stats),
+        "x02_lang_id": _q(_x02_lang_id),
+        "x03_quality_score": _q(_x03_quality_score),
+        "x04_doc_fingerprint": _q(_x04_doc_fingerprint),
+        "x05_token_jaccard_pairs": _q(_x05_token_jaccard_pairs),
+        "x06_cosine_pairs": _q(_x06_cosine_pairs),
+        "x07_minhash_near_dup": _q(_x07_minhash_near_dup),
+        "x08_simhash_near_dup": _q(_x08_simhash_near_dup),
+        "x09_knn_cosine_topk": _q(_x09_knn_cosine_topk),
+        "x10_lsh_knn": _q(_x10_lsh_knn),
+        "x11_exact_dedup": _q(_x11_exact_dedup),
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,32 @@
+"""Vector column functions (embeddings as ``ARRAY<FLOAT>``).
+
+JVM-side expressions (``zip_with`` + ``aggregate``) — no UDF, so the
+dot product participates in whole-stage codegen and column pruning.
+For very wide vectors a Pandas-UDF/NumPy path can win on SIMD; see
+``operators/similarity.py`` for the batched variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def literal_vector(values) -> Column:
+    """A constant query vector as an array literal (broadcast-free:
+    it folds into the plan)."""
+    return F.array(*[F.lit(float(v)) for v in values])

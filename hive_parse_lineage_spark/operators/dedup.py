@@ -1,0 +1,231 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed as DataFrame transformations designed for
+100 TB inputs:
+
+- **exact**: hash-groupBy on a content fingerprint (one shuffle on the
+  hash — uniformly distributed, no skew).
+- **MinHash + LSH**: shingle → n minhashes → b bands → bucket
+  self-join. The only shuffle is on (band, band_hash); candidate
+  verification is band-local. Standard banding theory: collision
+  probability ≈ 1-(1-j^r)^b for Jaccard j, r = n/b rows per band.
+- **SimHash**: 64-bit signature; near-dup = Hamming distance ≤ k via
+  pigeonhole block join (k+1 blocks: any pair within distance k agrees
+  on ≥1 whole block).
+- **n-gram Jaccard**: exact verification (array_intersect/union) —
+  used standalone on small data or as the verify stage after LSH.
+
+Everything is JVM-side (``transform``/``aggregate``/``xxhash64`` —
+no Python UDFs), so signatures are computed in whole-stage codegen
+during the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hive_parse_lineage_spark.functions.text import word_shingles
+
+# Mersenne prime 2^31-1: with a, b, x all < 2^31, a*x + b < 2^62 stays
+# within bigint range — modular arithmetic is exact in codegen longs.
+_P = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the minhash permutations
+    h_i(x) = (a_i * x + b_i) mod p — fixed seed keeps tests reproducible."""
+    import random
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content fingerprint.
+
+    ``md5`` of the content, then a min-aggregate on the hash: one
+    shuffle keyed by the (uniform) hash — scales linearly, no skew.
+    """
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (df.select(F.col(id_col), h)
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      n_hashes: int = 64, shingle_k: int = 3,
+                      seed: int = 42) -> DataFrame:
+    """Append ``minhash`` (array<bigint>, length n_hashes).
+
+    Shingle hash = xxhash64 (JVM, seeded) reduced mod p; permutation
+    minima via ``array_min(transform(...))`` — all codegen, computed
+    map-side during the scan. 100 TB note: signature computation is a
+    pure projection; nothing shuffles until the band join.
+    """
+    params = _perm_params(n_hashes, seed)
+    sh = word_shingles(text_col, shingle_k)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            hashed,
+            lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P)),
+        ))
+        for a, b in params
+    ])
+    return df.withColumn("minhash", sig)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
+                        n_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """Candidate near-dup pairs from banding: explode signatures into
+    (band_idx, band_hash) buckets, self-join within buckets.
+
+    Shuffle key is (band_idx, band_hash) — at 100 TB, hot buckets (many
+    docs sharing a band) are the skew risk; cap bucket size upstream or
+    enable AQE skew-join. Output: distinct (id_a < id_b) pairs with the
+    estimated Jaccard (fraction of agreeing minhash components).
+    """
+    r = n_hashes // bands
+    band_entries = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.xxhash64(F.concat_ws(",", *[
+                     F.element_at("minhash", i * r + j + 1).cast("string")
+                     for j in range(r)])).alias("band_hash"))
+        for i in range(bands)
+    ])
+    buckets = (sig_df
+               .select(id_col, "minhash", F.explode(band_entries).alias("b"))
+               .select(id_col, "minhash", "b.band", "b.band_hash"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.band_hash") == F.col("r.band_hash"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col("l.minhash").alias("mh_a"),
+                     F.col("r.minhash").alias("mh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    est = (F.size(F.filter(F.zip_with("mh_a", "mh_b",
+                                      lambda a, b: (a == b).cast("int")),
+                           lambda x: x == 1)) / F.lit(n_hashes))
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.7,
+                      n_hashes: int = 64, bands: int = 16,
+                      shingle_k: int = 3, seed: int = 42) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection."""
+    sig = minhash_signature(df, text_col, n_hashes, shingle_k, seed)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    return cand.filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text",
+            token_expr: Column | None = None) -> DataFrame:
+    """Append a 64-bit ``simhash`` (bigint) column.
+
+    Per token: xxhash64 → 64 sign contributions (+1 if bit set, −1
+    otherwise) accumulated per bit position; signature bit b = 1 iff the
+    accumulated weight is positive. Pure codegen expressions — the
+    64-counter accumulator is an array<int> folded with ``aggregate`` +
+    ``zip_with``.
+    """
+    toks = token_expr if token_expr is not None else F.split(F.col(text_col), " ")
+    # signed-long bit masks; bit 63 is the (negative) sign-bit mask
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    counters = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array(*[F.lit(0) for _ in range(64)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(F.lit(-1))
+                      for m in masks]),
+            lambda x, y: x + y),
+    )
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    sig = F.aggregate(
+        F.zip_with(counters, mask_arr,
+                   lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x))
+    return df.withColumn("simhash", sig)
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split 64 bits into (max_hamming+1) blocks; any
+    pair within distance k must agree exactly on at least one block →
+    equi-join per block on the block value, then verify with
+    ``bit_count(a XOR b)``. The join key is a 16-bit block value —
+    uniform, shuffle-friendly; no quadratic blowup at scale.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sig = simhash(df, text_col).select(id_col, "simhash")
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("blk"),
+                 F.shiftright("simhash", i * width)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("blk_val"))
+        for i in range(n_blocks)
+    ])
+    b = sig.select(id_col, "simhash", F.explode(blocks).alias("b")) \
+           .select(id_col, "simhash", "b.blk", "b.blk_val")
+    l, r = b.alias("l"), b.alias("r")
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (l.join(r, (F.col("l.blk") == F.col("r.blk"))
+                      & (F.col("l.blk_val") == F.col("r.blk_val"))
+                      & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .filter(ham <= max_hamming)
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     ham.alias("hamming"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_k: int = 3,
+                        threshold: float = 0.5,
+                        blocked: bool = True) -> DataFrame:
+    """Exact Jaccard over distinct word-k-shingle sets.
+
+    ``blocked=True`` (the scale path) restricts comparisons to pairs
+    whose shingle-count ratio can reach the threshold (|A|/|B| >= t is
+    necessary for J(A,B) >= t), implemented as a range condition on
+    size buckets; small data can run ``blocked=False`` brute force.
+    """
+    sh = (df.select(id_col,
+                    F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"))
+            .withColumn("n_sh", F.size("sh")))
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if blocked:
+        cond = cond & (F.col("l.n_sh") >= F.col("r.n_sh") * threshold) \
+                    & (F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
+    jac = (F.size(F.array_intersect("l.sh", "r.sh"))
+           / F.size(F.array_union("l.sh", "r.sh")))
+    return (l.join(r, cond)
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.round(jac, 4).alias("jaccard"))
+             .filter(F.col("jaccard") >= threshold))

