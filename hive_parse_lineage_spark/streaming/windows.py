@@ -1,0 +1,126 @@
+"""Structured-Streaming window operators (SURVEY §7 M3).
+
+The reference understands stream-shaped SQL only as text; here the
+event-time operators actually run, and the same transformation
+functions work in batch and streaming (the DataFrame API is mode
+agnostic) — which is exactly how the batch-vs-stream equivalence tests
+verify them (SURVEY §5.2(4)).
+
+Scale notes: windowed aggregation state is partitioned by (key,
+window); the watermark bounds state size. At 100 TB/day the dominant
+knobs are watermark delay (state retention) and shuffle partitions
+(state store parallelism); nothing here holds per-key state beyond the
+aggregation itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_agg(events: DataFrame, ts_col: str = "ts",
+                 keys: tuple[str, ...] = ("event_type",),
+                 window: str = "1 hour",
+                 watermark: str | None = "10 minutes") -> DataFrame:
+    """Tumbling-window count+sum (Q39 shape). Works batch or stream."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, window).alias("w"), *keys)
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+              .select(F.col("w.start").alias("w"), *keys, "n", "sv"))
+
+
+def sliding_agg(events: DataFrame, ts_col: str = "ts",
+                keys: tuple[str, ...] = ("event_type",),
+                window: str = "10 minutes", slide: str = "5 minutes",
+                watermark: str | None = "10 minutes") -> DataFrame:
+    """Sliding-window aggregation; each event lands in window/slide panes."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+              .select(F.col("w.start").alias("w"), *keys, "n", "sv"))
+
+
+def session_agg(events: DataFrame, ts_col: str = "ts",
+                keys: tuple[str, ...] = ("user_id",),
+                gap: str = "30 minutes",
+                watermark: str | None = "10 minutes") -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge."""
+    df = events
+    if watermark and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+              .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+              .select(F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"), *keys, "n", "sv"))
+
+
+def sessionize_batch(events: DataFrame, ts_col: str = "ts",
+                     key: str = "user_id", gap_minutes: int = 30) -> DataFrame:
+    """Batch-mode sessionization via the lag/cumsum window trick — the
+    oracle for ``session_agg`` (session_window has no batch analogue in
+    other engines). One shuffle on the key; no per-session state."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy(key).orderBy(ts_col)
+    gap = F.when(
+        (F.unix_timestamp(ts_col)
+         - F.unix_timestamp(F.lag(ts_col).over(w))) > gap_minutes * 60, 1
+    ).otherwise(0)
+    with_sess = (events
+                 .withColumn("_new_sess", F.coalesce(gap, F.lit(1)))
+                 .withColumn("_sess_id", F.sum("_new_sess").over(
+                     w.rowsBetween(W.unboundedPreceding, 0))))
+    return (with_sess.groupBy(key, "_sess_id")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sv")))
+
+
+def running_count_stateful(events: DataFrame, key: str = "event_type"):
+    """Custom stateful operator: cumulative per-key count across
+    micro-batches via applyInPandasWithState (the
+    flatMapGroupsWithState surface from Python)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"key": [key_tuple[0]], "total": [total]})
+
+    return (events.groupBy(F.col(key))
+            .applyInPandasWithState(
+                update,
+                outputStructType="key string, total long",
+                stateStructType="total long",
+                outputMode="update",
+                timeoutConf="NoTimeout"))
+
+
+def run_stream_over_batch(spark, batch_df: DataFrame, transform,
+                          query_name: str = "stream_out",
+                          output_mode: str = "complete") -> DataFrame:
+    """Drive a batch DataFrame through a real Structured-Streaming query
+    (parquet file source → transform → memory sink), synchronously.
+
+    Test utility: proves the transformation is streaming-legal and lets
+    batch-vs-stream equivalence tests compare final results.
+    """
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    batch_df.write.mode("overwrite").parquet(tmp)
+    src = (spark.readStream.schema(batch_df.schema)
+           .option("maxFilesPerTrigger", 1).parquet(tmp))
+    q = (transform(src).writeStream.outputMode(output_mode)
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

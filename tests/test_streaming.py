@@ -1,0 +1,110 @@
+"""Streaming tests: batch-vs-stream equivalence (SURVEY §5.2(4)),
+late/out-of-order data, session windows, custom stateful op."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from hive_parse_lineage_spark.sources.loader import read_table
+    # keep the streaming tests light: first 2000 events
+    return read_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events):
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, tumbling_agg)
+    batch = tumbling_agg(events)
+    stream = run_stream_over_batch(
+        spark, events, lambda s: tumbling_agg(s), query_name="t_tumble")
+    cols = ["w", "event_type", "n", "sv"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_sliding_stream_equals_batch(spark, events):
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, sliding_agg)
+    batch = sliding_agg(events)
+    stream = run_stream_over_batch(
+        spark, events, lambda s: sliding_agg(s), query_name="t_slide")
+    cols = ["w", "event_type", "n", "sv"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_out_of_order_arrival_converges(spark, events):
+    """Shuffled arrival order (descending event time across files) must
+    converge to the same final aggregate in complete mode."""
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, tumbling_agg)
+    reversed_events = events.orderBy(F.desc("ts")).repartition(4)
+    stream = run_stream_over_batch(
+        spark, reversed_events, lambda s: tumbling_agg(s), query_name="t_ooo")
+    cols = ["w", "event_type", "n", "sv"]
+    assert _rows(stream, cols) == _rows(tumbling_agg(events), cols)
+
+
+def test_session_window_stream_vs_batch_oracle(spark):
+    """session_window (streaming-native) vs the batch lag/cumsum
+    sessionization oracle on a synthetic trace with known gaps."""
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, session_agg, sessionize_batch)
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:10:00", 2.0),
+        (1, "2024-01-01 01:30:00", 3.0),  # > 30 min gap → new session
+        (2, "2024-01-01 00:05:00", 4.0),
+        (2, "2024-01-01 02:00:00", 5.0), (2, "2024-01-01 02:20:00", 6.0),
+    ]
+    df = (spark.createDataFrame(rows, "user_id long, ts string, value double")
+          .withColumn("ts", F.to_timestamp("ts")))
+    # single file → single micro-batch: arrival order of multi-file sources
+    # is nondeterministic and a high watermark would (correctly) drop the
+    # early session as late data — that path is covered by the append test
+    stream = run_stream_over_batch(
+        spark, df.coalesce(1), lambda s: session_agg(s, gap="30 minutes"),
+        query_name="t_sess")
+    batch_oracle = sessionize_batch(df, gap_minutes=30)
+    got = _rows(stream, ["user_id", "session_start", "n", "sv"])
+    want = _rows(batch_oracle, ["user_id", "session_start", "n", "sv"])
+    assert got == want
+    assert len(got) == 4  # 2 sessions per user
+
+
+def test_stateful_running_count(spark, events):
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, running_count_stateful)
+    stream = run_stream_over_batch(
+        spark, events, running_count_stateful,
+        query_name="t_state", output_mode="update")
+    # final total per key (last update row) must equal the batch count
+    final = (stream.groupBy("key").agg(F.max("total").alias("total")))
+    want = {r["event_type"]: r["n"] for r in
+            events.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {r["key"]: r["total"] for r in final.collect()}
+    assert got == want
+
+
+def test_watermark_append_mode_emits_closed_windows(spark, events):
+    """Append mode with a watermark only emits windows the watermark has
+    passed — the late-data contract."""
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, tumbling_agg)
+    stream = run_stream_over_batch(
+        spark, events.orderBy("ts").coalesce(1),
+        lambda s: tumbling_agg(s, watermark="1 minute"),
+        query_name="t_append", output_mode="append")
+    batch = tumbling_agg(events)
+    # every emitted row matches the batch result exactly...
+    got = _rows(stream, ["w", "event_type", "n", "sv"])
+    want = {t: t for t in _rows(batch, ["w", "event_type", "n", "sv"])}
+    assert all(t in want for t in got)
+    # ...and only the final (max-event-time) windows may be withheld
+    max_w = max(r[0] for r in _rows(batch, ["w", "event_type", "n", "sv"]))
+    missing = [t for t in want if t not in set(got)]
+    assert all(t[0] == max_w for t in missing)
