@@ -1,0 +1,72 @@
+"""Source/sink coverage: INSERT/CTAS readback (SURVEY §2b Sink row),
+format round-trips, partitioned writes + partition pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ctas_and_insert_readback(spark, tables):
+    spark.sql("DROP TABLE IF EXISTS rsink")
+    spark.sql("CREATE TABLE rsink AS SELECT r_regionkey, r_name FROM region")
+    assert spark.table("rsink").count() == 5
+    spark.sql("INSERT INTO rsink SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 3")
+    assert spark.table("rsink").count() == 8
+    # positional binding: INSERT maps by position, not name
+    spark.sql("INSERT INTO rsink SELECT 99, 'ZZZ'")
+    got = spark.sql("SELECT r_name FROM rsink WHERE r_regionkey = 99").first()
+    assert got["r_name"] == "ZZZ"
+    spark.sql("DROP TABLE rsink")
+
+
+def test_insert_overwrite(spark, tables):
+    spark.sql("DROP TABLE IF EXISTS osink")
+    spark.sql("CREATE TABLE osink AS SELECT r_regionkey FROM region")
+    spark.sql("INSERT OVERWRITE osink SELECT n_nationkey FROM nation")
+    assert spark.table("osink").count() == 25
+    spark.sql("DROP TABLE osink")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_roundtrip(spark, tables, tmp_path, fmt):
+    src = (tables["nation"]
+           .select("n_nationkey", "n_name", "n_regionkey").orderBy("n_nationkey"))
+    path = str(tmp_path / f"rt_{fmt}")
+    w = src.write.mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.format(fmt).save(path)
+    r = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        r = r.schema("n_nationkey int, n_name string, n_regionkey int")
+    if fmt == "csv":
+        r = r.option("header", True)
+    back = r.load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_write_prunes(spark, tables, tmp_path):
+    path = str(tmp_path / "part_events")
+    from hive_parse_lineage_spark.sources.loader import read_table
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan must carry a PartitionFilters entry on
+    # event_type, and read only the matching directory
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:200]
+    want = ev.filter(F.col("event_type") == 'click').count()
+    assert back.count() == want
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    """Scan-level pushdown: the parquet reader must receive the filter
+    and a pruned schema (100 TB: the difference between reading 2
+    columns and reading 11)."""
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_orderkey") == 1).select("l_orderkey", "l_quantity"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_quantity" in rs and "l_extendedprice" not in rs
