@@ -1,0 +1,86 @@
+"""Property-based lineage invariants (SURVEY §5.2(3)):
+- every emitted source column exists in an input table's schema;
+- edge count equals the statement's output arity;
+- lineage is stable under alias renaming (table and column aliases).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SCHEMAS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+}
+
+tables_st = st.sampled_from(sorted(SCHEMAS))
+
+
+@st.composite
+def simple_query(draw):
+    table = draw(tables_st)
+    cols = draw(st.lists(st.sampled_from(SCHEMAS[table]), min_size=1,
+                         max_size=4, unique=True))
+    aliased = [(c, draw(st.booleans())) for c in cols]
+    sel = ", ".join(f"{c} AS a_{i}" if use_alias else c
+                    for i, (c, use_alias) in enumerate(aliased))
+    where_col = draw(st.sampled_from(SCHEMAS[table]))
+    use_where = draw(st.booleans())
+    sql = f"SELECT {sel} FROM {table}"
+    if use_where:
+        sql += f" WHERE {where_col} IS NOT NULL"
+    return table, cols, sql
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=simple_query())
+def test_projection_lineage_invariants(spark, tables, q):
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    table, cols, sql = q
+    lin = extract_lineage(spark, sql)
+    edges = lin.col_lines
+    # arity: one edge per select expression
+    assert len(edges) == len(cols)
+    # every source exists in the (single) input table's schema
+    assert lin.input_tables == {f"default.{table}"}
+    for e, c in zip(edges, cols):
+        assert e["sources"] == [f"default.{table}.{c}"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(t1=tables_st, t2=tables_st, alias=st.sampled_from(["x", "yy", "zzz"]))
+def test_alias_renaming_stability(spark, tables, t1, t2, alias):
+    """Renaming a table alias must not change the emitted sources."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    c1, c2 = SCHEMAS[t1][0], SCHEMAS[t2][0]
+    base = extract_lineage(
+        spark, f"SELECT a.{c1} AS u, b.{c2} AS v FROM {t1} a JOIN {t2} b "
+               f"ON a.{c1} = b.{c2}")
+    renamed = extract_lineage(
+        spark, f"SELECT {alias}.{c1} AS u, b.{c2} AS v FROM {t1} {alias} "
+               f"JOIN {t2} b ON {alias}.{c1} = b.{c2}")
+    strip = lambda lin: [(e["target_alias"], e["sources"]) for e in lin.col_lines]
+    assert strip(base) == strip(renamed)
+    assert base.input_tables == renamed.input_tables
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(t=tables_st)
+def test_subquery_wrap_transparency(spark, tables, t):
+    """SELECT * over a derived table emits the same sources as the
+    direct projection."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    cols = SCHEMAS[t][:2]
+    sel = ", ".join(cols)
+    direct = extract_lineage(spark, f"SELECT {sel} FROM {t}")
+    wrapped = extract_lineage(
+        spark, f"SELECT * FROM (SELECT {sel} FROM {t}) sub")
+    assert [e["sources"] for e in direct.col_lines] == \
+        [e["sources"] for e in wrapped.col_lines]
