@@ -69,7 +69,9 @@ def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int):
     from hive_parse_lineage_spark.session import RUNTIME_CONFS
     from hive_parse_lineage_spark.sources.loader import load_tables
 
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # tiny-per-query bench: 16 threads measured faster than 32 (task-launch
+    # overhead dominates); SPARK_GRAFT_CPUS still overrides
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(os.cpu_count() or 4, 16)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bench")
