@@ -126,6 +126,53 @@ def _x11_exact_dedup(spark, tables):
             .orderBy("keep_id"))
 
 
+def _x12_pivot(spark, tables):
+    """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
+    aggregation, which is what the oracle spells explicitly."""
+    return (tables["orders"]
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .agg(F.round(F.sum("o_totalprice"), 2))
+            .withColumnsRenamed({"F": "f_total", "O": "o_total", "P": "p_total"})
+            .orderBy("o_orderpriority"))
+
+
+def _x13_window_distribution(spark, tables):
+    from pyspark.sql import Window as W
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (tables["customer"]
+            .select("c_custkey",
+                    F.round(F.percent_rank().over(w), 4).alias("pr"),
+                    F.round(F.cume_dist().over(w), 4).alias("cd"),
+                    F.ntile(4).over(w).alias("quartile"))
+            .orderBy("c_custkey"))
+
+
+def _x14_string_extended(spark, tables):
+    return (tables["customer"]
+            .select("c_custkey",
+                    F.lpad("c_mktsegment", 12, "*").alias("lp"),
+                    F.rpad("c_mktsegment", 12, "-").alias("rp"),
+                    F.reverse("c_name").alias("rev"),
+                    F.split_part("c_name", F.lit("#"), F.lit(1)).alias("sp"),
+                    F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev"),
+                    F.translate("c_mktsegment", "AEIOU", "aeiou").alias("tr"))
+            .orderBy("c_custkey"))
+
+
+def _x15_date_arithmetic(spark, tables):
+    d = F.to_date("o_orderdate")
+    return (tables["orders"].filter(F.col("o_orderkey") <= 500)
+            .select("o_orderkey",
+                    F.date_add(d, 30).alias("d_plus"),
+                    F.datediff(F.lit("1998-12-31").cast("date"), d).alias("d_diff"),
+                    F.last_day(d).alias("d_eom"),
+                    F.dayofweek(d).alias("dow"),
+                    F.quarter(d).alias("qtr"),
+                    F.weekofyear(d).alias("wk"))
+            .orderBy("o_orderkey"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles (column names aligned with the Spark results)
 # ---------------------------------------------------------------------------
@@ -212,6 +259,40 @@ ORDER BY query_id, neighbor_id
 SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text) ORDER BY keep_id
 """,
+    "x12_pivot": """
+SELECT o_orderpriority,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    "x13_window_distribution": """
+SELECT c_custkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS pr,
+       ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS cd,
+       NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS quartile
+FROM customer ORDER BY c_custkey
+""",
+    "x14_string_extended": """
+SELECT c_custkey,
+       LPAD(c_mktsegment, 12, '*') AS lp,
+       RPAD(c_mktsegment, 12, '-') AS rp,
+       REVERSE(c_name) AS rev,
+       SPLIT_PART(c_name, '#', 1) AS sp,
+       LEVENSHTEIN(c_mktsegment, 'BUILDING') AS lev,
+       TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS tr
+FROM customer ORDER BY c_custkey
+""",
+    "x15_date_arithmetic": """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d_plus,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS d_diff,
+       last_day(CAST(o_orderdate AS DATE)) AS d_eom,
+       dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+       quarter(CAST(o_orderdate AS DATE)) AS qtr,
+       weekofyear(CAST(o_orderdate AS DATE)) AS wk
+FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+""",
 }
 
 
@@ -228,6 +309,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x09_knn_cosine_topk": _q(_x09_knn_cosine_topk),
         "x10_lsh_knn": _q(_x10_lsh_knn),
         "x11_exact_dedup": _q(_x11_exact_dedup),
+        "x12_pivot": _q(_x12_pivot),
+        "x13_window_distribution": _q(_x13_window_distribution),
+        "x14_string_extended": _q(_x14_string_extended),
+        "x15_date_arithmetic": _q(_x15_date_arithmetic),
     }
 
 

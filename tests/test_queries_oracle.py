@@ -16,6 +16,20 @@ def test_declared_query_matches_oracle(name, spark, tables, duck):
     assert res["hash_match"], res
 
 
+def _extra_oracle_names():
+    from hive_parse_lineage_spark.extra_queries import extra_oracle_sql
+    return sorted(extra_oracle_sql())
+
+
+@pytest.mark.parametrize("name", _extra_oracle_names())
+def test_extra_query_matches_oracle(name, spark, tables, sf_dir, duck):
+    from tests.oracle import compare
+    from hive_parse_lineage_spark.extra_queries import extra_oracle_sql, extra_queries
+    res = compare(extra_queries()[name](spark, sf_dir),
+                  extra_oracle_sql()[name], duck)
+    assert res["hash_match"], res
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
