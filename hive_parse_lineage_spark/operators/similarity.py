@@ -107,6 +107,67 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                           F.round("cosine", 4).alias("cosine"), "rank"))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id",
+             sample_size: int = 10_000) -> DataFrame:
+    """IVF-style ANN: k-means centroids partition the corpus into
+    inverted lists; each query probes its ``n_probe`` nearest centroids
+    and reranks exactly within them.
+
+    Centroids come from a driver-side NumPy k-means over a bounded
+    sample (``sample_size`` rows — constant memory regardless of corpus
+    size) and fold into the plan as literals. At 100 TB the corpus pass
+    is: one projection to compute the nearest-centroid id, then an
+    equi-join on (centroid id) with the broadcast query×probe list —
+    a single uniform-ish shuffle, no cross join.
+    """
+    import numpy as np
+
+    sample = np.array(
+        [r[vec_col] for r in corpus.select(vec_col).limit(sample_size).collect()],
+        dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                              replace=False)]
+    for _ in range(10):  # Lloyd iterations — driver-side, sample-bounded
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            m = sample[assign == c]
+            if len(m):
+                cents[c] = m.mean(0)
+
+    def nearest_expr(col, n):
+        """Column: ids of the n nearest centroids to ``col`` (squared L2)."""
+        dists = F.array(*[
+            F.aggregate(F.zip_with(col, F.array(*[F.lit(float(v)) for v in c]),
+                                   lambda x, y: (x.cast("double") - y) ** 2),
+                        F.lit(0.0), lambda a, x: a + x).alias(f"d{i}")
+            for i, c in enumerate(cents)])
+        idx = F.array_sort(
+            F.zip_with(dists, F.array(*[F.lit(i) for i in range(len(cents))]),
+                       lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
+        return F.slice(F.transform(idx, lambda s: s["i"]), 1, n)
+
+    c = corpus.select(
+        id_col, F.col(vec_col).alias("c_vec"),
+        F.element_at(nearest_expr(F.col(vec_col), 1), 1).alias("cell"))
+    q = queries.select(
+        query_id_col, F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell"))
+    joined = c.join(F.broadcast(q), "cell")
+    cos = (dot("q_vec", "c_vec")
+           / (F.sqrt(dot("c_vec", "c_vec")) * F.sqrt(dot("q_vec", "q_vec")))).alias("cosine")
+    scored = joined.select(query_id_col, id_col, cos)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(query_id_col, id_col,
+                          F.round("cosine", 4).alias("cosine"), "rank"))
+
+
 def cosine_topk_pandas(corpus: DataFrame, query_vectors: dict[int, list[float]],
                        k: int = 10, vec_col: str = "embedding",
                        id_col: str = "vec_id") -> DataFrame:

@@ -176,3 +176,32 @@ def test_text_functions_vs_python(spark, docs):
         best = max(scores.values())
         want = min(l for l, s in scores.items() if s == best)
         assert r["lang"] == want
+
+
+# --- skew helpers -------------------------------------------------------
+
+def test_salted_join_matches_plain(spark, tables):
+    from hive_parse_lineage_spark.operators.skew import (
+        hot_key_split_join, salted_join)
+    li = tables["lineitem"].select("l_orderkey", "l_quantity").filter(
+        F.col("l_orderkey") < 2000)
+    od = tables["orders"].select("o_orderkey", "o_totalprice").withColumnRenamed(
+        "o_orderkey", "l_orderkey")
+    plain = li.join(od, "l_orderkey")
+    salted = salted_join(li, od, "l_orderkey", n_salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    split = hot_key_split_join(li, od, "l_orderkey", hot_threshold=3)
+    assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_ivf_topk_recall(spark, emb):
+    from hive_parse_lineage_spark.operators.similarity import cosine_topk, ivf_topk
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(emb, q, k=3).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=4).collect()}
+    # probing half the cells on clustered-ish data: recall well above chance;
+    # self-match is guaranteed (a query's own cell is always probed first)
+    assert len(exact & approx) / len(exact) > 0.5
