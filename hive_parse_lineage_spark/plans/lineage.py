@@ -244,6 +244,7 @@ class _Walker:
             mapping, conds = self.walk(plan.children().apply(0))
             conds = set(conds)
             conds.add("WHERE:" + self._expr_sql(plan.condition()))
+            self._walk_subquery_exprs(plan.condition())
             return mapping, conds
 
         if cls == "Join":
@@ -391,6 +392,7 @@ class _Walker:
             for a in _seq(ne.references().toSeq()):
                 srcs |= mapping_child.get(a.exprId().id(), set())
             mapping[ne.exprId().id()] = srcs
+            self._walk_subquery_exprs(ne)
         # keep child mappings visible for grouping/ordering resolution upstream
         mapping_child.update(mapping)
         return mapping_child, conds
@@ -400,6 +402,23 @@ class _Walker:
             return expr.sql()
         except Exception:
             return expr.toString()
+
+    _SUBQUERY_CLASSES = ("ScalarSubquery", "Exists", "InSubquery", "ListQuery",
+                         "LateralSubquery", "DynamicPruningSubquery")
+
+    def _walk_subquery_exprs(self, expr) -> None:
+        """Register input tables of subquery expressions nested in a
+        condition/projection (reference: TOK_TABREF fires inside
+        subqueries too, LineParser.java:347-367). Lineage through the
+        subquery's own columns is a documented v1 limit."""
+        try:
+            cls = _cls(expr)
+            if cls in self._SUBQUERY_CLASSES:
+                self.walk(expr.plan())
+            for c in _seq(expr.children()):
+                self._walk_subquery_exprs(c)
+        except Exception:
+            pass
 
     # -- per-statement entry -------------------------------------------
     def project_edges(self, plan, mapping: dict[int, set[str]],

@@ -202,3 +202,43 @@ def test_insert_from_tempview(spark, tables, lineage_tables):
     assert st.operation == "INSERT"
     assert st.col_lines[2].target_column == "d_userid"
     assert st.col_lines[2].sources == ["default.region.r_regionkey"]
+
+
+# --- CTE, window, subquery-expression inputs ----------------------------
+def test_cte_lineage(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "WITH top AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) "
+        "SELECT c.c_name, t.n FROM customer c JOIN top t ON c.c_custkey = t.o_custkey")
+    cols = by_alias(lin)
+    assert cols["c_name"]["sources"] == ["default.customer.c_name"]
+    assert {"default.customer", "default.orders"} <= lin.input_tables
+
+
+def test_window_function_lineage(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "SELECT c_custkey, ROW_NUMBER() OVER (PARTITION BY c_nationkey "
+        "ORDER BY c_acctbal) AS rn FROM customer")
+    cols = by_alias(lin)
+    assert cols["rn"]["sources"] == \
+        ["default.customer.c_acctbal", "default.customer.c_nationkey"]
+
+
+def test_exists_subquery_registers_inputs(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "SELECT c_custkey FROM customer WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)")
+    assert lin.input_tables == {"default.customer", "default.orders"}
+    assert any(c.startswith("WHERE:") for c in lin.col_lines[0]["conditions"])
+
+
+def test_scalar_subquery_in_select_registers_inputs(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "SELECT (SELECT MAX(o_totalprice) FROM orders) AS mx, c_name FROM customer")
+    assert lin.input_tables == {"default.customer", "default.orders"}
+
+
+def test_values_inline_table(spark, lineage_tables):
+    lin = lineage(spark, "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, name)")
+    assert [c["target_alias"] for c in lin.col_lines] == ["id", "name"]
+    assert all(c["sources"] == [] for c in lin.col_lines)
+    assert lin.input_tables == set()
