@@ -126,6 +126,33 @@ def _x11_exact_dedup(spark, tables):
             .orderBy("keep_id"))
 
 
+def _x16_time_rollup(spark, tables):
+    """Hypertable-style multi-granularity rollup: one pass emits
+    day-level, hour-level and grand-total aggregates via GROUPING SETS
+    (partial aggregation + a single shuffle — no per-granularity
+    re-scan at 100 TB)."""
+    return spark.sql("""
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+       CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)),
+                        (event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
+                         CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)), ())
+ORDER BY event_type NULLS FIRST, d NULLS FIRST, h NULLS FIRST
+""")
+
+
+def _x17_unpivot(spark, tables):
+    return (tables["lineitem"].filter(F.col("l_orderkey") < 100)
+            .selectExpr("l_orderkey", "l_linenumber",
+                        "stack(3, 'quantity', l_quantity, 'discount', l_discount, "
+                        "'tax', l_tax) AS (metric, val)")
+            .select("l_orderkey", "l_linenumber", "metric",
+                    F.round("val", 2).alias("val"))
+            .orderBy("l_orderkey", "l_linenumber", "metric"))
+
+
 def _x12_pivot(spark, tables):
     """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
     aggregation, which is what the oracle spells explicitly."""
@@ -283,6 +310,28 @@ SELECT c_custkey,
        TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS tr
 FROM customer ORDER BY c_custkey
 """,
+    "x16_time_rollup": """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS d,
+       CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)),
+                        (event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
+                         CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)), ())
+ORDER BY event_type NULLS FIRST, d NULLS FIRST, h NULLS FIRST
+""",
+    "x17_unpivot": """
+SELECT l_orderkey, l_linenumber, metric, ROUND(val, 2) AS val FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey < 100
+) u ORDER BY l_orderkey, l_linenumber, metric
+""",
     "x15_date_arithmetic": """
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d_plus,
@@ -313,6 +362,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_window_distribution": _q(_x13_window_distribution),
         "x14_string_extended": _q(_x14_string_extended),
         "x15_date_arithmetic": _q(_x15_date_arithmetic),
+        "x16_time_rollup": _q(_x16_time_rollup),
+        "x17_unpivot": _q(_x17_unpivot),
     }
 
 

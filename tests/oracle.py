@@ -30,6 +30,9 @@ def duckdb_conn(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 def _norm_value(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
+    if not isinstance(v, (list, tuple)) and type(v).__name__ != "ndarray" \
+            and pd.isna(v):
+        return "NULL"  # NaT and friends
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
