@@ -203,6 +203,32 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
 # exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.95,
+                        n_bits: int = 8, seed: int = 42,
+                        dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup).
+
+    Candidates come from random-hyperplane LSH buckets (near-identical
+    vectors share all signature bits with high probability), verified
+    with the exact cosine. One corpus shuffle on the signature; no
+    all-pairs blowup. Raise ``n_bits`` for tighter buckets at scale,
+    or union several seeds for recall.
+    """
+    from hive_parse_lineage_spark.functions.vector import cosine
+    from hive_parse_lineage_spark.operators.similarity import (
+        hyperplane_signature, make_planes)
+    planes = make_planes(n_bits, dim, seed)
+    sig = hyperplane_signature(df.select(id_col, vec_col), planes, vec_col)
+    l = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "sig")
+    r = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "sig")
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (l.join(r, "sig")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 3,
                         threshold: float = 0.5,

@@ -144,3 +144,14 @@ def test_applyinpandas_group_map(spark, tables):
             got.groupBy("o_orderstatus").agg(F.sum("centered").alias("s")).collect()}
     for v in sums.values():
         assert v == pytest.approx(0.0, abs=1e-6)
+
+
+def test_percentile_approx_error_bound(spark, tables):
+    """percentile_approx vs exact percentile: bounded rank error."""
+    import numpy as np
+    vals = np.array([r["o_totalprice"] for r in
+                     tables["orders"].select("o_totalprice").collect()])
+    approx = tables["orders"].agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("m")).first()["m"]
+    rank = (vals <= approx).mean()
+    assert abs(rank - 0.5) < 0.01

@@ -205,3 +205,24 @@ def test_ivf_topk_recall(spark, emb):
     # probing half the cells on clustered-ish data: recall well above chance;
     # self-match is guaranteed (a query's own cell is always probed first)
     assert len(exact & approx) / len(exact) > 0.5
+
+
+def test_embedding_near_dups(spark, emb):
+    """Planted near-identical vectors must be found; unrelated pairs must
+    pass the cosine verify only if genuinely similar."""
+    from hive_parse_lineage_spark.operators.dedup import embedding_near_dups
+    base = emb.select("vec_id", "embedding")
+    # plant: vec 9000 = copy of vec 0, vec 9001 = slightly perturbed vec 1
+    import numpy as np
+    rows = {r["vec_id"]: list(r["embedding"]) for r in base.filter(F.col("vec_id") < 2).collect()}
+    v0 = rows[0]
+    v1 = [x + 0.001 for x in rows[1]]
+    planted = spark.createDataFrame(
+        [(9000, v0), (9001, v1)], "vec_id long, embedding array<float>")
+    corpus = base.unionByName(planted)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dups(corpus, threshold=0.98).collect()}
+    assert (0, 9000) in pairs and pairs[(0, 9000)] >= 0.999
+    assert (1, 9001) in pairs
+    for (a, b), c in pairs.items():
+        assert c >= 0.98

@@ -108,3 +108,15 @@ def test_watermark_append_mode_emits_closed_windows(spark, events):
     max_w = max(r[0] for r in _rows(batch, ["w", "event_type", "n", "sv"]))
     missing = [t for t in want if t not in set(got)]
     assert all(t[0] == max_w for t in missing)
+
+
+def test_streaming_dedup_within_watermark(spark, events):
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, streaming_dedup)
+    # duplicate every event, then dedup on event_id in the stream
+    doubled = events.unionByName(events)
+    out = run_stream_over_batch(
+        spark, doubled.coalesce(1), lambda s: streaming_dedup(s),
+        query_name="t_dedup", output_mode="append")
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()
