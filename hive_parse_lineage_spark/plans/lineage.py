@@ -516,8 +516,19 @@ def _statement_lineage(spark: SparkSession, sql: str) -> StatementLineage:
     if cls == "InsertIntoStatement":
         target = _ident_from_unresolved(parsed.table())
         query = parsed.query()
+        # INSERT INTO t (b, a) ...: the user column list overrides the
+        # catalog's positional order (reference only knows positional,
+        # LineParser.java:143-152; by-name is the Spark-era extension)
+        user_cols = None
+        try:
+            uc = parsed.userSpecifiedCols()
+            if uc.size() > 0:
+                user_cols = [str(uc.apply(i)) for i in range(uc.size())]
+        except Exception:
+            pass
         return _query_lineage(spark, w, sql, query, "INSERT",
-                              w.fill_db(target) if target else None)
+                              w.fill_db(target) if target else None,
+                              user_cols=user_cols)
 
     if cls in ("CreateTableAsSelect", "CreateTableAsSelectStatement",
                "ReplaceTableAsSelect"):
@@ -537,7 +548,8 @@ def _statement_lineage(spark: SparkSession, sql: str) -> StatementLineage:
 
 
 def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
-                   operation: str, target_table: str | None) -> StatementLineage:
+                   operation: str, target_table: str | None,
+                   user_cols: list[str] | None = None) -> StatementLineage:
     if parsed_query is None:
         return StatementLineage(sql, operation, [], set(),
                                 {target_table} if target_table else set())
@@ -550,8 +562,9 @@ def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
         # positional output binding (LineParser.java:120-155): i-th select
         # expression -> i-th physical (non-partition) column of the target,
         # via spark.catalog — the reference's JDBC metadata fetch, minus its
-        # split(".") crash (LineParser.java:110-118).
-        phys_cols = _catalog_columns(spark, target_table)
+        # split(".") crash (LineParser.java:110-118). An explicit INSERT
+        # column list overrides the catalog order.
+        phys_cols = user_cols or _catalog_columns(spark, target_table)
         for i, e in enumerate(edges):
             e.target_table = target_table
             e.target_column = phys_cols[i] if phys_cols and i < len(phys_cols) else e.target_alias

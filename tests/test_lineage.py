@@ -242,3 +242,12 @@ def test_values_inline_table(spark, lineage_tables):
     assert [c["target_alias"] for c in lin.col_lines] == ["id", "name"]
     assert all(c["sources"] == [] for c in lin.col_lines)
     assert lin.input_tables == set()
+
+
+def test_insert_with_column_list(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "INSERT INTO t2 (c1, col1) SELECT r_regionkey, r_regionkey + 1 FROM region")
+    st = lin.statements[0]
+    assert [c.target_column for c in st.col_lines] == ["c1", "col1"]
+    assert st.col_lines[0].sources == ["default.region.r_regionkey"]
+    assert st.col_lines[1].sources == ["default.region.r_regionkey"]
