@@ -153,6 +153,156 @@ def _x17_unpivot(spark, tables):
             .orderBy("l_orderkey", "l_linenumber", "metric"))
 
 
+def _x18_explode_tokens(spark, tables):
+    """Lateral-view explode (ref SURVEY §2b excluded table: DuckDB spells
+    it unnest). Generator runs inside codegen; no Python."""
+    return (tables["documents"].filter(F.col("doc_id") < 500)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .orderBy("doc_id", "tok"))
+
+
+def _x19_array_ops(spark, tables):
+    """Array element ops over embeddings (ref #35 LSQUARE analogue):
+    size / fold-sum / L2 norm / max — all as codegen higher-order
+    functions (F.aggregate), no UDF. Floats are widened to double
+    before accumulating so Spark and DuckDB agree bit-for-bit."""
+    s = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double"))
+    sq = F.aggregate("embedding", F.lit(0.0),
+                     lambda a, x: a + x.cast("double") * x.cast("double"))
+    return (tables["embeddings"].filter(F.col("vec_id") < 200)
+            .select("vec_id", F.array_size("embedding").alias("dim"),
+                    F.round(s, 2).alias("s"),
+                    F.round(F.sqrt(sq), 2).alias("l2"),
+                    F.round(F.array_max("embedding").cast("double"), 4).alias("mx"))
+            .orderBy("vec_id"))
+
+
+def _x20_json_native(spark, tables):
+    """Native JSON path extraction (vs Q43's portable string form):
+    get_json_object and from_json both exercised."""
+    return (tables["events"].filter(F.col("event_id") < 500)
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int").alias("k"),
+                    F.from_json("props", "k INT").getField("k").alias("kj"))
+            .orderBy("event_id"))
+
+
+def _x21_regexp(spark, tables):
+    """Regex extract / replace-all / match (rlike)."""
+    return (tables["customer"]
+            .select("c_custkey",
+                    F.regexp_extract("c_name", r"([0-9]+)$", 1)
+                     .cast("bigint").alias("num"),
+                    F.regexp_replace("c_name", "[0-9]", "").alias("alpha"),
+                    F.col("c_name").rlike("00$").cast("int").alias("ends00"))
+            .orderBy("c_custkey"))
+
+
+def _x22_stats_agg(spark, tables):
+    """Statistical aggregates: stddev/variance/correlation/covariance —
+    single-pass partial+final hash aggregation (Welford-style merge)."""
+    return (tables["customer"].groupBy("c_nationkey")
+            .agg(F.round(F.stddev_samp("c_acctbal"), 2).alias("sd"),
+                 F.round(F.var_samp("c_acctbal"), 2).alias("vr"),
+                 F.round(F.corr("c_acctbal", "c_custkey"), 4).alias("cr"),
+                 F.round(F.covar_samp("c_acctbal", "c_custkey"), 2).alias("cv"))
+            .orderBy("c_nationkey"))
+
+
+def _x23_window_value(spark, tables):
+    """Value window functions: first/last/nth with explicit frames."""
+    from pyspark.sql import Window as W
+    wk = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = wk.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wrun = wk.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (tables["orders"].filter(F.col("o_orderkey") <= 2000)
+            .select("o_orderkey", "o_custkey",
+                    F.first("o_orderkey").over(wrun).alias("fv"),
+                    F.last("o_orderkey").over(wfull).alias("lv"),
+                    F.nth_value("o_orderkey", 2).over(wfull).alias("nv"))
+            .orderBy("o_orderkey"))
+
+
+_X24_SQL = ("SELECT c_nationkey AS k FROM customer INTERSECT ALL "
+            "SELECT s_nationkey FROM supplier ORDER BY k")
+_X25_SQL = ("SELECT c_nationkey AS k FROM customer EXCEPT ALL "
+            "SELECT s_nationkey FROM supplier ORDER BY k")
+
+
+def _x24_intersect_all(spark, tables):
+    return spark.sql(_X24_SQL)
+
+
+def _x25_except_all(spark, tables):
+    return spark.sql(_X25_SQL)
+
+
+def _x26_sessionize(spark, tables):
+    """Gaps-and-islands sessionization (30-min gap) rolled up per user.
+    One shuffle on user_id for the lag/cumsum, partial agg after."""
+    from hive_parse_lineage_spark.streaming.windows import sessionize_batch
+    return (sessionize_batch(tables["events"]).groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n").alias("n_events"))
+            .orderBy("user_id"))
+
+
+def _x27_histogram(spark, tables):
+    """Equi-width histogram via width_bucket (DuckDB lacks it — the
+    oracle spells the floor arithmetic explicitly)."""
+    return (tables["orders"]
+            .select(F.expr("width_bucket(o_totalprice, 0.0, 500000.0, 10)")
+                     .alias("b"), "o_totalprice")
+            .groupBy("b")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+            .orderBy("b"))
+
+
+def _x28_percentile(spark, tables):
+    """Exact interpolated percentiles (percentile_cont WITHIN GROUP).
+    At 100 TB the approx_percentile sketch path replaces this."""
+    return spark.sql("""SELECT c_nationkey,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 2) AS med,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal), 2) AS p90
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+
+
+def _x29_bitwise(spark, tables):
+    """Bitwise & | ^ ~ << (ref #28) — DuckDB's ^ is exponent, so the
+    oracle uses xor()/<< spellings; semantics identical."""
+    return spark.sql("""SELECT l_orderkey, l_linenumber,
+       l_partkey & l_suppkey AS ba, l_partkey | l_suppkey AS bo,
+       l_partkey ^ l_suppkey AS bx, shiftleft(l_linenumber, 3) AS sl,
+       ~l_partkey AS bn
+    FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""")
+
+
+def _x30_collect_sorted(spark, tables):
+    """Grouped collection: collect_set → array_sort → array_join
+    (string_agg analogue; deterministic via the sort)."""
+    return (tables["customer"].groupBy("c_nationkey")
+            .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",")
+                  .alias("segs"),
+                 F.count("*").alias("n"))
+            .orderBy("c_nationkey"))
+
+
+def _x31_asof_join(spark, tables):
+    """As-of join (purchase → latest click at-or-before, per user) via
+    the window-fill operator; oracle is DuckDB's native ASOF LEFT JOIN.
+    Click side is pre-deduped on (user_id, ts) so tie-breaking is
+    deterministic in both engines."""
+    from hive_parse_lineage_spark.operators.asof import asof_join
+    ev = tables["events"]
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts").agg(F.max("event_id").alias("event_id")))
+    return (asof_join(purch, clicks, on="ts", by="user_id", values=["event_id"])
+            .select("event_id", "user_id", "event_id_r").orderBy("event_id"))
+
+
 def _x12_pivot(spark, tables):
     """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
     aggregation, which is what the oracle spells explicitly."""
@@ -332,6 +482,90 @@ SELECT l_orderkey, l_linenumber, metric, ROUND(val, 2) AS val FROM (
   FROM lineitem WHERE l_orderkey < 100
 ) u ORDER BY l_orderkey, l_linenumber, metric
 """,
+    "x18_explode_tokens": """
+SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+WHERE doc_id < 500 ORDER BY doc_id, tok
+""",
+    "x19_array_ops": """
+SELECT vec_id, len(embedding) AS dim,
+       ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 2) AS s,
+       ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x*x), 'sum')), 2) AS l2,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS mx
+FROM embeddings WHERE vec_id < 200 ORDER BY vec_id
+""",
+    "x20_json_native": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) AS kj
+FROM events WHERE event_id < 500 ORDER BY event_id
+""",
+    "x21_regexp": """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS num,
+       regexp_replace(c_name, '[0-9]', '', 'g') AS alpha,
+       CAST(regexp_matches(c_name, '00$') AS INT) AS ends00
+FROM customer ORDER BY c_custkey
+""",
+    "x22_stats_agg": """
+SELECT c_nationkey, ROUND(stddev_samp(c_acctbal), 2) AS sd,
+       ROUND(var_samp(c_acctbal), 2) AS vr,
+       ROUND(corr(c_acctbal, c_custkey), 4) AS cr,
+       ROUND(covar_samp(c_acctbal, c_custkey), 2) AS cv
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    "x23_window_value": """
+SELECT o_orderkey, o_custkey,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+""",
+    "x24_intersect_all": _X24_SQL,
+    "x25_except_all": _X25_SQL,
+    "x26_sessionize": """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN date_diff('second',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, 1 + SUM(brk) AS n_sessions, COUNT(*) AS n_events
+FROM d GROUP BY user_id ORDER BY user_id
+""",
+    "x27_histogram": """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS INT) AS b,
+       COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY b ORDER BY b
+""",
+    "x28_percentile": """
+SELECT c_nationkey, ROUND(quantile_cont(c_acctbal, 0.5), 2) AS med,
+       ROUND(quantile_cont(c_acctbal, 0.9), 2) AS p90
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    "x29_bitwise": """
+SELECT l_orderkey, l_linenumber,
+       l_partkey & l_suppkey AS ba, l_partkey | l_suppkey AS bo,
+       xor(l_partkey, l_suppkey) AS bx, l_linenumber << 3 AS sl,
+       ~l_partkey AS bn
+FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
+""",
+    "x30_collect_sorted": """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs,
+       COUNT(*) AS n
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    "x31_asof_join": """
+SELECT p.event_id, p.user_id, c.event_id AS event_id_r
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts) c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.event_id
+""",
     "x15_date_arithmetic": """
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d_plus,
@@ -364,6 +598,20 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x15_date_arithmetic": _q(_x15_date_arithmetic),
         "x16_time_rollup": _q(_x16_time_rollup),
         "x17_unpivot": _q(_x17_unpivot),
+        "x18_explode_tokens": _q(_x18_explode_tokens),
+        "x19_array_ops": _q(_x19_array_ops),
+        "x20_json_native": _q(_x20_json_native),
+        "x21_regexp": _q(_x21_regexp),
+        "x22_stats_agg": _q(_x22_stats_agg),
+        "x23_window_value": _q(_x23_window_value),
+        "x24_intersect_all": _q(_x24_intersect_all),
+        "x25_except_all": _q(_x25_except_all),
+        "x26_sessionize": _q(_x26_sessionize),
+        "x27_histogram": _q(_x27_histogram),
+        "x28_percentile": _q(_x28_percentile),
+        "x29_bitwise": _q(_x29_bitwise),
+        "x30_collect_sorted": _q(_x30_collect_sorted),
+        "x31_asof_join": _q(_x31_asof_join),
     }
 
 
