@@ -117,6 +117,50 @@ def streaming_dedup(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
     return events.dropDuplicates(list(keys))
 
 
+def run_stream_to_files(spark, batch_df: DataFrame, transform,
+                        out_dir: str, checkpoint_dir: str) -> DataFrame:
+    """File sink: parquet source → transform → parquet ``writeStream``
+    with a checkpoint (exactly-once via WAL + file-manifest commit
+    protocol). Append mode — the 100 TB landing-zone pattern; the
+    checkpoint makes restarts resume, not reprocess. Returns the
+    sink read back as a batch DataFrame."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    batch_df.write.mode("overwrite").parquet(tmp)
+    src = (spark.readStream.schema(batch_df.schema)
+           .option("maxFilesPerTrigger", 1).parquet(tmp))
+    q = (transform(src).writeStream.outputMode("append")
+         .format("parquet").option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
+def run_stream_foreach_batch(spark, batch_df: DataFrame, transform,
+                             batch_fn) -> None:
+    """foreachBatch sink: each micro-batch DataFrame is handed to
+    ``batch_fn(df, epoch_id)`` — the escape hatch for sinks without a
+    native streaming writer (JDBC upsert, MERGE into a warehouse
+    table). ``batch_fn`` must be idempotent on ``epoch_id`` because a
+    batch can be replayed after failure."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    batch_df.write.mode("overwrite").parquet(tmp)
+    src = (spark.readStream.schema(batch_df.schema)
+           .option("maxFilesPerTrigger", 1).parquet(tmp))
+    q = (transform(src).writeStream.outputMode("update")
+         .foreachBatch(batch_fn).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_stream_over_batch(spark, batch_df: DataFrame, transform,
                           query_name: str = "stream_out",
                           output_mode: str = "complete") -> DataFrame:
