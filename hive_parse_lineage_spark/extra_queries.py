@@ -170,7 +170,8 @@ def _x19_array_ops(spark, tables):
     sq = F.aggregate("embedding", F.lit(0.0),
                      lambda a, x: a + x.cast("double") * x.cast("double"))
     return (tables["embeddings"].filter(F.col("vec_id") < 200)
-            .select("vec_id", F.array_size("embedding").alias("dim"),
+            .select("vec_id",
+                    F.array_size("embedding").cast("bigint").alias("dim"),
                     F.round(s, 2).alias("s"),
                     F.round(F.sqrt(sq), 2).alias("l2"),
                     F.round(F.array_max("embedding").cast("double"), 4).alias("mx"))
@@ -532,11 +533,11 @@ WITH d AS (
                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
               THEN 1 ELSE 0 END AS brk
   FROM events)
-SELECT user_id, 1 + SUM(brk) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(1 + SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM d GROUP BY user_id ORDER BY user_id
 """,
     "x27_histogram": """
-SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS INT) AS b,
+SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) AS b,
        COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
 FROM orders GROUP BY b ORDER BY b
 """,
