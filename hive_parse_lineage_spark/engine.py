@@ -45,3 +45,10 @@ class Engine:
     def output_tables(self, sql_text: str) -> set[str]:
         from hive_parse_lineage_spark.plans.lineage import extract_lineage
         return extract_lineage(self.spark, sql_text).output_tables
+
+    # -- metadata (reference dao/MetaDataQuery.java:12-14) ---------------
+    def table_columns(self, table: str) -> list[str]:
+        """Ordered column names of a catalog/temp table — the reference's
+        ``getColumnByDBAndTable`` (service/MetaDataQueryImpl.java:29-44)
+        without the JDBC pool: Spark's own catalog answers."""
+        return [c.name for c in self.spark.catalog.listColumns(table)]

@@ -113,6 +113,19 @@ def decode_image(df: DataFrame, content_col: str = "content",
                        "channels int, pixels binary")
 
 
+def decode_audio(df: DataFrame, content_col: str = "content",
+                 id_col: str = "item_id",
+                 target_sample_rate: int | None = None) -> DataFrame:
+    """Audio decode to PCM — STUB (needs soundfile/ffmpeg). Contract:
+    (item_id, sample_rate, n_channels, n_samples, pcm) with optional
+    driver-side resampling to ``target_sample_rate``; one row per clip,
+    Arrow-batched via mapInPandas like ``decode_image``."""
+    raise NotImplementedError(
+        "decode_audio requires an audio codec (not in this container); "
+        "schema contract: item_id long, sample_rate int, n_channels int, "
+        "n_samples long, pcm binary")
+
+
 def sample_frames(df: DataFrame, content_col: str = "content",
                   id_col: str = "item_id", every_ms: int = 1000) -> DataFrame:
     """Video frame sampling — STUB (needs ffmpeg/pyav). Contract:

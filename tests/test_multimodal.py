@@ -64,3 +64,23 @@ def test_decode_image_is_contracted_stub(spark, blobs):
     with pytest.raises(NotImplementedError) as e:
         decode_image(blobs)
     assert "schema contract" in str(e.value)
+
+
+def test_decode_audio_and_frames_are_contracted_stubs(spark, blobs):
+    from hive_parse_lineage_spark.operators.multimodal import (
+        decode_audio, sample_frames,
+    )
+    for fn in (decode_audio, sample_frames):
+        try:
+            fn(blobs)
+            raised = False
+        except NotImplementedError as e:
+            raised = True
+            assert "schema contract" in str(e)
+        assert raised
+
+
+def test_engine_table_columns(spark, tables):
+    from hive_parse_lineage_spark.engine import Engine
+    eng = Engine(spark, register_tables=False)
+    assert eng.table_columns("region") == ["r_regionkey", "r_name"]
