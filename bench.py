@@ -28,11 +28,12 @@ import time
 # - shuffled-hash over sort-merge: every bench join has a small build side;
 #   at 100 TB the planner would still pick SMJ where the build side is big
 #   because this is a preference, not a force.
-# - AQE coalesces aggressively toward 64 MB partitions (tiny-data bench →
-#   usually 1 post-shuffle partition, minimal task overhead).
+# - AQE coalesces toward 64 MB advisory partitions but parallelismFirst
+#   stays at Spark's default (true): coalescing to a single partition
+#   serialized the q12 full-outer join's 600k-row output (measured
+#   0.9s vs 1.6-2.7s) — keeping parallelism is also the 100 TB posture.
 BENCH_CONFS = {
     "spark.sql.join.preferSortMergeJoin": "false",
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
     "spark.ui.showConsoleProgress": "false",
