@@ -433,6 +433,22 @@ WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
                              CAST(c.embedding AS DOUBLE[])) >= 0.25
 ORDER BY query_id, neighbor_id
 """,
+    "x09_knn_cosine_topk": """
+WITH s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10
+), r AS (
+  SELECT query_id, vec_id, ROUND(cos, 4) AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r
+WHERE rank <= 5 AND query_id <> vec_id ORDER BY query_id, rank
+""",
     "x11_exact_dedup": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY md5(text) ORDER BY keep_id
