@@ -304,6 +304,35 @@ def _x31_asof_join(spark, tables):
             .select("event_id", "user_id", "event_id_r").orderBy("event_id"))
 
 
+def _x32_map_access(spark, tables):
+    """Map construction + subscript access — the reference's LSQUARE
+    handler (LineParser.java:688-691) generalized to real MapType."""
+    return spark.sql("""
+SELECT n_nationkey,
+       map_from_arrays(array('key', 'region'),
+                       array(n_nationkey, n_regionkey))['region'] AS rk
+FROM nation ORDER BY n_nationkey""")
+
+
+def _x33_struct_access(spark, tables):
+    """Struct construction + field access — nested-type support the
+    reference lacks entirely (SURVEY §1.2)."""
+    return spark.sql("""
+SELECT c_custkey, named_struct('seg', c_mktsegment, 'bal', c_acctbal).seg AS seg,
+       ROUND(named_struct('seg', c_mktsegment, 'bal', c_acctbal).bal, 2) AS bal
+FROM customer ORDER BY c_custkey""")
+
+
+def _x34_decimal_arith(spark, tables):
+    """Exact DECIMAL arithmetic (scale-preserving multiply + sum),
+    surfaced as DOUBLE for cross-engine hashing."""
+    return spark.sql("""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS rev
+FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey""")
+
+
 def _x12_pivot(spark, tables):
     """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
     aggregation, which is what the oracle spells explicitly."""
@@ -448,6 +477,22 @@ WITH s AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM r
 WHERE rank <= 5 AND query_id <> vec_id ORDER BY query_id, rank
+""",
+    "x32_map_access": """
+SELECT n_nationkey,
+       map_extract(MAP {'key': n_nationkey, 'region': n_regionkey}, 'region')[1] AS rk
+FROM nation ORDER BY n_nationkey
+""",
+    "x33_struct_access": """
+SELECT c_custkey, struct_pack(seg := c_mktsegment, bal := c_acctbal).seg AS seg,
+       ROUND(struct_pack(seg := c_mktsegment, bal := c_acctbal).bal, 2) AS bal
+FROM customer ORDER BY c_custkey
+""",
+    "x34_decimal_arith": """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS rev
+FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey
 """,
     "x11_exact_dedup": """
 SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -629,6 +674,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x29_bitwise": _q(_x29_bitwise),
         "x30_collect_sorted": _q(_x30_collect_sorted),
         "x31_asof_join": _q(_x31_asof_join),
+        "x32_map_access": _q(_x32_map_access),
+        "x33_struct_access": _q(_x33_struct_access),
+        "x34_decimal_arith": _q(_x34_decimal_arith),
     }
 
 
