@@ -540,7 +540,20 @@ def _statement_lineage(spark: SparkSession, sql: str) -> StatementLineage:
         return _query_lineage(spark, w, sql, query, "CREATETABLE",
                               w.fill_db(target) if target else None)
 
-    if cls in ("CreateTable", "CreateTableCommand", "CreateView"):
+    if cls == "CreateView":
+        # CREATE VIEW v AS SELECT ...: the reference has no view handler
+        # (only TOK_CREATETABLE, LineParser.java:319-321); treating the
+        # view body like a CTAS body is the natural superset — edges
+        # flow into the view's columns.
+        target = _ident_from_unresolved(parsed.child())
+        try:
+            query = parsed.query()
+        except Exception:
+            query = None
+        return _query_lineage(spark, w, sql, query, "CREATETABLE",
+                              w.fill_db(target) if target else None)
+
+    if cls in ("CreateTable", "CreateTableCommand"):
         return ddl("CREATETABLE", parsed)
 
     # plain query

@@ -251,3 +251,17 @@ def test_insert_with_column_list(spark, tables, lineage_tables):
     assert [c.target_column for c in st.col_lines] == ["c1", "col1"]
     assert st.col_lines[0].sources == ["default.region.r_regionkey"]
     assert st.col_lines[1].sources == ["default.region.r_regionkey"]
+
+
+def test_create_view_lineage(spark, tables, lineage_tables):
+    """CREATE VIEW body lineage — superset of the reference (which has
+    no view handler; LineParser.java:319-321 covers only CREATETABLE)."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    lin = extract_lineage(
+        spark, "CREATE VIEW v_lin_test AS SELECT n_name AS nm FROM nation")
+    assert lin.output_tables == {"default.v_lin_test"}
+    assert "default.nation" in lin.input_tables
+    edges = lin.col_lines
+    assert any(e["target_alias"] == "nm"
+               and "default.nation.n_name" in e["sources"] for e in edges)
+    assert lin.statements[0].operation == "CREATETABLE"
