@@ -18,16 +18,26 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="hive_parse_lineage_spark")
-    ap.add_argument("command", choices=["lineage", "run", "tables"])
-    ap.add_argument("sql", help="SQL text, or '-' to read stdin")
+    ap.add_argument("command", choices=["lineage", "run", "tables", "serve"])
+    ap.add_argument("sql", nargs="?", default=None,
+                    help="SQL text, or '-' to read stdin (unused by 'serve')")
     ap.add_argument("--sf-dir", default=None, help="testdata dir to register as views")
     ap.add_argument("--limit", type=int, default=20, help="row limit for 'run' output")
+    ap.add_argument("--port", type=int, default=8080, help="port for 'serve'")
     args = ap.parse_args(argv)
-
-    sql = sys.stdin.read() if args.sql == "-" else args.sql
 
     from hive_parse_lineage_spark.engine import Engine
     eng = Engine(sf_dir=args.sf_dir) if args.sf_dir else Engine(register_tables=False)
+
+    if args.command == "serve":
+        from hive_parse_lineage_spark.server import serve
+        print(f"serving POST /fetch on :{args.port}", file=sys.stderr)
+        serve(eng, port=args.port)
+        return 0
+
+    sql = sys.stdin.read() if args.sql == "-" else args.sql
+    if sql is None:
+        ap.error("sql is required for this command")
 
     if args.command == "lineage":
         print(json.dumps(eng.lineage(sql), indent=2))
