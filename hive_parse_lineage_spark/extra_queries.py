@@ -89,15 +89,20 @@ def _x06_cosine_pairs(spark, tables):
 
 
 def _x07_minhash_near_dup(spark, tables):
+    """MinHash-LSH with the portable shingle hash so the DuckDB oracle
+    can replay the exact signatures (permutation constants are fixed by
+    seed); production default stays xxhash64 — same plan, faster hash."""
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
     return (minhash_near_dups(tables["documents"], threshold=0.3,
-                              n_hashes=64, bands=16, shingle_k=2)
+                              n_hashes=64, bands=16, shingle_k=2,
+                              hasher=T.portable_hash64)
             .orderBy("id_a", "id_b"))
 
 
 def _x08_simhash_near_dup(spark, tables):
     from hive_parse_lineage_spark.operators.dedup import simhash_near_dups
-    return (simhash_near_dups(tables["documents"], max_hamming=3)
+    return (simhash_near_dups(tables["documents"], max_hamming=3,
+                              hasher=T.portable_hash64)
             .orderBy("id_a", "id_b"))
 
 
@@ -641,6 +646,119 @@ FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
 }
 
 
+def _minhash_oracle_sql(n_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 2, threshold: float = 0.3,
+                        seed: int = 42) -> str:
+    """DuckDB replay of the x07 MinHash-LSH pipeline: same portable
+    shingle hash, same fixed (a, b) permutation constants, same banding
+    — so pairs AND est_jaccard values match the Spark run exactly."""
+    from hive_parse_lineage_spark.operators.dedup import _P, _perm_params
+    k, n = shingle_k, n_hashes
+    rows = n_hashes // bands
+    h = T.portable_hash64_sql("s")
+    mins = ",\n    ".join(
+        f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {_P}))"
+        for a, b in _perm_params(n_hashes, seed))
+    est = f"ROUND(len(list_filter(range(1, {n + 1}), i -> sa[i] = sb[i])) / {n}, 4)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(range(1, len(t) - {k} + 2),
+                                  i -> array_to_string(list_slice(t, i, i + {k} - 1), ' '))
+              ELSE [text] END AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {h} % {_P}) AS hs FROM sh
+), sigs AS (
+  SELECT doc_id, [{mins}] AS sig FROM hashed
+), bk AS (
+  SELECT doc_id, sig, r.range AS band,
+         list_slice(sig, r.range*{rows} + 1, r.range*{rows} + {rows}) AS bv
+  FROM sigs, range({bands}) r
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, {est} AS est_jaccard
+FROM pairs WHERE {est} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB replay of x08: per-bit majority vote over portable token
+    hashes (bit j set iff more than half the tokens have bit j), then
+    the same pigeonhole block join + exact Hamming verify.
+
+    Only bits 0-59 appear: the portable hash is 60-bit, so counters for
+    bits 60-63 are always -n (bit never set) in both engines."""
+    h = T.portable_hash64_sql("tok")
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    terms = "\n       + ".join(
+        f"CASE WHEN 2*len(list_filter(hl, x -> (x & {1 << j}) != 0)) > n "
+        f"THEN {1 << j}::BIGINT ELSE 0 END"
+        for j in range(60))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), hashes AS (
+  SELECT doc_id, list_transform(t, tok -> {h}) AS hl, len(t) AS n FROM toks
+), sigs AS (
+  SELECT doc_id, ({terms}) AS sh FROM hashes
+), bl AS (
+  SELECT doc_id, sh, r.range AS blk,
+         (sh >> (r.range*{width})) & {(1 << width) - 1} AS bv
+  FROM sigs, range({n_blocks}) r
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+  FROM bl a JOIN bl b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+)
+SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
+"""
+
+
+def _lsh_knn_oracle_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
+                        seed: int = 42, n_queries: int = 10) -> str:
+    """DuckDB replay of x10: the hyperplanes are deterministic literals
+    (same seed as lsh_topk), the signature dot products fold
+    left-to-right exactly like Spark's ``aggregate`` — identical
+    buckets, then the same within-bucket cosine top-k."""
+    from hive_parse_lineage_spark.operators.similarity import make_planes
+    planes = make_planes(n_bits, dim, seed)
+    sig_terms = "\n       + ".join(
+        "CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, {d1}), "
+        "j -> e[j] * ([{lits}])[j])), (a,b) -> a + b) > 0 "
+        "THEN {bit} ELSE 0 END".format(
+            d1=dim + 1, bit=1 << i,
+            lits=", ".join(repr(float(v)) for v in p))
+        for i, p in enumerate(planes))
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sigs AS (
+  SELECT vec_id, e, ({sig_terms}) AS sg FROM base
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, sg FROM sigs WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(q.qe, c.e) AS cos
+  FROM sigs c JOIN q ON c.sg = q.sg
+), ranked AS (
+  SELECT query_id, vec_id, ROUND(cos, 4) AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x01_token_stats": _q(_x01_token_stats),
@@ -649,15 +767,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x04_doc_fingerprint": _q(_x04_doc_fingerprint),
         "x05_token_jaccard_pairs": _q(_x05_token_jaccard_pairs),
         "x06_cosine_pairs": _q(_x06_cosine_pairs),
+        "x07_minhash_near_dup": _q(_x07_minhash_near_dup),
+        "x08_simhash_near_dup": _q(_x08_simhash_near_dup),
         "x09_knn_cosine_topk": _q(_x09_knn_cosine_topk),
+        "x10_lsh_knn": _q(_x10_lsh_knn),
         "x11_exact_dedup": _q(_x11_exact_dedup),
-        # z-prefixed: hash-function-based ops (engine-specific xxhash64)
-        # have no SQL oracle; they sort after every oracled entry so the
-        # driver's sorted sweep checks all oracled queries first. Each is
-        # NumPy-verified in tests/test_llm_ops.py.
-        "z01_minhash_near_dup": _q(_x07_minhash_near_dup),
-        "z02_simhash_near_dup": _q(_x08_simhash_near_dup),
-        "z03_lsh_knn": _q(_x10_lsh_knn),
         "x12_pivot": _q(_x12_pivot),
         "x13_window_distribution": _q(_x13_window_distribution),
         "x14_string_extended": _q(_x14_string_extended),
@@ -685,4 +799,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def extra_oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    out["x07_minhash_near_dup"] = _minhash_oracle_sql()
+    out["x08_simhash_near_dup"] = _simhash_oracle_sql()
+    out["x10_lsh_knn"] = _lsh_knn_oracle_sql()
+    return out

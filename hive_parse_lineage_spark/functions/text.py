@@ -109,6 +109,27 @@ def doc_fingerprint(text: Column | str) -> Column:
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD)
 
 
+def portable_hash64(s: Column | str) -> Column:
+    """60-bit hash both Spark and DuckDB compute identically: the
+    integer value of the first 15 hex chars of ``md5``.
+
+    The production hot path uses ``xxhash64`` (one JVM intrinsic, no
+    string round-trip); this variant exists so hash-based operators
+    (MinHash, SimHash) can be differentially tested against a SQL
+    oracle that replays the exact signatures. Same plan shape either
+    way — a pure codegen projection.
+    """
+    c = F.col(s) if isinstance(s, str) else s
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`portable_hash64` (hex fold of md5)."""
+    return ("list_reduce(list_transform(range(1,16), i -> "
+            f"(strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1)::BIGINT), "
+            "(a,b) -> a*16+b)")
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles (the MinHash/Jaccard unit).
 

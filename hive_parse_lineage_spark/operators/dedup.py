@@ -62,17 +62,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def minhash_signature(df: DataFrame, text_col: str = "text",
                       n_hashes: int = 64, shingle_k: int = 3,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, hasher=None) -> DataFrame:
     """Append ``minhash`` (array<bigint>, length n_hashes).
 
     Shingle hash = xxhash64 (JVM, seeded) reduced mod p; permutation
     minima via ``array_min(transform(...))`` — all codegen, computed
     map-side during the scan. 100 TB note: signature computation is a
     pure projection; nothing shuffles until the band join.
+
+    ``hasher`` (Column -> Column) overrides the shingle hash; pass
+    ``functions.text.portable_hash64`` for cross-engine-reproducible
+    signatures (differential testing against a SQL oracle).
     """
     params = _perm_params(n_hashes, seed)
     sh = word_shingles(text_col, shingle_k)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    base = hasher if hasher is not None else F.xxhash64
+    hashed = F.transform(sh, lambda s: F.pmod(base(s), F.lit(_P)))
     sig = F.array(*[
         F.array_min(F.transform(
             hashed,
@@ -124,9 +129,10 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.7,
                       n_hashes: int = 64, bands: int = 16,
-                      shingle_k: int = 3, seed: int = 42) -> DataFrame:
+                      shingle_k: int = 3, seed: int = 42,
+                      hasher=None) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection."""
-    sig = minhash_signature(df, text_col, n_hashes, shingle_k, seed)
+    sig = minhash_signature(df, text_col, n_hashes, shingle_k, seed, hasher)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
     return cand.filter(F.col("est_jaccard") >= threshold)
 
@@ -136,20 +142,22 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash(df: DataFrame, text_col: str = "text",
-            token_expr: Column | None = None) -> DataFrame:
+            token_expr: Column | None = None, hasher=None) -> DataFrame:
     """Append a 64-bit ``simhash`` (bigint) column.
 
     Per token: xxhash64 → 64 sign contributions (+1 if bit set, −1
     otherwise) accumulated per bit position; signature bit b = 1 iff the
     accumulated weight is positive. Pure codegen expressions — the
     64-counter accumulator is an array<int> folded with ``aggregate`` +
-    ``zip_with``.
+    ``zip_with``. ``hasher`` overrides the token hash (see
+    ``minhash_signature``).
     """
     toks = token_expr if token_expr is not None else F.split(F.col(text_col), " ")
+    base = hasher if hasher is not None else F.xxhash64
     # signed-long bit masks; bit 63 is the (negative) sign-bit mask
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
     counters = F.aggregate(
-        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.transform(toks, lambda t: base(t)),
         F.array(*[F.lit(0) for _ in range(64)]),
         lambda acc, h: F.zip_with(
             acc,
@@ -167,7 +175,8 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      hasher=None) -> DataFrame:
     """Pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
     Pigeonhole blocking: split 64 bits into (max_hamming+1) blocks; any
@@ -178,7 +187,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sig = simhash(df, text_col).select(id_col, "simhash")
+    sig = simhash(df, text_col, hasher=hasher).select(id_col, "simhash")
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width)
