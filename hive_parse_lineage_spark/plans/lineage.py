@@ -25,10 +25,12 @@ reproduced):
 - statements are analyzed, never executed — lineage extraction of an
   INSERT/CTAS has no side effects (parse + analyze only).
 
-Known v1 limits: scalar subqueries in the SELECT list contribute their
-rendered SQL as a COLFUN condition but their inner columns are not
-traced as sources; conditions accumulate per statement subtree (a
-superset of the reference's per-query-context sets for nested queries).
+Condition scoping mirrors the reference's per-query-context stacks
+(``LineParser.java:56-59,243-261``): root-context conditions attach to
+every output column; a WHERE inside a derived table, CTE body, set-op
+branch, or subquery expression attaches only to columns derived from
+that context. SELECT-list subqueries trace their inner columns as
+sources (reference ``subQueryMap``, ``LineParser.java:369-383,534-549``).
 """
 
 from __future__ import annotations
@@ -165,7 +167,12 @@ class _Walker:
         self.parser = self.jss.sessionState().sqlParser()
         self.analyzer = self.jss.sessionState().analyzer()
         self.input_tables: set[str] = set()
-        self.cte_defs: dict[int, dict[int, set[str]]] = {}
+        self.cte_defs: dict[int, dict[int, tuple[set[str], set[str]]]] = {}
+        #: per-attribute conditions sealed at query-context boundaries
+        #: (reference per-context stacks, LineParser.java:56-59,243-258):
+        #: a WHERE inside a derived table / CTE / set-op branch attaches
+        #: only to columns derived from that context.
+        self.attr_conds: dict[int, set[str]] = {}
         self.current_db = DEFAULT_DB
         try:
             cur = spark.catalog.currentDatabase
@@ -213,7 +220,8 @@ class _Walker:
                     return self._walk_view(inner)
             if ccls == "View":
                 return self._walk_view(child)
-            return self.walk(child)
+            mapping, conds = self.walk(child)
+            return mapping, self._seal_context(plan, conds)
 
         if cls == "View":
             return self._walk_view(plan)
@@ -237,6 +245,7 @@ class _Walker:
                 srcs = set()
                 for a in _seq(ne.references().toSeq()):
                     srcs |= mapping.get(a.exprId().id(), set())
+                    self._inherit_conds(ne.exprId().id(), a.exprId().id())
                 mapping[ne.exprId().id()] = srcs
             return mapping, conds
 
@@ -261,22 +270,27 @@ class _Walker:
 
         if cls in ("Union", "Intersect", "Except"):
             # positional merge across branches, ALL sources kept
-            # (fixes ColLineParse.java:48-50 overwrite bug; LineParser.java:205-222)
+            # (fixes ColLineParse.java:48-50 overwrite bug; LineParser.java:205-222).
+            # Each branch is its own query context: branch conditions seal
+            # onto the branch's columns and merge positionally.
             children = _seq(plan.children())
             walked = [self.walk(c) for c in children]
             out = _seq(plan.output())
             mapping: dict[int, set[str]] = {}
-            conds: set[str] = set()
             child_outputs = [_seq(c.output()) for c in children]
-            for m, c in walked:
-                conds |= c
+            for (_, c), couts in zip(walked, child_outputs):
+                if c:
+                    for a in couts:
+                        self.attr_conds.setdefault(a.exprId().id(), set()).update(c)
             for i, attr in enumerate(out):
                 srcs: set[str] = set()
                 for (m, _), couts in zip(walked, child_outputs):
                     if i < len(couts):
                         srcs |= m.get(couts[i].exprId().id(), set())
+                        self._inherit_conds(attr.exprId().id(),
+                                            couts[i].exprId().id())
                 mapping[attr.exprId().id()] = srcs
-            return mapping, conds
+            return mapping, set()
 
         if cls == "Expand":
             # CUBE/ROLLUP/GROUPING SETS: output attr i <- union of refs of the
@@ -290,32 +304,47 @@ class _Walker:
                     if i < len(proj):
                         for a in _seq(proj[i].references().toSeq()):
                             srcs |= mapping_child.get(a.exprId().id(), set())
+                            self._inherit_conds(attr.exprId().id(),
+                                                a.exprId().id())
                 mapping[attr.exprId().id()] = srcs
             return mapping, conds
 
         if cls == "Generate":
             mapping, conds = self.walk(plan.children().apply(0))
             gen_srcs: set[str] = set()
-            for a in _seq(plan.generator().references().toSeq()):
-                gen_srcs |= mapping.get(a.exprId().id(), set())
+            gen_refs = [a.exprId().id()
+                        for a in _seq(plan.generator().references().toSeq())]
+            for eid in gen_refs:
+                gen_srcs |= mapping.get(eid, set())
             for attr in _seq(plan.generatorOutput()):
                 mapping[attr.exprId().id()] = set(gen_srcs)
+                for eid in gen_refs:
+                    self._inherit_conds(attr.exprId().id(), eid)
             return mapping, conds
 
         if cls == "WithCTE":
             # children: Seq[CTERelationDef] resolved first, then the main plan
             for d in _seq(plan.cteDefs()):
-                m, _ = self.walk(d.child())
+                m, c = self.walk(d.child())
                 outs = _seq(d.child().output())
+                # the CTE body is its own query context: its conditions
+                # seal onto its columns (by position)
                 self.cte_defs[d.id()] = {
-                    i: m.get(a.exprId().id(), set()) for i, a in enumerate(outs)
+                    i: (m.get(a.exprId().id(), set()),
+                        self.attr_conds.get(a.exprId().id(), set()) | c)
+                    for i, a in enumerate(outs)
                 }
             return self.walk(plan.plan())
 
         if cls == "CTERelationRef":
             by_pos = self.cte_defs.get(plan.cteId(), {})
-            return {a.exprId().id(): by_pos.get(i, set())
-                    for i, a in enumerate(_seq(plan.output()))}, set()
+            mapping = {}
+            for i, a in enumerate(_seq(plan.output())):
+                srcs, cnds = by_pos.get(i, (set(), set()))
+                mapping[a.exprId().id()] = srcs
+                if cnds:
+                    self.attr_conds.setdefault(a.exprId().id(), set()).update(cnds)
+            return mapping, set()
 
         if cls in _PASSTHROUGH:
             if plan.children().size() == 0:
@@ -335,8 +364,27 @@ class _Walker:
                 srcs: set[str] = set()
                 for a in _seq(attr.references().toSeq()):
                     srcs |= mapping.get(a.exprId().id(), set())
+                    self._inherit_conds(eid, a.exprId().id())
                 mapping[eid] = srcs
         return mapping, conds
+
+    # -- condition scoping ----------------------------------------------
+    def _seal_context(self, plan, conds: set[str]) -> set[str]:
+        """Attach the conditions collected inside a query context to its
+        output attributes and stop their upward propagation (reference
+        pushes/pops a condition stack per query context,
+        LineParser.java:243-261)."""
+        if conds:
+            for a in _seq(plan.output()):
+                self.attr_conds.setdefault(a.exprId().id(), set()).update(conds)
+        return set()
+
+    def _inherit_conds(self, eid: int, from_eid: int) -> None:
+        if eid == from_eid:
+            return
+        inherited = self.attr_conds.get(from_eid)
+        if inherited:
+            self.attr_conds.setdefault(eid, set()).update(inherited)
 
     # -- leaf handling --------------------------------------------------
     def _walk_view(self, view) -> tuple[dict[int, set[str]], set[str]]:
@@ -391,8 +439,9 @@ class _Walker:
             srcs: set[str] = set()
             for a in _seq(ne.references().toSeq()):
                 srcs |= mapping_child.get(a.exprId().id(), set())
+                self._inherit_conds(ne.exprId().id(), a.exprId().id())
+            srcs |= self._walk_subquery_exprs(ne)
             mapping[ne.exprId().id()] = srcs
-            self._walk_subquery_exprs(ne)
         # keep child mappings visible for grouping/ordering resolution upstream
         mapping_child.update(mapping)
         return mapping_child, conds
@@ -406,19 +455,27 @@ class _Walker:
     _SUBQUERY_CLASSES = ("ScalarSubquery", "Exists", "InSubquery", "ListQuery",
                          "LateralSubquery", "DynamicPruningSubquery")
 
-    def _walk_subquery_exprs(self, expr) -> None:
-        """Register input tables of subquery expressions nested in a
-        condition/projection (reference: TOK_TABREF fires inside
-        subqueries too, LineParser.java:347-367). Lineage through the
-        subquery's own columns is a documented v1 limit."""
+    def _walk_subquery_exprs(self, expr) -> set[str]:
+        """Walk subquery expressions nested in a condition/projection:
+        registers their input tables (reference: TOK_TABREF fires inside
+        subqueries too, LineParser.java:347-367) and returns the base
+        columns feeding the subquery's output attributes, so a
+        SELECT-list subquery contributes its inner columns as sources of
+        the enclosing expression (reference ``subQueryMap``,
+        LineParser.java:369-383,534-549). Inner conditions stay scoped
+        to the subquery (not propagated to the enclosing query)."""
+        srcs: set[str] = set()
         try:
             cls = _cls(expr)
             if cls in self._SUBQUERY_CLASSES:
-                self.walk(expr.plan())
+                sub_mapping, _sub_conds = self.walk(expr.plan())
+                for a in _seq(expr.plan().output()):
+                    srcs |= sub_mapping.get(a.exprId().id(), set())
             for c in _seq(expr.children()):
-                self._walk_subquery_exprs(c)
+                srcs |= self._walk_subquery_exprs(c)
         except Exception:
             pass
+        return srcs
 
     # -- per-statement entry -------------------------------------------
     def project_edges(self, plan, mapping: dict[int, set[str]],
@@ -432,16 +489,18 @@ class _Walker:
         """
         edges: list[ColLine] = []
         named = self._root_named_exprs(plan)
-        base_conds = sorted(conds)
         for ne in named:
             name = ne.name()
             eid = ne.exprId().id()
             srcs = sorted(mapping.get(eid, set()))
-            col_conds = list(base_conds)
+            # root-context conditions apply to every output column;
+            # sealed subquery-context conditions only to columns derived
+            # from that context (attr_conds)
+            col_conds = set(conds) | self.attr_conds.get(eid, set())
             if _cls(ne) == "Alias":
                 child = ne.child()
                 if _cls(child) != "AttributeReference":
-                    col_conds.append("COLFUN:" + self._expr_sql(child))
+                    col_conds.add("COLFUN:" + self._expr_sql(child))
             edges.append(ColLine(None, None, name, srcs, sorted(col_conds)))
         return edges
 

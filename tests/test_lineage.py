@@ -235,6 +235,57 @@ def test_scalar_subquery_in_select_registers_inputs(spark, tables, lineage_table
     lin = lineage(spark,
         "SELECT (SELECT MAX(o_totalprice) FROM orders) AS mx, c_name FROM customer")
     assert lin.input_tables == {"default.customer", "default.orders"}
+    # inner columns of a SELECT-list subquery are traced as sources
+    # (reference subQueryMap, LineParser.java:534-549)
+    cols = by_alias(lin)
+    assert cols["mx"]["sources"] == ["default.orders.o_totalprice"]
+
+
+def test_scalar_subquery_mixed_expression_sources(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "SELECT c_acctbal - (SELECT AVG(o_totalprice) FROM orders) AS diff "
+        "FROM customer")
+    cols = by_alias(lin)
+    assert cols["diff"]["sources"] == \
+        ["default.customer.c_acctbal", "default.orders.o_totalprice"]
+
+
+def test_inner_where_scoped_to_subquery_columns(spark, tables, lineage_tables):
+    """Per-query-context condition scoping (LineParser.java:243-261): a
+    WHERE inside a derived table attaches only to columns derived from
+    it, not to sibling columns of the outer query."""
+    lin = lineage(spark,
+        "SELECT c.c_name, d.total FROM customer c JOIN "
+        "(SELECT o_custkey, SUM(o_totalprice) AS total FROM orders "
+        " WHERE o_orderstatus = 'F' GROUP BY o_custkey) d "
+        "ON c.c_custkey = d.o_custkey")
+    cols = by_alias(lin)
+    inner = [x for x in cols["total"]["conditions"]
+             if x.startswith("WHERE:") and "o_orderstatus" in x]
+    assert inner, cols["total"]["conditions"]
+    assert not any("o_orderstatus" in x for x in cols["c_name"]["conditions"])
+    # the join condition is outer-context: present on both columns
+    for k in ("c_name", "total"):
+        assert any(x.startswith("JOIN:") for x in cols[k]["conditions"]), k
+
+
+def test_outer_where_applies_to_all_columns(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "SELECT c_name, c_acctbal FROM customer WHERE c_nationkey = 3")
+    cols = by_alias(lin)
+    for k in ("c_name", "c_acctbal"):
+        assert any(x.startswith("WHERE:") for x in cols[k]["conditions"]), k
+
+
+def test_cte_where_scoped_to_cte_columns(spark, tables, lineage_tables):
+    lin = lineage(spark,
+        "WITH f AS (SELECT o_custkey, o_totalprice FROM orders "
+        "           WHERE o_orderstatus = 'F') "
+        "SELECT c.c_name, f.o_totalprice FROM customer c "
+        "JOIN f ON c.c_custkey = f.o_custkey")
+    cols = by_alias(lin)
+    assert any("o_orderstatus" in x for x in cols["o_totalprice"]["conditions"])
+    assert not any("o_orderstatus" in x for x in cols["c_name"]["conditions"])
 
 
 def test_values_inline_table(spark, lineage_tables):
