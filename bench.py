@@ -67,7 +67,8 @@ def _timed_passes(run_one, queries: dict[str, str], n_passes: int,
     return times, pass_totals
 
 
-def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int):
+def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int,
+                tuned: bool = True):
     from pyspark.sql import SparkSession
 
     from hive_parse_lineage_spark.session import RUNTIME_CONFS
@@ -79,12 +80,13 @@ def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int):
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
-    for k, v in {**RUNTIME_CONFS, **BENCH_CONFS}.items():
-        builder = builder.config(k, v)
+    if tuned:
+        builder = builder.config("spark.sql.shuffle.partitions", str(cpus))
+        for k, v in {**RUNTIME_CONFS, **BENCH_CONFS}.items():
+            builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
@@ -125,18 +127,35 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     engine = os.environ.get("BENCH_ENGINE", "spark")
     n_passes = int(os.environ.get("BENCH_PASSES", "2"))
-    fn = bench_duckdb if engine == "duckdb" else bench_spark
-    times, pass_totals = fn(sf_dir, dict(DECLARED_QUERIES), n_passes)
+    queries = dict(DECLARED_QUERIES)
+    out: dict = {"unit": "sec", "sf": infer_sf(sf_dir), "passes": n_passes}
+
+    if engine == "duckdb":
+        times, pass_totals = bench_duckdb(sf_dir, queries, n_passes)
+    elif engine == "stock":
+        # same queries on an untuned (default-config) SparkSession — the
+        # same-runtime-class comparator for the engine's tuned numbers
+        times, pass_totals = bench_spark(sf_dir, queries, n_passes, tuned=False)
+    else:
+        times, pass_totals = bench_spark(sf_dir, queries, n_passes)
+        # publish the cross-engine ratio from the same run: DuckDB is a
+        # different runtime class (embedded C++, no per-query scheduling
+        # floor), so the honest report is both walls plus the ratio.
+        duck_times, _ = bench_duckdb(sf_dir, queries, n_passes)
+        duck_total = round(sum(duck_times.values()), 4)
+        out["duckdb_total_wall"] = duck_total
+        out["spark_total_wall"] = round(sum(times.values()), 4)
+        if duck_total > 0:
+            out["ratio"] = round(sum(times.values()) / duck_total, 2)
+
     total = round(sum(times.values()), 4)
-    print(json.dumps({
+    out.update({
         "metric": f"{engine}_total_wall",
         "value": total,
-        "unit": "sec",
         "queries": times,
-        "sf": infer_sf(sf_dir),
-        "passes": n_passes,
         "pass_totals": pass_totals,
-    }))
+    })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
