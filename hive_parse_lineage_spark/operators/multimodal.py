@@ -7,16 +7,23 @@ Convention: a multimodal table carries
 
 What is REAL here and tested: the Spark-side plumbing — schema,
 column pruning, magic-number sniffing (JVM expressions over the binary
-prefix), Arrow batch shape through ``mapInPandas``, and a deterministic
-byte-histogram featurizer (pure NumPy — no codec needed).
+prefix), Arrow batch shape through ``mapInPandas``, a deterministic
+byte-histogram featurizer, and pure-NumPy decoders for the
+container formats that need no codec library: BMP (24/32-bit
+uncompressed) for images, RIFF/WAV PCM for audio, YUV4MPEG2 for video
+frame sampling.
 
-What is STUBBED: actual image/audio decode (PIL/ffmpeg are not in this
-container). ``decode_image`` raises NotImplementedError unless PIL is
-importable; its signature, output schema and batching are the real
-design — drop-in once codecs exist.
+Compressed formats (JPEG/PNG/MP3/H.264 …) need codec libraries that
+are not in this container: ``decode_image`` falls back to PIL when
+importable, otherwise an unsupported blob raises NotImplementedError
+at execution time with the schema contract in the message. The
+mapInPandas batching, schemas, and partition behavior are identical
+either way — a codec is a per-blob drop-in.
 """
 
 from __future__ import annotations
+
+import struct
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -72,39 +79,146 @@ def byte_histogram_features(df: DataFrame, content_col: str = "content",
         featurize, schema=f"{id_col} long, features array<double>")
 
 
+# ---------------------------------------------------------------------------
+# pure-NumPy container parsers (no codec libraries)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(data: bytes):
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER, BI_RGB).
+
+    Returns ``(height, width, channels, pixels)`` with pixels row-major
+    top-down RGB(A) bytes. Pure NumPy — the 54-byte header layout is a
+    public spec; no codec needed for uncompressed DIBs.
+    """
+    import numpy as np
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise NotImplementedError("not an uncompressed BMP")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    channels = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * channels + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8,
+                         count=stride * height, offset=pixel_off)
+    arr = rows.reshape(height, stride)[:, :width * channels] \
+              .reshape(height, width, channels)
+    if bottom_up:
+        arr = arr[::-1]
+    # BGR(A) storage order -> RGB(A)
+    arr = arr[:, :, [2, 1, 0, 3][:channels]]
+    return height, width, channels, np.ascontiguousarray(arr).tobytes()
+
+
+def decode_wav(data: bytes):
+    """Parse a RIFF/WAVE PCM file: ``(sample_rate, n_channels,
+    n_samples, pcm_bytes)``. Supports integer PCM (format 1) and
+    float32 (format 3); chunk walk per the public RIFF layout."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format not in (1, 3):
+        raise NotImplementedError(f"non-PCM wav (format={audio_format})")
+    n_samples = len(pcm) // block_align if block_align else 0
+    return sample_rate, n_channels, n_samples, pcm
+
+
+def parse_y4m(data: bytes):
+    """Parse a YUV4MPEG2 stream: ``(width, height, fps_num, fps_den,
+    frames)`` where frames are raw 4:2:0 planes (text header + raw
+    bytes — a codec-free public container)."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    width = height = 0
+    fps_num, fps_den = 25, 1
+    for tok in data[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("F"):
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+    frame_bytes = width * height * 3 // 2  # C420
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)  # FRAME [params]\n
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise NotImplementedError("malformed FRAME header")
+        frames.append(data[fnl + 1:fnl + 1 + frame_bytes])
+        pos = fnl + 1 + frame_bytes
+    return width, height, fps_num, fps_den, frames
+
+
+# ---------------------------------------------------------------------------
+# mapInPandas decode operators
+# ---------------------------------------------------------------------------
+
 def decode_image(df: DataFrame, content_col: str = "content",
                  id_col: str = "item_id",
                  resize: tuple[int, int] | None = None) -> DataFrame:
     """Decode images to (height, width, channels, pixels) via mapInPandas.
 
-    STUB in this environment: requires PIL, which is not installed here;
-    the Spark-side contract (schema, batching, partition behavior) is
-    what this function pins down.
+    BMP decodes with the built-in pure-NumPy parser; other formats fall
+    back to PIL when importable, else raise NotImplementedError
+    (schema contract: item_id long, height int, width int, channels
+    int, pixels binary). ``resize`` uses nearest-neighbor sampling for
+    the built-in path (PIL's default resampling otherwise).
     """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env without PIL
-        raise NotImplementedError(
-            "decode_image requires PIL (not available in this container); "
-            "schema contract: item_id long, height int, width int, "
-            "channels int, pixels binary") from exc
-
-    import io
-
     import numpy as np
     import pandas as pd
 
-    def decode(batches):  # pragma: no cover - needs PIL
+    def decode_one(blob: bytes):
+        if blob[:2] == b"BM":
+            h, w, c, px = decode_bmp(blob)
+        else:
+            try:
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "non-BMP image needs PIL (not in this container); "
+                    "schema contract: item_id long, height int, width int, "
+                    "channels int, pixels binary") from exc
+            import io
+            arr = np.asarray(Image.open(io.BytesIO(blob)))
+            h, w = arr.shape[:2]
+            c = arr.shape[2] if arr.ndim == 3 else 1
+            px = arr.tobytes()
+        if resize:
+            tw, th = resize
+            arr = np.frombuffer(px, np.uint8).reshape(h, w, c)
+            yi = (np.arange(th) * h // th)[:, None]
+            xi = np.arange(tw) * w // tw
+            arr = arr[yi, xi]
+            h, w, px = th, tw, np.ascontiguousarray(arr).tobytes()
+        return h, w, c, px
+
+    def decode(batches):
         for pdf in batches:
             rows = []
             for item_id, blob in zip(pdf[id_col], pdf[content_col]):
-                img = Image.open(io.BytesIO(bytes(blob)))
-                if resize:
-                    img = img.resize(resize)
-                arr = np.asarray(img)
-                rows.append((item_id, arr.shape[0], arr.shape[1],
-                             arr.shape[2] if arr.ndim == 3 else 1,
-                             arr.tobytes()))
+                h, w, c, px = decode_one(bytes(blob))
+                rows.append((item_id, h, w, c, px))
             yield pd.DataFrame(rows, columns=[id_col, "height", "width",
                                               "channels", "pixels"])
 
@@ -116,20 +230,68 @@ def decode_image(df: DataFrame, content_col: str = "content",
 def decode_audio(df: DataFrame, content_col: str = "content",
                  id_col: str = "item_id",
                  target_sample_rate: int | None = None) -> DataFrame:
-    """Audio decode to PCM — STUB (needs soundfile/ffmpeg). Contract:
-    (item_id, sample_rate, n_channels, n_samples, pcm) with optional
-    driver-side resampling to ``target_sample_rate``; one row per clip,
-    Arrow-batched via mapInPandas like ``decode_image``."""
-    raise NotImplementedError(
-        "decode_audio requires an audio codec (not in this container); "
-        "schema contract: item_id long, sample_rate int, n_channels int, "
-        "n_samples long, pcm binary")
+    """Decode RIFF/WAV PCM audio via mapInPandas: one row per clip,
+    ``(item_id, sample_rate, n_channels, n_samples, pcm)``.
+
+    ``target_sample_rate`` linearly resamples 16-bit PCM (np.interp per
+    channel) — the cheap-and-deterministic path; a real pipeline would
+    swap in a polyphase filter, same plan shape. Non-WAV blobs raise
+    NotImplementedError (codec libraries not in this container).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for item_id, blob in zip(pdf[id_col], pdf[content_col]):
+                rate, nch, n, pcm = decode_wav(bytes(blob))
+                if target_sample_rate and target_sample_rate != rate and n:
+                    arr = np.frombuffer(pcm, np.int16).reshape(n, nch)
+                    m = int(round(n * target_sample_rate / rate))
+                    t_new = np.arange(m) * (rate / target_sample_rate)
+                    res = np.stack([np.interp(t_new, np.arange(n), arr[:, c])
+                                    for c in range(nch)], axis=1)
+                    pcm = res.astype(np.int16).tobytes()
+                    rate, n = target_sample_rate, m
+                rows.append((item_id, rate, nch, n, pcm))
+            yield pd.DataFrame(rows, columns=[id_col, "sample_rate",
+                                              "n_channels", "n_samples", "pcm"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, schema=f"{id_col} long, sample_rate int, n_channels int, "
+                       "n_samples long, pcm binary")
 
 
 def sample_frames(df: DataFrame, content_col: str = "content",
                   id_col: str = "item_id", every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — STUB (needs ffmpeg/pyav). Contract:
-    one output row per sampled frame: (item_id, frame_idx, ts_ms, frame)."""
-    raise NotImplementedError(
-        "sample_frames requires a video codec (not in this container); "
-        "schema contract: item_id long, frame_idx int, ts_ms long, frame binary")
+    """Sample frames every ``every_ms`` from YUV4MPEG2 video blobs via
+    mapInPandas: one output row per sampled frame,
+    ``(item_id, frame_idx, ts_ms, frame)`` — frame is the raw 4:2:0
+    planes. Compressed containers raise NotImplementedError (no codec
+    libraries in this container); the fan-out shape (one input row ->
+    many frame rows) is the real pipeline contract either way.
+    """
+    import pandas as pd
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for item_id, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, num, den, frames = parse_y4m(bytes(blob))
+                seen: set[int] = set()
+                k = 0
+                while True:
+                    idx = (k * every_ms * num) // (1000 * den)
+                    if idx >= len(frames):
+                        break
+                    if idx not in seen:
+                        seen.add(idx)
+                        ts_ms = idx * 1000 * den // num
+                        rows.append((item_id, idx, ts_ms, frames[idx]))
+                    k += 1
+            yield pd.DataFrame(rows, columns=[id_col, "frame_idx",
+                                              "ts_ms", "frame"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        sample, schema=f"{id_col} long, frame_idx int, ts_ms long, frame binary")

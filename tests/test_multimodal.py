@@ -54,30 +54,97 @@ def test_metadata_only_query_prunes_content(spark, blobs):
     assert df.count() == 5
 
 
-def test_decode_image_is_contracted_stub(spark, blobs):
+def _make_bmp(arr: np.ndarray) -> bytes:
+    """24-bit bottom-up BI_RGB BMP from an (h, w, 3) RGB uint8 array."""
+    import struct
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = arr[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    px = rows[::-1].tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                      2835, 2835, 0, 0)
+    return header + dib + px
+
+
+def _make_wav(samples: np.ndarray, rate: int) -> bytes:
+    """16-bit PCM RIFF/WAVE from an (n, ch) int16 array."""
+    import struct
+    n, ch = samples.shape
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_bmp_pixels_exact(spark):
+    from hive_parse_lineage_spark.operators.multimodal import decode_image
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    df = spark.createDataFrame([(1, _make_bmp(img))],
+                               "item_id long, content binary")
+    row = decode_image(df).collect()[0]
+    assert (row["height"], row["width"], row["channels"]) == (3, 5, 3)
+    got = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(3, 5, 3)
+    assert np.array_equal(got, img)
+
+
+def test_decode_bmp_resize_nearest(spark):
+    from hive_parse_lineage_spark.operators.multimodal import decode_image
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame([(1, _make_bmp(img))],
+                               "item_id long, content binary")
+    row = decode_image(df, resize=(2, 2)).collect()[0]
+    assert (row["height"], row["width"]) == (2, 2)
+    got = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(got, img[::2, ::2])
+
+
+def test_decode_wav_counts_and_resample(spark):
+    from hive_parse_lineage_spark.operators.multimodal import decode_audio
+    t = np.arange(1600)
+    stereo = np.stack([(1000 * np.sin(t / 8)).astype(np.int16),
+                       (500 * np.cos(t / 16)).astype(np.int16)], axis=1)
+    df = spark.createDataFrame([(7, _make_wav(stereo, 8000))],
+                               "item_id long, content binary")
+    row = decode_audio(df).collect()[0]
+    assert (row["sample_rate"], row["n_channels"], row["n_samples"]) == \
+        (8000, 2, 1600)
+    got = np.frombuffer(bytes(row["pcm"]), np.int16).reshape(1600, 2)
+    assert np.array_equal(got, stereo)
+    half = decode_audio(df, target_sample_rate=4000).collect()[0]
+    assert (half["sample_rate"], half["n_samples"]) == (4000, 800)
+
+
+def test_sample_frames_y4m(spark):
+    from hive_parse_lineage_spark.operators.multimodal import sample_frames
+    frames = [bytes([i] * 12) for i in range(6)]  # 4x2 C420 = 12 bytes
+    blob = b"YUV4MPEG2 W4 H2 F10:1 Ip A1:1 C420\n" + \
+        b"".join(b"FRAME\n" + f for f in frames)
+    df = spark.createDataFrame([(9, blob)], "item_id long, content binary")
+    rows = sample_frames(df, every_ms=200).orderBy("frame_idx").collect()
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == \
+        [(0, 0), (2, 200), (4, 400)]
+    assert [bytes(r["frame"]) for r in rows] == [frames[0], frames[2], frames[4]]
+
+
+def test_decode_unsupported_format_reports_contract(spark, blobs):
+    """Compressed formats without a codec library surface the schema
+    contract in the execution error (PIL absent in this container)."""
     from hive_parse_lineage_spark.operators.multimodal import decode_image
     try:
         import PIL  # noqa: F401
-        pytest.skip("PIL present; stub contract not applicable")
+        pytest.skip("PIL present; fallback contract not applicable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError) as e:
-        decode_image(blobs)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.base import PySparkException
+    png = blobs.filter("item_id = 0")
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as e:
+        decode_image(png).collect()
     assert "schema contract" in str(e.value)
-
-
-def test_decode_audio_and_frames_are_contracted_stubs(spark, blobs):
-    from hive_parse_lineage_spark.operators.multimodal import (
-        decode_audio, sample_frames,
-    )
-    for fn in (decode_audio, sample_frames):
-        try:
-            fn(blobs)
-            raised = False
-        except NotImplementedError as e:
-            raised = True
-            assert "schema contract" in str(e)
-        assert raised
 
 
 def test_engine_table_columns(spark, tables):
