@@ -69,9 +69,14 @@ def _x04_doc_fingerprint(spark, tables):
 
 
 def _x05_token_jaccard_pairs(spark, tables):
+    """Exact Jaccard with the size-ratio blocking ON (the scale path:
+    |A|/|B| >= t is necessary for J >= t, so blocking is lossless) over
+    a bounded id space — the declared surface carries no brute-force
+    example; unbounded corpora go through MinHash-LSH (x07)."""
     from hive_parse_lineage_spark.operators.dedup import ngram_jaccard_pairs
-    return (ngram_jaccard_pairs(tables["documents"], shingle_k=1,
-                                threshold=0.5, blocked=False)
+    docs = tables["documents"].filter(F.col("doc_id") < 250)
+    return (ngram_jaccard_pairs(docs, shingle_k=1, threshold=0.5,
+                                blocked=True)
             .orderBy("id_a", "id_b"))
 
 
@@ -446,7 +451,8 @@ FROM documents ORDER BY doc_id
 """,
     "x05_token_jaccard_pairs": """
 WITH t AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < 250
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(len(list_intersect(a.toks, b.toks))
