@@ -32,6 +32,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
+#: dialect -> (url template, driver class): the reference's per-dialect
+#: switch (utils/DataSourceUtils.java:109-141) as data, with host/port
+#: parameterized instead of hard-coded localhost. Spark's JdbcDialects
+#: handles per-dialect SQL generation; this registry only standardizes
+#: connection strings. URL formats are the vendors' public JDBC specs.
+DIALECTS: dict[str, tuple[str, str]] = {
+    "mysql": ("jdbc:mysql://{host}:{port}/{database}",
+              "com.mysql.cj.jdbc.Driver"),
+    "mariadb": ("jdbc:mariadb://{host}:{port}/{database}",
+                "org.mariadb.jdbc.Driver"),
+    "postgresql": ("jdbc:postgresql://{host}:{port}/{database}",
+                   "org.postgresql.Driver"),
+    "opengauss": ("jdbc:opengauss://{host}:{port}/{database}",
+                  "org.opengauss.Driver"),
+    "oracle": ("jdbc:oracle:thin:@//{host}:{port}/{database}",
+               "oracle.jdbc.driver.OracleDriver"),
+    "sqlserver": ("jdbc:sqlserver://{host}:{port};databaseName={database}",
+                  "com.microsoft.sqlserver.jdbc.SQLServerDriver"),
+    "h2": ("jdbc:h2:mem:{database};DB_CLOSE_DELAY=-1", "org.h2.Driver"),
+    "derby": ("jdbc:derby:{database}", DERBY_DRIVER),
+}
+
+_DEFAULT_PORTS = {"mysql": 3306, "mariadb": 3306, "postgresql": 5432,
+                  "opengauss": 5431, "oracle": 1521, "sqlserver": 1433}
+
+
+def jdbc_url(dialect: str, database: str, host: str = "localhost",
+             port: int | None = None) -> str:
+    """Connection URL for a registered dialect (embedded dialects ignore
+    host/port)."""
+    tpl, _ = DIALECTS[dialect]
+    return tpl.format(host=host, port=port or _DEFAULT_PORTS.get(dialect),
+                      database=database)
+
+
+def jdbc_driver(dialect: str) -> str:
+    return DIALECTS[dialect][1]
+
 
 def derby_url(db_path: str, create: bool = True) -> str:
     """Embedded-Derby JDBC URL (the in-container stand-in for the

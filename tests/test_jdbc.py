@@ -9,7 +9,8 @@ from __future__ import annotations
 import pytest
 
 from hive_parse_lineage_spark.sources.jdbc import (
-    derby_url, jdbc_table_columns, read_jdbc, write_jdbc,
+    DIALECTS, derby_url, jdbc_driver, jdbc_table_columns, jdbc_url,
+    read_jdbc, write_jdbc,
 )
 
 
@@ -47,3 +48,46 @@ def test_jdbc_metadata_columns(spark, derby):
     # reference MetaDataQueryImpl.java:29-44: ordered column list
     assert jdbc_table_columns(spark, derby, "cust") == [
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+
+
+def test_dialect_registry_covers_reference_dialects():
+    """Reference DataSourceUtils.java:123-141 supports 7 dialects; the
+    registry covers them all plus derby (the embedded test vehicle)."""
+    for d in ("mysql", "mariadb", "postgresql", "opengauss", "oracle",
+              "sqlserver", "h2", "derby"):
+        assert d in DIALECTS
+    assert jdbc_url("postgresql", "mydb") == \
+        "jdbc:postgresql://localhost:5432/mydb"
+    assert jdbc_url("mysql", "d", host="db1", port=3307) == \
+        "jdbc:mysql://db1:3307/d"
+    assert jdbc_url("sqlserver", "d").endswith(";databaseName=d")
+    assert jdbc_driver("oracle") == "oracle.jdbc.driver.OracleDriver"
+
+
+def _driver_on_classpath(spark, driver_class: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(driver_class)
+        return True
+    except Exception:
+        return False
+
+
+def test_second_embedded_engine_roundtrip(spark, tables):
+    """Dialect-agnosticism smoke on a second embedded engine (H2, then
+    HSQLDB). Spark ships only Derby jars in this container, so this
+    documents the skip rather than faking coverage: the exercised code
+    path (write_jdbc/read_jdbc with url+driver) is byte-identical for
+    every dialect in the registry — only the option strings change."""
+    candidates = [("h2", jdbc_url("h2", "t3st"), jdbc_driver("h2")),
+                  ("hsqldb", "jdbc:hsqldb:mem:t3st", "org.hsqldb.jdbc.JDBCDriver")]
+    avail = [(n, u, d) for n, u, d in candidates
+             if _driver_on_classpath(spark, d)]
+    if not avail:
+        pytest.skip("no second embedded JDBC engine on the classpath "
+                    "(Spark bundles only Derby); registry templates are "
+                    "covered by test_dialect_registry_covers_reference_dialects")
+    name, url, driver = avail[0]
+    src = tables["region"].select("r_regionkey", "r_name")
+    write_jdbc(src, url, "reg", driver=driver)
+    back = read_jdbc(spark, url, "reg", driver=driver)
+    assert sorted(back.collect()) == sorted(src.collect()), name
