@@ -33,10 +33,14 @@ class Engine:
         return self.spark.sql(sql)
 
     # -- lineage (the reference's core capability) -----------------------
-    def lineage(self, sql_text: str) -> list[dict]:
-        """Column-level lineage edges for a SQL script (may be multi-statement)."""
+    def lineage(self, sql_text: str, traverse_views: bool = False) -> list[dict]:
+        """Column-level lineage edges for a SQL script (may be
+        multi-statement). ``traverse_views`` expands view bodies so
+        columns trace through view chains to base tables; the default
+        treats views as table boundaries (reference parity)."""
         from hive_parse_lineage_spark.plans.lineage import extract_lineage
-        return extract_lineage(self.spark, sql_text).col_lines
+        return extract_lineage(self.spark, sql_text,
+                               traverse_views=traverse_views).col_lines
 
     def input_tables(self, sql_text: str) -> set[str]:
         from hive_parse_lineage_spark.plans.lineage import extract_lineage

@@ -161,8 +161,11 @@ _PASSTHROUGH = {
 class _Walker:
     """One instance per statement; not thread-safe (plan-sized state only)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, traverse_views: bool = False):
         self.spark = spark
+        #: False (reference parity): a view is a table boundary.
+        #: True: expand view bodies and trace through to base tables.
+        self.traverse_views = traverse_views
         self.jss = spark._jsparkSession
         self.parser = self.jss.sessionState().sqlParser()
         self.analyzer = self.jss.sessionState().analyzer()
@@ -388,10 +391,22 @@ class _Walker:
 
     # -- leaf handling --------------------------------------------------
     def _walk_view(self, view) -> tuple[dict[int, set[str]], set[str]]:
-        """A View is a table boundary (the reference stops at table names;
-        we do not trace through view definitions)."""
+        """A View is a table boundary by default (the reference stops at
+        table names). With ``traverse_views`` the analyzed view body is
+        walked instead — columns trace through (recursively, so view
+        chains reach base tables) and the body is its own condition
+        context; the view name is still recorded as an input."""
         table = self.fill_db(self._table_ident(view.desc()))
         self.input_tables.add(table)
+        if self.traverse_views and view.children().size() > 0:
+            child = view.children().apply(0)
+            m, conds = self.walk(child)
+            couts = _seq(child.output())
+            mapping: dict[int, set[str]] = {}
+            for a, ca in zip(_seq(view.output()), couts):
+                mapping[a.exprId().id()] = m.get(ca.exprId().id(), set())
+                self._inherit_conds(a.exprId().id(), ca.exprId().id())
+            return mapping, self._seal_context(view, conds)
         return {a.exprId().id(): {f"{table}{COLUMN_SEP}{a.name()}"}
                 for a in _seq(view.output())}, set()
 
@@ -537,8 +552,9 @@ def _ident_from_unresolved(node) -> str | None:
     return None
 
 
-def _statement_lineage(spark: SparkSession, sql: str) -> StatementLineage:
-    w = _Walker(spark)
+def _statement_lineage(spark: SparkSession, sql: str,
+                       traverse_views: bool = False) -> StatementLineage:
+    w = _Walker(spark, traverse_views)
     parsed = w.parse(sql)
     cls = _cls(parsed)
 
@@ -652,13 +668,17 @@ def _catalog_columns(spark: SparkSession, table: str) -> list[str] | None:
         return None
 
 
-def extract_lineage(spark: SparkSession, sql_text: str) -> ScriptLineage:
+def extract_lineage(spark: SparkSession, sql_text: str,
+                    traverse_views: bool = False) -> ScriptLineage:
     """Lineage for a (possibly multi-statement) SQL script.
 
     Equivalent of ``LineParser.parse`` (LineParser.java:83-99) +
     ``getColLines/getInputTables/getOutputTables`` (157-162, 790-792).
+    ``traverse_views`` expands view bodies so columns trace through
+    view chains to base tables (the reference stops at the view name).
     """
     script = ScriptLineage()
     for stmt in split_statements(sql_text):
-        script.statements.append(_statement_lineage(spark, stmt))
+        script.statements.append(
+            _statement_lineage(spark, stmt, traverse_views))
     return script

@@ -288,6 +288,34 @@ def test_cte_where_scoped_to_cte_columns(spark, tables, lineage_tables):
     assert not any("o_orderstatus" in x for x in cols["c_name"]["conditions"])
 
 
+def test_view_expansion_two_level_chain(spark, tables, lineage_tables):
+    """traverse_views=True walks view bodies recursively to base tables;
+    the default keeps the reference's view-as-boundary behavior."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW v_lvl1 AS "
+              "SELECT o_custkey, o_totalprice FROM orders "
+              "WHERE o_orderstatus = 'F'")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW v_lvl2 AS "
+              "SELECT o_custkey, SUM(o_totalprice) AS total FROM v_lvl1 "
+              "GROUP BY o_custkey")
+    try:
+        sql = "SELECT o_custkey, total FROM v_lvl2"
+        bound = {c["target_alias"]: c
+                 for c in extract_lineage(spark, sql).col_lines}
+        assert bound["total"]["sources"] == ["default.v_lvl2.total"]
+        lin = extract_lineage(spark, sql, traverse_views=True)
+        cols = {c["target_alias"]: c for c in lin.col_lines}
+        assert cols["total"]["sources"] == ["default.orders.o_totalprice"]
+        assert cols["o_custkey"]["sources"] == ["default.orders.o_custkey"]
+        # the view body's WHERE is a view-context condition on its columns
+        assert any("o_orderstatus" in x for x in cols["total"]["conditions"])
+        assert {"default.orders", "default.v_lvl1", "default.v_lvl2"} \
+            <= lin.input_tables
+    finally:
+        spark.sql("DROP VIEW IF EXISTS v_lvl2")
+        spark.sql("DROP VIEW IF EXISTS v_lvl1")
+
+
 def test_values_inline_table(spark, lineage_tables):
     lin = lineage(spark, "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, name)")
     assert [c["target_alias"] for c in lin.col_lines] == ["id", "name"]
