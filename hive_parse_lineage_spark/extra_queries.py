@@ -343,6 +343,45 @@ SELECT l_orderkey,
 FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey""")
 
 
+def _x35_embedding_near_dup(spark, tables):
+    """Semantic (embedding-cosine) near-dup pairs: hyperplane-LSH
+    buckets + exact cosine rerank. Threshold 0.2 is a demo value for
+    the synthetic random embeddings (which contain no true near-dups);
+    production default is 0.95 — identical plan either way."""
+    from hive_parse_lineage_spark.operators.dedup import embedding_near_dups
+    return (embedding_near_dups(tables["embeddings"], threshold=0.2)
+            .orderBy("id_a", "id_b"))
+
+
+def _x36_repetition(spark, tables):
+    """Gopher-style repetition signal: repeated word-3-shingle fraction
+    (integer hundredths-of-a-percent — exact cross-engine)."""
+    sh = T.word_shingles("text", 3)
+    return (tables["documents"]
+            .select("doc_id",
+                    F.size(sh).alias("n_sh"),
+                    F.size(F.array_distinct(sh)).alias("n_uniq"),
+                    T.repetition_hundredths("text", 3).alias("rep_c"))
+            .orderBy("doc_id"))
+
+
+def _x37_quality_filter(spark, tables):
+    """C4-style composite keep/drop filter over token stats. All
+    comparisons are integer-exact (bounds multiplied through instead of
+    dividing) so Spark and DuckDB agree bit-for-bit."""
+    t = T.tokens("text")
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    total = T.total_token_chars("text")
+    keep = ((n >= 20) & (n <= 1000)
+            & (total >= 2 * n) & (total <= 12 * n)
+            & (nd * 10 >= 3 * n))
+    return (tables["documents"]
+            .select("doc_id", keep.cast("int").alias("keep"),
+                    n.alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
 def _x12_pivot(spark, tables):
     """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
     aggregation, which is what the oracle spells explicitly."""
@@ -639,6 +678,35 @@ ASOF LEFT JOIN (SELECT user_id, ts, MAX(event_id) AS event_id FROM events
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.event_id
 """,
+    "x36_repetition": """
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(range(1, len(t) - 1),
+                                  i -> array_to_string(list_slice(t, i, i + 2), ' '))
+              ELSE [text] END AS s
+  FROM toks
+)
+SELECT doc_id, len(s) AS n_sh, len(list_distinct(s)) AS n_uniq,
+       CAST(FLOOR((len(s) - len(list_distinct(s))) * 10000 / len(s)) AS BIGINT) AS rep_c
+FROM sh ORDER BY doc_id
+""",
+    "x37_quality_filter": """
+WITH m AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), s AS (
+  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+         list_aggregate(list_transform(t, x -> length(x)), 'sum') AS total
+  FROM m
+)
+SELECT doc_id,
+       CAST(n >= 20 AND n <= 1000 AND total >= 2*n AND total <= 12*n
+            AND nd*10 >= 3*n AS INT) AS keep,
+       n AS n_tokens
+FROM s ORDER BY doc_id
+""",
     "x15_date_arithmetic": """
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d_plus,
@@ -729,21 +797,28 @@ SELECT id_a, id_b, hamming FROM pairs ORDER BY id_a, id_b
 """
 
 
-def _lsh_knn_oracle_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
-                        seed: int = 42, n_queries: int = 10) -> str:
-    """DuckDB replay of x10: the hyperplanes are deterministic literals
-    (same seed as lsh_topk), the signature dot products fold
-    left-to-right exactly like Spark's ``aggregate`` — identical
-    buckets, then the same within-bucket cosine top-k."""
+def _hyperplane_sig_terms(n_bits: int, dim: int, seed: int) -> str:
+    """SQL expression for the n-bit hyperplane signature of DOUBLE[]
+    column ``e``: the planes are deterministic literals (same seed as
+    the Spark operators) and each dot product folds left-to-right
+    exactly like Spark's ``aggregate`` — identical buckets."""
     from hive_parse_lineage_spark.operators.similarity import make_planes
     planes = make_planes(n_bits, dim, seed)
-    sig_terms = "\n       + ".join(
+    return "\n       + ".join(
         "CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, {d1}), "
         "j -> e[j] * ([{lits}])[j])), (a,b) -> a + b) > 0 "
         "THEN {bit} ELSE 0 END".format(
             d1=dim + 1, bit=1 << i,
             lits=", ".join(repr(float(v)) for v in p))
         for i, p in enumerate(planes))
+
+
+def _lsh_knn_oracle_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
+                        seed: int = 42, n_queries: int = 10) -> str:
+    """DuckDB replay of x10: identical LSH buckets (see
+    :func:`_hyperplane_sig_terms`), then the same within-bucket cosine
+    top-k."""
+    sig_terms = _hyperplane_sig_terms(n_bits, dim, seed)
     return f"""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -762,6 +837,24 @@ WITH base AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked
 WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+def _embedding_near_dup_oracle_sql(threshold: float = 0.2, n_bits: int = 8,
+                                   dim: int = 64, seed: int = 42) -> str:
+    """DuckDB replay of x35: same LSH buckets, exact cosine rerank."""
+    sig_terms = _hyperplane_sig_terms(n_bits, dim, seed)
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), sigs AS (
+  SELECT vec_id, e, ({sig_terms}) AS sg FROM base
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine
+FROM sigs a JOIN sigs b ON a.sg = b.sg AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= {threshold}
+ORDER BY id_a, id_b
 """
 
 
@@ -801,6 +894,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x32_map_access": _q(_x32_map_access),
         "x33_struct_access": _q(_x33_struct_access),
         "x34_decimal_arith": _q(_x34_decimal_arith),
+        "x35_embedding_near_dup": _q(_x35_embedding_near_dup),
+        "x36_repetition": _q(_x36_repetition),
+        "x37_quality_filter": _q(_x37_quality_filter),
     }
 
 
@@ -809,4 +905,5 @@ def extra_oracle_sql() -> dict[str, str]:
     out["x07_minhash_near_dup"] = _minhash_oracle_sql()
     out["x08_simhash_near_dup"] = _simhash_oracle_sql()
     out["x10_lsh_knn"] = _lsh_knn_oracle_sql()
+    out["x35_embedding_near_dup"] = _embedding_near_dup_oracle_sql()
     return out

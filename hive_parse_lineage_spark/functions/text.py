@@ -109,6 +109,24 @@ def doc_fingerprint(text: Column | str) -> Column:
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD)
 
 
+def total_token_chars(text: Column | str) -> Column:
+    """Sum of token lengths (codegen fold — no Python)."""
+    return F.aggregate(tokens(text), F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def repetition_hundredths(text: Column | str, k: int = 3) -> Column:
+    """Repeated-k-shingle fraction in integer hundredths-of-a-percent:
+    ``floor((n - n_distinct) * 10000 / n)`` over word k-shingles — the
+    Gopher-style repetition filter signal, integer-exact on purpose so
+    the DuckDB oracle agrees bit-for-bit (same rationale as
+    :func:`avg_token_length_hundredths`)."""
+    sh = word_shingles(text, k)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return F.floor((n - nd) * 10000 / n)
+
+
 def portable_hash64(s: Column | str) -> Column:
     """60-bit hash both Spark and DuckDB compute identically: the
     integer value of the first 15 hex chars of ``md5``.
