@@ -94,3 +94,64 @@ def test_correlated_subquery_decorrelates(spark, tables):
     plan = _plan(spark, "q36_correlated_subquery")
     assert "HashAggregate" in plan
     assert "Join" in plan
+
+
+# --- LSH/blocked near-dup operators: the candidate join must be an
+# --- equi join on the bucket key, never a nested-loop/cartesian pair
+# --- enumeration — that IS the 100 TB scale property.
+
+def _op_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_band_join_is_equi(spark, tables):
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    plan = _op_plan(minhash_near_dups(tables["documents"], threshold=0.3,
+                                      n_hashes=16, bands=4, shingle_k=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan  # join keyed on (band, band_hash)
+
+
+def test_simhash_block_join_is_equi(spark, tables):
+    from hive_parse_lineage_spark.operators.dedup import simhash_near_dups
+    plan = _op_plan(simhash_near_dups(tables["documents"], max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_join_is_equi(spark, tables):
+    from hive_parse_lineage_spark.operators.dedup import embedding_near_dups
+    plan = _op_plan(embedding_near_dups(tables["embeddings"], threshold=0.2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_elides_shuffle(spark, tables, tmp_path):
+    """Co-located join: both sides bucketed on the key with the same
+    bucket count -> sort-merge join with NO Exchange on either side.
+    At 100 TB this is the difference between a full-fabric shuffle of
+    both fact tables and a file-local zip of bucket pairs."""
+    from hive_parse_lineage_spark.sources.bucketing import (
+        bucketed_join, write_bucketed)
+    orders = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = tables["customer"].select("c_custkey", "c_name")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "k"), "b_orders",
+                   ["k"], n_buckets=4, sort_cols=["k"],
+                   path=str(tmp_path / "b_orders"))
+    write_bucketed(cust.withColumnRenamed("c_custkey", "k"), "b_cust",
+                   ["k"], n_buckets=4, sort_cols=["k"],
+                   path=str(tmp_path / "b_cust"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast plan so the shuffle (or its absence) shows
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = bucketed_join(spark, "b_orders", "b_cust", "k")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
