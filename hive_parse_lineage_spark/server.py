@@ -7,7 +7,8 @@ The reference serves ``POST /fetch`` (body = SQL text, response =
 ``http.server`` — no framework dependency:
 
 - ``POST /fetch``  body = SQL script → JSON list of ColLine dicts
-  (target_table, target_column, target_alias, sources, conditions)
+  (target_table, target_column, target_alias, sources, conditions);
+  ``/fetch?traverse_views=1`` expands view bodies to base tables
 - ``POST /tables`` body = SQL script → {input_tables, output_tables,
   operations}
 - ``GET /health``  → {"status": "ok"}
@@ -50,11 +51,15 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTP
         def do_POST(self):  # noqa: N802
             n = int(self.headers.get("Content-Length", 0))
             sql = self.rfile.read(n).decode("utf-8")
+            from urllib.parse import parse_qs, urlparse
+            url = urlparse(self.path)
+            path, qs = url.path, parse_qs(url.query)
             try:
                 with lock:
-                    if self.path == "/fetch":
-                        self._send(200, engine.lineage(sql))
-                    elif self.path == "/tables":
+                    if path == "/fetch":
+                        tv = qs.get("traverse_views", ["0"])[0] in ("1", "true")
+                        self._send(200, engine.lineage(sql, traverse_views=tv))
+                    elif path == "/tables":
                         self._send(200, {
                             "input_tables": sorted(engine.input_tables(sql)),
                             "output_tables": sorted(engine.output_tables(sql)),

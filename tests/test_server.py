@@ -53,6 +53,19 @@ def test_tables_endpoint(server_url):
     assert body["output_tables"] == ["default.nation"]
 
 
+def test_fetch_traverse_views(server_url, spark):
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW srv_v AS "
+              "SELECT n_name FROM nation WHERE n_regionkey = 0")
+    try:
+        _, bound = _post(server_url + "/fetch", "SELECT n_name FROM srv_v")
+        assert bound[0]["sources"] == ["default.srv_v.n_name"]
+        _, expanded = _post(server_url + "/fetch?traverse_views=1",
+                            "SELECT n_name FROM srv_v")
+        assert expanded[0]["sources"] == ["default.nation.n_name"]
+    finally:
+        spark.sql("DROP VIEW IF EXISTS srv_v")
+
+
 def test_fetch_parse_error(server_url):
     req = urllib.request.Request(server_url + "/fetch",
                                  data=b"SELEC nonsense FROM", method="POST")
