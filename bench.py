@@ -28,13 +28,17 @@ import time
 # - shuffled-hash over sort-merge: every bench join has a small build side;
 #   at 100 TB the planner would still pick SMJ where the build side is big
 #   because this is a preference, not a force.
-# - AQE coalesces toward 64 MB advisory partitions but parallelismFirst
-#   stays at Spark's default (true): coalescing to a single partition
-#   serialized the q12 full-outer join's 600k-row output (measured
-#   0.9s vs 1.6-2.7s) — keeping parallelism is also the 100 TB posture.
+# - AQE OFF and 4 shuffle partitions, BENCH ONLY: at sf0.1 (~17 MB) the
+#   AQE re-plan adds fixed per-query latency and 16-way shuffles add
+#   task-launch overhead with nothing to amortize it (measured 6.45 s
+#   vs 7.02 s total; q12 0.45->0.35, q26 0.41->0.27, no regressions).
+#   Engine sessions (session.RUNTIME_CONFS) keep AQE on — that is the
+#   100 TB posture; partition count should track data size
+#   (shuffle bytes / ~128 MB), which at 17 MB rounds to single digits.
 BENCH_CONFS = {
     "spark.sql.join.preferSortMergeJoin": "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "4",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
     "spark.ui.showConsoleProgress": "false",
 }
