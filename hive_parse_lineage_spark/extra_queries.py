@@ -382,6 +382,20 @@ def _x37_quality_filter(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x38_bpe_token_count(spark, tables):
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs +
+    single digits + single marks) alongside the whitespace count —
+    both pure codegen projections."""
+    pieces = T.bpe_ish_tokens("text")
+    alpha = F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0)
+    return (tables["documents"]
+            .select("doc_id",
+                    F.size(pieces).cast("bigint").alias("n_pieces"),
+                    F.size(alpha).cast("bigint").alias("n_alpha"),
+                    T.token_count("text").cast("bigint").alias("n_ws"))
+            .orderBy("doc_id"))
+
+
 def _x12_pivot(spark, tables):
     """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
     aggregation, which is what the oracle spells explicitly."""
@@ -707,6 +721,13 @@ SELECT doc_id,
        n AS n_tokens
 FROM s ORDER BY doc_id
 """,
+    "x38_bpe_token_count": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_pieces,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS n_alpha,
+       len(string_split(text, ' ')) AS n_ws
+FROM documents ORDER BY doc_id
+""",
     "x15_date_arithmetic": """
 SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS d_plus,
@@ -897,6 +918,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x35_embedding_near_dup": _q(_x35_embedding_near_dup),
         "x36_repetition": _q(_x36_repetition),
         "x37_quality_filter": _q(_x37_quality_filter),
+        "x38_bpe_token_count": _q(_x38_bpe_token_count),
     }
 
 

@@ -109,6 +109,19 @@ def doc_fingerprint(text: Column | str) -> Column:
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD)
 
 
+#: BPE-ish pre-tokenization pattern: letter runs, single digits,
+#: single non-alphanumeric marks — the GPT-2-style split shape (letter
+#: runs then merges; digits one-at-a-time). Kept to ASCII classes +
+#: literal space so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Array of BPE-ish pre-tokens (codegen regexp_extract_all)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def total_token_chars(text: Column | str) -> Column:
     """Sum of token lengths (codegen fold — no Python)."""
     return F.aggregate(tokens(text), F.lit(0).cast("long"),
