@@ -396,6 +396,16 @@ def _x38_bpe_token_count(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x39_hash_split(spark, tables):
+    """Deterministic train/val/test assignment: split is a pure
+    function of (salt, id) — reproducible across re-runs/backfills,
+    zero shuffle at any scale."""
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    return (hash_split(tables["documents"], id_col="doc_id", salt="v1")
+            .select("doc_id", "bucket", "split")
+            .orderBy("doc_id"))
+
+
 def _x12_pivot(spark, tables):
     """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
     aggregation, which is what the oracle spells explicitly."""
@@ -861,6 +871,21 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _hash_split_oracle_sql(salt: str = "v1", n_buckets: int = 100) -> str:
+    """DuckDB replay of x39: same portable hash over salt||id, same
+    cumulative bucket boundaries (80/90 for the default 0.8/0.1/0.1)."""
+    h = T.portable_hash64_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT doc_id, {h} % {n_buckets} AS bucket FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def _embedding_near_dup_oracle_sql(threshold: float = 0.2, n_bits: int = 8,
                                    dim: int = 64, seed: int = 42) -> str:
     """DuckDB replay of x35: same LSH buckets, exact cosine rerank."""
@@ -919,6 +944,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x36_repetition": _q(_x36_repetition),
         "x37_quality_filter": _q(_x37_quality_filter),
         "x38_bpe_token_count": _q(_x38_bpe_token_count),
+        "x39_hash_split": _q(_x39_hash_split),
     }
 
 
@@ -928,4 +954,5 @@ def extra_oracle_sql() -> dict[str, str]:
     out["x08_simhash_near_dup"] = _simhash_oracle_sql()
     out["x10_lsh_knn"] = _lsh_knn_oracle_sql()
     out["x35_embedding_near_dup"] = _embedding_near_dup_oracle_sql()
+    out["x39_hash_split"] = _hash_split_oracle_sql()
     return out

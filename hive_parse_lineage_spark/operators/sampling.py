@@ -1,0 +1,59 @@
+"""Deterministic dataset splitting and sampling for training pipelines.
+
+Hash-split is the reproducible train/val/test assignment at 100 TB: a
+row's split is a pure function of its id and a salt — no global
+shuffle, no state, so re-runs, backfills and late-arriving rows land in
+the same split, and changing the salt re-rolls every assignment at
+once. Computed as ``portable_hash64(salt || id) mod n_buckets`` — a
+codegen projection (the same portable hash the dedup oracles replay in
+SQL, so the operator is value-hash-checkable cross-engine).
+
+``stratified_sample`` wraps ``DataFrame.sampleBy`` (per-stratum
+Bernoulli sampling — approximate row counts by design); use
+``hash_split`` when exact reproducibility matters more than exact
+fractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hive_parse_lineage_spark.functions.text import portable_hash64
+
+DEFAULT_FRACTIONS: dict[str, float] = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def split_bucket(id_col: Column | str, salt: str = "",
+                 n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from a row id + salt."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(portable_hash64(F.concat(F.lit(salt), c.cast("string"))),
+                  F.lit(n_buckets))
+
+
+def hash_split(df: DataFrame, id_col: str = "doc_id",
+               fractions: dict[str, float] | None = None,
+               salt: str = "", n_buckets: int = 100,
+               out_col: str = "split") -> DataFrame:
+    """Append ``bucket`` and ``out_col`` columns assigning each row to a
+    named split. ``fractions`` is an ordered name->fraction mapping
+    (must sum to <= 1; any remainder falls into the last split)."""
+    fractions = fractions or DEFAULT_FRACTIONS
+    bucket = split_bucket(id_col, salt, n_buckets)
+    names = list(fractions)
+    cum, expr = 0.0, None
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(round(cum * n_buckets))
+        case = F.when(bucket < bound, F.lit(name))
+        expr = case if expr is None else expr.when(bucket < bound, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("bucket", bucket).withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Per-stratum Bernoulli sample (`sampleBy`): keeps roughly
+    ``fractions[stratum]`` of each stratum's rows. Engine-specific
+    randomness — verified statistically in tests, not oracle-hashed."""
+    return df.sampleBy(strata_col, fractions, seed)

@@ -226,3 +226,33 @@ def test_embedding_near_dups(spark, emb):
     assert (1, 9001) in pairs
     for (a, b), c in pairs.items():
         assert c >= 0.98
+
+
+# --- deterministic splitting ---------------------------------------------
+
+def test_hash_split_deterministic_and_salted(spark, docs):
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert a == b  # pure function of id
+    c = {r["doc_id"]: r["split"] for r in hash_split(docs, salt="other").collect()}
+    assert a != c  # salt re-rolls assignments
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_hash_split_custom_fractions(spark, docs):
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    out = hash_split(docs, fractions={"a": 0.5, "b": 0.5})
+    got = {r["split"] for r in out.collect()}
+    assert got <= {"a", "b"}
+    buckets = [r["bucket"] for r in out.collect()]
+    assert all(0 <= x < 100 for x in buckets)
+
+
+def test_stratified_sample_fractions(spark, tables):
+    from hive_parse_lineage_spark.operators.sampling import stratified_sample
+    ev = tables["events"].select("event_type", "event_id")
+    frac = {t: 0.5 for t in ("click", "view", "purchase")}
+    n_all = ev.filter(F.col("event_type").isin(*frac)).count()
+    n_s = stratified_sample(ev, "event_type", frac).count()
+    assert 0.35 * n_all < n_s < 0.65 * n_all
