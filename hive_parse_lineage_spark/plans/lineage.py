@@ -552,6 +552,21 @@ def _ident_from_unresolved(node) -> str | None:
     return None
 
 
+def _collect_unresolved_tables(node) -> list[str]:
+    """Multipart names of every UnresolvedRelation in a parsed subtree."""
+    out: list[str] = []
+    try:
+        if _cls(node) == "UnresolvedRelation":
+            name = _ident_from_unresolved(node)
+            if name:
+                out.append(name)
+        for c in _seq(node.children()):
+            out.extend(_collect_unresolved_tables(c))
+    except Exception:
+        pass
+    return out
+
+
 def _statement_lineage(spark: SparkSession, sql: str,
                        traverse_views: bool = False) -> StatementLineage:
     w = _Walker(spark, traverse_views)
@@ -604,6 +619,20 @@ def _statement_lineage(spark: SparkSession, sql: str,
         return _query_lineage(spark, w, sql, query, "INSERT",
                               w.fill_db(target) if target else None,
                               user_cols=user_cols)
+
+    if cls == "MergeIntoTable":
+        # MERGE INTO t USING s ON ...: upsert classification — target is
+        # an output, every relation under USING is an input. Column
+        # lineage of the assignment lists would need a v2 (transactional)
+        # target to analyze, which parquet views are not; classification
+        # mirrors how the reference handles its DDL rows (tables +
+        # operation, no edges). The executable upsert path is
+        # operators/merge.py.
+        target = _ident_from_unresolved(parsed.targetTable())
+        for t in _collect_unresolved_tables(parsed.sourceTable()):
+            w.input_tables.add(w.fill_db(t))
+        return StatementLineage(sql, "INSERT", [], set(w.input_tables),
+                                {w.fill_db(target)} if target else set())
 
     if cls in ("CreateTableAsSelect", "CreateTableAsSelectStatement",
                "ReplaceTableAsSelect"):

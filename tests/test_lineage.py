@@ -316,6 +316,21 @@ def test_view_expansion_two_level_chain(spark, tables, lineage_tables):
         spark.sql("DROP VIEW IF EXISTS v_lvl1")
 
 
+def test_merge_into_classification(spark, lineage_tables):
+    """MERGE INTO classifies as an upsert: target = output, every
+    relation under USING = input; no execution, no analysis of the
+    assignment lists (needs a transactional target)."""
+    lin = lineage(spark,
+        "MERGE INTO t1 USING (SELECT col1, col2 FROM t2) s "
+        "ON t1.col1 = s.col1 "
+        "WHEN MATCHED THEN UPDATE SET col2 = s.col2 "
+        "WHEN NOT MATCHED THEN INSERT (col1, col2) VALUES (s.col1, s.col2)")
+    st = lin.statements[0]
+    assert st.operation == "INSERT"
+    assert st.output_tables == {"default.t1"}
+    assert st.input_tables == {"default.t2"}
+
+
 def test_values_inline_table(spark, lineage_tables):
     lin = lineage(spark, "SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(id, name)")
     assert [c["target_alias"] for c in lin.col_lines] == ["id", "name"]
