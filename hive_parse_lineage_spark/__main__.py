@@ -24,6 +24,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sf-dir", default=None, help="testdata dir to register as views")
     ap.add_argument("--limit", type=int, default=20, help="row limit for 'run' output")
     ap.add_argument("--port", type=int, default=8080, help="port for 'serve'")
+    ap.add_argument("--traverse-views", action="store_true",
+                    help="expand view bodies to base tables in 'lineage'")
     args = ap.parse_args(argv)
 
     from hive_parse_lineage_spark.engine import Engine
@@ -40,7 +42,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("sql is required for this command")
 
     if args.command == "lineage":
-        print(json.dumps(eng.lineage(sql), indent=2))
+        print(json.dumps(eng.lineage(sql, traverse_views=args.traverse_views),
+                         indent=2))
     elif args.command == "tables":
         from hive_parse_lineage_spark.plans.lineage import extract_lineage
         lin = extract_lineage(eng.spark, sql)
