@@ -125,8 +125,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     import numpy as np
 
+    # deterministic sample: TakeOrdered on the id (heap per partition —
+    # no full sort), so centroids are reproducible across runs/re-plans
     sample = np.array(
-        [r[vec_col] for r in corpus.select(vec_col).limit(sample_size).collect()],
+        [r[vec_col] for r in corpus.select(id_col, vec_col)
+                              .orderBy(id_col).limit(sample_size).collect()],
         dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),

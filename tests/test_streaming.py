@@ -120,3 +120,26 @@ def test_streaming_dedup_within_watermark(spark, events):
         query_name="t_dedup", output_mode="append")
     assert out.count() == events.count()
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_pipeline_ops_are_streaming_legal(spark, tables):
+    """The LLM-pipeline projections (hash split, quality-filter flag)
+    are stateless column transforms, so the same function must produce
+    identical results driven through a real streaming query."""
+    from hive_parse_lineage_spark.functions import text as T
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    from hive_parse_lineage_spark.streaming.windows import run_stream_over_batch
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].select("doc_id", "text").limit(200)
+
+    def tf(df):
+        out = hash_split(df, salt="v1")
+        n = F.size(T.tokens("text"))
+        return out.select("doc_id", "bucket", "split",
+                          (n >= 20).cast("int").alias("long_enough"))
+
+    batch = {tuple(r) for r in tf(docs).collect()}
+    streamed = {tuple(r) for r in run_stream_over_batch(
+        spark, docs, tf, query_name="pipe_ops", output_mode="append").collect()}
+    assert batch == streamed and len(batch) == 200
