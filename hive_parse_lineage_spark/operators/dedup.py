@@ -9,6 +9,9 @@ Four families, all expressed as DataFrame transformations designed for
   self-join. The only shuffle is on (band, band_hash); candidate
   verification is band-local. Standard banding theory: collision
   probability ≈ 1-(1-j^r)^b for Jaccard j, r = n/b rows per band.
+  At scale the self-join's two sides shuffle on the same key from the
+  same subplan, so Spark plans a ReusedExchange: signatures are
+  computed ONCE, not per join side (plan-asserted in tests/test_plans).
 - **SimHash**: 64-bit signature; near-dup = Hamming distance ≤ k via
   pigeonhole block join (k+1 blocks: any pair within distance k agrees
   on ≥1 whole block).

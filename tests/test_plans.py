@@ -127,6 +127,23 @@ def test_embedding_near_dup_join_is_equi(spark, tables):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_self_join_reuses_exchange(spark, tables):
+    """In the at-scale shape (both sides too big to broadcast) the band
+    self-join must reuse the signature exchange — the 64-permutation
+    signature projection runs once, not once per join side."""
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = minhash_near_dups(tables["documents"], threshold=0.3,
+                               n_hashes=16, bands=4, shingle_k=2)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_join_elides_shuffle(spark, tables, tmp_path):
     """Co-located join: both sides bucketed on the key with the same
     bucket count -> sort-merge join with NO Exchange on either side.
