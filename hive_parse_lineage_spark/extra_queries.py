@@ -406,6 +406,18 @@ def _x39_hash_split(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x40_sequence_packing(spark, tables):
+    """Shard-local sequence packing: docs → fixed-token-budget packs
+    via a per-shard running sum (one shuffle, no global sequence)."""
+    from hive_parse_lineage_spark.operators.sampling import pack_sequences
+    docs = tables["documents"].select(
+        "doc_id", T.token_count("text").cast("bigint").alias("n_tokens"))
+    return (pack_sequences(docs, "n_tokens", budget=512, n_shards=4,
+                           shard_salt="p1")
+            .select("doc_id", "n_tokens", "shard", "start_offset", "pack_id")
+            .orderBy("doc_id"))
+
+
 def _x12_pivot(spark, tables):
     """Pivot via df.groupBy().pivot() — Catalyst rewrites to conditional
     aggregation, which is what the oracle spells explicitly."""
@@ -886,6 +898,28 @@ FROM b ORDER BY doc_id
 """
 
 
+def _sequence_packing_oracle_sql(budget: int = 512, n_shards: int = 4,
+                                 salt: str = "p1") -> str:
+    """DuckDB replay of x40: same hash shard, same windowed running sum."""
+    h = T.portable_hash64_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         {h} % {n_shards} AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, shard, start_offset,
+       CAST(FLOOR(start_offset / {budget}) AS BIGINT) AS pack_id
+FROM c ORDER BY doc_id
+"""
+
+
 def _embedding_near_dup_oracle_sql(threshold: float = 0.2, n_bits: int = 8,
                                    dim: int = 64, seed: int = 42) -> str:
     """DuckDB replay of x35: same LSH buckets, exact cosine rerank."""
@@ -945,6 +979,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x37_quality_filter": _q(_x37_quality_filter),
         "x38_bpe_token_count": _q(_x38_bpe_token_count),
         "x39_hash_split": _q(_x39_hash_split),
+        "x40_sequence_packing": _q(_x40_sequence_packing),
     }
 
 
@@ -955,4 +990,5 @@ def extra_oracle_sql() -> dict[str, str]:
     out["x10_lsh_knn"] = _lsh_knn_oracle_sql()
     out["x35_embedding_near_dup"] = _embedding_near_dup_oracle_sql()
     out["x39_hash_split"] = _hash_split_oracle_sql()
+    out["x40_sequence_packing"] = _sequence_packing_oracle_sql()
     return out

@@ -51,6 +51,33 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn("bucket", bucket).withColumn(out_col, expr)
 
 
+def pack_sequences(df: DataFrame, token_col: str, id_col: str = "doc_id",
+                   budget: int = 2048, n_shards: int = 8,
+                   shard_salt: str = "") -> DataFrame:
+    """Assign rows to fixed-token-budget packs (sequence packing for
+    training): deterministic shard by hash, then first-fit-in-id-order
+    within the shard — ``pack_id = floor(start_offset / budget)`` over
+    a per-shard running sum.
+
+    At 100 TB this is the scalable shape: packing is shard-local (one
+    shuffle on the shard key, bounded state per window partition), not
+    a global sequential scan; raising ``n_shards`` trades packing
+    tightness for parallelism. Documents longer than ``budget`` simply
+    occupy multiple consecutive budget slots. Output adds ``shard``,
+    ``start_offset`` and ``pack_id``.
+    """
+    from pyspark.sql import Window as W
+    shard = split_bucket(id_col, shard_salt, n_shards).alias("shard")
+    base = df.withColumn("shard", shard)
+    w = (W.partitionBy("shard").orderBy(id_col)
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = F.sum(token_col).over(w)
+    start = (cum - F.col(token_col)).alias("start_offset")
+    return (base.withColumn("start_offset", start)
+                .withColumn("pack_id",
+                            F.floor(F.col("start_offset") / budget)))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict, seed: int = 42) -> DataFrame:
     """Per-stratum Bernoulli sample (`sampleBy`): keeps roughly

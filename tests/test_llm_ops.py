@@ -256,3 +256,21 @@ def test_stratified_sample_fractions(spark, tables):
     n_all = ev.filter(F.col("event_type").isin(*frac)).count()
     n_s = stratified_sample(ev, "event_type", frac).count()
     assert 0.35 * n_all < n_s < 0.65 * n_all
+
+
+def test_pack_sequences_invariants(spark, docs):
+    from hive_parse_lineage_spark.functions import text as T
+    from hive_parse_lineage_spark.operators.sampling import pack_sequences
+    d = docs.select("doc_id", T.token_count("text").cast("bigint").alias("n"))
+    out = pack_sequences(d, "n", budget=100, n_shards=2).collect()
+    assert len(out) == d.count()
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        # start offsets are the exclusive running sum in id order
+        acc = 0
+        for r in rows:
+            assert r["start_offset"] == acc
+            assert r["pack_id"] == acc // 100
+            acc += r["n"]
