@@ -39,6 +39,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(extra_queries())
     except ImportError:
         pass
+    try:
+        from hive_parse_lineage_spark.corpus_queries import corpus_queries
+        out.update(corpus_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -48,6 +53,11 @@ def oracle_sql() -> dict[str, str]:
     try:
         from hive_parse_lineage_spark.extra_queries import extra_oracle_sql
         out.update(extra_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from hive_parse_lineage_spark.corpus_queries import corpus_oracle_sql
+        out.update(corpus_oracle_sql())
     except ImportError:
         pass
     return out

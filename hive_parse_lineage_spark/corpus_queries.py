@@ -1,0 +1,365 @@
+"""Corpus/analytics query surface x41-x50: contamination n-grams,
+decontamination scoring, inverted index, TF-IDF, n-gram LM counts,
+duplicate-cluster connected components, cohort retention, funnels,
+time-series gap-fill and PII redaction.
+
+Every entry has an exact DuckDB oracle. Cross-engine determinism
+tactics (same playbook as extra_queries):
+- integer surrogates where a float would be libm/rounding-dependent
+  (TF-IDF score ``tf * (N - df)``, contamination percent compare);
+- raw doubles (no SQL-side rounding) where both engines read the same
+  parquet value and the harness rounds (gap-fill MAX);
+- bounded-iteration algorithms replayed as unrolled SQL CTEs
+  (connected components, 4 rounds — near-dup graphs are near-cliques,
+  diameter << 4; the operator itself also offers run-to-convergence);
+- shared character-class-only regexes (valid and identical under both
+  Java regex and RE2; DuckDB needs the explicit ``'g'`` flag to match
+  Spark's replace-all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_parse_lineage_spark.sources.loader import load_tables
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\d{3}-\\d{4}"
+
+
+def _q(fn: Callable[[SparkSession, dict], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        return fn(spark, tables)
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Spark implementations
+# ---------------------------------------------------------------------------
+
+def _x41_common_shingles(spark, tables):
+    """Boilerplate / benchmark-contamination candidates: 5-gram
+    shingles shared by >= 3 documents. One shuffle on the shingle."""
+    from hive_parse_lineage_spark.operators.corpus import common_shingles
+    return (common_shingles(tables["documents"], n=5, min_docs=3)
+            .orderBy(F.col("n_docs").desc(), "shingle"))
+
+
+def _x42_decontaminate(spark, tables):
+    """Per-document decontamination verdict against the x41 flagged
+    set (keep iff <= 5% of the doc's distinct shingles are flagged).
+    Flagged set broadcasts; the corpus side never reshuffles."""
+    from hive_parse_lineage_spark.operators.corpus import (
+        common_shingles, contamination_score)
+    docs = tables["documents"]
+    flagged = common_shingles(docs, n=5, min_docs=3)
+    return (contamination_score(docs, flagged, n=5, max_flagged_pct=5)
+            .orderBy("doc_id"))
+
+
+def _x43_inverted_index(spark, tables):
+    from hive_parse_lineage_spark.operators.corpus import inverted_index
+    return inverted_index(tables["documents"]).orderBy("token")
+
+
+def _x44_tfidf_topk(spark, tables):
+    from hive_parse_lineage_spark.operators.corpus import tf_idf_topk
+    return tf_idf_topk(tables["documents"], k=3).orderBy("doc_id", "rnk")
+
+
+def _x45_bigram_counts(spark, tables):
+    """Corpus bigram LM counts, Zipf head (top 100)."""
+    from hive_parse_lineage_spark.operators.corpus import ngram_counts
+    return (ngram_counts(tables["documents"], n=2)
+            .orderBy(F.col("n").desc(), "ngram").limit(100))
+
+
+def _x46_dup_clusters(spark, tables):
+    """Near-dup pairs -> transitive duplicate clusters. Edges are exact
+    2-gram Jaccard >= 0.6 (size-ratio blocked, lossless); components
+    by 4 rounds of min-label propagation — the bounded variant so the
+    SQL oracle can unroll the identical rounds. 4 >> the diameter of
+    near-clique duplicate graphs."""
+    from hive_parse_lineage_spark.operators.components import connected_components
+    from hive_parse_lineage_spark.operators.dedup import ngram_jaccard_pairs
+    docs = tables["documents"]
+    edges = (ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.6, blocked=True)
+             .select("id_a", "id_b"))
+    vertices = docs.select(F.col("doc_id").alias("vertex"))
+    return (connected_components(edges, vertices=vertices, max_iter=4)
+            .orderBy("vertex"))
+
+
+def _x47_retention(spark, tables):
+    """Weekly cohort retention over the events stream: cohort = ISO
+    week of first activity, offset in whole weeks. countDistinct is
+    the only expand; both date_truncs are codegen projections."""
+    e = tables["events"]
+    first = (e.groupBy("user_id")
+             .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")))
+    active = (e.select("user_id",
+                       F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+              .distinct())
+    return (active.join(first, "user_id")
+            .withColumn("week_offset",
+                        (F.datediff("wk", "cohort") / 7).cast("bigint"))
+            .groupBy("cohort", "week_offset")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .orderBy("cohort", "week_offset"))
+
+
+def _x48_funnel(spark, tables):
+    """Strictly-ordered 3-stage funnel (signup -> view/click -> purchase),
+    each stage's event strictly after the previous stage's first event.
+    Three shuffles on user_id that all reuse one partitioning."""
+    e = tables["events"]
+    s = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("ts0")))
+    v = (e.filter(F.col("event_type").isin("view", "click"))
+         .join(s, "user_id").filter(F.col("ts") > F.col("ts0"))
+         .groupBy("user_id").agg(F.min("ts").alias("ts1")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id").filter(F.col("ts") > F.col("ts1"))
+         .groupBy("user_id").agg(F.min("ts").alias("ts2")))
+
+    def stage(df, n, name):
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(n).alias("stage"), F.lit(name).alias("step"), "n_users")
+
+    return (stage(s, 1, "signup")
+            .unionAll(stage(v, 2, "engage"))
+            .unionAll(stage(p, 3, "purchase"))
+            .orderBy("stage"))
+
+
+def _x49_gapfill(spark, tables):
+    """Per-series daily gap-fill with forward fill: calendar x series
+    left-joined to sparse observations, then last-non-null carry over a
+    window PARTITIONED by the series key — no global window, so the
+    fill scales out with the number of series."""
+    e = tables["events"]
+    days = spark.sql(
+        "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-30', "
+        "interval 1 day)) AS d")
+    types = e.select("event_type").distinct()
+    cal = types.crossJoin(F.broadcast(days))
+    obs = (e.filter(F.col("value") >= 250)
+           .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+           .agg(F.max("value").alias("mx")))
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cal.join(obs, ["event_type", "d"], "left")
+            .select("event_type", "d",
+                    F.last("mx", ignorenulls=True).over(w).alias("filled"),
+                    F.col("mx").isNull().alias("was_gap"))
+            .orderBy("event_type", "d"))
+
+
+def _x50_pii_redact(spark, tables):
+    """PII scrubbing: deterministic synthetic contact block appended to
+    each doc (the corpus is synthetic and PII-free), then email/phone
+    regex redaction + per-doc match counts. Character-class-only
+    patterns, identical under Java regex and RE2; pure codegen."""
+    alt = F.when(F.col("doc_id") % 3 == 0,
+                 F.concat(F.lit(" alt b"), F.col("doc_id").cast("string"),
+                          F.lit("@y.io"))).otherwise(F.lit(""))
+    synth = F.concat(
+        F.lit("contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        alt, F.lit(" "), F.substring("text", 1, 80))
+    red = F.regexp_replace(
+        F.regexp_replace(synth, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return (tables["documents"]
+            .select("doc_id", red.alias("redacted"),
+                    F.regexp_count(synth, F.lit(EMAIL_RE)).alias("n_emails"),
+                    F.regexp_count(synth, F.lit(PHONE_RE)).alias("n_phones"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# word_shingles(k): docs shorter than k tokens collapse to one whole-doc
+# shingle — the CASE mirrors hive_parse_lineage_spark/functions/text.py.
+def _shingle_list_sql(k: int) -> str:
+    return (f"CASE WHEN len(w) >= {k} THEN list_transform("
+            f"range(1, len(w) - {k - 2}), i -> "
+            f"array_to_string(list_slice(w, i, i + {k - 1}), ' ')) "
+            "ELSE [text] END")
+
+
+_DOC_SHINGLES_5 = f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+s AS (SELECT DISTINCT doc_id, unnest({_shingle_list_sql(5)}) AS shingle FROM w)
+"""
+
+_CC_EDGES = f"""
+t AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 2 THEN list_transform(
+             range(1, len(w)), i -> array_to_string(list_slice(w, i, i + 1), ' '))
+           ELSE [text] END) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)
+),
+e AS (
+  SELECT a.doc_id AS s, b.doc_id AS d FROM t a, t b
+  WHERE a.doc_id < b.doc_id
+    AND ROUND(len(list_intersect(a.sh, b.sh))
+              / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.6
+),
+adj AS (SELECT s AS v, d AS u FROM e UNION ALL SELECT d AS v, s AS u FROM e)
+"""
+
+
+def _cc_round(prev: str, cur: str) -> str:
+    return (f"{cur} AS (SELECT n.vertex, "
+            "MIN(LEAST(n.component, COALESCE(m.component, n.component))) AS component "
+            f"FROM {prev} n LEFT JOIN adj a ON a.v = n.vertex "
+            f"LEFT JOIN {prev} m ON m.vertex = a.u GROUP BY n.vertex)")
+
+
+_ORACLES: dict[str, str] = {
+    "x41_common_shingles": f"""
+WITH {_DOC_SHINGLES_5}
+SELECT shingle, COUNT(doc_id) AS n_docs FROM s
+GROUP BY shingle HAVING COUNT(doc_id) >= 3
+ORDER BY n_docs DESC, shingle
+""",
+    "x42_decontaminate": f"""
+WITH {_DOC_SHINGLES_5},
+f AS (SELECT shingle FROM s GROUP BY shingle HAVING COUNT(doc_id) >= 3)
+SELECT s.doc_id, COUNT(*) AS n_shingles, COUNT(f.shingle) AS n_flagged,
+       COUNT(f.shingle) * 100 <= 5 * COUNT(*) AS keep
+FROM s LEFT JOIN f USING (shingle)
+GROUP BY s.doc_id ORDER BY s.doc_id
+""",
+    "x43_inverted_index": """
+WITH t AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, COUNT(doc_id) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+FROM t GROUP BY token ORDER BY token
+""",
+    "x44_tfidf_topk": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tf, df, score, rnk FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (n.n_docs - df.df) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             ORDER BY tf.tf * (n.n_docs - df.df) DESC, tf.token) AS rnk
+  FROM tf JOIN df USING (token), n
+) WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
+    "x45_bigram_counts": """
+WITH w AS (SELECT string_split(text, ' ') AS w, text FROM documents),
+g AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+          range(1, len(w)), i -> array_to_string(list_slice(w, i, i + 1), ' '))
+        ELSE [text] END) AS ngram FROM w)
+SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 100
+""",
+    "x46_dup_clusters": f"""
+WITH {_CC_EDGES},
+l0 AS (SELECT doc_id AS vertex, doc_id AS component FROM documents),
+{_cc_round('l0', 'l1')},
+{_cc_round('l1', 'l2')},
+{_cc_round('l2', 'l3')},
+{_cc_round('l3', 'l4')}
+SELECT vertex, component FROM l4 ORDER BY vertex
+""",
+    "x47_retention": """
+WITH f AS (
+  SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS wk FROM events)
+SELECT f.cohort,
+       CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "x48_funnel": """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS ts0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+v AS (
+  SELECT e.user_id, MIN(e.ts) AS ts1 FROM events e JOIN s USING (user_id)
+  WHERE e.event_type IN ('view', 'click') AND e.ts > s.ts0 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.ts1 GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'signup' AS step, COUNT(*) AS n_users FROM s
+UNION ALL SELECT 2, 'engage', COUNT(*) FROM v
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+ORDER BY stage
+""",
+    "x49_gapfill": """
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                     INTERVAL 1 DAY)) AS DATE) AS d
+),
+types AS (SELECT DISTINCT event_type FROM events),
+cal AS (SELECT event_type, d FROM types, days),
+obs AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, MAX(value) AS mx
+  FROM events WHERE value >= 250 GROUP BY 1, 2
+)
+SELECT c.event_type, c.d,
+       last_value(o.mx IGNORE NULLS) OVER (
+         PARTITION BY c.event_type ORDER BY c.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       o.mx IS NULL AS was_gap
+FROM cal c LEFT JOIN obs o ON o.event_type = c.event_type AND o.d = c.d
+ORDER BY c.event_type, c.d
+""",
+    "x50_pii_redact": f"""
+WITH synth AS (
+  SELECT doc_id,
+         'contact u' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-' ||
+         lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' alt b' || CAST(doc_id AS VARCHAR) || '@y.io'
+              ELSE '' END ||
+         ' ' || substr(text, 1, 80) AS s
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(s, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(s, '{PHONE_RE}')) AS n_phones
+FROM synth ORDER BY doc_id
+""",
+}
+
+
+def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "x41_common_shingles": _q(_x41_common_shingles),
+        "x42_decontaminate": _q(_x42_decontaminate),
+        "x43_inverted_index": _q(_x43_inverted_index),
+        "x44_tfidf_topk": _q(_x44_tfidf_topk),
+        "x45_bigram_counts": _q(_x45_bigram_counts),
+        "x46_dup_clusters": _q(_x46_dup_clusters),
+        "x47_retention": _q(_x47_retention),
+        "x48_funnel": _q(_x48_funnel),
+        "x49_gapfill": _q(_x49_gapfill),
+        "x50_pii_redact": _q(_x50_pii_redact),
+    }
+
+
+def corpus_oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,90 @@
+"""Connected components over an edge DataFrame — duplicate-cluster
+resolution for near-dup pipelines.
+
+Pair emitters (MinHash-LSH, SimHash, exact-hash) produce *edges*;
+collapsing a corpus to one survivor per duplicate *group* needs the
+transitive closure. This implements min-label propagation:
+
+    label(v) <- min(label(v), min over neighbours u of label(u))
+
+iterated to fixpoint (or a caller-fixed round count, for differential
+oracles that unroll the same rounds in SQL).
+
+Scale posture (100 TB): each round is one self-equi-join of the label
+table against the edge table plus a min-aggregate — both hash-shuffled
+on the vertex id, so successive rounds reuse the same partitioning
+(Exchange reuse; no resort). Near-dup graphs are unions of near-cliques,
+so the diameter — and hence the round count — is tiny (3-4 covers web
+corpora in practice; the alternating large-star/small-star variant of
+Kiveris et al. "Connected Components in MapReduce and Beyond" (SOCC'14)
+gives O(log n) worst-case rounds if ever needed). Labels are
+``localCheckpoint``-ed every round to truncate the iterative lineage —
+without it the plan doubles per round and the driver, not the data,
+becomes the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
+                         src: str = "id_a", dst: str = "id_b",
+                         max_iter: int | None = None,
+                         checkpoint: bool = True) -> DataFrame:
+    """Resolve duplicate clusters: (vertex, component) with component =
+    the minimum vertex id reachable over ``edges``.
+
+    edges: undirected pairs (each pair listed once is enough).
+    vertices: optional vertex universe; vertices without edges come out
+        as singleton components. Defaults to the ids present in edges.
+    max_iter: fixed round count (for oracle replay); None iterates to
+        convergence with a per-round changed-label count.
+    """
+    adj = (edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
+           .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u"))))
+    if vertices is None:
+        vertices = adj.select(F.col("v").alias("vertex")).distinct()
+    labels = vertices.select("vertex", F.col("vertex").alias("component"))
+
+    def step(lab: DataFrame) -> DataFrame:
+        neigh = (adj.join(lab.withColumnRenamed("vertex", "u")
+                          .withColumnRenamed("component", "u_comp"), "u")
+                 .groupBy("v").agg(F.min("u_comp").alias("neigh_comp")))
+        return (lab.join(neigh.withColumnRenamed("v", "vertex"),
+                         "vertex", "left")
+                .select("vertex",
+                        F.least("component",
+                                F.coalesce("neigh_comp", "component"))
+                        .alias("component")))
+
+    if max_iter is not None:
+        for _ in range(max_iter):
+            labels = step(labels)
+        return labels
+
+    while True:
+        new = step(labels)
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "vertex")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new
+        if changed == 0:
+            return labels
+
+
+def dedup_survivors(docs: DataFrame, edges: DataFrame,
+                    id_col: str = "doc_id", **cc_kwargs) -> DataFrame:
+    """Keep one document per duplicate cluster (the min-id member).
+
+    The canonical tail of a near-dup pipeline: pairs -> components ->
+    anti-join the non-survivors out. The component table is
+    edge-universe-sized (only docs that matched anything), so it
+    broadcasts; the corpus side stays unshuffled."""
+    comp = connected_components(edges, **cc_kwargs)
+    losers = comp.filter(F.col("vertex") != F.col("component")) \
+                 .select(F.col("vertex").alias(id_col))
+    return docs.join(F.broadcast(losers), id_col, "left_anti")

@@ -1,0 +1,133 @@
+"""Corpus-level text operators for LLM training-data pipelines.
+
+Boilerplate / contamination n-gram detection (CCNet-style line dedup
+re-expressed over whitespace corpora), decontamination scoring,
+inverted-index construction, TF-IDF term ranking and n-gram language
+model counts — all as single-pass DataFrame plans with no Python in
+the hot path.
+
+Scale posture (100 TB): every operator here is
+``explode -> hash-partial-agg -> final-agg`` — one shuffle keyed on the
+shingle/token, map-side combine does the heavy reduction (shingle
+counts collapse ~40x before the exchange on typical web corpora), and
+all string work is codegen'd (``split``/``slice``/``concat_ws``).
+The flagged-shingle set produced by :func:`common_shingles` is tiny by
+construction (boilerplate is rare relative to the vocabulary), so
+:func:`contamination_score` broadcasts it — the corpus never
+reshuffles.
+
+Reference parity: the reference engine ships token/fingerprint text
+utilities (reference: utils/TextUtils-style helpers exercised via
+LineParser.java:56-90 test corpus); the corpus-statistics layer here is
+the Spark-native generalisation the build brief asks for beyond the
+reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hive_parse_lineage_spark.functions.text import tokens, word_shingles
+
+
+def doc_shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct (id, shingle) pairs — the unit for document-frequency
+    statistics. Distinct-before-count keeps the exchange payload at one
+    row per (doc, shingle) regardless of in-doc repetition."""
+    return (docs
+            .select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
+            .distinct())
+
+
+def common_shingles(docs: DataFrame, n: int = 5, min_docs: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Shingles appearing in >= min_docs distinct documents: boilerplate
+    (nav bars, license headers) and benchmark-contamination candidates.
+
+    One shuffle on the shingle; COUNT over pre-distinct pairs is a
+    plain count, so partial aggregation applies (COUNT(DISTINCT) inside
+    one pass would force an expand)."""
+    return (doc_shingles(docs, n, text_col, id_col)
+            .groupBy("shingle")
+            .agg(F.count(id_col).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def contamination_score(docs: DataFrame, flagged: DataFrame, n: int = 5,
+                        max_flagged_pct: int = 5, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Per-document decontamination verdict against a flagged-shingle set.
+
+    Emits (id, n_shingles, n_flagged, keep) where keep means at most
+    ``max_flagged_pct`` percent of the document's distinct shingles are
+    flagged. Integer arithmetic only (``n_flagged * 100 <= pct * n``) so
+    differential oracles are exact. ``flagged`` is broadcast — at any
+    corpus scale the boilerplate list stays small, so the document side
+    never shuffles."""
+    per_doc = doc_shingles(docs, n, text_col, id_col)
+    joined = (per_doc
+              .join(F.broadcast(flagged.select("shingle")
+                                .withColumn("_hit", F.lit(1))),
+                    "shingle", "left")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_shingles"),
+                   F.count("_hit").alias("n_flagged")))
+    keep = (F.col("n_flagged") * 100) <= (F.lit(max_flagged_pct) * F.col("n_shingles"))
+    return joined.withColumn("keep", keep)
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Token -> (document frequency, sorted postings list).
+
+    Postings are emitted as a comma-joined string of sorted ids — the
+    interchange form a downstream sharded index loader consumes.
+    ``collect_set`` + ``sort_array`` keeps ordering deterministic (a
+    bare ``collect_list`` would be partition-order dependent)."""
+    postings = F.concat_ws(
+        ",", F.transform(F.sort_array(F.collect_set(id_col)),
+                         lambda x: x.cast("string")))
+    return (docs
+            .select(id_col, F.explode(tokens(text_col)).alias("token"))
+            .distinct()
+            .groupBy("token")
+            .agg(F.count(id_col).alias("df"), postings.alias("postings")))
+
+
+def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Top-k most characteristic terms per document.
+
+    Uses the integer rarity surrogate ``score = tf * (N - df)`` —
+    monotone in tf and in idf, but exactly representable, so the
+    DuckDB differential oracle matches bit-for-bit (a float
+    ``log(N/df)`` would be libm-dependent across engines). Two shuffles
+    total: one on token for df, one on doc for the window; the df side
+    is vocabulary-sized and broadcast back."""
+    tf = (docs
+          .select(id_col, F.explode(tokens(text_col)).alias("token"))
+          .groupBy(id_col, "token")
+          .agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (tf.join(F.broadcast(df_), "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.col("tf") * (F.col("n_docs") - F.col("df")))
+              .withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= k)
+              .select(id_col, "token", "tf", "df", "score", "rnk"))
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Corpus n-gram counts (the language-model / Kneser-Ney input).
+
+    Codegen transform over the token array, explode, one count
+    shuffle; at corpus scale the partial aggregation collapses the
+    Zipf head map-side so the exchange carries ~vocabulary^n rows, not
+    corpus-token rows."""
+    grams = F.explode(word_shingles(text_col, n)).alias("ngram")
+    return docs.select(grams).groupBy("ngram").agg(F.count("*").alias("n"))

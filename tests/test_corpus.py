@@ -1,0 +1,125 @@
+"""Operator-level tests for corpus statistics and connected components
+(the x41-x50 query surface is oracle-tested in test_queries_oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hive_parse_lineage_spark.operators.components import (
+    connected_components, dedup_survivors)
+from hive_parse_lineage_spark.operators.corpus import (
+    common_shingles, contamination_score, inverted_index, ngram_counts,
+    tf_idf_topk)
+
+
+def _union_find(edges, vertices):
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    # component = min vertex id in the set
+    comp = {}
+    for v in vertices:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+EDGE_SETS = [
+    # chain 1-2-3-4-5: worst case for propagation (diameter 4)
+    [(1, 2), (2, 3), (3, 4), (4, 5)],
+    # two triangles bridged + a singleton pair
+    [(1, 2), (2, 3), (1, 3), (3, 7), (7, 8), (8, 9), (7, 9), (20, 21)],
+    # star
+    [(10, 1), (10, 2), (10, 3), (10, 4)],
+]
+
+
+@pytest.mark.parametrize("edges", EDGE_SETS)
+def test_connected_components_converged_matches_union_find(spark, edges):
+    verts = sorted({v for e in edges for v in e} | {99})  # 99 = isolated
+    edf = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    vdf = spark.createDataFrame([(v,) for v in verts], "vertex: long")
+    got = {r["vertex"]: r["component"]
+           for r in connected_components(edf, vertices=vdf).collect()}
+    assert got == _union_find(edges, verts)
+
+
+def test_connected_components_bounded_needs_enough_rounds(spark):
+    """A diameter-4 chain is NOT resolved in 1 round but is in 4 —
+    guards the bounded mode the x46 oracle replays."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    edf = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    one = {r["vertex"]: r["component"]
+           for r in connected_components(edf, max_iter=1).collect()}
+    four = {r["vertex"]: r["component"]
+            for r in connected_components(edf, max_iter=4).collect()}
+    assert one[5] == 4  # only one hop propagated
+    assert four == {v: 1 for v in (1, 2, 3, 4, 5)}
+
+
+def test_dedup_survivors_keeps_min_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in range(6)])
+    edges = spark.createDataFrame([(0, 3), (3, 5)], "id_a: long, id_b: long")
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, edges).collect())
+    assert kept == [0, 1, 2, 4]  # 3 and 5 collapse into 0
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    boiler = "all rights reserved by the site"
+    rows = [Row(doc_id=i, text=f"unique words {i} " * 3 + boiler)
+            for i in range(4)]
+    rows.append(Row(doc_id=4, text="totally fresh content here nothing shared"))
+    return spark.createDataFrame(rows)
+
+
+def test_common_shingles_flags_boilerplate(mini_docs):
+    flagged = {r["shingle"]: r["n_docs"]
+               for r in common_shingles(mini_docs, n=5, min_docs=3).collect()}
+    assert "rights reserved by the site" in flagged
+    assert flagged["rights reserved by the site"] == 4
+    assert all(n >= 3 for n in flagged.values())
+
+
+def test_contamination_score_keep_logic(mini_docs):
+    flagged = common_shingles(mini_docs, n=5, min_docs=3)
+    res = {r["doc_id"]: r for r in
+           contamination_score(mini_docs, flagged, n=5,
+                               max_flagged_pct=5).collect()}
+    assert not res[0]["keep"]          # boilerplate-heavy doc
+    assert res[4]["keep"]              # clean doc
+    assert res[4]["n_flagged"] == 0
+
+
+def test_inverted_index_postings_sorted(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=2, text="b a"), Row(doc_id=0, text="a"),
+         Row(doc_id=1, text="a b a")])
+    idx = {r["token"]: r for r in inverted_index(docs).collect()}
+    assert idx["a"]["postings"] == "0,1,2" and idx["a"]["df"] == 3
+    assert idx["b"]["postings"] == "1,2" and idx["b"]["df"] == 2
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="common rare rare"),
+         Row(doc_id=1, text="common stuff"),
+         Row(doc_id=2, text="common other")])
+    top = (tf_idf_topk(docs, k=1)
+           .filter(F.col("doc_id") == 0).collect()[0])
+    assert top["token"] == "rare"      # tf=2, df=1 beats ubiquitous 'common'
+
+
+def test_ngram_counts(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b a b"),
+                                  Row(doc_id=1, text="a b")])
+    got = {r["ngram"]: r["n"] for r in ngram_counts(docs, n=2).collect()}
+    assert got == {"a b": 3, "b a": 1}

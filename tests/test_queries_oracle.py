@@ -30,6 +30,21 @@ def test_extra_query_matches_oracle(name, spark, tables, sf_dir, duck):
     assert res["hash_match"], res
 
 
+def _corpus_oracle_names():
+    from hive_parse_lineage_spark.corpus_queries import corpus_oracle_sql
+    return sorted(corpus_oracle_sql())
+
+
+@pytest.mark.parametrize("name", _corpus_oracle_names())
+def test_corpus_query_matches_oracle(name, spark, tables, sf_dir, duck):
+    from tests.oracle import compare
+    from hive_parse_lineage_spark.corpus_queries import (
+        corpus_oracle_sql, corpus_queries)
+    res = compare(corpus_queries()[name](spark, sf_dir),
+                  corpus_oracle_sql()[name], duck)
+    assert res["hash_match"], res
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
     df = e.entry(spark)
