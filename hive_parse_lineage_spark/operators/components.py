@@ -43,6 +43,11 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
     """
     adj = (edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
            .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u"))))
+    if checkpoint:
+        # Materialize the adjacency once: it is referenced in every
+        # round, and a lazy plan would recompute the (expensive) pair
+        # emitter per round per branch.
+        adj = adj.localCheckpoint(eager=True)
     if vertices is None:
         vertices = adj.select(F.col("v").alias("vertex")).distinct()
     labels = vertices.select("vertex", F.col("vertex").alias("component"))
@@ -59,8 +64,13 @@ def connected_components(edges: DataFrame, vertices: DataFrame | None = None,
                         .alias("component")))
 
     if max_iter is not None:
-        for _ in range(max_iter):
+        for i in range(max_iter):
             labels = step(labels)
+            if checkpoint and i < max_iter - 1:
+                # Truncate the iterative lineage: without this the plan
+                # doubles per round (each round references the previous
+                # label table twice).
+                labels = labels.localCheckpoint(eager=True)
         return labels
 
     while True:
