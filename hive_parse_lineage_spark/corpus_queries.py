@@ -180,6 +180,26 @@ def _x50_pii_redact(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x51_embedding_quantize(spark, tables):
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage cut before sharding an ANN index. floor-based codes so the
+    oracle replays exactly; scale is the raw double (harness rounds)."""
+    from hive_parse_lineage_spark.functions.vector import quantize_int8
+    codes, scale = quantize_int8("embedding")
+    return (tables["embeddings"]
+            .select("vec_id", codes.alias("codes"), scale.alias("scale"))
+            .orderBy("vec_id"))
+
+
+def _x52_salted_agg(spark, tables):
+    """Skew-proof two-stage aggregation (explicit salt fan-out) over
+    the low-cardinality event_type key — exact for COUNT/SUM, so the
+    oracle is the plain GROUP BY."""
+    from hive_parse_lineage_spark.operators.skew import salted_agg
+    return (salted_agg(tables["events"], ["event_type"], sums=["value"])
+            .orderBy("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -343,6 +363,20 @@ SELECT doc_id,
        len(regexp_extract_all(s, '{PHONE_RE}')) AS n_phones
 FROM synth ORDER BY doc_id
 """,
+    "x51_embedding_quantize": """
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS scale
+      FROM d)
+SELECT vec_id,
+       list_transform(e, x -> CAST(FLOOR(x * 127.0 / scale) AS BIGINT)) AS codes,
+       scale
+FROM s ORDER BY vec_id
+""",
+    "x52_salted_agg": """
+SELECT event_type, COUNT(*) AS n, SUM(value) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
 }
 
 
@@ -358,6 +392,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x48_funnel": _q(_x48_funnel),
         "x49_gapfill": _q(_x49_gapfill),
         "x50_pii_redact": _q(_x50_pii_redact),
+        "x51_embedding_quantize": _q(_x51_embedding_quantize),
+        "x52_salted_agg": _q(_x52_salted_agg),
     }
 
 

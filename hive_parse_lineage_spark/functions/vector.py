@@ -30,3 +30,20 @@ def literal_vector(values) -> Column:
     """A constant query vector as an array literal (broadcast-free:
     it folds into the plan)."""
     return F.array(*[F.lit(float(v)) for v in values])
+
+
+def quantize_int8(a: Column | str) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization of an embedding column.
+
+    Returns ``(codes, scale)``: ``codes[i] = floor(x[i] * 127 / scale)``
+    with ``scale = max |x|`` (4x storage cut for ANN shards). ``floor``
+    over doubles, not ``round``, so a DuckDB differential oracle is
+    bit-exact (round half-up vs half-even diverges on exact .5 binary
+    values). Pure codegen — no UDF, prunes and pushes like any
+    projection."""
+    a = F.col(a) if isinstance(a, str) else a
+    d = F.transform(a, lambda x: x.cast("double"))
+    scale = F.greatest(F.array_max(F.transform(d, F.abs)), F.lit(1e-30))
+    codes = F.transform(
+        d, lambda x: F.floor(x * F.lit(127.0) / scale).cast("bigint"))
+    return codes, scale

@@ -32,6 +32,28 @@ def salted_join(left: DataFrame, right: DataFrame, key: str,
     return out.drop("_salt")
 
 
+def salted_agg(df: DataFrame, keys: list[str], sums: list[str] = (),
+               n_salts: int = 16) -> DataFrame:
+    """COUNT(*) + SUM(col)s per ``keys`` with an explicit salt stage.
+
+    For a power-law key (one key owning half the corpus) the partial
+    aggregation usually saves you, but when the grouped *cardinality*
+    is tiny (few keys, huge groups) the final agg still funnels each
+    key through one reducer; the salt stage fans that into ``n_salts``
+    partials first. COUNT/SUM are algebraic so the two-stage plan is
+    exact; placement is randomized, the result is not.
+
+    Emits ``n`` plus ``sum_<col>`` per sum column."""
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    partial = (df.withColumn("_salt", salt)
+               .groupBy(*keys, "_salt")
+               .agg(F.count("*").alias("_n"),
+                    *[F.sum(c).alias(f"_s_{c}") for c in sums]))
+    return (partial.groupBy(*keys)
+            .agg(F.sum("_n").alias("n"),
+                 *[F.sum(f"_s_{c}").alias(f"sum_{c}") for c in sums]))
+
+
 def hot_key_split_join(left: DataFrame, right: DataFrame, key: str,
                        hot_threshold: int = 100_000,
                        how: str = "inner") -> DataFrame:

@@ -123,3 +123,33 @@ def test_ngram_counts(spark):
                                   Row(doc_id=1, text="a b")])
     got = {r["ngram"]: r["n"] for r in ngram_counts(docs, n=2).collect()}
     assert got == {"a b": 3, "b a": 1}
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from hive_parse_lineage_spark.functions.vector import quantize_int8
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.5, -1.0, 0.25, 0.0]),
+         Row(vec_id=1, embedding=[0.0, 0.0, 0.0, 0.0])])  # zero vector
+    codes, scale = quantize_int8("embedding")
+    rows = {r["vec_id"]: r for r in
+            df.select("vec_id", codes.alias("c"), scale.alias("s")).collect()}
+    assert rows[0]["s"] == 1.0
+    assert rows[0]["c"] == [63, -127, 31, 0]     # floor semantics
+    assert all(-128 <= c <= 127 for c in rows[0]["c"])
+    assert rows[1]["c"] == [0, 0, 0, 0]          # zero vector stays finite
+    # reconstruction error bounded by one quantization step
+    for r in rows.values():
+        for x, c in zip([0.5, -1.0, 0.25, 0.0] if r["vec_id"] == 0 else [0.0] * 4,
+                        r["c"]):
+            assert abs(x - c * r["s"] / 127.0) <= r["s"] / 127.0 + 1e-12
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    from hive_parse_lineage_spark.operators.skew import salted_agg
+    df = spark.createDataFrame(
+        [Row(k="hot", v=float(i)) for i in range(500)]
+        + [Row(k="cold", v=1.0)])
+    got = {r["k"]: (r["n"], r["sum_v"])
+           for r in salted_agg(df, ["k"], sums=["v"]).collect()}
+    assert got["hot"][0] == 500 and abs(got["hot"][1] - sum(range(500))) < 1e-6
+    assert got["cold"] == (1, 1.0)
