@@ -78,15 +78,18 @@ def _x45_bigram_counts(spark, tables):
 
 
 def _x46_dup_clusters(spark, tables):
-    """Near-dup pairs -> transitive duplicate clusters. Edges are exact
-    2-gram Jaccard >= 0.6 (size-ratio blocked, lossless); components
-    by 4 rounds of min-label propagation — the bounded variant so the
-    SQL oracle can unroll the identical rounds. 4 >> the diameter of
+    """Near-dup pairs -> transitive duplicate clusters, end to end on
+    the scale path: edges come from MinHash-LSH banding (the x07
+    pipeline — no all-pairs comparison at any size), components from
+    4 rounds of min-label propagation — the bounded variant so the SQL
+    oracle can unroll identical rounds. 4 >> the diameter of
     near-clique duplicate graphs."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
     from hive_parse_lineage_spark.operators.components import connected_components
-    from hive_parse_lineage_spark.operators.dedup import ngram_jaccard_pairs
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
     docs = tables["documents"]
-    edges = (ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.6, blocked=True)
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64)
              .select("id_a", "id_b"))
     vertices = docs.select(F.col("doc_id").alias("vertex"))
     return (connected_components(edges, vertices=vertices, max_iter=4)
@@ -218,21 +221,18 @@ w AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
 s AS (SELECT DISTINCT doc_id, unnest({_shingle_list_sql(5)}) AS shingle FROM w)
 """
 
-_CC_EDGES = f"""
-t AS (
-  SELECT doc_id,
-         list_distinct(CASE WHEN len(w) >= 2 THEN list_transform(
-             range(1, len(w)), i -> array_to_string(list_slice(w, i, i + 1), ' '))
-           ELSE [text] END) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents)
+def _cc_edges_sql() -> str:
+    """Edge CTEs for x46: the exact x07 MinHash-LSH oracle embedded as
+    a subquery (nested WITH), symmetrized into an adjacency list."""
+    from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
+    mh = _minhash_oracle_sql(n_hashes=64, bands=16, shingle_k=2,
+                             threshold=0.3)
+    return f"""
+mh AS (
+{mh}
 ),
-e AS (
-  SELECT a.doc_id AS s, b.doc_id AS d FROM t a, t b
-  WHERE a.doc_id < b.doc_id
-    AND ROUND(len(list_intersect(a.sh, b.sh))
-              / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.6
-),
-adj AS (SELECT s AS v, d AS u FROM e UNION ALL SELECT d AS v, s AS u FROM e)
+adj AS (SELECT id_a AS v, id_b AS u FROM mh
+        UNION ALL SELECT id_b AS v, id_a AS u FROM mh)
 """
 
 
@@ -288,7 +288,7 @@ SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram
 ORDER BY n DESC, ngram LIMIT 100
 """,
     "x46_dup_clusters": f"""
-WITH {_CC_EDGES},
+WITH {_cc_edges_sql()},
 l0 AS (SELECT doc_id AS vertex, doc_id AS component FROM documents),
 {_cc_round('l0', 'l1')},
 {_cc_round('l1', 'l2')},
