@@ -122,6 +122,56 @@ def test_streaming_dedup_within_watermark(spark, events):
     assert out.select("event_id").distinct().count() == events.count()
 
 
+def test_stream_static_decontamination(spark, tables):
+    """Decontamination as a stream-static join: the flagged-shingle set
+    is a static (batch) table broadcast against a streaming document
+    source — the shape a 100 TB ingest pipeline uses (boilerplate list
+    refreshed offline, applied on the stream). Aggregate runs in
+    complete mode; result must equal the batch plan."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    from hive_parse_lineage_spark.operators.corpus import common_shingles
+    from hive_parse_lineage_spark.streaming.windows import run_stream_over_batch
+
+    docs = tables["documents"].select("doc_id", "text").limit(200)
+    flagged = common_shingles(docs, n=5, min_docs=2).select("shingle")
+
+    def tf(df):
+        per = df.select("doc_id",
+                        F.explode(word_shingles("text", 5)).alias("shingle"))
+        return (per.join(F.broadcast(flagged), "shingle")
+                .groupBy("doc_id").agg(F.count("*").alias("n_flagged")))
+
+    batch = _rows(tf(docs), ["doc_id", "n_flagged"])
+    streamed = _rows(run_stream_over_batch(
+        spark, docs, tf, query_name="decontam", output_mode="complete"),
+        ["doc_id", "n_flagged"])
+    assert batch == streamed and len(batch) > 0
+
+
+def test_pii_redaction_is_streaming_legal(spark, tables):
+    """PII scrubbing is a stateless projection — append mode, no state,
+    identical output streamed or batch."""
+    from hive_parse_lineage_spark.corpus_queries import EMAIL_RE
+    from hive_parse_lineage_spark.streaming.windows import run_stream_over_batch
+
+    docs = (tables["documents"].select("doc_id", "text").limit(50)
+            .withColumn("text", F.concat(
+                F.lit("u"), F.col("doc_id").cast("string"),
+                F.lit("@x.org "), F.col("text"))))
+
+    def tf(df):
+        return df.select(
+            "doc_id",
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>").alias("red"),
+            F.regexp_count("text", F.lit(EMAIL_RE)).alias("n"))
+
+    batch = _rows(tf(docs), ["doc_id", "red", "n"])
+    streamed = _rows(run_stream_over_batch(
+        spark, docs, tf, query_name="pii", output_mode="append"),
+        ["doc_id", "red", "n"])
+    assert batch == streamed and all(r[2] == 1 for r in batch)
+
+
 def test_pipeline_ops_are_streaming_legal(spark, tables):
     """The LLM-pipeline projections (hash split, quality-filter flag)
     are stateless column transforms, so the same function must produce
