@@ -42,6 +42,22 @@ def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
 
 
+def _spread_for_compute(df: DataFrame) -> DataFrame:
+    """Ensure a compute-bound projection gets >= one partition per core.
+
+    ``maxPartitionBytes`` sizes scan partitions for IO, so a small
+    parquet file arrives as ONE partition — and a signature projection
+    (hashes x shingles x permutations per row) then runs on one core
+    regardless of cluster size. Round-robin repartition is free
+    relative to the projection it unblocks; at 100 TB the input already
+    has more partitions than cores and this is a no-op (no shuffle
+    added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -88,7 +104,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
         ))
         for a, b in params
     ])
-    return df.withColumn("minhash", sig)
+    return _spread_for_compute(df).withColumn("minhash", sig)
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -174,7 +190,7 @@ def simhash(df: DataFrame, text_col: str = "text",
                    lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x))
-    return df.withColumn("simhash", sig)
+    return _spread_for_compute(df).withColumn("simhash", sig)
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
