@@ -203,6 +203,14 @@ def _x52_salted_agg(spark, tables):
             .orderBy("event_type"))
 
 
+def _x53_chunking(spark, tables):
+    """Overlapping 64-token windows with stride 48 — the RAG /
+    training-context chunking step. Explode-only plan, no shuffle."""
+    from hive_parse_lineage_spark.operators.corpus import chunk_documents
+    return (chunk_documents(tables["documents"], chunk_tokens=64, stride=48)
+            .orderBy("doc_id", "chunk_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -377,6 +385,21 @@ FROM s ORDER BY vec_id
 SELECT event_type, COUNT(*) AS n, SUM(value) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
 """,
+    "x53_chunking": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(1 + FLOOR((greatest(len(w) - 64, 0) + 47) / 48.0)
+                              AS BIGINT))) AS chunk_id
+  FROM w
+)
+SELECT doc_id, chunk_id,
+       len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens,
+       array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                       ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+""",
 }
 
 
@@ -394,6 +417,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x50_pii_redact": _q(_x50_pii_redact),
         "x51_embedding_quantize": _q(_x51_embedding_quantize),
         "x52_salted_agg": _q(_x52_salted_agg),
+        "x53_chunking": _q(_x53_chunking),
     }
 
 

@@ -122,6 +122,31 @@ def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
               .select(id_col, "token", "tf", "df", "score", "rnk"))
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token windows (RAG / context
+    preprocessing): chunk i covers tokens [i*stride, i*stride+chunk).
+
+    Pure explode-of-a-codegen-sequence — no shuffle, no Python; output
+    row count is input tokens / stride, so the operator streams at any
+    corpus size. Chunk count uses integer ceil ``1 + ceil((n-chunk)/
+    stride)`` spelled as FLOOR((x + stride - 1)/stride) so differential
+    oracles replay it exactly."""
+    w = tokens(text_col)
+    n = F.size(w)
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = (F.lit(1)
+                + F.floor((extra + (stride - 1)) / F.lit(float(stride)))
+                ).cast("bigint")
+    idx = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    chunked = docs.select(id_col, w.alias("w"), idx.alias("chunk_id"))
+    piece = F.slice("w", F.col("chunk_id") * stride + 1, chunk_tokens)
+    return chunked.select(
+        id_col, "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"))
+
+
 def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
     """Corpus n-gram counts (the language-model / Kneser-Ney input).
 

@@ -144,6 +144,23 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
             assert abs(x - c * r["s"] / 127.0) <= r["s"] / 127.0 + 1e-12
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from hive_parse_lineage_spark.operators.corpus import chunk_documents
+    toks = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=" ".join(toks)), Row(doc_id=1, text="a b c")])
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in
+            chunk_documents(docs, chunk_tokens=64, stride=48).collect()}
+    # 100 tokens -> chunks at offsets 0 and 48: 1 + ceil(36/48) = 2
+    assert {k for k in rows if k[0] == 0} == {(0, 0), (0, 1)}
+    assert rows[(0, 0)]["n_tokens"] == 64
+    assert rows[(0, 0)]["chunk_text"].split()[:2] == ["t0", "t1"]
+    assert rows[(0, 1)]["chunk_text"].split()[0] == "t48"  # 16-token overlap
+    assert rows[(0, 1)]["n_tokens"] == 52                  # 100 - 48
+    # short doc -> one whole-doc chunk
+    assert rows[(1, 0)]["chunk_text"] == "a b c" and rows[(1, 0)]["n_tokens"] == 3
+
+
 def test_salted_agg_matches_plain_agg(spark):
     from hive_parse_lineage_spark.operators.skew import salted_agg
     df = spark.createDataFrame(
