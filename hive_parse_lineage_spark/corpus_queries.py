@@ -211,6 +211,42 @@ def _x53_chunking(spark, tables):
             .orderBy("doc_id", "chunk_id"))
 
 
+def _x54_merge_upsert(spark, tables):
+    """Format-free MERGE (anti-join + union) brought into the checked
+    surface: orders < 1000 is the target; keys 500-1499 arrive as
+    updates (doubled price), keys divisible by 10 as deletes."""
+    from hive_parse_lineage_spark.operators.merge import merge_upsert
+    o = tables["orders"]
+    target = (o.filter(F.col("o_orderkey") < 1000)
+              .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    source = (o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+              .select("o_orderkey", "o_orderstatus",
+                      (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                      (F.col("o_orderkey") % 10 == 0).alias("is_delete")))
+    return (merge_upsert(target, source, "o_orderkey", delete_col="is_delete")
+            .orderBy("o_orderkey"))
+
+
+def _x55_scd2(spark, tables):
+    """SCD type-2 dimension maintenance: every 5th customer gets a new
+    version; old versions are closed out, exactly one current row per
+    key survives."""
+    from hive_parse_lineage_spark.operators.merge import scd2_apply
+    c = tables["customer"]
+    dim = c.select(
+        "c_custkey", "c_acctbal",
+        F.lit("2024-01-01").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"))
+    updates = (c.filter(F.col("c_custkey") % 5 == 0)
+               .select("c_custkey",
+                       (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                       F.lit("2024-06-01").cast("timestamp")
+                       .alias("effective_from")))
+    return (scd2_apply(dim, updates, "c_custkey")
+            .orderBy("c_custkey", "effective_from"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -400,6 +436,60 @@ SELECT doc_id, chunk_id,
                        ' ') AS chunk_text
 FROM c ORDER BY doc_id, chunk_id
 """,
+    "x54_merge_upsert": """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey < 1000
+),
+src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         o_orderkey % 10 = 0 AS is_delete
+  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+),
+kept AS (
+  SELECT t.* FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM src s
+                    WHERE s.is_delete AND s.o_orderkey = t.o_orderkey)
+),
+upserts AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM src WHERE NOT is_delete),
+untouched AS (
+  SELECT k.* FROM kept k
+  WHERE NOT EXISTS (SELECT 1 FROM upserts u WHERE u.o_orderkey = k.o_orderkey)
+)
+SELECT * FROM untouched UNION ALL SELECT * FROM upserts ORDER BY o_orderkey
+""",
+    "x55_scd2": """
+WITH dim AS (
+  SELECT c_custkey, c_acctbal,
+         CAST('2024-01-01' AS TIMESTAMP) AS effective_from,
+         CAST(NULL AS TIMESTAMP) AS effective_to,
+         TRUE AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+         CAST('2024-06-01' AS TIMESTAMP) AS effective_from,
+         CAST(NULL AS TIMESTAMP) AS effective_to,
+         TRUE AS is_current
+  FROM customer WHERE c_custkey % 5 = 0
+),
+closed AS (
+  SELECT d.c_custkey, d.c_acctbal, d.effective_from,
+         CASE WHEN d.is_current AND u.nf IS NOT NULL THEN u.nf
+              ELSE d.effective_to END AS effective_to,
+         CASE WHEN u.nf IS NOT NULL THEN FALSE ELSE d.is_current END AS is_current
+  FROM dim d LEFT JOIN (SELECT c_custkey, effective_from AS nf FROM upd) u
+  USING (c_custkey)
+),
+merged AS (SELECT * FROM closed UNION ALL SELECT * FROM upd),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                               ORDER BY effective_from DESC) AS rn
+  FROM merged
+)
+SELECT c_custkey, c_acctbal, effective_from, effective_to,
+       CASE WHEN rn = 1 THEN is_current ELSE FALSE END AS is_current
+FROM ranked ORDER BY c_custkey, effective_from
+""",
 }
 
 
@@ -418,6 +508,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x51_embedding_quantize": _q(_x51_embedding_quantize),
         "x52_salted_agg": _q(_x52_salted_agg),
         "x53_chunking": _q(_x53_chunking),
+        "x54_merge_upsert": _q(_x54_merge_upsert),
+        "x55_scd2": _q(_x55_scd2),
     }
 
 
