@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from hive_parse_lineage_spark.functions.text import tokens, word_shingles
+from hive_parse_lineage_spark.operators.util import spread_for_compute
 
 
 def doc_shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
@@ -35,7 +36,7 @@ def doc_shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
     """Distinct (id, shingle) pairs — the unit for document-frequency
     statistics. Distinct-before-count keeps the exchange payload at one
     row per (doc, shingle) regardless of in-doc repetition."""
-    return (docs
+    return (spread_for_compute(docs)
             .select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
             .distinct())
 
@@ -88,7 +89,7 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
     postings = F.concat_ws(
         ",", F.transform(F.sort_array(F.collect_set(id_col)),
                          lambda x: x.cast("string")))
-    return (docs
+    return (spread_for_compute(docs)
             .select(id_col, F.explode(tokens(text_col)).alias("token"))
             .distinct()
             .groupBy("token")
@@ -105,7 +106,7 @@ def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     ``log(N/df)`` would be libm-dependent across engines). Two shuffles
     total: one on token for df, one on doc for the window; the df side
     is vocabulary-sized and broadcast back."""
-    tf = (docs
+    tf = (spread_for_compute(docs)
           .select(id_col, F.explode(tokens(text_col)).alias("token"))
           .groupBy(id_col, "token")
           .agg(F.count("*").alias("tf")))
@@ -155,4 +156,5 @@ def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFra
     Zipf head map-side so the exchange carries ~vocabulary^n rows, not
     corpus-token rows."""
     grams = F.explode(word_shingles(text_col, n)).alias("ngram")
-    return docs.select(grams).groupBy("ngram").agg(F.count("*").alias("n"))
+    return (spread_for_compute(docs)
+            .select(grams).groupBy("ngram").agg(F.count("*").alias("n")))

@@ -42,20 +42,8 @@ def _perm_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     return [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(n_hashes)]
 
 
-def _spread_for_compute(df: DataFrame) -> DataFrame:
-    """Ensure a compute-bound projection gets >= one partition per core.
-
-    ``maxPartitionBytes`` sizes scan partitions for IO, so a small
-    parquet file arrives as ONE partition — and a signature projection
-    (hashes x shingles x permutations per row) then runs on one core
-    regardless of cluster size. Round-robin repartition is free
-    relative to the projection it unblocks; at 100 TB the input already
-    has more partitions than cores and this is a no-op (no shuffle
-    added)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from hive_parse_lineage_spark.operators.util import \
+    spread_for_compute as _spread_for_compute
 
 
 # ---------------------------------------------------------------------------
