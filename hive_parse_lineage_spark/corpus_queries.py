@@ -247,6 +247,38 @@ def _x55_scd2(spark, tables):
             .orderBy("c_custkey", "effective_from"))
 
 
+def _x56_training_pipeline(spark, tables):
+    """The whole training-data pipeline as ONE lazy plan: C4-style
+    quality filter -> decontamination against corpus boilerplate ->
+    exact-dup survivor selection -> deterministic train/val/test split.
+    Composes the x37/x42/x11/x39 operators; Catalyst fuses the filters
+    and the only shuffles are the shingle count, the dup groupBy and
+    the broadcast-backed joins."""
+    from hive_parse_lineage_spark.functions import text as T
+    from hive_parse_lineage_spark.operators.corpus import (
+        common_shingles, contamination_score)
+    from hive_parse_lineage_spark.operators.dedup import exact_dedup
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    docs = tables["documents"]
+    t = T.tokens("text")
+    n, nd = F.size(t), F.size(F.array_distinct(t))
+    total = T.total_token_chars("text")
+    keep_q = ((n >= 20) & (n <= 1000)
+              & (total >= 2 * n) & (total <= 12 * n)
+              & (nd * 10 >= 3 * n))
+    q = docs.filter(keep_q)
+    flagged = common_shingles(docs, n=5, min_docs=3)
+    clean_ids = (contamination_score(q, flagged, n=5, max_flagged_pct=5)
+                 .filter("keep").select("doc_id"))
+    clean = q.join(F.broadcast(clean_ids), "doc_id")
+    keep_ids = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    survivors = clean.join(F.broadcast(keep_ids), "doc_id")
+    return (hash_split(survivors, salt="v1")
+            .select("doc_id", "bucket", "split", F.size(T.tokens("text"))
+                    .alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -493,6 +525,47 @@ FROM ranked ORDER BY c_custkey, effective_from
 }
 
 
+def _training_pipeline_oracle_sql() -> str:
+    """Chained-CTE replay of x56: quality -> decontaminate -> exact-dup
+    survivors -> portable-hash split (same 80/90 bounds as x39)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("'v1' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+),
+st AS (
+  SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+         list_aggregate(list_transform(t, x -> length(x)), 'sum') AS total
+  FROM m
+),
+q AS (
+  SELECT doc_id FROM st
+  WHERE n >= 20 AND n <= 1000 AND total >= 2*n AND total <= 12*n
+    AND nd*10 >= 3*n
+),
+{_DOC_SHINGLES_5.strip().rstrip()},
+f AS (SELECT shingle FROM s GROUP BY shingle HAVING COUNT(doc_id) >= 3),
+c AS (
+  SELECT s.doc_id, COUNT(*) AS ns, COUNT(f.shingle) AS nf
+  FROM s JOIN q USING (doc_id) LEFT JOIN f USING (shingle)
+  GROUP BY s.doc_id
+),
+clean AS (SELECT doc_id FROM c WHERE nf * 100 <= 5 * ns),
+dd AS (
+  SELECT MIN(m.doc_id) AS doc_id
+  FROM m JOIN clean USING (doc_id)
+  GROUP BY md5(m.text)
+)
+SELECT m.doc_id, {h} % 100 AS bucket,
+       CASE WHEN {h} % 100 < 80 THEN 'train'
+            WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+       st.n AS n_tokens
+FROM m JOIN dd USING (doc_id) JOIN st USING (doc_id)
+ORDER BY m.doc_id
+"""
+
+
 def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "x41_common_shingles": _q(_x41_common_shingles),
@@ -510,8 +583,11 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x53_chunking": _q(_x53_chunking),
         "x54_merge_upsert": _q(_x54_merge_upsert),
         "x55_scd2": _q(_x55_scd2),
+        "x56_training_pipeline": _q(_x56_training_pipeline),
     }
 
 
 def corpus_oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    out = dict(_ORACLES)
+    out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
+    return out
