@@ -604,21 +604,27 @@ def _statement_lineage(spark: SparkSession, sql: str,
         return StatementLineage(sql, "DEFAULT", [], set(), set())
 
     if cls == "InsertIntoStatement":
-        target = _ident_from_unresolved(parsed.table())
-        query = parsed.query()
-        # INSERT INTO t (b, a) ...: the user column list overrides the
-        # catalog's positional order (reference only knows positional,
-        # LineParser.java:143-152; by-name is the Spark-era extension)
-        user_cols = None
-        try:
-            uc = parsed.userSpecifiedCols()
-            if uc.size() > 0:
-                user_cols = [str(uc.apply(i)) for i in range(uc.size())]
-        except Exception:
-            pass
-        return _query_lineage(spark, w, sql, query, "INSERT",
-                              w.fill_db(target) if target else None,
-                              user_cols=user_cols)
+        return _insert_node_lineage(spark, sql, parsed, w)
+
+    if cls == "Union":
+        # Hive-style multi-insert: FROM src INSERT INTO a ... INSERT
+        # INTO b ... parses as a Union of InsertIntoStatements
+        # (reference: one TOK_QUERY with several TOK_INSERT children,
+        # LineParser.java:200-214). Trace each branch with a fresh
+        # walker and merge the edges into one statement result.
+        kids = parsed.children()
+        nodes = [kids.apply(i) for i in range(kids.size())]
+        if nodes and all(_cls(n) == "InsertIntoStatement" for n in nodes):
+            branches = [
+                _insert_node_lineage(spark, sql, n,
+                                     _Walker(spark, traverse_views))
+                for n in nodes
+            ]
+            return StatementLineage(
+                sql, "INSERT",
+                [e for b in branches for e in b.col_lines],
+                set().union(*(b.input_tables for b in branches)),
+                set().union(*(b.output_tables for b in branches)))
 
     if cls == "MergeIntoTable":
         # MERGE INTO t USING s ON ...: upsert classification — target is
@@ -662,6 +668,27 @@ def _statement_lineage(spark: SparkSession, sql: str,
 
     # plain query
     return _query_lineage(spark, w, sql, parsed, "SELECT", None)
+
+
+def _insert_node_lineage(spark: SparkSession, sql: str, node,
+                         w: _Walker) -> StatementLineage:
+    """Lineage of one InsertIntoStatement node (a standalone INSERT, or
+    one branch of a multi-insert)."""
+    target = _ident_from_unresolved(node.table())
+    query = node.query()
+    # INSERT INTO t (b, a) ...: the user column list overrides the
+    # catalog's positional order (reference only knows positional,
+    # LineParser.java:143-152; by-name is the Spark-era extension)
+    user_cols = None
+    try:
+        uc = node.userSpecifiedCols()
+        if uc.size() > 0:
+            user_cols = [str(uc.apply(i)) for i in range(uc.size())]
+    except Exception:
+        pass
+    return _query_lineage(spark, w, sql, query, "INSERT",
+                          w.fill_db(target) if target else None,
+                          user_cols=user_cols)
 
 
 def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,

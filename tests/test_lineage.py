@@ -347,6 +347,25 @@ def test_insert_with_column_list(spark, tables, lineage_tables):
     assert st.col_lines[1].sources == ["default.region.r_regionkey"]
 
 
+def test_multi_insert_lineage(spark, lineage_tables):
+    """Hive-style multi-insert (reference: one TOK_QUERY with several
+    TOK_INSERT children, LineParser.java:200-214): each branch binds
+    its own target positionally; inputs/outputs merge."""
+    lin = lineage(spark, """
+        FROM fact.test
+        INSERT INTO fact.test2 SELECT id, v
+        INSERT INTO t2 (c1) SELECT id""")
+    st = lin.statements[0]
+    assert st.operation == "INSERT"
+    assert lin.output_tables == {"fact.test2", "default.t2"}
+    assert lin.input_tables == {"fact.test"}
+    edges = {(c.target_table, c.target_column): c.sources
+             for c in st.col_lines}
+    assert edges[("fact.test2", "id")] == ["fact.test.id"]
+    assert edges[("fact.test2", "v")] == ["fact.test.v"]
+    assert edges[("default.t2", "c1")] == ["fact.test.id"]
+
+
 def test_create_view_lineage(spark, tables, lineage_tables):
     """CREATE VIEW body lineage — superset of the reference (which has
     no view handler; LineParser.java:319-321 covers only CREATETABLE)."""
