@@ -606,6 +606,40 @@ def _statement_lineage(spark: SparkSession, sql: str,
     if cls == "InsertIntoStatement":
         return _insert_node_lineage(spark, sql, parsed, w)
 
+    if cls == "UnresolvedWith":
+        # WITH ... INSERT INTO t SELECT ... (also the multi-insert
+        # variant): the CTE scope must stay wrapped around the insert's
+        # query for the analyzer to resolve it, so rebuild the
+        # UnresolvedWith with the query subtree in the insert's place.
+        kids = parsed.children()
+        nodes = [kids.apply(i) for i in range(kids.size())]
+        inserts = []
+        for i, nd in enumerate(nodes):
+            if _cls(nd) == "InsertIntoStatement":
+                inserts.append((i, [nd]))
+            elif _cls(nd) == "Union":
+                uk = nd.children()
+                branches = [uk.apply(j) for j in range(uk.size())]
+                if branches and all(_cls(b) == "InsertIntoStatement"
+                                    for b in branches):
+                    inserts.append((i, branches))
+        if len(inserts) == 1:
+            i, branches = inserts[0]
+            results = []
+            for b in branches:
+                scoped = _with_child_replaced(spark, parsed, nodes, i,
+                                              b.query())
+                results.append(_insert_node_lineage(
+                    spark, sql, b, _Walker(spark, traverse_views),
+                    query_plan=scoped))
+            if len(results) == 1:
+                return results[0]
+            return StatementLineage(
+                sql, "INSERT",
+                [e for r in results for e in r.col_lines],
+                set().union(*(r.input_tables for r in results)),
+                set().union(*(r.output_tables for r in results)))
+
     if cls == "Union":
         # Hive-style multi-insert: FROM src INSERT INTO a ... INSERT
         # INTO b ... parses as a Union of InsertIntoStatements
@@ -670,12 +704,25 @@ def _statement_lineage(spark: SparkSession, sql: str,
     return _query_lineage(spark, w, sql, parsed, "SELECT", None)
 
 
+def _with_child_replaced(spark: SparkSession, parent, nodes: list,
+                         idx: int, replacement):
+    """Rebuild ``parent`` with ``nodes[idx]`` swapped for ``replacement``
+    (TreeNode.withNewChildren via a Scala Seq)."""
+    jvm = spark.sparkContext._jvm
+    arr = jvm.java.util.ArrayList()
+    for i, nd in enumerate(nodes):
+        arr.add(replacement if i == idx else nd)
+    seq = jvm.scala.jdk.javaapi.CollectionConverters.asScala(arr).toSeq()
+    return parent.withNewChildren(seq)
+
+
 def _insert_node_lineage(spark: SparkSession, sql: str, node,
-                         w: _Walker) -> StatementLineage:
-    """Lineage of one InsertIntoStatement node (a standalone INSERT, or
-    one branch of a multi-insert)."""
+                         w: _Walker, query_plan=None) -> StatementLineage:
+    """Lineage of one InsertIntoStatement node (a standalone INSERT, one
+    branch of a multi-insert, or — with ``query_plan`` — an insert whose
+    query must stay wrapped in its enclosing CTE scope)."""
     target = _ident_from_unresolved(node.table())
-    query = node.query()
+    query = query_plan if query_plan is not None else node.query()
     # INSERT INTO t (b, a) ...: the user column list overrides the
     # catalog's positional order (reference only knows positional,
     # LineParser.java:143-152; by-name is the Spark-era extension)

@@ -366,6 +366,33 @@ def test_multi_insert_lineage(spark, lineage_tables):
     assert edges[("default.t2", "c1")] == ["fact.test.id"]
 
 
+def test_cte_insert_lineage(spark, lineage_tables):
+    """WITH ... INSERT: the CTE scope must wrap the insert's query so
+    sources resolve through the CTE to base tables."""
+    lin = lineage(spark, """
+        WITH w AS (SELECT id FROM fact.test)
+        INSERT INTO t2 (c1) SELECT id FROM w""")
+    st = lin.statements[0]
+    assert st.operation == "INSERT"
+    assert lin.output_tables == {"default.t2"}
+    assert st.col_lines[0].target_column == "c1"
+    assert st.col_lines[0].sources == ["fact.test.id"]
+
+
+def test_cte_multi_insert_lineage(spark, lineage_tables):
+    lin = lineage(spark, """
+        WITH w AS (SELECT id, v FROM fact.test)
+        FROM w
+        INSERT INTO fact.test2 SELECT id, v
+        INSERT INTO t2 (c1) SELECT id""")
+    st = lin.statements[0]
+    assert lin.output_tables == {"fact.test2", "default.t2"}
+    edges = {(c.target_table, c.target_column): c.sources
+             for c in st.col_lines}
+    assert edges[("fact.test2", "id")] == ["fact.test.id"]
+    assert edges[("default.t2", "c1")] == ["fact.test.id"]
+
+
 def test_create_view_lineage(spark, tables, lineage_tables):
     """CREATE VIEW body lineage — superset of the reference (which has
     no view handler; LineParser.java:319-321 covers only CREATETABLE)."""
