@@ -766,7 +766,12 @@ def _catalog_columns(spark: SparkSession, table: str) -> list[str] | None:
     try:
         cols = spark.catalog.listColumns(table)
         data = [c.name for c in cols if not c.isPartition]
-        return data or None
+        # Dynamic-partition inserts put partition columns LAST in the
+        # select list (Hive semantics); appending them after the data
+        # columns binds those trailing expressions, while static-
+        # partition and non-partitioned inserts never index that far.
+        parts = [c.name for c in cols if c.isPartition]
+        return (data + parts) or None
     except Exception:
         return None
 

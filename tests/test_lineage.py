@@ -366,6 +366,20 @@ def test_multi_insert_lineage(spark, lineage_tables):
     assert edges[("default.t2", "c1")] == ["fact.test.id"]
 
 
+def test_dynamic_partition_insert_binds_partition_column(spark, tables,
+                                                         lineage_tables):
+    """INSERT ... PARTITION (ds) SELECT ..., ds_expr: the trailing
+    select expression binds to the dynamic partition column."""
+    lin = lineage(spark, """
+        INSERT INTO dest1 PARTITION (ds)
+        SELECT r_name, r_name, r_regionkey, r_name, r_name, r_name
+        FROM region""")
+    st = lin.statements[0]
+    assert [c.target_column for c in st.col_lines] == \
+        ["d_ds", "d_hr", "d_userid", "d_clienttype", "d_datekey", "ds"]
+    assert st.col_lines[5].sources == ["default.region.r_name"]
+
+
 def test_cte_insert_lineage(spark, lineage_tables):
     """WITH ... INSERT: the CTE scope must wrap the insert's query so
     sources resolve through the CTE to base tables."""
