@@ -606,6 +606,21 @@ def _statement_lineage(spark: SparkSession, sql: str,
     if cls == "InsertIntoStatement":
         return _insert_node_lineage(spark, sql, parsed, w)
 
+    if cls == "InsertIntoDir":
+        # INSERT OVERWRITE DIRECTORY '/path' ... SELECT: the target is a
+        # filesystem path, not a catalog table — record it verbatim as
+        # the output and trace the query's column sources (positional
+        # binding has no catalog to consult, so aliases stand).
+        target = None
+        try:
+            loc = parsed.storage().locationUri()
+            if loc.isDefined():
+                target = str(loc.get())
+        except Exception:
+            pass
+        return _query_lineage(spark, w, sql, parsed.child(), "INSERT",
+                              target)
+
     if cls == "UnresolvedWith":
         # WITH ... INSERT INTO t SELECT ... (also the multi-insert
         # variant): the CTE scope must stay wrapped around the insert's

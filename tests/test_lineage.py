@@ -380,6 +380,28 @@ def test_dynamic_partition_insert_binds_partition_column(spark, tables,
     assert st.col_lines[5].sources == ["default.region.r_name"]
 
 
+def test_lateral_view_explode_lineage(spark, lineage_tables):
+    """LATERAL VIEW explode (reference #35 array access family):
+    generated columns trace to the exploded source column."""
+    lin = lineage(spark,
+        "SELECT col1, c FROM t1 LATERAL VIEW explode(arr) x AS c")
+    edges = {c.target_alias: c for c in lin.statements[0].col_lines}
+    assert edges["c"].sources == ["default.t1.arr"]
+    assert edges["col1"].sources == ["default.t1.col1"]
+
+
+def test_insert_overwrite_directory_lineage(spark, lineage_tables):
+    """INSERT OVERWRITE DIRECTORY: the path is the output, sources
+    trace normally (no catalog to bind positionally against)."""
+    lin = lineage(spark,
+        "INSERT OVERWRITE DIRECTORY '/tmp/lineage_dir_test' USING parquet "
+        "SELECT col1 FROM t1")
+    st = lin.statements[0]
+    assert st.operation == "INSERT"
+    assert lin.output_tables == {"/tmp/lineage_dir_test"}
+    assert st.col_lines[0].sources == ["default.t1.col1"]
+
+
 def test_cte_insert_lineage(spark, lineage_tables):
     """WITH ... INSERT: the CTE scope must wrap the insert's query so
     sources resolve through the CTE to base tables."""
