@@ -279,6 +279,16 @@ def _x56_training_pipeline(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x57_source_cap(spark, tables):
+    """Training-mix rebalancing: cap every source at 15 docs, selected
+    in deterministic hash order (a reproducible uniform sample of each
+    over-represented source)."""
+    from hive_parse_lineage_spark.operators.sampling import cap_per_group
+    return (cap_per_group(tables["documents"], "source", cap=15, salt="mix1")
+            .select("doc_id", "source", "pick_rank")
+            .orderBy("source", "pick_rank"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -525,6 +535,22 @@ FROM ranked ORDER BY c_custkey, effective_from
 }
 
 
+def _source_cap_oracle_sql(cap: int = 15, salt: str = "mix1") -> str:
+    """DuckDB replay of x57: same portable hash, same tie-break."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {h} ASC, doc_id ASC) AS pick_rank
+  FROM documents
+)
+SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= {cap}
+ORDER BY source, pick_rank
+"""
+
+
 def _training_pipeline_oracle_sql() -> str:
     """Chained-CTE replay of x56: quality -> decontaminate -> exact-dup
     survivors -> portable-hash split (same 80/90 bounds as x39)."""
@@ -584,10 +610,12 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x54_merge_upsert": _q(_x54_merge_upsert),
         "x55_scd2": _q(_x55_scd2),
         "x56_training_pipeline": _q(_x56_training_pipeline),
+        "x57_source_cap": _q(_x57_source_cap),
     }
 
 
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
+    out["x57_source_cap"] = _source_cap_oracle_sql()
     return out

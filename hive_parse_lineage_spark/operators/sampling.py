@@ -51,6 +51,23 @@ def hash_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn("bucket", bucket).withColumn(out_col, expr)
 
 
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by deterministic
+    hash order — the training-mix rebalancer (cap over-represented
+    sources/domains without favoring any id range).
+
+    Hash order makes the selection a uniform, reproducible sample of
+    each group; one shuffle on the group key, and the window never
+    materializes more than a partition. Emits ``pick_rank`` (1-based
+    position in hash order) for auditability."""
+    from pyspark.sql import Window
+    h = portable_hash64(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (df.withColumn("pick_rank", F.row_number().over(w))
+            .filter(F.col("pick_rank") <= cap))
+
+
 def pack_sequences(df: DataFrame, token_col: str, id_col: str = "doc_id",
                    budget: int = 2048, n_shards: int = 8,
                    shard_salt: str = "") -> DataFrame:

@@ -161,6 +161,21 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert rows[(1, 0)]["chunk_text"] == "a b c" and rows[(1, 0)]["n_tokens"] == 3
 
 
+def test_cap_per_group_binds_and_is_deterministic(spark):
+    from hive_parse_lineage_spark.operators.sampling import cap_per_group
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 2}") for i in range(30)])
+    out1 = {(r["doc_id"], r["pick_rank"])
+            for r in cap_per_group(docs, "source", cap=5).collect()}
+    out2 = {(r["doc_id"], r["pick_rank"])
+            for r in cap_per_group(docs, "source", cap=5).collect()}
+    assert out1 == out2 and len(out1) == 10          # 5 per source, stable
+    resalted = {(r["doc_id"], r["pick_rank"])
+                for r in cap_per_group(docs, "source", cap=5,
+                                       salt="other").collect()}
+    assert resalted != out1                           # salt re-rolls picks
+
+
 def test_salted_agg_matches_plain_agg(spark):
     from hive_parse_lineage_spark.operators.skew import salted_agg
     df = spark.createDataFrame(
