@@ -1,7 +1,9 @@
-"""Corpus/analytics query surface x41-x50: contamination n-grams,
+"""Corpus/analytics query surface x41-x57: contamination n-grams,
 decontamination scoring, inverted index, TF-IDF, n-gram LM counts,
 duplicate-cluster connected components, cohort retention, funnels,
-time-series gap-fill and PII redaction.
+time-series gap-fill, PII redaction, int8 embedding quantization,
+salted aggregation, chunking, MERGE/SCD2, the end-to-end training
+pipeline, and per-source mix capping.
 
 Every entry has an exact DuckDB oracle. Cross-engine determinism
 tactics (same playbook as extra_queries):
