@@ -748,14 +748,20 @@ def _insert_node_lineage(spark: SparkSession, sql: str, node,
             user_cols = [str(uc.apply(i)) for i in range(uc.size())]
     except Exception:
         pass
+    by_name = False
+    try:
+        by_name = bool(node.byName())
+    except Exception:
+        pass
     return _query_lineage(spark, w, sql, query, "INSERT",
                           w.fill_db(target) if target else None,
-                          user_cols=user_cols)
+                          user_cols=user_cols, by_name=by_name)
 
 
 def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
                    operation: str, target_table: str | None,
-                   user_cols: list[str] | None = None) -> StatementLineage:
+                   user_cols: list[str] | None = None,
+                   by_name: bool = False) -> StatementLineage:
     if parsed_query is None:
         return StatementLineage(sql, operation, [], set(),
                                 {target_table} if target_table else set())
@@ -770,7 +776,10 @@ def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
         # via spark.catalog — the reference's JDBC metadata fetch, minus its
         # split(".") crash (LineParser.java:110-118). An explicit INSERT
         # column list overrides the catalog order.
-        phys_cols = user_cols or _catalog_columns(spark, target_table)
+        # INSERT ... BY NAME matches select aliases to target columns by
+        # name, not position (Spark-era extension; no reference analogue).
+        phys_cols = None if by_name \
+            else (user_cols or _catalog_columns(spark, target_table))
         for i, e in enumerate(edges):
             e.target_table = target_table
             e.target_column = phys_cols[i] if phys_cols and i < len(phys_cols) else e.target_alias

@@ -402,6 +402,16 @@ def test_insert_overwrite_directory_lineage(spark, lineage_tables):
     assert st.col_lines[0].sources == ["default.t1.col1"]
 
 
+def test_insert_by_name_binds_by_alias(spark, lineage_tables):
+    """INSERT INTO t BY NAME: aliases bind to same-named target columns
+    regardless of position (Spark-era extension)."""
+    lin = lineage(spark,
+        "INSERT INTO t2 BY NAME SELECT col2 AS c1, col1 FROM t1")
+    edges = {c.target_column: c.sources for c in lin.statements[0].col_lines}
+    assert edges["c1"] == ["default.t1.col2"]
+    assert edges["col1"] == ["default.t1.col1"]
+
+
 def test_cte_insert_lineage(spark, lineage_tables):
     """WITH ... INSERT: the CTE scope must wrap the insert's query so
     sources resolve through the CTE to base tables."""
