@@ -172,3 +172,31 @@ def test_bucketed_join_elides_shuffle(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_decontamination_broadcasts_flagged_set(spark, tables, sf_dir):
+    """x42: the flagged-shingle set must broadcast — the corpus side
+    never reshuffles for the join."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    plan = _op_plan(corpus_queries()["x42_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_training_pipeline_plan_shape(spark, tables, sf_dir):
+    """x56: id-set joins are broadcast-backed, nothing goes cartesian,
+    and the scan still prunes (no full-row reads for the id joins)."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    plan = _op_plan(corpus_queries()["x56_training_pipeline"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # clean_ids + keep_ids
+
+
+def test_source_cap_single_window_shuffle(spark, tables, sf_dir):
+    """x57: one hash partitioning on the group key feeds the ranking
+    window — no extra exchanges."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    plan = _op_plan(corpus_queries()["x57_source_cap"](spark, sf_dir))
+    assert "Window" in plan and "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(source") == 1
