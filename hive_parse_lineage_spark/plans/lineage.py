@@ -712,6 +712,16 @@ def _statement_lineage(spark: SparkSession, sql: str,
         return _query_lineage(spark, w, sql, query, "CREATETABLE",
                               w.fill_db(target) if target else None)
 
+    if cls == "CreateTableLikeCommand":
+        # CREATE TABLE t LIKE s: schema-level dependency — the source
+        # table is an input (its schema flows), no column edges.
+        tgt = _ident_from_unresolved(parsed.targetTable())
+        src_t = _ident_from_unresolved(parsed.sourceTable())
+        return StatementLineage(
+            sql, "CREATETABLE", [],
+            {w.fill_db(src_t)} if src_t else set(),
+            {w.fill_db(tgt)} if tgt else set())
+
     if cls in ("CreateTable", "CreateTableCommand"):
         return ddl("CREATETABLE", parsed)
 

@@ -412,6 +412,17 @@ def test_insert_by_name_binds_by_alias(spark, lineage_tables):
     assert edges["col1"] == ["default.t1.col1"]
 
 
+def test_create_table_like_classification(spark, lineage_tables):
+    """CREATE TABLE LIKE: CREATETABLE with the source as a schema-level
+    input (reference DDL rows record tables + operation, no edges)."""
+    lin = lineage(spark, "CREATE TABLE t2_like LIKE t2")
+    st = lin.statements[0]
+    assert st.operation == "CREATETABLE"
+    assert st.input_tables == {"default.t2"}
+    assert st.output_tables == {"default.t2_like"}
+    assert st.col_lines == []
+
+
 def test_cte_insert_lineage(spark, lineage_tables):
     """WITH ... INSERT: the CTE scope must wrap the insert's query so
     sources resolve through the CTE to base tables."""
