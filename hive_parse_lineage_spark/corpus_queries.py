@@ -291,6 +291,25 @@ def _x57_source_cap(spark, tables):
             .orderBy("source", "pick_rank"))
 
 
+def _x58_cumulative_uniques(spark, tables):
+    """Cumulative unique users per event type by day via the
+    first-touch transform: distinct-over-an-expanding-window is O(n^2)
+    state, but 'users whose FIRST day <= d' is a groupBy + running sum
+    — the scalable spelling. The running sum is PARTITIONED by the
+    series key and runs over the tiny per-day aggregate, not raw
+    events."""
+    e = tables["events"]
+    first = (e.groupBy("event_type", "user_id")
+             .agg(F.min(F.col("ts").cast("date")).alias("day")))
+    daily = (first.groupBy("event_type", "day")
+             .agg(F.count("*").alias("new_users")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (daily.select("event_type", "day", "new_users",
+                         F.sum("new_users").over(w).alias("cum_users"))
+            .orderBy("event_type", "day"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -537,6 +556,23 @@ FROM ranked ORDER BY c_custkey, effective_from
 }
 
 
+_ORACLES["x58_cumulative_uniques"] = """
+WITH first AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS day
+  FROM events GROUP BY event_type, user_id
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS new_users
+  FROM first GROUP BY event_type, day
+)
+SELECT event_type, day, new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM daily ORDER BY event_type, day
+"""
+
+
 def _source_cap_oracle_sql(cap: int = 15, salt: str = "mix1") -> str:
     """DuckDB replay of x57: same portable hash, same tie-break."""
     from hive_parse_lineage_spark.functions.text import portable_hash64_sql
@@ -613,6 +649,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x55_scd2": _q(_x55_scd2),
         "x56_training_pipeline": _q(_x56_training_pipeline),
         "x57_source_cap": _q(_x57_source_cap),
+        "x58_cumulative_uniques": _q(_x58_cumulative_uniques),
     }
 
 
