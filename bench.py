@@ -152,6 +152,24 @@ def main() -> None:
         if duck_total > 0:
             out["ratio"] = round(sum(times.values()) / duck_total, 2)
 
+    if engine == "spark" and os.environ.get("BENCH_CORPUS", "1") != "0":
+        # LLM-corpus surface (x41-x58), Spark side only: one warm + one
+        # timed pass per query (the DuckDB twins replay md5-fold hash
+        # signatures in SQL and would dominate the wall at sf0.1 —
+        # correctness, not a speed baseline).
+        from pyspark.sql import SparkSession
+
+        from hive_parse_lineage_spark.corpus_queries import corpus_queries
+        spark = SparkSession.builder.getOrCreate()
+        ctimes: dict[str, float] = {}
+        for name, fn in sorted(corpus_queries().items()):
+            fn(spark, sf_dir).collect()                      # warm-up
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            ctimes[name] = round(time.perf_counter() - t0, 4)
+        out["corpus_total_wall"] = round(sum(ctimes.values()), 4)
+        out["corpus_queries"] = ctimes
+
     total = round(sum(times.values()), 4)
     out.update({
         "metric": f"{engine}_total_wall",
