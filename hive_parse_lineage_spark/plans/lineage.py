@@ -146,6 +146,10 @@ _ALTER_CLASSES = {
     "AlterColumn", "AlterColumns", "RenameTable", "SetTableProperties",
     "UnsetTableProperties", "SetTableLocation", "SetTableSerDeProperties",
     "AddPartitions", "DropPartitions", "RenamePartitions", "RecoverPartitions",
+    # ALTER DATABASE ... (reference TOK_ALTERDATABASE_PROPERTIES,
+    # LineParser.java:435-440)
+    "SetNamespaceProperties", "SetNamespaceLocation",
+    "UnsetNamespaceProperties",
 }
 
 # passthrough unary nodes: child mapping flows up unchanged, no conditions
@@ -575,10 +579,10 @@ def _statement_lineage(spark: SparkSession, sql: str,
 
     # --- DDL classification (LineParser.java:310-327,435-440): record
     # tables + operation; never execute.
-    def ddl(op: str, node=None) -> StatementLineage:
+    def ddl(op: str, node=None, is_db: bool = False) -> StatementLineage:
         target = None
         probe = node if node is not None else parsed
-        for getter in ("child", "table", "name"):
+        for getter in ("child", "table", "name", "namespace"):
             try:
                 target = _ident_from_unresolved(getattr(probe, getter)())
                 if target:
@@ -587,7 +591,7 @@ def _statement_lineage(spark: SparkSession, sql: str,
                 continue
         if target is None:
             target = _ident_from_unresolved(probe)
-        out = {w.fill_db(target)} if target else set()
+        out = ({target} if is_db else {w.fill_db(target)}) if target else set()
         return StatementLineage(sql, op, [], set(), out)
 
     if cls in ("DropTable", "DropTableCommand", "DropView"):
@@ -597,7 +601,9 @@ def _statement_lineage(spark: SparkSession, sql: str,
     if cls in ("LoadData", "LoadDataCommand"):
         return ddl("LOAD")
     if cls in _ALTER_CLASSES or cls.startswith("Alter"):
-        return ddl("ALTER")
+        # namespace-level ALTERs target a database, not a table — no
+        # default-db qualification
+        return ddl("ALTER", is_db="Namespace" in cls)
     if cls in ("SetCatalogAndNamespace", "SetNamespaceCommand", "UseStatement"):
         # USE db (LineParser.java:270-273): execute — updates session state only
         spark.sql(sql)

@@ -412,6 +412,15 @@ def test_insert_by_name_binds_by_alias(spark, lineage_tables):
     assert edges["col1"] == ["default.t1.col1"]
 
 
+def test_alter_database_classification(spark, lineage_tables):
+    """ALTER DATABASE (reference TOK_ALTERDATABASE_PROPERTIES): ALTER
+    with the namespace itself as target, un-qualified."""
+    lin = lineage(spark, "ALTER DATABASE default SET DBPROPERTIES ('k'='v')")
+    st = lin.statements[0]
+    assert st.operation == "ALTER"
+    assert st.output_tables == {"default"}
+
+
 def test_create_table_like_classification(spark, lineage_tables):
     """CREATE TABLE LIKE: CREATETABLE with the source as a schema-level
     input (reference DDL rows record tables + operation, no edges)."""
