@@ -50,6 +50,24 @@ class Engine:
         from hive_parse_lineage_spark.plans.lineage import extract_lineage
         return extract_lineage(self.spark, sql_text).output_tables
 
+    def operations(self, sql_text: str) -> list[str]:
+        """Per-statement Operation tags (common/Operation.java:3-5), in
+        script order."""
+        from hive_parse_lineage_spark.plans.lineage import extract_lineage
+        return [s.operation
+                for s in extract_lineage(self.spark, sql_text).statements]
+
+    def tables_report(self, sql_text: str) -> dict:
+        """One-parse {input_tables, output_tables, operations} summary —
+        the ``POST /tables`` response body."""
+        from hive_parse_lineage_spark.plans.lineage import extract_lineage
+        script = extract_lineage(self.spark, sql_text)
+        return {
+            "input_tables": sorted(script.input_tables),
+            "output_tables": sorted(script.output_tables),
+            "operations": [s.operation for s in script.statements],
+        }
+
     # -- metadata (reference dao/MetaDataQuery.java:12-14) ---------------
     def table_columns(self, table: str) -> list[str]:
         """Ordered column names of a catalog/temp table — the reference's

@@ -128,14 +128,22 @@ def minhash_signature_agg(df: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
-                        n_hashes: int = 64, bands: int = 16) -> DataFrame:
+                        n_hashes: int = 64, bands: int = 16,
+                        max_bucket_size: int | None = 1000) -> DataFrame:
     """Candidate near-dup pairs from banding: explode signatures into
     (band_idx, band_hash) buckets, self-join within buckets.
 
     Shuffle key is (band_idx, band_hash) — at 100 TB, hot buckets (many
-    docs sharing a band) are the skew risk; cap bucket size upstream or
-    enable AQE skew-join. Output: distinct (id_a < id_b) pairs with the
-    estimated Jaccard (fraction of agreeing minhash components).
+    docs sharing a band) are the quadratic risk: boilerplate-heavy
+    corpora can put thousands of docs in one bucket, and the self-join
+    then emits O(n²) pairs inside it. ``max_bucket_size`` drops buckets
+    above the cap before the join (a window count on the join key, so
+    the exchange is shared with the join — no extra shuffle). Docs
+    whose EVERY band is oversized are exact/boilerplate duplicates by
+    construction — ``exact_dedup`` and the common-shingle pass (x41)
+    are the right tools there, not pairwise LSH. ``None`` disables the
+    guard. Output: distinct (id_a < id_b) pairs with the estimated
+    Jaccard (fraction of agreeing minhash components).
     """
     r = n_hashes // bands
     band_entries = F.array(*[
@@ -148,6 +156,12 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     buckets = (sig_df
                .select(id_col, "minhash", F.explode(band_entries).alias("b"))
                .select(id_col, "minhash", "b.band", "b.band_hash"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        n_in_bucket = F.count(F.lit(1)).over(
+            Window.partitionBy("band", "band_hash"))
+        buckets = (buckets.withColumn("_bn", n_in_bucket)
+                   .filter(F.col("_bn") <= max_bucket_size).drop("_bn"))
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (left.join(right,
@@ -169,11 +183,13 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.7,
                       n_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 3, seed: int = 42,
-                      hasher=None) -> DataFrame:
+                      hasher=None,
+                      max_bucket_size: int | None = 1000) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection."""
     sig = minhash_signature_agg(df, text_col, id_col, n_hashes,
                                 shingle_k, seed, hasher)
-    cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands,
+                               max_bucket_size=max_bucket_size)
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 

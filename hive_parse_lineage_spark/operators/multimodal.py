@@ -117,10 +117,11 @@ def decode_bmp(data: bytes):
     return height, width, channels, np.ascontiguousarray(arr).tobytes()
 
 
-def decode_wav(data: bytes):
+def decode_wav_full(data: bytes):
     """Parse a RIFF/WAVE PCM file: ``(sample_rate, n_channels,
-    n_samples, pcm_bytes)``. Supports integer PCM (format 1) and
-    float32 (format 3); chunk walk per the public RIFF layout."""
+    n_samples, pcm_bytes, audio_format, bits_per_sample)``. Supports
+    integer PCM (format 1) and float32 (format 3); chunk walk per the
+    public RIFF layout."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE container")
     pos, fmt, pcm = 12, None, None
@@ -138,7 +139,19 @@ def decode_wav(data: bytes):
     if audio_format not in (1, 3):
         raise NotImplementedError(f"non-PCM wav (format={audio_format})")
     n_samples = len(pcm) // block_align if block_align else 0
-    return sample_rate, n_channels, n_samples, pcm
+    return sample_rate, n_channels, n_samples, pcm, audio_format, bits
+
+
+def decode_wav(data: bytes):
+    """``decode_wav_full`` minus the format fields — the original
+    4-tuple contract ``(sample_rate, n_channels, n_samples, pcm)``."""
+    return decode_wav_full(data)[:4]
+
+
+#: sample dtype by (audio_format, bits_per_sample) — the only layouts a
+#: PCM/float WAV can carry; anything else is refused, not reinterpreted.
+_WAV_DTYPES = {(1, 8): "uint8", (1, 16): "int16", (1, 32): "int32",
+               (3, 32): "float32", (3, 64): "float64"}
 
 
 def parse_y4m(data: bytes):
@@ -233,10 +246,13 @@ def decode_audio(df: DataFrame, content_col: str = "content",
     """Decode RIFF/WAV PCM audio via mapInPandas: one row per clip,
     ``(item_id, sample_rate, n_channels, n_samples, pcm)``.
 
-    ``target_sample_rate`` linearly resamples 16-bit PCM (np.interp per
+    ``target_sample_rate`` linearly resamples PCM (np.interp per
     channel) — the cheap-and-deterministic path; a real pipeline would
-    swap in a polyphase filter, same plan shape. Non-WAV blobs raise
-    NotImplementedError (codec libraries not in this container).
+    swap in a polyphase filter, same plan shape. The sample dtype comes
+    from the fmt chunk (int8/16/32 PCM or float32/64), so float WAVs
+    are never reinterpreted as int16; unknown layouts raise
+    NotImplementedError, as do non-WAV blobs (codec libraries not in
+    this container).
     """
     import numpy as np
     import pandas as pd
@@ -245,14 +261,19 @@ def decode_audio(df: DataFrame, content_col: str = "content",
         for pdf in batches:
             rows = []
             for item_id, blob in zip(pdf[id_col], pdf[content_col]):
-                rate, nch, n, pcm = decode_wav(bytes(blob))
+                rate, nch, n, pcm, afmt, bits = decode_wav_full(bytes(blob))
                 if target_sample_rate and target_sample_rate != rate and n:
-                    arr = np.frombuffer(pcm, np.int16).reshape(n, nch)
+                    dt = _WAV_DTYPES.get((afmt, bits))
+                    if dt is None:
+                        raise NotImplementedError(
+                            f"cannot resample wav format={afmt} bits={bits}")
+                    dt = np.dtype(dt)
+                    arr = np.frombuffer(pcm, dt)[:n * nch].reshape(n, nch)
                     m = int(round(n * target_sample_rate / rate))
                     t_new = np.arange(m) * (rate / target_sample_rate)
                     res = np.stack([np.interp(t_new, np.arange(n), arr[:, c])
                                     for c in range(nch)], axis=1)
-                    pcm = res.astype(np.int16).tobytes()
+                    pcm = res.astype(dt).tobytes()
                     rate, n = target_sample_rate, m
                 rows.append((item_id, rate, nch, n, pcm))
             yield pd.DataFrame(rows, columns=[id_col, "sample_rate",

@@ -16,6 +16,10 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     relative to the work it unblocks; at 100 TB the input already has
     more partitions than cores and this is a no-op (no shuffle added).
     """
+    if df.isStreaming:
+        # Streaming plans have no RDD to probe, and micro-batch sizing is
+        # the source's job (maxFilesPerTrigger etc.) — pass through.
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -48,9 +48,11 @@ COLUMN_SEP = "."      # common/Constants.java:5
 SOURCE_JOIN = "&"     # common/Constants.java:4 — multi-source separator
 DEFAULT_DB = "default"  # LineParser.java:73,771
 
-#: Operation enum (common/Operation.java:3-5)
+#: Operation enum (common/Operation.java:3-5). UPDATE/DELETE are
+#: Spark-era DML the reference predates — natural extensions alongside
+#: the MERGE (-> INSERT) classification.
 OPERATIONS = ("SELECT", "INSERT", "DROP", "TRUNCATE", "LOAD",
-              "CREATETABLE", "ALTER", "DEFAULT")
+              "CREATETABLE", "ALTER", "UPDATE", "DELETE", "DEFAULT")
 
 
 @dataclass
@@ -571,6 +573,41 @@ def _collect_unresolved_tables(node) -> list[str]:
     return out
 
 
+def _collect_unresolved_attrs(expr) -> list[str]:
+    """Names of every UnresolvedAttribute in an expression subtree."""
+    out: list[str] = []
+    try:
+        if _cls(expr) == "UnresolvedAttribute":
+            out.append(str(expr.name()))
+        for c in _seq(expr.children()):
+            out.extend(_collect_unresolved_attrs(c))
+    except Exception:
+        pass
+    return out
+
+
+def _dml_where(w: _Walker, parsed) -> list[str]:
+    """WHERE condition of an UPDATE/DELETE node as a condition-tag list.
+
+    ``condition()`` is Option[Expression] on UpdateTable and a plain
+    Expression (TrueLiteral when absent) on Spark 3.4+ DeleteFromTable.
+    """
+    try:
+        c = parsed.condition()
+    except Exception:
+        return []
+    try:
+        c = _opt(c)
+    except Exception:
+        pass
+    if c is None:
+        return []
+    text = w._expr_sql(c)
+    if text.lower() == "true":
+        return []
+    return ["WHERE:" + text]
+
+
 def _statement_lineage(spark: SparkSession, sql: str,
                        traverse_views: bool = False) -> StatementLineage:
     w = _Walker(spark, traverse_views)
@@ -609,6 +646,39 @@ def _statement_lineage(spark: SparkSession, sql: str,
         spark.sql(sql)
         return StatementLineage(sql, "DEFAULT", [], set(), set())
 
+    if cls == "DeleteFromTable":
+        # DELETE FROM t WHERE c: Spark-era DML (the reference predates
+        # it; companion to the MERGE classification below). The target
+        # is an output; the WHERE condition is recorded on a whole-row
+        # ColLine (alias '*') the same way Filter conditions are tagged.
+        target = _ident_from_unresolved(parsed.table())
+        tgt = w.fill_db(target) if target else None
+        conds = _dml_where(w, parsed)
+        edges = [ColLine(tgt, None, "*", [], conds)] if conds and tgt else []
+        return StatementLineage(sql, "DELETE", edges, set(),
+                                {tgt} if tgt else set())
+
+    if cls == "UpdateTable":
+        # UPDATE t SET c = expr [WHERE ...]: one ColLine per assignment.
+        # An unresolved v2 DML plan cannot be analyzed against parquet
+        # views, so sources are the attribute names in the assignment
+        # value qualified with the target table — classification +
+        # best-effort edges, like MERGE.
+        target = _ident_from_unresolved(parsed.table())
+        tgt = w.fill_db(target) if target else None
+        conds = _dml_where(w, parsed)
+        edges = []
+        try:
+            for a in _seq(parsed.assignments()):
+                col = w._expr_sql(a.key()).split(".")[-1].strip("`")
+                srcs = {(f"{tgt}.{n.split('.')[-1]}" if tgt else n)
+                        for n in _collect_unresolved_attrs(a.value())}
+                edges.append(ColLine(tgt, col, col, sorted(srcs), conds))
+        except Exception:
+            pass
+        return StatementLineage(sql, "UPDATE", edges, set(),
+                                {tgt} if tgt else set())
+
     if cls == "InsertIntoStatement":
         return _insert_node_lineage(spark, sql, parsed, w)
 
@@ -644,15 +714,15 @@ def _statement_lineage(spark: SparkSession, sql: str,
                 if branches and all(_cls(b) == "InsertIntoStatement"
                                     for b in branches):
                     inserts.append((i, branches))
-        if len(inserts) == 1:
-            i, branches = inserts[0]
+        if inserts:
             results = []
-            for b in branches:
-                scoped = _with_child_replaced(spark, parsed, nodes, i,
-                                              b.query())
-                results.append(_insert_node_lineage(
-                    spark, sql, b, _Walker(spark, traverse_views),
-                    query_plan=scoped))
+            for i, branches in inserts:
+                for b in branches:
+                    scoped = _with_child_replaced(spark, parsed, nodes, i,
+                                                  b.query())
+                    results.append(_insert_node_lineage(
+                        spark, sql, b, _Walker(spark, traverse_views),
+                        query_plan=scoped))
             if len(results) == 1:
                 return results[0]
             return StatementLineage(
@@ -771,13 +841,39 @@ def _insert_node_lineage(spark: SparkSession, sql: str, node,
         pass
     return _query_lineage(spark, w, sql, query, "INSERT",
                           w.fill_db(target) if target else None,
-                          user_cols=user_cols, by_name=by_name)
+                          user_cols=user_cols, by_name=by_name,
+                          dynamic_parts=_dynamic_partitions(node))
+
+
+def _dynamic_partitions(node) -> set[str] | None:
+    """Names of the DYNAMIC partition columns in an INSERT's PARTITION
+    spec.
+
+    ``PARTITION (p1='a', p2)`` -> {'p2'}: only p2's value comes from a
+    trailing select expression; the static p1 consumes nothing. Returns
+    None when there is no PARTITION clause at all — Hive then treats
+    every partition column as dynamic (they all trail the select).
+    """
+    try:
+        spec = node.partitionSpec()
+        if spec.isEmpty():
+            return None
+        dyn: set[str] = set()
+        it = spec.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._2().isEmpty():
+                dyn.add(str(kv._1()).lower())
+        return dyn
+    except Exception:
+        return None
 
 
 def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
                    operation: str, target_table: str | None,
                    user_cols: list[str] | None = None,
-                   by_name: bool = False) -> StatementLineage:
+                   by_name: bool = False,
+                   dynamic_parts: set[str] | None = None) -> StatementLineage:
     if parsed_query is None:
         return StatementLineage(sql, operation, [], set(),
                                 {target_table} if target_table else set())
@@ -795,22 +891,29 @@ def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
         # INSERT ... BY NAME matches select aliases to target columns by
         # name, not position (Spark-era extension; no reference analogue).
         phys_cols = None if by_name \
-            else (user_cols or _catalog_columns(spark, target_table))
+            else (user_cols
+                  or _catalog_columns(spark, target_table, dynamic_parts))
         for i, e in enumerate(edges):
             e.target_table = target_table
             e.target_column = phys_cols[i] if phys_cols and i < len(phys_cols) else e.target_alias
     return StatementLineage(sql, operation, edges, set(w.input_tables), out_tables)
 
 
-def _catalog_columns(spark: SparkSession, table: str) -> list[str] | None:
+def _catalog_columns(spark: SparkSession, table: str,
+                     dynamic_parts: set[str] | None = None) -> list[str] | None:
     try:
         cols = spark.catalog.listColumns(table)
         data = [c.name for c in cols if not c.isPartition]
-        # Dynamic-partition inserts put partition columns LAST in the
-        # select list (Hive semantics); appending them after the data
-        # columns binds those trailing expressions, while static-
-        # partition and non-partitioned inserts never index that far.
+        # Dynamic-partition inserts put their DYNAMIC partition columns
+        # LAST in the select list (Hive semantics); appending only those
+        # binds the trailing expressions. Static partition columns
+        # (PARTITION (p1='a', ...)) consume no select expression and
+        # must not appear, or a mixed static/dynamic spec would bind the
+        # trailing expression to the wrong column. dynamic_parts=None
+        # means no PARTITION clause -> all partition columns dynamic.
         parts = [c.name for c in cols if c.isPartition]
+        if dynamic_parts is not None:
+            parts = [p for p in parts if p.lower() in dynamic_parts]
         return (data + parts) or None
     except Exception:
         return None

@@ -60,10 +60,9 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTP
                         tv = qs.get("traverse_views", ["0"])[0] in ("1", "true")
                         self._send(200, engine.lineage(sql, traverse_views=tv))
                     elif path == "/tables":
-                        self._send(200, {
-                            "input_tables": sorted(engine.input_tables(sql)),
-                            "output_tables": sorted(engine.output_tables(sql)),
-                        })
+                        # one parse for tables + per-statement operations
+                        # (reference Operation enum, common/Operation.java:3-5)
+                        self._send(200, engine.tables_report(sql))
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
             except Exception as exc:  # mirror reference SQLParseException → 4xx

@@ -32,15 +32,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types where needed.
 
-    ``events.parquet`` stores ``timestamp[ns]`` which Spark 4 only reads
-    as BIGINT nanos (see session.RUNTIME_CONFS); we convert to a true
-    TIMESTAMP via integer division — ``ts DIV 1000`` — NOT ``ts/1000``
-    (double division loses sub-microsecond precision at 1.7e18 ns).
+    ``events.ts`` normalizes to session-zone TIMESTAMP whatever the
+    file carries:
+
+    - ``timestamp[ns]``: Spark 4 only reads it as BIGINT nanos (see
+      session.RUNTIME_CONFS); converted via integer division —
+      ``ts DIV 1000`` — NOT ``ts/1000`` (double division loses
+      sub-microsecond precision at 1.7e18 ns).
+    - ``timestamp[us]`` with isAdjustedToUTC=false: arrives as
+      TIMESTAMP_NTZ, which watermarks/event-time ops reject; cast to
+      TIMESTAMP (values unchanged — the session zone is UTC).
     """
     configure(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -471,3 +471,54 @@ def test_create_view_lineage(spark, tables, lineage_tables):
     assert any(e["target_alias"] == "nm"
                and "default.nation.n_name" in e["sources"] for e in edges)
     assert lin.statements[0].operation == "CREATETABLE"
+
+
+# --- Spark-era DML: UPDATE / DELETE (no reference analogue; companion
+# to the MERGE classification, VERDICT r3 #4) ----------------------------
+def test_delete_classification(spark, lineage_tables):
+    lin = lineage(spark, "DELETE FROM t1 WHERE col1 = 5")
+    st = lin.statements[0]
+    assert st.operation == "DELETE"
+    assert st.output_tables == {"default.t1"}
+    assert len(st.col_lines) == 1
+    assert st.col_lines[0].target_table == "default.t1"
+    assert any(c.startswith("WHERE:") and "5" in c
+               for c in st.col_lines[0].conditions)
+
+
+def test_delete_without_where(spark, lineage_tables):
+    lin = lineage(spark, "DELETE FROM t1")
+    st = lin.statements[0]
+    assert st.operation == "DELETE"
+    assert st.output_tables == {"default.t1"}
+    assert st.col_lines == []  # TrueLiteral condition is not a WHERE tag
+
+
+def test_update_classification(spark, lineage_tables):
+    lin = lineage(spark,
+                  "UPDATE t1 SET col1 = col2 + c1, d = 'x' WHERE c1 > 0")
+    st = lin.statements[0]
+    assert st.operation == "UPDATE"
+    assert st.output_tables == {"default.t1"}
+    edges = {c.target_column: c for c in st.col_lines}
+    assert sorted(edges) == ["col1", "d"]
+    assert edges["col1"].sources == ["default.t1.c1", "default.t1.col2"]
+    assert edges["d"].sources == []  # literal assignment: no source column
+    assert any(c.startswith("WHERE:") for c in edges["col1"].conditions)
+
+
+def test_mixed_static_dynamic_partition_insert(spark, tables, lineage_tables):
+    """PARTITION (p1='a', p2): only the DYNAMIC column consumes the
+    trailing select expression — a static/dynamic mix must not bind it
+    to the first (static) partition column (ADVICE r3 finding)."""
+    spark.sql("""CREATE TABLE IF NOT EXISTS default.dest_mix
+        (val STRING) USING parquet PARTITIONED BY (p1 STRING, p2 STRING)""")
+    try:
+        lin = lineage(spark, """
+            INSERT INTO dest_mix PARTITION (p1='a', p2)
+            SELECT r_name, r_regionkey FROM region""")
+        st = lin.statements[0]
+        assert [c.target_column for c in st.col_lines] == ["val", "p2"]
+        assert st.col_lines[1].sources == ["default.region.r_regionkey"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.dest_mix")

@@ -274,3 +274,28 @@ def test_pack_sequences_invariants(spark, docs):
             assert r["start_offset"] == acc
             assert r["pack_id"] == acc // 100
             acc += r["n"]
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """1k identical docs put 1000 rows in every band bucket; with the
+    cap those buckets are dropped BEFORE the self-join, so the pair
+    count is bounded instead of ~500k x bands (VERDICT r3 #2). Exact
+    duplicates remain exact_dedup's job."""
+    from hive_parse_lineage_spark.operators.dedup import (
+        exact_dedup, lsh_candidate_pairs, minhash_signature_agg)
+    rows = [(i, "the same boilerplate header repeated everywhere forever")
+            for i in range(1000)]
+    rows += [(2000, "a genuinely unique document about spark shuffles"),
+             (2001, "a genuinely unique document about spark shuffles!!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signature_agg(docs, n_hashes=16, shingle_k=2)
+    capped = lsh_candidate_pairs(sig, n_hashes=16, bands=4,
+                                 max_bucket_size=100).collect()
+    # the 1k-clone buckets are gone; only the small buckets joined
+    assert len(capped) <= 10
+    assert all(r["id_a"] >= 2000 for r in capped)
+    uncapped = lsh_candidate_pairs(sig, n_hashes=16, bands=4,
+                                   max_bucket_size=None)
+    assert uncapped.count() > 400_000  # the blowup the cap prevents
+    # the boilerplate family is still caught, by the right operator
+    assert exact_dedup(docs).count() == 3

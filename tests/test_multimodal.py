@@ -151,3 +151,30 @@ def test_engine_table_columns(spark, tables):
     from hive_parse_lineage_spark.engine import Engine
     eng = Engine(spark, register_tables=False)
     assert eng.table_columns("region") == ["r_regionkey", "r_name"]
+
+
+def _make_wav_f32(samples: np.ndarray, rate: int) -> bytes:
+    """Float32 (format 3) RIFF/WAVE from an (n, ch) float array."""
+    import struct
+    n, ch = samples.shape
+    pcm = samples.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, ch, rate, rate * ch * 4, ch * 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_wav_float32_resample(spark):
+    """Resampling a float32 WAV must keep the float dtype (ADVICE r3:
+    the old path reinterpreted every payload as int16)."""
+    from hive_parse_lineage_spark.operators.multimodal import decode_audio
+    t = np.arange(800)
+    mono = np.sin(t / 8).astype(np.float32)[:, None]
+    df = spark.createDataFrame([(9, _make_wav_f32(mono, 8000))],
+                               "item_id long, content binary")
+    half = decode_audio(df, target_sample_rate=4000).collect()[0]
+    assert (half["sample_rate"], half["n_samples"]) == (4000, 400)
+    got = np.frombuffer(bytes(half["pcm"]), np.float32).reshape(400, 1)
+    # linear interp at stride 2 ~= the even samples; amplitude preserved
+    assert np.allclose(got[:, 0], mono[::2, 0], atol=0.02)
+    assert np.abs(got).max() > 0.9

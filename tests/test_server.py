@@ -77,3 +77,15 @@ def test_fetch_parse_error(server_url):
         assert e.code == 400
         assert "error" in json.loads(e.read())
     assert raised
+
+
+def test_tables_operations(server_url):
+    """POST /tables returns per-statement Operation tags
+    (common/Operation.java:3-5) alongside the table sets."""
+    status, body = _post(server_url + "/tables",
+                         "SELECT * FROM nation; "
+                         "INSERT INTO nation SELECT * FROM nation; "
+                         "DROP TABLE IF EXISTS no_such_tbl")
+    assert status == 200
+    assert body["operations"] == ["SELECT", "INSERT", "DROP"]
+    assert body["input_tables"] == ["default.nation"]

@@ -193,3 +193,12 @@ def test_pipeline_ops_are_streaming_legal(spark, tables):
     streamed = {tuple(r) for r in run_stream_over_batch(
         spark, docs, tf, query_name="pipe_ops", output_mode="append").collect()}
     assert batch == streamed and len(batch) == 200
+
+
+def test_spread_for_compute_passes_streaming_through(spark):
+    """spread_for_compute probes df.rdd, which raises on streaming
+    plans — it must pass streaming DataFrames through untouched
+    (ADVICE r3), keeping minhash/simhash usable in append streams."""
+    from hive_parse_lineage_spark.operators.util import spread_for_compute
+    sdf = spark.readStream.format("rate").load()
+    assert spread_for_compute(sdf) is sdf
