@@ -13,12 +13,14 @@ container formats that need no codec library: BMP (24/32-bit
 uncompressed) for images, RIFF/WAV PCM for audio, YUV4MPEG2 for video
 frame sampling.
 
-Compressed formats (JPEG/PNG/MP3/H.264 …) need codec libraries that
-are not in this container: ``decode_image`` falls back to PIL when
-importable, otherwise an unsupported blob raises NotImplementedError
-at execution time with the schema contract in the message. The
-mapInPandas batching, schemas, and partition behavior are identical
-either way — a codec is a per-blob drop-in.
+PNG (8-bit gray/RGB(A), non-interlaced) also decodes natively: its
+only 'codec' is stdlib zlib + the five scanline filters. Formats that
+genuinely need codec libraries (JPEG/MP3/H.264 …) are not in this
+container: ``decode_image`` falls back to PIL when importable,
+otherwise an unsupported blob raises NotImplementedError at execution
+time with the schema contract in the message. The mapInPandas
+batching, schemas, and partition behavior are identical either way —
+a codec is a per-blob drop-in.
 """
 
 from __future__ import annotations
@@ -117,6 +119,82 @@ def decode_bmp(data: bytes):
     return height, width, channels, np.ascontiguousarray(arr).tobytes()
 
 
+#: PNG color type -> channels (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(data: bytes):
+    """Decode a non-interlaced 8-bit PNG (grayscale/RGB/GA/RGBA) with
+    stdlib ``zlib`` + NumPy filter reconstruction.
+
+    Returns ``(height, width, channels, pixels)`` row-major top-down.
+    The five scanline filters (None/Sub/Up/Average/Paeth) are the whole
+    PNG 'codec' for these color types — public spec, no library needed.
+    Palette, 16-bit, and interlaced PNGs raise NotImplementedError.
+    """
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + crc
+    if ihdr is None or not idat:
+        raise NotImplementedError("missing IHDR/IDAT chunk")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB(A) PNG supported "
+            f"(depth={bit_depth}, color={color_type}, interlace={interlace})")
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise NotImplementedError("truncated IDAT stream")
+    lines = np.frombuffer(raw, np.uint8,
+                          count=height * (stride + 1)).reshape(height, stride + 1)
+    filters, scan = lines[:, 0], lines[:, 1:]
+    out = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(height):
+        f, row = filters[y], scan[y].astype(np.int32)
+        if f == 0:
+            cur = row
+        elif f == 2:                      # Up: whole-row vectorized
+            cur = (row + prev) & 0xFF
+        else:                             # Sub/Average/Paeth need left pixel
+            cur = np.zeros(stride, np.int32)
+            up = prev.astype(np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = up[x]
+                c = up[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise NotImplementedError(f"unknown PNG filter {f}")
+                cur[x] = (row[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = out[y]
+    return height, width, ch, out.tobytes()
+
+
 def decode_wav_full(data: bytes):
     """Parse a RIFF/WAVE PCM file: ``(sample_rate, n_channels,
     n_samples, pcm_bytes, audio_format, bits_per_sample)``. Supports
@@ -192,8 +270,9 @@ def decode_image(df: DataFrame, content_col: str = "content",
                  resize: tuple[int, int] | None = None) -> DataFrame:
     """Decode images to (height, width, channels, pixels) via mapInPandas.
 
-    BMP decodes with the built-in pure-NumPy parser; other formats fall
-    back to PIL when importable, else raise NotImplementedError
+    BMP and 8-bit PNG decode with the built-in pure-NumPy parsers;
+    other formats fall back to PIL when importable, else raise
+    NotImplementedError
     (schema contract: item_id long, height int, width int, channels
     int, pixels binary). ``resize`` uses nearest-neighbor sampling for
     the built-in path (PIL's default resampling otherwise).
@@ -204,6 +283,8 @@ def decode_image(df: DataFrame, content_col: str = "content",
     def decode_one(blob: bytes):
         if blob[:2] == b"BM":
             h, w, c, px = decode_bmp(blob)
+        elif blob[:8] == b"\x89PNG\r\n\x1a\n":
+            h, w, c, px = decode_png(blob)
         else:
             try:
                 from PIL import Image

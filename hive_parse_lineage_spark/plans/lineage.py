@@ -35,6 +35,7 @@ sources (reference ``subQueryMap``, ``LineParser.java:369-383,534-549``).
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 
@@ -129,7 +130,13 @@ def _opt(o):
 
 
 def _cls(node) -> str:
-    return node.getClass().getSimpleName().rstrip("$")
+    try:
+        # TreeNode.nodeName: one py4j round trip (vs two for
+        # getClass().getSimpleName()) — _cls runs hundreds of times per
+        # statement, so this halves the walk's JVM chatter.
+        return str(node.nodeName())
+    except Exception:
+        return node.getClass().getSimpleName().rstrip("$")
 
 
 # join-type labels: token text minus "TOK_" (LineParser.java:448-454)
@@ -538,6 +545,497 @@ class _Walker:
             return self._root_named_exprs(child)
         return _seq(plan.output())
 
+    # -- JSON walk (same semantics, pure Python; see module comment) ----
+    def walk_json(self, plan: dict) -> tuple[dict[int, set[str]], set[str]]:
+        cls = plan["_cls"]
+        ch = plan["_children"]
+
+        if cls == "SubqueryAlias":
+            child = ch[0]
+            if (child["_cls"] == "SubqueryAlias" and child["_children"]
+                    and child["_children"][0]["_cls"] == "View"):
+                return self._walk_view_json(child["_children"][0])
+            if child["_cls"] == "View":
+                return self._walk_view_json(child)
+            mapping, conds = self.walk_json(child)
+            return mapping, self._seal_context_json(plan, conds)
+
+        if cls == "View":
+            return self._walk_view_json(plan)
+
+        if cls in ("LogicalRelation", "HiveTableRelation",
+                   "DataSourceV2Relation", "StreamingRelation",
+                   "StreamingRelationV2"):
+            return self._walk_relation_json(plan)
+
+        if cls in ("LocalRelation", "OneRowRelation", "Range"):
+            return {_eid(a): set() for a in _json_output(plan)}, set()
+
+        if cls == "Project":
+            return self._walk_named_list_json(
+                plan, _field_exprs(plan, "projectList"))
+
+        if cls == "Aggregate":
+            return self._walk_named_list_json(
+                plan, _field_exprs(plan, "aggregateExpressions"))
+
+        if cls == "Window":
+            mapping, conds = self.walk_json(ch[0])
+            for ne in _field_exprs(plan, "windowExpressions"):
+                srcs: set[str] = set()
+                ne_id = _eid(ne)
+                for a in _jrefs(ne):
+                    srcs |= mapping.get(_eid(a), set())
+                    self._inherit_conds(ne_id, _eid(a))
+                mapping[ne_id] = srcs
+            return mapping, conds
+
+        if cls == "Filter":
+            mapping, conds = self.walk_json(ch[0])
+            conds = set(conds)
+            cond = _decode_field(plan.get("condition"))
+            if isinstance(cond, dict):
+                conds.add("WHERE:" + _jsql(cond))
+                self._walk_subquery_exprs_json(cond)
+            return mapping, conds
+
+        if cls == "Join":
+            lm, lc = self.walk_json(ch[0])
+            rm, rc = self.walk_json(ch[1])
+            mapping = {**lm, **rm}
+            conds = lc | rc
+            cond = _decode_field(plan.get("condition"))
+            label = _JOIN_LABEL.get(_json_join_type(plan), "JOIN")
+            if isinstance(cond, dict):
+                conds.add(f"{label}:{_jsql(cond)}")
+            return mapping, conds
+
+        if cls in ("Union", "Intersect", "Except"):
+            walked = [self.walk_json(c) for c in ch]
+            child_outputs = [_json_output(c) for c in ch]
+            out = _json_output(plan)
+            mapping = {}
+            for (_, c), couts in zip(walked, child_outputs):
+                if c:
+                    for a in couts:
+                        self.attr_conds.setdefault(_eid(a), set()).update(c)
+            for i, attr in enumerate(out):
+                srcs = set()
+                for (m, _), couts in zip(walked, child_outputs):
+                    if i < len(couts):
+                        srcs |= m.get(_eid(couts[i]), set())
+                        self._inherit_conds(_eid(attr), _eid(couts[i]))
+                mapping[_eid(attr)] = srcs
+            return mapping, set()
+
+        if cls == "Expand":
+            mapping_child, conds = self.walk_json(ch[0])
+            mapping = {}
+            projections = plan.get("projections") or []
+            decoded_rows = [_field_exprs({"projections": row}, "projections")
+                            if isinstance(row, list) else []
+                            for row in projections]
+            for i, attr in enumerate(_json_output(plan)):
+                srcs: set[str] = set()
+                for proj in decoded_rows:
+                    if i < len(proj):
+                        for a in _jrefs(proj[i]):
+                            srcs |= mapping_child.get(_eid(a), set())
+                            self._inherit_conds(_eid(attr), _eid(a))
+                mapping[_eid(attr)] = srcs
+            return mapping, conds
+
+        if cls == "Generate":
+            mapping, conds = self.walk_json(ch[0])
+            gen = _decode_field(plan.get("generator"))
+            gen_refs = [_eid(a) for a in _jrefs(gen)] if isinstance(gen, dict) else []
+            gen_srcs: set[str] = set()
+            for eid in gen_refs:
+                gen_srcs |= mapping.get(eid, set())
+            for attr in _field_exprs(plan, "generatorOutput"):
+                mapping[_eid(attr)] = set(gen_srcs)
+                for eid in gen_refs:
+                    self._inherit_conds(_eid(attr), eid)
+            return mapping, conds
+
+        if cls == "WithCTE":
+            for d in ch[:-1]:
+                if d["_cls"] != "CTERelationDef":
+                    continue
+                body = d["_children"][0]
+                m, c = self.walk_json(body)
+                outs = _json_output(body)
+                self.cte_defs[d["id"]] = {
+                    i: (m.get(_eid(a), set()),
+                        self.attr_conds.get(_eid(a), set()) | c)
+                    for i, a in enumerate(outs)
+                }
+            return self.walk_json(ch[-1])
+
+        if cls == "CTERelationRef":
+            by_pos = self.cte_defs.get(plan.get("cteId"), {})
+            mapping = {}
+            for i, a in enumerate(_json_output(plan)):
+                srcs, cnds = by_pos.get(i, (set(), set()))
+                mapping[_eid(a)] = srcs
+                if cnds:
+                    self.attr_conds.setdefault(_eid(a), set()).update(cnds)
+            return mapping, set()
+
+        if cls in _PASSTHROUGH:
+            if not ch:
+                return {_eid(a): set() for a in _json_output(plan)}, set()
+            return self.walk_json(ch[0])
+
+        # generic fallback: merge all children, attribute outputs by exprId
+        mapping = {}
+        conds = set()
+        for c in ch:
+            m, cc = self.walk_json(c)
+            mapping.update(m)
+            conds |= cc
+        for attr in _json_output(plan):
+            mapping.setdefault(_eid(attr), set())
+        return mapping, conds
+
+    def _seal_context_json(self, plan: dict, conds: set[str]) -> set[str]:
+        if conds:
+            for a in _json_output(plan):
+                self.attr_conds.setdefault(_eid(a), set()).update(conds)
+        return set()
+
+    def _walk_view_json(self, view: dict):
+        ident = (view.get("desc") or {}).get("identifier") or {}
+        name = ".".join(p for p in (ident.get("database"),
+                                    ident.get("table")) if p)
+        if not name:
+            raise _JsonWalkError("view without identifier")
+        table = self.fill_db(name)
+        self.input_tables.add(table)
+        vout = _json_output(view)
+        if self.traverse_views and view["_children"]:
+            child = view["_children"][0]
+            try:
+                m, conds = self.walk_json(child)
+            except _JsonWalkError:
+                # the body bottoms out at an identity-less relation (a
+                # DataFrame temp view over a bare file scan): THIS view
+                # name is the best base identity — boundary behavior.
+                m = None
+            if m is not None:
+                couts = _json_output(child)
+                mapping = {}
+                for a, ca in zip(vout, couts):
+                    mapping[_eid(a)] = m.get(_eid(ca), set())
+                    self._inherit_conds(_eid(a), _eid(ca))
+                return mapping, self._seal_context_json(view, conds)
+        return {_eid(a): {f"{table}{COLUMN_SEP}{a['name']}"}
+                for a in vout}, set()
+
+    def _walk_relation_json(self, rel: dict):
+        table = None
+        ct = rel.get("catalogTable") or rel.get("tableMeta")
+        if isinstance(ct, dict):
+            ident = ct.get("identifier") or {}
+            tbl = ident.get("table")
+            if tbl:
+                db = ident.get("database") or self.current_db
+                table = self.fill_db(f"{db}.{tbl}")
+        if table is None and rel["_cls"] == "DataSourceV2Relation":
+            ident = rel.get("identifier")
+            if isinstance(ident, str) and ident:
+                table = self.fill_db(ident)
+        if table is None:
+            # direct file scan: no catalog identity in the JSON — the
+            # location lives in a non-TreeNode relation object, so let
+            # the JVM walk (which reads rootPaths) take this statement.
+            raise _JsonWalkError("relation without catalog identity")
+        self.input_tables.add(table)
+        return {_eid(a): {f"{table}{COLUMN_SEP}{a['name']}"}
+                for a in _json_output(rel)}, set()
+
+    def _walk_named_list_json(self, plan: dict, named_exprs: list[dict]):
+        mapping_child: dict[int, set[str]] = {}
+        conds: set[str] = set()
+        for c in plan["_children"]:
+            m, cc = self.walk_json(c)
+            mapping_child.update(m)
+            conds |= cc
+        mapping: dict[int, set[str]] = {}
+        for ne in named_exprs:
+            srcs: set[str] = set()
+            ne_id = _eid(ne)
+            for a in _jrefs(ne):
+                srcs |= mapping_child.get(_eid(a), set())
+                self._inherit_conds(ne_id, _eid(a))
+            srcs |= self._walk_subquery_exprs_json(ne)
+            mapping[ne_id] = srcs
+        mapping_child.update(mapping)
+        return mapping_child, conds
+
+    def _walk_subquery_exprs_json(self, expr: dict) -> set[str]:
+        srcs: set[str] = set()
+        if expr["_cls"] in _JSUBQ:
+            planf = expr.get("plan")
+            if planf:
+                sub = _decode_flat(planf)
+                sub_mapping, _sub_conds = self.walk_json(sub)
+                for a in _json_output(sub):
+                    srcs |= sub_mapping.get(_eid(a), set())
+        for c in expr["_children"]:
+            srcs |= self._walk_subquery_exprs_json(c)
+        return srcs
+
+    def project_edges_json(self, plan: dict, mapping: dict[int, set[str]],
+                           conds: set[str]) -> list[ColLine]:
+        edges: list[ColLine] = []
+        for ne in self._root_named_exprs_json(plan):
+            name = ne.get("name")
+            eid = _eid(ne)
+            srcs = sorted(mapping.get(eid, set()))
+            col_conds = set(conds) | self.attr_conds.get(eid, set())
+            if ne["_cls"] == "Alias":
+                child = ne["_children"][0]
+                if child["_cls"] != "AttributeReference":
+                    col_conds.add("COLFUN:" + _jsql(child))
+            edges.append(ColLine(None, None, name, srcs, sorted(col_conds)))
+        return edges
+
+    def _root_named_exprs_json(self, plan: dict) -> list[dict]:
+        cls = plan["_cls"]
+        if cls == "Project":
+            return _field_exprs(plan, "projectList")
+        if cls == "Aggregate":
+            return _field_exprs(plan, "aggregateExpressions")
+        if cls in _PASSTHROUGH | {"Filter", "WithCTE"} and plan["_children"]:
+            child = (plan["_children"][-1] if cls == "WithCTE"
+                     else plan["_children"][0])
+            return self._root_named_exprs_json(child)
+        return _json_output(plan)
+
+
+# ---------------------------------------------------------------------------
+# JSON plan walk — the throughput path.
+#
+# The py4j walk above reads the analyzed tree one accessor at a time:
+# ~130 JVM round trips per statement (~0.2 ms each, GIL-serialized, so
+# threads don't help). TreeNode.toJSON returns the ENTIRE analyzed tree
+# — node classes, exprIds, expression trees, nested subquery plans — in
+# ONE round trip; these functions rebuild it and the _Walker walk_json
+# methods traverse it in pure Python. Per-statement JVM work drops to
+# parse + analyze + toJSON (+ catalog metadata for INSERTs). The py4j
+# walk stays as the fallback for any shape the JSON path can't express
+# (HPL_JSON_WALK=0 forces it; =strict raises instead of falling back,
+# which the test suite uses so regressions can't hide in the fallback).
+# ---------------------------------------------------------------------------
+
+def _decode_flat(flat: list) -> dict:
+    """Rebuild a tree from TreeNode.toJSON's flattened pre-order list.
+    Adds ``_cls`` (simple class name) and ``_children`` to each node."""
+    def build(i: int):
+        node = dict(flat[i])
+        node["_cls"] = node["class"].rsplit(".", 1)[-1].rstrip("$")
+        kids = []
+        j = i + 1
+        for _ in range(node.get("num-children", 0)):
+            c, j = build(j)
+            kids.append(c)
+        node["_children"] = kids
+        return node, j
+    node, _ = build(0)
+    return node
+
+
+def _decode_field(val):
+    """A JSON field holding trees: a single flattened expression (list
+    of dicts) or a list of flattened expressions (list of lists)."""
+    if isinstance(val, list) and val:
+        if isinstance(val[0], dict) and "class" in val[0]:
+            return _decode_flat(val)
+        if isinstance(val[0], list):
+            return [_decode_field(v) for v in val]
+    return val
+
+
+def _field_exprs(plan: dict, key: str) -> list[dict]:
+    """Decode a Seq[Expression] field into a list of expression trees."""
+    val = plan.get(key)
+    if not val:
+        return []
+    out = _decode_field(val)
+    return out if isinstance(out, list) else [out]
+
+
+def _eid(attr: dict) -> int:
+    return attr["exprId"]["id"]
+
+
+def _to_attr(ne: dict) -> dict:
+    """NamedExpression -> its output attribute (Alias.toAttribute)."""
+    if ne["_cls"] == "AttributeReference":
+        return ne
+    return {"_cls": "AttributeReference", "_children": [],
+            "name": ne.get("name"), "exprId": ne.get("exprId")}
+
+
+_JSUBQ = {"ScalarSubquery", "Exists", "InSubquery", "ListQuery",
+          "LateralSubquery", "DynamicPruningSubquery"}
+
+
+def _jrefs(expr: dict, out: list | None = None) -> list[dict]:
+    """AttributeReference nodes referenced by an expression tree —
+    including a subquery's OUTER attributes (Expression.references
+    parity: SubqueryExpression.references == outerAttrs), excluding the
+    subquery's inner plan (a different scope, walked separately)."""
+    if out is None:
+        out = []
+    if expr["_cls"] == "AttributeReference":
+        out.append(expr)
+    if expr["_cls"] in _JSUBQ:
+        oa = _decode_field(expr.get("outerAttrs") or [])
+        for a in (oa if isinstance(oa, list) else [oa]):
+            if isinstance(a, dict):
+                for sub in _jrefs(a):
+                    out.append(sub)
+    for c in expr["_children"]:
+        _jrefs(c, out)
+    return out
+
+
+def _json_output(plan: dict) -> list[dict]:
+    """Output attributes of a JSON plan node (Catalyst ``output``
+    derivation re-expressed: explicit where serialized, structural
+    otherwise)."""
+    cached = plan.get("_out")
+    if cached is not None:
+        return cached
+    cls = plan["_cls"]
+    ch = plan["_children"]
+    out: list[dict]
+    if plan.get("output"):
+        decoded = _decode_field(plan["output"])
+        out = [d for d in (decoded if isinstance(decoded, list) else [decoded])
+               if isinstance(d, dict)]
+    elif cls == "Project":
+        out = [_to_attr(e) for e in _field_exprs(plan, "projectList")]
+    elif cls == "Aggregate":
+        out = [_to_attr(e) for e in _field_exprs(plan, "aggregateExpressions")]
+    elif cls == "Window":
+        out = _json_output(ch[0]) + [
+            _to_attr(e) for e in _field_exprs(plan, "windowExpressions")]
+    elif cls == "Generate":
+        gout = _field_exprs(plan, "generatorOutput")
+        out = _json_output(ch[0]) + gout
+    elif cls == "Join":
+        jt = _json_join_type(plan)
+        out = (_json_output(ch[0]) if jt in ("LeftSemi", "LeftAnti")
+               else _json_output(ch[0]) + _json_output(ch[1]))
+    elif cls in ("Union", "Intersect", "Except"):
+        out = _json_output(ch[0])
+    elif cls == "WithCTE":
+        out = _json_output(ch[-1])
+    elif ch:
+        out = _json_output(ch[0])
+    else:
+        out = []
+    plan["_out"] = out
+    return out
+
+
+def _json_join_type(plan: dict) -> str:
+    jt = plan.get("joinType")
+    if isinstance(jt, dict):
+        ref = jt.get("object") or jt.get("product-class") or ""
+        return ref.rsplit(".", 1)[-1].rstrip("$")
+    return str(jt)
+
+
+_JSQL_BINOPS = {
+    "EqualTo": "=", "EqualNullSafe": "<=>", "GreaterThan": ">",
+    "LessThan": "<", "GreaterThanOrEqual": ">=", "LessThanOrEqual": "<=",
+    "Add": "+", "Subtract": "-", "Multiply": "*", "Divide": "/",
+    "Remainder": "%", "And": "AND", "Or": "OR", "Like": "LIKE",
+    "RLike": "RLIKE", "BitwiseAnd": "&", "BitwiseOr": "|",
+    "BitwiseXor": "^", "Pmod": "pmod",
+}
+
+_JSQL_QUOTED_TYPES = {"string", "date", "timestamp", "timestamp_ntz"}
+
+
+def _jsql(e: dict) -> str:
+    """Render an expression tree as Spark-flavored SQL for condition
+    tags (WHERE:/JOIN:/COLFUN:). Mirrors Expression.sql closely enough
+    for the reference's condition-string contract; unknown classes fall
+    back to ``classname(args...)``."""
+    cls = e["_cls"]
+    ch = e["_children"]
+    if cls == "AttributeReference":
+        return e.get("name", "?")
+    if cls == "OuterReference":
+        return _jsql(ch[0]) if ch else "outer()"
+    if cls == "Literal":
+        v = e.get("value")
+        if v is None:
+            return "NULL"
+        if e.get("dataType") in _JSQL_QUOTED_TYPES:
+            return f"'{v}'"
+        return str(v)
+    if cls in ("Cast", "AnsiCast", "TryCast"):
+        dt = e.get("dataType")
+        dt = dt.upper() if isinstance(dt, str) else "?"
+        return f"CAST({_jsql(ch[0])} AS {dt})"
+    if cls == "Alias":
+        return f"{_jsql(ch[0])} AS {e.get('name')}"
+    if cls in _JSQL_BINOPS and len(ch) == 2:
+        return f"({_jsql(ch[0])} {_JSQL_BINOPS[cls]} {_jsql(ch[1])})"
+    if cls == "Not":
+        if ch and ch[0]["_cls"] == "IsNull":
+            return f"({_jsql(ch[0]['_children'][0])} IS NOT NULL)"
+        if ch and ch[0]["_cls"] == "In":
+            inner = ch[0]["_children"]
+            args = ", ".join(_jsql(c) for c in inner[1:])
+            return f"({_jsql(inner[0])} NOT IN ({args}))"
+        return f"(NOT {_jsql(ch[0])})" if ch else "(NOT ?)"
+    if cls == "IsNull":
+        return f"({_jsql(ch[0])} IS NULL)"
+    if cls == "IsNotNull":
+        return f"({_jsql(ch[0])} IS NOT NULL)"
+    if cls == "In":
+        args = ", ".join(_jsql(c) for c in ch[1:])
+        return f"({_jsql(ch[0])} IN ({args}))"
+    if cls == "CaseWhen":
+        kids = list(ch)
+        parts = []
+        while len(kids) >= 2:
+            c, v = kids.pop(0), kids.pop(0)
+            parts.append(f"WHEN {_jsql(c)} THEN {_jsql(v)}")
+        s = "CASE " + " ".join(parts)
+        if kids:
+            s += f" ELSE {_jsql(kids[0])}"
+        return s + " END"
+    if cls == "AggregateExpression":
+        inner = ch[0] if ch else None
+        if inner is None:
+            return "agg()"
+        args = ", ".join(_jsql(c) for c in inner["_children"])
+        distinct = "DISTINCT " if e.get("isDistinct") else ""
+        return f"{inner['_cls'].lower()}({distinct}{args})"
+    if cls == "WindowExpression":
+        return f"{_jsql(ch[0])} OVER (...)" if ch else "window()"
+    if cls in _JSUBQ:
+        return "scalarsubquery()" if cls == "ScalarSubquery" else f"{cls.lower()}()"
+    args = ", ".join(_jsql(c) for c in ch)
+    return f"{cls.lower()}({args})"
+
+
+class _JsonWalkError(Exception):
+    """A plan shape the JSON walk can't express — JVM walk takes over."""
+
+
+def _json_walk_mode() -> str:
+    import os
+    return os.environ.get("HPL_JSON_WALK", "1")
+
 
 # ---------------------------------------------------------------------------
 # statement classification + public API
@@ -878,8 +1376,23 @@ def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
         return StatementLineage(sql, operation, [], set(),
                                 {target_table} if target_table else set())
     analyzed = w.analyze(parsed_query)
-    mapping, conds = w.walk(analyzed)
-    edges = w.project_edges(analyzed, mapping, conds)
+    mode = _json_walk_mode()
+    edges = None
+    if mode != "0":
+        try:
+            tree = _decode_flat(json.loads(analyzed.toJSON()))
+            mapping, conds = w.walk_json(tree)
+            edges = w.project_edges_json(tree, mapping, conds)
+        except Exception:
+            if mode == "strict":
+                raise
+            edges = None
+            w.input_tables.clear()
+            w.attr_conds.clear()
+            w.cte_defs.clear()
+    if edges is None:
+        mapping, conds = w.walk(analyzed)
+        edges = w.project_edges(analyzed, mapping, conds)
 
     out_tables = {target_table} if target_table else set()
     if target_table:
@@ -902,8 +1415,7 @@ def _query_lineage(spark: SparkSession, w: _Walker, sql: str, parsed_query,
 def _catalog_columns(spark: SparkSession, table: str,
                      dynamic_parts: set[str] | None = None) -> list[str] | None:
     try:
-        cols = spark.catalog.listColumns(table)
-        data = [c.name for c in cols if not c.isPartition]
+        data, parts = _table_schema(spark, table)
         # Dynamic-partition inserts put their DYNAMIC partition columns
         # LAST in the select list (Hive semantics); appending only those
         # binds the trailing expressions. Static partition columns
@@ -911,12 +1423,36 @@ def _catalog_columns(spark: SparkSession, table: str,
         # must not appear, or a mixed static/dynamic spec would bind the
         # trailing expression to the wrong column. dynamic_parts=None
         # means no PARTITION clause -> all partition columns dynamic.
-        parts = [c.name for c in cols if c.isPartition]
         if dynamic_parts is not None:
             parts = [p for p in parts if p.lower() in dynamic_parts]
         return (data + parts) or None
     except Exception:
         return None
+
+
+def _table_schema(spark: SparkSession, table: str) -> tuple[list[str], list[str]]:
+    """(data_columns, partition_columns) of a catalog/temp table, in
+    catalog order.
+
+    Reads CatalogTable metadata straight from the session catalog —
+    one metadata fetch + a JSON schema decode (~13 ms) instead of
+    ``spark.catalog.listColumns``'s full Dataset construction (~370 ms
+    measured): this runs once per INSERT statement and dominated
+    lineage throughput.
+    """
+    jvm = spark.sparkContext._jvm
+    name_parts = table.split(".")
+    tbl = name_parts[-1]
+    db = name_parts[-2] if len(name_parts) > 1 else None
+    ti = jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+        tbl, jvm.scala.Option.apply(db))
+    meta = (spark._jsparkSession.sessionState().catalog()
+            .getTempViewOrPermanentTableMetadata(ti))
+    fields = [f["name"] for f in json.loads(meta.schema().json())["fields"]]
+    pseq = meta.partitionColumnNames()
+    parts = [str(pseq.apply(i)) for i in range(pseq.size())]
+    part_set = set(parts)
+    return [f for f in fields if f not in part_set], parts
 
 
 def extract_lineage(spark: SparkSession, sql_text: str,

@@ -141,9 +141,9 @@ def test_decode_unsupported_format_reports_contract(spark, blobs):
         pass
     from py4j.protocol import Py4JJavaError
     from pyspark.errors.exceptions.base import PySparkException
-    png = blobs.filter("item_id = 0")
+    jpeg = blobs.filter("item_id = 1")  # PNG now decodes natively
     with pytest.raises((Py4JJavaError, PySparkException, Exception)) as e:
-        decode_image(png).collect()
+        decode_image(jpeg).collect()
     assert "schema contract" in str(e.value)
 
 
@@ -178,3 +178,72 @@ def test_decode_wav_float32_resample(spark):
     # linear interp at stride 2 ~= the even samples; amplitude preserved
     assert np.allclose(got[:, 0], mono[::2, 0], atol=0.02)
     assert np.abs(got).max() > 0.9
+
+
+def _make_png(arr: np.ndarray, filters=None) -> bytes:
+    """8-bit RGB(A)/gray PNG with a chosen filter type per row —
+    exercises every reconstruction path in decode_png."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    ch = arr.shape[2] if arr.ndim == 3 else 1
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = arr.reshape(h, w * ch).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        f, row = filters[y], flat[y]
+        left = np.concatenate([np.zeros(ch, np.int32), row[:-ch]]) if w * ch > ch \
+            else np.zeros_like(row)
+        upleft = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]]) if w * ch > ch \
+            else np.zeros_like(prev)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = row - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_decode_png_all_filters(spark):
+    from hive_parse_lineage_spark.operators.multimodal import decode_image
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    blob = _make_png(img, filters=[0, 1, 2, 3, 4])
+    df = spark.createDataFrame([(3, blob)], "item_id long, content binary")
+    row = decode_image(df).collect()[0]
+    assert (row["height"], row["width"], row["channels"]) == (5, 4, 3)
+    got = np.frombuffer(bytes(row["pixels"]), np.uint8).reshape(5, 4, 3)
+    assert np.array_equal(got, img)
+
+
+def test_decode_png_rgba_and_gray(spark):
+    from hive_parse_lineage_spark.operators.multimodal import decode_png
+    rng = np.random.default_rng(12)
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    h, w, c, px = decode_png(_make_png(rgba, filters=[4, 3, 1]))
+    assert (h, w, c) == (3, 3, 4)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(3, 3, 4), rgba)
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    h, w, c, px = decode_png(_make_png(gray, filters=[0, 2, 2, 4]))
+    assert (h, w, c) == (4, 6, 1)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(4, 6, 1), gray)
