@@ -168,6 +168,13 @@ def scale_sweep() -> None:
     if os.environ.get("BENCH_SWEEP_10X") == "1" and sf_dirs:
         sf_dirs.append(_synth_10x(spark, sf_dirs[-1]))
 
+    # global warm phase: two untimed runs at the smallest SF so JIT /
+    # codegen compilation doesn't masquerade as per-SF cost (the first
+    # SF would otherwise look slower at identical row counts)
+    for name, fn in sorted(qs.items()):
+        for _ in range(2):
+            fn(spark, sf_dirs[0]).collect()
+
     out: dict = {"metric": "scale_sweep", "unit": "sec", "sweep": []}
     for d in sf_dirs:
         rows = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
@@ -175,9 +182,11 @@ def scale_sweep() -> None:
                        "doc_rows": rows, "queries": {}}
         for name, fn in sorted(qs.items()):
             fn(spark, d).collect()                           # warm-up
-            t0 = time.perf_counter()
-            fn(spark, d).collect()
-            wall = time.perf_counter() - t0
+            wall = float("inf")
+            for _ in range(2):                               # min-of-2: skip host noise bursts
+                t0 = time.perf_counter()
+                fn(spark, d).collect()
+                wall = min(wall, time.perf_counter() - t0)
             entry["queries"][name] = {"wall": round(wall, 4),
                                       "rows_per_sec": round(rows / wall, 1)}
         out["sweep"].append(entry)

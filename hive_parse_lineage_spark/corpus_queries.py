@@ -310,6 +310,70 @@ def _x58_cumulative_uniques(spark, tables):
             .orderBy("event_type", "day"))
 
 
+def _x59_dedup_keep_one(spark, tables):
+    """The dedup pipeline's actual deliverable: the SURVIVING corpus
+    after near-dup removal. x46's clusters (MinHash-LSH edges + bounded
+    min-label propagation) filtered to cluster representatives — a doc
+    survives iff it IS its component's min label (singletons trivially
+    are). Pure filter over the x46 plan: no extra shuffle."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.components import connected_components
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64)
+             .select("id_a", "id_b"))
+    vertices = docs.select(F.col("doc_id").alias("vertex"))
+    comp = connected_components(edges, vertices=vertices, max_iter=4)
+    return (comp.filter(F.col("vertex") == F.col("component"))
+            .select(F.col("vertex").alias("doc_id")).orderBy("doc_id"))
+
+
+def _x60_ngram_containment(spark, tables):
+    """Directional containment pairs over a bounded id space — catches
+    a doc quoted whole inside a larger one (near-1 containment, low
+    Jaccard). Size blocking is lossless: C(A in B) >= t needs
+    |sh(B)| >= t|sh(A)|. Unbounded corpora go through LSH first."""
+    from hive_parse_lineage_spark.operators.dedup import ngram_containment_pairs
+    docs = tables["documents"].filter(F.col("doc_id") < 250)
+    return (ngram_containment_pairs(docs, shingle_k=3, threshold=0.8,
+                                    blocked=True)
+            .orderBy("id_a", "id_b"))
+
+
+def _x61_stratified_sample(spark, tables):
+    """Deterministic stratified sampling for corpus mixture control:
+    keep 50% of English docs, 20% of everything else, decided by a
+    portable salted hash of the doc id — reproducible across engines
+    and runs, unlike Bernoulli ``sampleBy``. One codegen projection +
+    filter; no shuffle, no state."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    d = tables["documents"]
+    h = F.pmod(portable_hash64(
+        F.concat(F.lit("s61|"), F.col("doc_id").cast("string"))), F.lit(10000))
+    rate_bp = F.when(F.col("lang") == "en", F.lit(5000)).otherwise(F.lit(2000))
+    return (d.filter(h < rate_bp)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+def _x62_embedding_centroids(spark, tables):
+    """Per-label centroids of L2-normalized embeddings, emitted as
+    (label, dim_idx, centroid) rows: posexplode + one hash aggregate —
+    the row spelling avoids engine-specific array aggregation and
+    shuffles once on (label, dim_idx). The norm is a codegen
+    ``aggregate`` fold over the vector; zero vectors drop out via
+    NULLIF rather than dividing by zero."""
+    e = tables["embeddings"]
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+    unit = F.transform("embedding",
+                       lambda x: x.cast("double") / F.nullif(norm, F.lit(0.0)))
+    return (e.select("label", F.posexplode(unit).alias("dim_idx", "v"))
+            .groupBy("label", "dim_idx")
+            .agg(F.round(F.avg("v"), 4).alias("centroid"))
+            .orderBy("label", "dim_idx"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -572,6 +636,60 @@ SELECT event_type, day, new_users,
 FROM daily ORDER BY event_type, day
 """
 
+_ORACLES["x59_dedup_keep_one"] = f"""
+WITH {_cc_edges_sql()},
+l0 AS (SELECT doc_id AS vertex, doc_id AS component FROM documents),
+{_cc_round('l0', 'l1')},
+{_cc_round('l1', 'l2')},
+{_cc_round('l2', 'l3')},
+{_cc_round('l3', 'l4')}
+SELECT vertex AS doc_id FROM l4 WHERE vertex = component ORDER BY doc_id
+"""
+
+_ORACLES["x60_ngram_containment"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, text
+           FROM documents WHERE doc_id < 250),
+t AS (SELECT doc_id,
+             list_distinct({_shingle_list_sql(3)}) AS toks
+      FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4)
+         AS containment
+FROM t a, t b
+WHERE a.doc_id != b.doc_id
+  AND len(b.toks) >= len(a.toks) * 0.8
+  AND len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("'s61|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({h}) % 10000 < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+ORDER BY doc_id
+"""
+
+
+_ORACLES["x62_embedding_centroids"] = """
+WITH n AS (
+  SELECT label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+),
+u AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim_idx,
+         unnest(embedding) / NULLIF(nrm, 0) AS v
+  FROM n
+)
+SELECT label, dim_idx, ROUND(AVG(v), 4) AS centroid
+FROM u GROUP BY label, dim_idx ORDER BY label, dim_idx
+"""
+
 
 def _source_cap_oracle_sql(cap: int = 15, salt: str = "mix1") -> str:
     """DuckDB replay of x57: same portable hash, same tie-break."""
@@ -650,6 +768,10 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x56_training_pipeline": _q(_x56_training_pipeline),
         "x57_source_cap": _q(_x57_source_cap),
         "x58_cumulative_uniques": _q(_x58_cumulative_uniques),
+        "x59_dedup_keep_one": _q(_x59_dedup_keep_one),
+        "x60_ngram_containment": _q(_x60_ngram_containment),
+        "x61_stratified_sample": _q(_x61_stratified_sample),
+        "x62_embedding_centroids": _q(_x62_embedding_centroids),
     }
 
 
@@ -657,4 +779,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
     out["x57_source_cap"] = _source_cap_oracle_sql()
+    out["x61_stratified_sample"] = _stratified_sample_oracle_sql()
     return out

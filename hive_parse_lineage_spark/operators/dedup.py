@@ -320,3 +320,36 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                      F.col(f"r.{id_col}").alias("id_b"),
                      F.round(jac, 4).alias("jaccard"))
              .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_k: int = 3,
+                            threshold: float = 0.8,
+                            blocked: bool = True) -> DataFrame:
+    """Asymmetric containment C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    Catches subset duplication that Jaccard misses: a paragraph quoted
+    whole inside a much larger doc has near-1 containment but low
+    Jaccard (the union is dominated by B). Directional — (id_a, id_b)
+    means A is contained in B; both directions are emitted when both
+    clear the threshold. ``blocked=True`` keeps only pairs where
+    |sh(A)| <= |sh(B)| — containment of the larger doc in the smaller
+    is bounded by |B|/|A| < 1 and tested separately by the swapped
+    orientation, so the restriction is lossless for threshold > size
+    ratio and halves the join. Same one-shuffle shape as
+    :func:`ngram_jaccard_pairs`.
+    """
+    sh = (df.select(id_col,
+                    F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"))
+            .withColumn("n_sh", F.size("sh")))
+    l, r = sh.alias("l"), sh.alias("r")
+    cond = F.col(f"l.{id_col}") != F.col(f"r.{id_col}")
+    if blocked:
+        # |A ∩ B| <= |B|, so C(A in B) >= t requires |B| >= t*|A|
+        cond = cond & (F.col("r.n_sh") >= F.col("l.n_sh") * threshold)
+    cont = (F.size(F.array_intersect("l.sh", "r.sh")) / F.col("l.n_sh"))
+    return (l.join(r, cond)
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.round(cont, 4).alias("containment"))
+             .filter(F.col("containment") >= threshold))
