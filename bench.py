@@ -3,6 +3,7 @@
 
 Usage: python bench.py                  declared + corpus surface, one JSON line
        python bench.py --scale-sweep    x41/x46/x56 at every SF: rows/s scaling
+       python bench.py --lineage        lineage stmts/s on the BASELINE corpus
 Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS    (default all cores)
        BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
@@ -224,12 +225,55 @@ def _synth_10x(spark, base_dir: str) -> str:
     return out_dir
 
 
+LINEAGE_CORPUS = (
+    "SELECT a.col1, b.col2 FROM lb_t1 a JOIN lb_t2 b ON a.col1 = b.col1 "
+    "WHERE a.c1 > 5",
+    "SELECT col1, count(*) AS n FROM lb_t1 GROUP BY col1",
+    "INSERT INTO lb_t2 SELECT col1, col2, c1 FROM lb_t1",
+    "SELECT col1 + col2 AS s FROM lb_t1 WHERE d LIKE 'x%'",
+    "WITH w AS (SELECT col1 FROM lb_t1) SELECT col1 FROM w",
+)
+
+
+def lineage_bench() -> None:
+    """``bench.py --lineage``: statements/s on the BASELINE.md mixed
+    5-statement corpus (plan analysis only, nothing executes). The
+    SURVEY §6 target is >= 50; the JSON-walk path measures ~100+."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    from hive_parse_lineage_spark.session import get_spark
+
+    spark = get_spark("lineage-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql("CREATE TABLE IF NOT EXISTS lb_t1 "
+              "(col1 BIGINT, col2 BIGINT, c1 BIGINT, d STRING) USING parquet")
+    spark.sql("CREATE TABLE IF NOT EXISTS lb_t2 "
+              "(col1 BIGINT, col2 BIGINT, c1 BIGINT) USING parquet")
+    script = ";".join(LINEAGE_CORPUS)
+    for _ in range(3):
+        extract_lineage(spark, script)                       # warm-up
+    n = 30
+    t0 = time.perf_counter()
+    for _ in range(n):
+        extract_lineage(spark, script)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "lineage_stmts_per_sec",
+        "value": round(n * len(LINEAGE_CORPUS) / dt, 1),
+        "unit": "stmts/sec", "statements": len(LINEAGE_CORPUS),
+        "iterations": n,
+        "json_walk": os.environ.get("HPL_JSON_WALK", "1"),
+    }))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from hive_parse_lineage_spark.queries import DECLARED_QUERIES
 
     if "--scale-sweep" in sys.argv:
         scale_sweep()
+        return
+    if "--lineage" in sys.argv:
+        lineage_bench()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -200,3 +200,22 @@ def test_source_cap_single_window_shuffle(spark, tables, sf_dir):
     plan = _op_plan(corpus_queries()["x57_source_cap"](spark, sf_dir))
     assert "Window" in plan and "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(source") == 1
+
+
+def test_lsh_bucket_cap_adds_no_exchange(spark, tables):
+    """The hot-bucket window counts on the SAME key the self-join
+    shuffles on, so enabling the cap must not add an exchange."""
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def n_exchanges(cap):
+            df = minhash_near_dups(tables["documents"], threshold=0.3,
+                                   n_hashes=16, bands=4, shingle_k=2,
+                                   max_bucket_size=cap)
+            df.collect()
+            return df._jdf.queryExecution().executedPlan().toString() \
+                .count("Exchange hashpartitioning")
+        assert n_exchanges(1000) == n_exchanges(None)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -202,3 +202,23 @@ def test_spread_for_compute_passes_streaming_through(spark):
     from hive_parse_lineage_spark.operators.util import spread_for_compute
     sdf = spark.readStream.format("rate").load()
     assert spread_for_compute(sdf) is sdf
+
+
+def test_minhash_signature_streams_append_mode(spark, events):
+    """minhash_signature (projection variant) must run inside an
+    append-mode stream — the use the r3 advice fix unblocks: the
+    spread_for_compute partition probe no longer touches df.rdd on
+    streaming plans. Signatures must equal the batch run's."""
+    from hive_parse_lineage_spark.operators.dedup import minhash_signature
+    from hive_parse_lineage_spark.streaming.windows import run_stream_over_batch
+
+    docs = events.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(" ", "event_type", "props").alias("text")).limit(50)
+    batch = {r["doc_id"]: r["minhash"]
+             for r in minhash_signature(docs, n_hashes=8).collect()}
+    streamed = run_stream_over_batch(
+        spark, docs, lambda s: minhash_signature(s, n_hashes=8),
+        query_name="t_mh", output_mode="append")
+    got = {r["doc_id"]: r["minhash"] for r in streamed.collect()}
+    assert got == batch
