@@ -374,6 +374,53 @@ def _x62_embedding_centroids(spark, tables):
             .orderBy("label", "dim_idx"))
 
 
+def _x63_lm_score(spark, tables):
+    """LM-frequency quality proxy (the KenLM-filter shape without the
+    model): score each doc by the average corpus frequency of its
+    bigrams. Rare-bigram-heavy docs (garbled text, boilerplate noise)
+    score low. Two aggregations on the same exploded grams — Catalyst
+    reuses the explode subplan; the LM side collapses map-side to
+    ~vocabulary² rows before the join."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    docs = tables["documents"]
+    grams = docs.select("doc_id",
+                        F.explode(word_shingles("text", 2)).alias("ngram"))
+    lm = grams.groupBy("ngram").agg(F.count("*").alias("n"))
+    return (grams.join(lm, "ngram")
+            .groupBy("doc_id")
+            .agg(F.round(F.avg("n"), 4).alias("avg_bigram_freq"),
+                 F.count("*").alias("n_bigrams"))
+            .orderBy("doc_id"))
+
+
+def _x64_incremental_dedup(spark, tables):
+    """Incremental-ingestion dedup: a 'new batch' (doc_id >= 400)
+    checked against the standing corpus (doc_id < 400) — survivors are
+    new docs that are neither an exact copy (md5 anti-join) nor a
+    near-dup (cross-LSH, est_jaccard >= 0.5) of any corpus doc. The
+    cross-LSH shape never joins corpus-to-corpus, so daily cost scales
+    with the batch (operators/dedup.py lsh_cross_pairs)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import (
+        lsh_cross_pairs, minhash_signature_agg)
+    docs = tables["documents"]
+    cutoff = 400
+    corpus = docs.filter(F.col("doc_id") < cutoff)
+    new = docs.filter(F.col("doc_id") >= cutoff)
+    exact_hashes = corpus.select(F.md5("text").alias("h")).distinct()
+    no_exact = (new.withColumn("h", F.md5("text"))
+                .join(F.broadcast(exact_hashes), "h", "left_anti"))
+    sig_new = minhash_signature_agg(new, n_hashes=64, shingle_k=2,
+                                    hasher=portable_hash64)
+    sig_corpus = minhash_signature_agg(corpus, n_hashes=64, shingle_k=2,
+                                       hasher=portable_hash64)
+    near = (lsh_cross_pairs(sig_new, sig_corpus, n_hashes=64, bands=16)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .select(F.col("new_id").alias("doc_id")).distinct())
+    return (no_exact.join(near, "doc_id", "left_anti")
+            .select("doc_id").orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -673,6 +720,41 @@ ORDER BY doc_id
 """
 
 
+_ORACLES["x63_lm_score"] = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+g AS (SELECT doc_id, unnest({_shingle_list_sql(2)}) AS ngram FROM w),
+lm AS (SELECT ngram, COUNT(*) AS n FROM g GROUP BY ngram)
+SELECT g.doc_id, ROUND(AVG(lm.n), 4) AS avg_bigram_freq,
+       COUNT(*) AS n_bigrams
+FROM g JOIN lm USING (ngram)
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+def _incremental_dedup_oracle_sql() -> str:
+    from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
+    mh = _minhash_oracle_sql(n_hashes=64, bands=16, shingle_k=2,
+                             threshold=0.5)
+    return f"""
+WITH mh AS (
+{mh}
+),
+near_new AS (
+  SELECT DISTINCT id_b AS doc_id FROM mh WHERE id_a < 400 AND id_b >= 400
+),
+exact_dup AS (
+  SELECT DISTINCT n.doc_id
+  FROM documents n JOIN documents c ON md5(n.text) = md5(c.text)
+  WHERE n.doc_id >= 400 AND c.doc_id < 400
+)
+SELECT doc_id FROM documents
+WHERE doc_id >= 400
+  AND doc_id NOT IN (SELECT doc_id FROM near_new)
+  AND doc_id NOT IN (SELECT doc_id FROM exact_dup)
+ORDER BY doc_id
+"""
+
+
 _ORACLES["x62_embedding_centroids"] = """
 WITH n AS (
   SELECT label, embedding,
@@ -772,6 +854,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x60_ngram_containment": _q(_x60_ngram_containment),
         "x61_stratified_sample": _q(_x61_stratified_sample),
         "x62_embedding_centroids": _q(_x62_embedding_centroids),
+        "x63_lm_score": _q(_x63_lm_score),
+        "x64_incremental_dedup": _q(_x64_incremental_dedup),
     }
 
 
@@ -780,4 +864,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
     out["x57_source_cap"] = _source_cap_oracle_sql()
     out["x61_stratified_sample"] = _stratified_sample_oracle_sql()
+    out["x64_incremental_dedup"] = _incremental_dedup_oracle_sql()
     return out

@@ -145,6 +145,26 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     guard. Output: distinct (id_a < id_b) pairs with the estimated
     Jaccard (fraction of agreeing minhash components).
     """
+    buckets = _band_buckets(sig_df, id_col, n_hashes, bands, max_bucket_size)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (left.join(right,
+                       (F.col("l.band") == F.col("r.band"))
+                       & (F.col("l.band_hash") == F.col("r.band_hash"))
+                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("id_a"),
+                     F.col(f"r.{id_col}").alias("id_b"),
+                     F.col("l.minhash").alias("mh_a"),
+                     F.col("r.minhash").alias("mh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return pairs.select("id_a", "id_b",
+                        _est_jaccard(n_hashes).alias("est_jaccard"))
+
+
+def _band_buckets(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int,
+                  max_bucket_size: int | None) -> DataFrame:
+    """Explode (id, minhash) into (id, minhash, band, band_hash) rows,
+    optionally dropping oversized buckets (see lsh_candidate_pairs)."""
     r = n_hashes // bands
     band_entries = F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -162,21 +182,45 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
             Window.partitionBy("band", "band_hash"))
         buckets = (buckets.withColumn("_bn", n_in_bucket)
                    .filter(F.col("_bn") <= max_bucket_size).drop("_bn"))
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    pairs = (left.join(right,
-                       (F.col("l.band") == F.col("r.band"))
-                       & (F.col("l.band_hash") == F.col("r.band_hash"))
-                       & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-             .select(F.col(f"l.{id_col}").alias("id_a"),
-                     F.col(f"r.{id_col}").alias("id_b"),
+    return buckets
+
+
+def _est_jaccard(n_hashes: int) -> Column:
+    return F.round(
+        F.size(F.filter(F.zip_with("mh_a", "mh_b",
+                                   lambda a, b: (a == b).cast("int")),
+                        lambda x: x == 1)) / F.lit(n_hashes), 4)
+
+
+def lsh_cross_pairs(sig_new: DataFrame, sig_corpus: DataFrame,
+                    id_col: str = "doc_id", n_hashes: int = 64,
+                    bands: int = 16,
+                    max_bucket_size: int | None = 1000) -> DataFrame:
+    """Near-dup pairs BETWEEN two signature sets — the incremental-
+    ingestion shape: a new batch is checked against the standing corpus
+    without ever joining the corpus to itself.
+
+    Both sides band identically, so the equi-join on (band, band_hash)
+    co-locates new-batch buckets with only the matching corpus buckets;
+    corpus-vs-corpus pairs are never generated. At 100 TB the corpus
+    signatures are precomputed once and persisted (bucketed by band
+    hash), and each daily batch joins against them — cost scales with
+    the batch, not the corpus. The bucket cap applies to the corpus
+    side, where boilerplate accumulates. Output: distinct
+    (new_id, corpus_id, est_jaccard).
+    """
+    nb = _band_buckets(sig_new, id_col, n_hashes, bands, None).alias("l")
+    cb = _band_buckets(sig_corpus, id_col, n_hashes, bands,
+                       max_bucket_size).alias("r")
+    pairs = (nb.join(cb, (F.col("l.band") == F.col("r.band"))
+                     & (F.col("l.band_hash") == F.col("r.band_hash")))
+             .select(F.col(f"l.{id_col}").alias("new_id"),
+                     F.col(f"r.{id_col}").alias("corpus_id"),
                      F.col("l.minhash").alias("mh_a"),
                      F.col("r.minhash").alias("mh_b"))
-             .dropDuplicates(["id_a", "id_b"]))
-    est = (F.size(F.filter(F.zip_with("mh_a", "mh_b",
-                                      lambda a, b: (a == b).cast("int")),
-                           lambda x: x == 1)) / F.lit(n_hashes))
-    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+             .dropDuplicates(["new_id", "corpus_id"]))
+    return pairs.select("new_id", "corpus_id",
+                        _est_jaccard(n_hashes).alias("est_jaccard"))
 
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text",

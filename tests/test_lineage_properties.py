@@ -84,3 +84,45 @@ def test_subquery_wrap_transparency(spark, tables, t):
         spark, f"SELECT * FROM (SELECT {sel} FROM {t}) sub")
     assert [e["sources"] for e in direct.col_lines] == \
         [e["sources"] for e in wrapped.col_lines]
+
+
+@st.composite
+def richer_query(draw):
+    t1 = draw(tables_st)
+    t2 = draw(tables_st.filter(lambda t: t != t1))
+    c1, c2 = SCHEMAS[t1][0], SCHEMAS[t2][0]
+    shape = draw(st.sampled_from(["join", "agg", "subquery", "union"]))
+    if shape == "join":
+        return (f"SELECT a.{c1} AS u, b.{c2} AS v FROM {t1} a "
+                f"JOIN {t2} b ON a.{c1} = b.{c2} WHERE a.{c1} > 0")
+    if shape == "agg":
+        g = SCHEMAS[t1][-1]
+        return (f"SELECT {g}, count(*) AS n, max({c1}) AS mx "
+                f"FROM {t1} GROUP BY {g} HAVING count(*) > 1")
+    if shape == "subquery":
+        return (f"SELECT {c1}, (SELECT max({c2}) FROM {t2}) AS m "
+                f"FROM {t1} WHERE {c1} IN (SELECT {c2} FROM {t2})")
+    return (f"SELECT {c1} AS k FROM {t1} UNION ALL "
+            f"SELECT {c2} AS k FROM {t2}")
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sql=richer_query())
+def test_json_walk_matches_jvm_walk(spark, tables, sql, monkeypatch):
+    """Differential invariant: the JSON walk and the py4j walk must
+    emit identical sources, aliases, table sets, and condition TAGS
+    (tag = the WHERE:/JOIN:/COLFUN: label; rendered SQL text is
+    allowed to differ between Expression.sql and the Python renderer)."""
+    import os
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+
+    def run(mode):
+        monkeypatch.setenv("HPL_JSON_WALK", mode)
+        lin = extract_lineage(spark, sql)
+        return ([(e["target_alias"], e["sources"],
+                  sorted({c.split(":", 1)[0] for c in e["conditions"]}))
+                 for e in lin.col_lines],
+                lin.input_tables, lin.output_tables)
+
+    assert run("strict") == run("0")

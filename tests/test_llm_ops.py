@@ -299,3 +299,26 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     assert uncapped.count() > 400_000  # the blowup the cap prevents
     # the boilerplate family is still caught, by the right operator
     assert exact_dedup(docs).count() == 3
+
+
+def test_lsh_cross_pairs_matches_full_lsh_cross_subset(spark, tables):
+    """lsh_cross_pairs(new, corpus) must find exactly the cross pairs
+    the full self-join LSH finds — while never generating
+    corpus-vs-corpus candidates."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import (
+        lsh_candidate_pairs, lsh_cross_pairs, minhash_signature_agg)
+    docs = tables["documents"].limit(300)
+    sig = minhash_signature_agg(docs, n_hashes=16, shingle_k=2,
+                                hasher=portable_hash64)
+    corpus = sig.filter("doc_id < 150")
+    new = sig.filter("doc_id >= 150")
+    cross = {(r["corpus_id"], r["new_id"], r["est_jaccard"])
+             for r in lsh_cross_pairs(new, corpus, n_hashes=16,
+                                      bands=4).collect()}
+    full = {(r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in lsh_candidate_pairs(sig, n_hashes=16, bands=4,
+                                         max_bucket_size=None).collect()
+            if r["id_a"] < 150 <= r["id_b"]}
+    assert cross == full
+    assert all(c < 150 <= n for c, n, _ in cross)
