@@ -322,3 +322,42 @@ def test_lsh_cross_pairs_matches_full_lsh_cross_subset(spark, tables):
             if r["id_a"] < 150 <= r["id_b"]}
     assert cross == full
     assert all(c < 150 <= n for c, n, _ in cross)
+
+
+def test_incremental_dedup_bucketed_corpus_no_corpus_shuffle(spark, tables):
+    """The 100 TB incremental shape: corpus band-buckets persisted
+    bucketed by (band, band_hash) mean the daily cross-LSH join
+    shuffles only the NEW batch — the corpus side scans its bucket
+    files with no Exchange above them (join keys == bucket keys)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import (
+        _band_buckets, minhash_signature_agg)
+    from hive_parse_lineage_spark.sources.bucketing import write_bucketed
+
+    docs = tables["documents"].limit(300)
+    sig = minhash_signature_agg(docs, n_hashes=16, shingle_k=2,
+                                hasher=portable_hash64)
+    corpus_buckets = _band_buckets(sig.filter("doc_id < 150"),
+                                   "doc_id", 16, 4, None)
+    write_bucketed(corpus_buckets, "corpus_sig_buckets",
+                   bucket_cols=["band", "band_hash"], n_buckets=8)
+    confs = {"spark.sql.autoBroadcastJoinThreshold": "-1",
+             "spark.sql.adaptive.enabled": "false"}
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        new_buckets = _band_buckets(sig.filter("doc_id >= 150"),
+                                    "doc_id", 16, 4, None)
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = (spark.table("corpus_sig_buckets").alias("c")
+                  .join(new_buckets.alias("n"), ["band", "band_hash"]))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly one band_hash exchange: the new-batch side; the
+        # bucketed corpus side reads its files pre-partitioned
+        assert plan.count("Exchange hashpartitioning(band") == 1, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS corpus_sig_buckets")
