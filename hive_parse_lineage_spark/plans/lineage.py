@@ -961,18 +961,43 @@ _JSQL_BINOPS = {
 
 _JSQL_QUOTED_TYPES = {"string", "date", "timestamp", "timestamp_ntz"}
 
+#: Catalyst simpleString -> SQL type name where they differ
+_JSQL_TYPE_NAMES = {"long": "BIGINT", "integer": "INT", "short": "SMALLINT",
+                    "byte": "TINYINT"}
 
-def _jsql(e: dict) -> str:
+
+def _jsql(e: dict, defs: dict | None = None) -> str:
     """Render an expression tree as Spark-flavored SQL for condition
     tags (WHERE:/JOIN:/COLFUN:). Mirrors Expression.sql closely enough
     for the reference's condition-string contract; unknown classes fall
-    back to ``classname(args...)``."""
+    back to ``classname(args...)``. ``defs`` maps CommonExpressionDef
+    ids to their subtrees so With/CommonExpressionRef (Spark 4's
+    common-expression elimination, e.g. BETWEEN) renders inline."""
     cls = e["_cls"]
     ch = e["_children"]
     if cls == "AttributeReference":
         return e.get("name", "?")
     if cls == "OuterReference":
-        return _jsql(ch[0]) if ch else "outer()"
+        return _jsql(ch[0], defs) if ch else "outer()"
+    if cls == "Between":
+        # Between wraps a With whose child is the expanded >= AND <=
+        return _jsql(ch[0], defs) if ch else "between()"
+    if cls == "With":
+        # With(child, def1, def2, ...): register defs, render the child
+        new_defs = dict(defs or {})
+        for d in ch[1:]:
+            if d["_cls"] == "CommonExpressionDef":
+                did = d.get("id")
+                if isinstance(did, dict):
+                    did = did.get("id")
+                new_defs[did] = d["_children"][0]
+        return _jsql(ch[0], new_defs)
+    if cls == "CommonExpressionRef":
+        rid = e.get("id")
+        if isinstance(rid, dict):
+            rid = rid.get("id")
+        target = (defs or {}).get(rid)
+        return _jsql(target, defs) if target is not None else "ref()"
     if cls == "Literal":
         v = e.get("value")
         if v is None:
@@ -982,49 +1007,50 @@ def _jsql(e: dict) -> str:
         return str(v)
     if cls in ("Cast", "AnsiCast", "TryCast"):
         dt = e.get("dataType")
-        dt = dt.upper() if isinstance(dt, str) else "?"
-        return f"CAST({_jsql(ch[0])} AS {dt})"
+        dt = _JSQL_TYPE_NAMES.get(dt, dt).upper() if isinstance(dt, str) else "?"
+        return f"CAST({_jsql(ch[0], defs)} AS {dt})"
     if cls == "Alias":
-        return f"{_jsql(ch[0])} AS {e.get('name')}"
+        return f"{_jsql(ch[0], defs)} AS {e.get('name')}"
     if cls in _JSQL_BINOPS and len(ch) == 2:
-        return f"({_jsql(ch[0])} {_JSQL_BINOPS[cls]} {_jsql(ch[1])})"
+        return (f"({_jsql(ch[0], defs)} {_JSQL_BINOPS[cls]} "
+                f"{_jsql(ch[1], defs)})")
     if cls == "Not":
         if ch and ch[0]["_cls"] == "IsNull":
-            return f"({_jsql(ch[0]['_children'][0])} IS NOT NULL)"
+            return f"({_jsql(ch[0]['_children'][0], defs)} IS NOT NULL)"
         if ch and ch[0]["_cls"] == "In":
             inner = ch[0]["_children"]
-            args = ", ".join(_jsql(c) for c in inner[1:])
-            return f"({_jsql(inner[0])} NOT IN ({args}))"
-        return f"(NOT {_jsql(ch[0])})" if ch else "(NOT ?)"
+            args = ", ".join(_jsql(c, defs) for c in inner[1:])
+            return f"({_jsql(inner[0], defs)} NOT IN ({args}))"
+        return f"(NOT {_jsql(ch[0], defs)})" if ch else "(NOT ?)"
     if cls == "IsNull":
-        return f"({_jsql(ch[0])} IS NULL)"
+        return f"({_jsql(ch[0], defs)} IS NULL)"
     if cls == "IsNotNull":
-        return f"({_jsql(ch[0])} IS NOT NULL)"
+        return f"({_jsql(ch[0], defs)} IS NOT NULL)"
     if cls == "In":
-        args = ", ".join(_jsql(c) for c in ch[1:])
-        return f"({_jsql(ch[0])} IN ({args}))"
+        args = ", ".join(_jsql(c, defs) for c in ch[1:])
+        return f"({_jsql(ch[0], defs)} IN ({args}))"
     if cls == "CaseWhen":
         kids = list(ch)
         parts = []
         while len(kids) >= 2:
             c, v = kids.pop(0), kids.pop(0)
-            parts.append(f"WHEN {_jsql(c)} THEN {_jsql(v)}")
+            parts.append(f"WHEN {_jsql(c, defs)} THEN {_jsql(v, defs)}")
         s = "CASE " + " ".join(parts)
         if kids:
-            s += f" ELSE {_jsql(kids[0])}"
+            s += f" ELSE {_jsql(kids[0], defs)}"
         return s + " END"
     if cls == "AggregateExpression":
         inner = ch[0] if ch else None
         if inner is None:
             return "agg()"
-        args = ", ".join(_jsql(c) for c in inner["_children"])
+        args = ", ".join(_jsql(c, defs) for c in inner["_children"])
         distinct = "DISTINCT " if e.get("isDistinct") else ""
         return f"{inner['_cls'].lower()}({distinct}{args})"
     if cls == "WindowExpression":
-        return f"{_jsql(ch[0])} OVER (...)" if ch else "window()"
+        return f"{_jsql(ch[0], defs)} OVER (...)" if ch else "window()"
     if cls in _JSUBQ:
         return "scalarsubquery()" if cls == "ScalarSubquery" else f"{cls.lower()}()"
-    args = ", ".join(_jsql(c) for c in ch)
+    args = ", ".join(_jsql(c, defs) for c in ch)
     return f"{cls.lower()}({args})"
 
 

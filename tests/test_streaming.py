@@ -222,3 +222,39 @@ def test_minhash_signature_streams_append_mode(spark, events):
         query_name="t_mh", output_mode="append")
     got = {r["doc_id"]: r["minhash"] for r in streamed.collect()}
     assert got == batch
+
+
+def test_streaming_incremental_near_dup_flags(spark, events):
+    """Streaming ingestion dedup: new docs arrive as a stream, band
+    into LSH buckets with the PROJECTION minhash (no aggregation — no
+    watermark needed in append mode), and stream-static join against
+    the standing corpus's buckets. Flags must equal the batch run."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import (
+        _band_buckets, minhash_signature)
+    from hive_parse_lineage_spark.streaming.windows import run_stream_over_batch
+
+    docs = events.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(" ", "event_type", "props").alias("text")).limit(120)
+    corpus = docs.filter("doc_id < 60")
+    new = docs.filter("doc_id >= 60")
+    corpus_buckets = (_band_buckets(
+        minhash_signature(corpus, n_hashes=8, hasher=portable_hash64)
+        .select("doc_id", "minhash"), "doc_id", 8, 4, None)
+        .withColumnRenamed("doc_id", "corpus_id").drop("minhash"))
+
+    def flag(batch_or_stream):
+        sig = (minhash_signature(batch_or_stream, n_hashes=8,
+                                 hasher=portable_hash64)
+               .select("doc_id", "minhash"))
+        buckets = _band_buckets(sig, "doc_id", 8, 4, None).drop("minhash")
+        return buckets.join(corpus_buckets, ["band", "band_hash"]) \
+                      .select("doc_id", "corpus_id")
+
+    batch_flags = {(r["doc_id"], r["corpus_id"]) for r in flag(new).collect()}
+    streamed = run_stream_over_batch(spark, new, flag, query_name="t_inc",
+                                     output_mode="append")
+    stream_flags = {(r["doc_id"], r["corpus_id"]) for r in streamed.collect()}
+    assert stream_flags == batch_flags
+    assert batch_flags  # the fixture must actually produce candidates
