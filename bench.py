@@ -166,8 +166,14 @@ def scale_sweep() -> None:
     root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     sf_dirs = sorted((d for d in glob.glob(os.path.join(root, "sf*"))
                       if infer_sf(d) > 0), key=infer_sf)
-    if os.environ.get("BENCH_SWEEP_10X") == "1" and sf_dirs:
-        sf_dirs.append(_synth_10x(spark, sf_dirs[-1]))
+    if not sf_dirs:
+        print(json.dumps({"metric": "scale_sweep",
+                          "error": f"no sf* testdata directories under {root}"}))
+        sys.exit(1)
+    synth_dir = None
+    if os.environ.get("BENCH_SWEEP_10X") == "1":
+        synth_dir = _synth_10x(spark, sf_dirs[-1])
+        sf_dirs.append(synth_dir)
 
     # global warm phase: two untimed runs at the smallest SF so JIT /
     # codegen compilation doesn't masquerade as per-SF cost (the first
@@ -177,20 +183,25 @@ def scale_sweep() -> None:
             fn(spark, sf_dirs[0]).collect()
 
     out: dict = {"metric": "scale_sweep", "unit": "sec", "sweep": []}
-    for d in sf_dirs:
-        rows = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
-        entry: dict = {"sf_dir": os.path.basename(d.rstrip("/")),
-                       "doc_rows": rows, "queries": {}}
-        for name, fn in sorted(qs.items()):
-            fn(spark, d).collect()                           # warm-up
-            wall = float("inf")
-            for _ in range(2):                               # min-of-2: skip host noise bursts
-                t0 = time.perf_counter()
-                fn(spark, d).collect()
-                wall = min(wall, time.perf_counter() - t0)
-            entry["queries"][name] = {"wall": round(wall, 4),
-                                      "rows_per_sec": round(rows / wall, 1)}
-        out["sweep"].append(entry)
+    try:
+        for d in sf_dirs:
+            rows = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+            entry: dict = {"sf_dir": os.path.basename(d.rstrip("/")),
+                           "doc_rows": rows, "queries": {}}
+            for name, fn in sorted(qs.items()):
+                fn(spark, d).collect()                       # warm-up
+                wall = float("inf")
+                for _ in range(2):                           # min-of-2: skip host noise bursts
+                    t0 = time.perf_counter()
+                    fn(spark, d).collect()
+                    wall = min(wall, time.perf_counter() - t0)
+                entry["queries"][name] = {"wall": round(wall, 4),
+                                          "rows_per_sec": round(rows / wall, 1)}
+            out["sweep"].append(entry)
+    finally:
+        if synth_dir is not None:
+            import shutil
+            shutil.rmtree(synth_dir, ignore_errors=True)
     # growth check: wall must not grow faster than rows between SFs
     for name in sorted(qs):
         ratios = []

@@ -91,7 +91,8 @@ def _x46_dup_clusters(spark, tables):
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
     docs = tables["documents"]
     edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
-                               shingle_k=2, hasher=portable_hash64)
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
              .select("id_a", "id_b"))
     vertices = docs.select(F.col("doc_id").alias("vertex"))
     return (connected_components(edges, vertices=vertices, max_iter=4)
@@ -321,7 +322,8 @@ def _x59_dedup_keep_one(spark, tables):
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
     docs = tables["documents"]
     edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
-                               shingle_k=2, hasher=portable_hash64)
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
              .select("id_a", "id_b"))
     vertices = docs.select(F.col("doc_id").alias("vertex"))
     comp = connected_components(edges, vertices=vertices, max_iter=4)
@@ -414,7 +416,8 @@ def _x64_incremental_dedup(spark, tables):
                                     hasher=portable_hash64)
     sig_corpus = minhash_signature_agg(corpus, n_hashes=64, shingle_k=2,
                                        hasher=portable_hash64)
-    near = (lsh_cross_pairs(sig_new, sig_corpus, n_hashes=64, bands=16)
+    near = (lsh_cross_pairs(sig_new, sig_corpus, n_hashes=64, bands=16,
+                            max_bucket_size=None)
             .filter(F.col("est_jaccard") >= 0.5)
             .select(F.col("new_id").alias("doc_id")).distinct())
     return (no_exact.join(near, "doc_id", "left_anti")

@@ -98,9 +98,13 @@ def _x07_minhash_near_dup(spark, tables):
     can replay the exact signatures (permutation constants are fixed by
     seed); production default stays xxhash64 — same plan, faster hash."""
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    # max_bucket_size=None: the declared oracle replays UNCAPPED LSH, so
+    # the oracle-checked query must match it exactly at every SF; the
+    # capped default is the production posture, not the declared one.
     return (minhash_near_dups(tables["documents"], threshold=0.3,
                               n_hashes=64, bands=16, shingle_k=2,
-                              hasher=T.portable_hash64)
+                              hasher=T.portable_hash64,
+                              max_bucket_size=None)
             .orderBy("id_a", "id_b"))
 
 

@@ -166,30 +166,33 @@ def decode_png(data: bytes):
     filters, scan = lines[:, 0], lines[:, 1:]
     out = np.zeros((height, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
+    zero_px = np.zeros(ch, np.int32)
     for y in range(height):
         f, row = filters[y], scan[y].astype(np.int32)
         if f == 0:
             cur = row
+        elif f == 1:                      # Sub: per-channel cumsum mod 256
+            cur = row.reshape(width, ch).cumsum(axis=0) & 0xFF
+            cur = cur.reshape(stride)
         elif f == 2:                      # Up: whole-row vectorized
             cur = (row + prev) & 0xFF
-        else:                             # Sub/Average/Paeth need left pixel
-            cur = np.zeros(stride, np.int32)
-            up = prev.astype(np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = up[x]
-                c = up[x - ch] if x >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+        elif f in (3, 4):                 # Average/Paeth: left-pixel chain —
+            cur = np.zeros(stride, np.int32)  # loop over PIXELS, channels
+            up = prev.astype(np.int32)        # vectorized per step
+            for x0 in range(0, stride, ch):
+                a = cur[x0 - ch:x0] if x0 else zero_px
+                b = up[x0:x0 + ch]
+                if f == 3:
                     pred = (a + b) >> 1
-                elif f == 4:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 else:
-                    raise NotImplementedError(f"unknown PNG filter {f}")
-                cur[x] = (row[x] + pred) & 0xFF
+                    c = up[x0 - ch:x0] if x0 else zero_px
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((pa <= pb) & (pa <= pc), a,
+                                    np.where(pb <= pc, b, c))
+                cur[x0:x0 + ch] = (row[x0:x0 + ch] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter {f}")
         out[y] = cur.astype(np.uint8)
         prev = out[y]
     return height, width, ch, out.tobytes()
@@ -281,11 +284,20 @@ def decode_image(df: DataFrame, content_col: str = "content",
     import pandas as pd
 
     def decode_one(blob: bytes):
+        native = None
         if blob[:2] == b"BM":
-            h, w, c, px = decode_bmp(blob)
+            native = decode_bmp
         elif blob[:8] == b"\x89PNG\r\n\x1a\n":
-            h, w, c, px = decode_png(blob)
-        else:
+            native = decode_png
+        if native is not None:
+            try:
+                h, w, c, px = native(blob)
+            except NotImplementedError:
+                # variant the native parser rejects (palette/16-bit/
+                # interlaced PNG, compressed BMP): fall through to PIL
+                # like any other codec format
+                native = None
+        if native is None:
             try:
                 from PIL import Image
             except ImportError as exc:

@@ -751,8 +751,20 @@ class _Walker:
             # the JVM walk (which reads rootPaths) take this statement.
             raise _JsonWalkError("relation without catalog identity")
         self.input_tables.add(table)
+        out = _json_output(rel)
+        if not out and rel["_cls"] == "HiveTableRelation":
+            # HiveTableRelation serializes no 'output' (it derives from
+            # dataCols ++ partitionCols) — read those fields instead.
+            out = ([a for a in _field_exprs(rel, "dataCols")]
+                   + [a for a in _field_exprs(rel, "partitionCols")])
+        if not out:
+            # an empty attribute list would silently produce empty
+            # sources for every downstream column — worse than the
+            # slower JVM walk, so refuse and fall back.
+            raise _JsonWalkError(f"{rel['_cls']} with no derivable output")
+        rel["_out"] = out  # parents derive their output through this node
         return {_eid(a): {f"{table}{COLUMN_SEP}{a['name']}"}
-                for a in _json_output(rel)}, set()
+                for a in out}, set()
 
     def _walk_named_list_json(self, plan: dict, named_exprs: list[dict]):
         mapping_child: dict[int, set[str]] = {}
@@ -1179,7 +1191,9 @@ def _statement_lineage(spark: SparkSession, sql: str,
         tgt = w.fill_db(target) if target else None
         conds = _dml_where(w, parsed)
         edges = [ColLine(tgt, None, "*", [], conds)] if conds and tgt else []
-        return StatementLineage(sql, "DELETE", edges, set(),
+        # the target is read (WHERE evaluates against it) AND written
+        return StatementLineage(sql, "DELETE", edges,
+                                {tgt} if tgt else set(),
                                 {tgt} if tgt else set())
 
     if cls == "UpdateTable":
@@ -1200,7 +1214,11 @@ def _statement_lineage(spark: SparkSession, sql: str,
                 edges.append(ColLine(tgt, col, col, sorted(srcs), conds))
         except Exception:
             pass
-        return StatementLineage(sql, "UPDATE", edges, set(),
+        # the target is read (assignment values and WHERE reference its
+        # columns — the edges' sources) AND written, so it appears in
+        # both table sets, matching what the col_lines themselves say.
+        return StatementLineage(sql, "UPDATE", edges,
+                                {tgt} if tgt else set(),
                                 {tgt} if tgt else set())
 
     if cls == "InsertIntoStatement":

@@ -480,6 +480,7 @@ def test_delete_classification(spark, lineage_tables):
     st = lin.statements[0]
     assert st.operation == "DELETE"
     assert st.output_tables == {"default.t1"}
+    assert st.input_tables == {"default.t1"}  # WHERE reads the target
     assert len(st.col_lines) == 1
     assert st.col_lines[0].target_table == "default.t1"
     assert any(c.startswith("WHERE:") and "5" in c
@@ -500,6 +501,7 @@ def test_update_classification(spark, lineage_tables):
     st = lin.statements[0]
     assert st.operation == "UPDATE"
     assert st.output_tables == {"default.t1"}
+    assert st.input_tables == {"default.t1"}  # assignments read the target
     edges = {c.target_column: c for c in st.col_lines}
     assert sorted(edges) == ["col1", "d"]
     assert edges["col1"].sources == ["default.t1.c1", "default.t1.col2"]
@@ -522,3 +524,31 @@ def test_mixed_static_dynamic_partition_insert(spark, tables, lineage_tables):
         assert st.col_lines[1].sources == ["default.region.r_regionkey"]
     finally:
         spark.sql("DROP TABLE IF EXISTS default.dest_mix")
+
+
+def test_hive_relation_json_output_derivation(spark):
+    """HiveTableRelation serializes no 'output' in toJSON (it derives
+    from dataCols ++ partitionCols); the JSON walk must read those
+    fields — and must REFUSE (falling back to the JVM walk) rather than
+    return silently-empty sources when no attributes are derivable."""
+    import pytest as _pytest
+    from hive_parse_lineage_spark.plans.lineage import _JsonWalkError, _Walker
+
+    w = _Walker(spark)
+
+    def attr(name, i):
+        return [{"class": "x.AttributeReference", "num-children": 0,
+                 "name": name, "exprId": {"id": i}}]
+
+    rel = {"_cls": "HiveTableRelation", "_children": [],
+           "tableMeta": {"identifier": {"table": "ht", "database": "db1"}},
+           "dataCols": [attr("a", 1), attr("b", 2)],
+           "partitionCols": [attr("p", 3)]}
+    mapping, conds = w._walk_relation_json(rel)
+    assert mapping == {1: {"db1.ht.a"}, 2: {"db1.ht.b"}, 3: {"db1.ht.p"}}
+    assert "db1.ht" in w.input_tables
+
+    bare = {"_cls": "HiveTableRelation", "_children": [],
+            "tableMeta": {"identifier": {"table": "ht2", "database": "db1"}}}
+    with _pytest.raises(_JsonWalkError):
+        w._walk_relation_json(bare)
