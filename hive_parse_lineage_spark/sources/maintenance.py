@@ -1,0 +1,102 @@
+"""Table maintenance: small-file compaction + sorted writes + file stats.
+
+The reference has no storage layer (it only parses SQL); these are the
+operational pieces a 100 TB Spark deployment actually needs around the
+parquet tables the engine reads:
+
+- **Small-file compaction.** Streaming sinks and over-parallel writers
+  leave thousands of KB-scale files; every downstream scan then pays
+  per-file open/footer costs and the driver pays listing. Compaction
+  rewrites a directory to ~``target_file_bytes`` files. This is the
+  no-table-format spelling of ``OPTIMIZE``/``rewrite_data_files``.
+- **Sorted writes.** Sorting within partitions by a filter column
+  before writing tightens each file's parquet min/max footer stats, so
+  later scans with a predicate on that column prune whole files/row
+  groups (poor man's Z-order for the single-column case).
+- **File stats.** Per-file row counts and per-column min/max straight
+  from parquet footers (no data read) — the input to "is this table
+  compacted/sorted enough" decisions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def dir_file_sizes(path: str) -> list[int]:
+    """Sizes of the parquet part-files under ``path`` (local fs)."""
+    return sorted(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", ".")))
+
+
+def compact_parquet_dir(spark: SparkSession, path: str, out_path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        sort_cols: list[str] | None = None) -> int:
+    """Rewrite a parquet directory to ~``target_file_bytes`` files;
+    returns the output file count.
+
+    File count = ceil(current_total_bytes / target). ``coalesce`` (not
+    ``repartition``) when shrinking — no shuffle, each output task
+    concatenates input splits; with ``sort_cols`` a shuffle-free
+    ``sortWithinPartitions`` runs per output file so footer min/max
+    stats stay useful for data-skipping. Writes to ``out_path`` then
+    the caller swaps directories — same move-into-place discipline an
+    OPTIMIZE job uses so readers never see a half-written table.
+    """
+    sizes = dir_file_sizes(path)
+    total = sum(sizes)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if n_out < (len(sizes) or 1):
+        df = df.coalesce(n_out)
+    else:
+        df = df.repartition(n_out)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(out_path)
+    return len(dir_file_sizes(out_path))
+
+
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
+                         n_files: int | None = None) -> None:
+    """Write ``df`` with rows range-clustered on ``sort_cols``:
+    ``repartitionByRange`` (files own disjoint key ranges — file-level
+    pruning) then ``sortWithinPartitions`` (row-group-level pruning
+    within each file)."""
+    if n_files:
+        df = df.repartitionByRange(n_files, *sort_cols)
+    else:
+        df = df.repartitionByRange(*sort_cols)
+    df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def parquet_file_stats(path: str, columns: list[str] | None = None) -> list[dict]:
+    """Per-file row counts and per-column (min, max) from parquet
+    footers — metadata only, no data pages read."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        stats: dict = {"file": f, "rows": md.num_rows, "columns": {}}
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        for ci, name in enumerate(names):
+            if columns is not None and name not in columns:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            stats["columns"][name] = (lo, hi)
+        out.append(stats)
+    return out

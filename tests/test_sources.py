@@ -70,3 +70,33 @@ def test_filter_and_projection_pushdown(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]" in plan
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_quantity" in rs and "l_extendedprice" not in rs
+
+
+def test_compact_parquet_dir_reduces_files(spark, tmp_path):
+    """Many tiny files -> ~target-sized files, rows preserved,
+    no shuffle (coalesce) when shrinking."""
+    from hive_parse_lineage_spark.sources.maintenance import (
+        compact_parquet_dir, dir_file_sizes)
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000).repartition(64).write.parquet(src)
+    assert len(dir_file_sizes(src)) == 64
+    total = sum(dir_file_sizes(src))
+    n = compact_parquet_dir(spark, src, dst, target_file_bytes=total // 4 + 1)
+    assert n <= 4
+    assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_write_sorted_parquet_files_have_disjoint_ranges(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions yields files whose
+    footer min/max ranges are disjoint -> file-level data skipping."""
+    from hive_parse_lineage_spark.sources.maintenance import (
+        parquet_file_stats, write_sorted_parquet)
+    out = str(tmp_path / "sorted")
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    write_sorted_parquet(df, out, ["k"], n_files=4)
+    stats = parquet_file_stats(out, columns=["k"])
+    assert sum(s["rows"] for s in stats) == 20_000
+    ranges = sorted(s["columns"]["k"] for s in stats if s["rows"])
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint: a predicate touches exactly one file
