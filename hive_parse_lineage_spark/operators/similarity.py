@@ -123,10 +123,35 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     equi-join on (centroid id) with the broadcast query×probe list —
     a single uniform-ish shuffle, no cross join.
     """
+    cents = _ivf_centroids(corpus, n_centroids, seed, vec_col, id_col,
+                           sample_size)
+    nearest_expr = _nearest_centroid_expr(cents)
+
+    c = corpus.select(
+        id_col, F.col(vec_col).alias("c_vec"),
+        F.element_at(nearest_expr(F.col(vec_col), 1), 1).alias("cell"))
+    q = queries.select(
+        query_id_col, F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell"))
+    joined = c.join(F.broadcast(q), "cell")
+    cos = (dot("q_vec", "c_vec")
+           / (F.sqrt(dot("c_vec", "c_vec")) * F.sqrt(dot("q_vec", "q_vec")))).alias("cosine")
+    scored = joined.select(query_id_col, id_col, cos)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(query_id_col, id_col,
+                          F.round("cosine", 4).alias("cosine"), "rank"))
+
+
+def _ivf_centroids(corpus: DataFrame, n_centroids: int, seed: int,
+                   vec_col: str, id_col: str, sample_size: int):
+    """Driver-side NumPy k-means over a bounded deterministic sample
+    (TakeOrdered on the id — heap per partition, no full sort), so
+    centroids are reproducible across runs/re-plans. Constant driver
+    memory regardless of corpus size."""
     import numpy as np
 
-    # deterministic sample: TakeOrdered on the id (heap per partition —
-    # no full sort), so centroids are reproducible across runs/re-plans
     sample = np.array(
         [r[vec_col] for r in corpus.select(id_col, vec_col)
                               .orderBy(id_col).limit(sample_size).collect()],
@@ -141,9 +166,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             m = sample[assign == c]
             if len(m):
                 cents[c] = m.mean(0)
+    return cents
 
+
+def _nearest_centroid_expr(cents):
+    """expr factory: (vector column, n) -> array of the n nearest
+    centroid ids (squared L2), all in codegen."""
     def nearest_expr(col, n):
-        """Column: ids of the n nearest centroids to ``col`` (squared L2)."""
         dists = F.array(*[
             F.aggregate(F.zip_with(col, F.array(*[F.lit(float(v)) for v in c]),
                                    lambda x, y: (x.cast("double") - y) ** 2),
@@ -153,14 +182,60 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             F.zip_with(dists, F.array(*[F.lit(i) for i in range(len(cents))]),
                        lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
         return F.slice(F.transform(idx, lambda s: s["i"]), 1, n)
+    return nearest_expr
 
-    c = corpus.select(
-        id_col, F.col(vec_col).alias("c_vec"),
-        F.element_at(nearest_expr(F.col(vec_col), 1), 1).alias("cell"))
+
+def ivf_build(corpus: DataFrame, path: str, n_centroids: int = 16,
+              seed: int = 42, vec_col: str = "embedding",
+              id_col: str = "vec_id", sample_size: int = 10_000) -> None:
+    """Materialize an IVF index: ``path/centroids`` (tiny parquet) and
+    ``path/lists`` — the corpus WITH its nearest-centroid id, written
+    ``partitionBy("cell")`` so each inverted list is its own partition
+    directory.
+
+    The build is one corpus pass (nearest-centroid is a codegen
+    projection). Queries then read ONLY their probed cells via
+    partition pruning — at 100 TB with 1024 cells and n_probe=8, a
+    query touches <1% of the data, and the index needs no table format
+    or service: plain parquet + directory layout.
+    """
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(corpus, n_centroids, seed, vec_col, id_col,
+                           sample_size)
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    nearest_expr = _nearest_centroid_expr(cents)
+    (corpus.select(id_col, vec_col,
+                   F.element_at(nearest_expr(F.col(vec_col), 1), 1)
+                    .alias("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists"))
+
+
+def ivf_query(spark, path: str, queries: DataFrame, k: int = 10,
+              n_probe: int = 4, vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              query_id_col: str = "query_id") -> DataFrame:
+    """Query a persisted IVF index (see :func:`ivf_build`).
+
+    Centroids load driver-side (tiny); each query's ``n_probe`` nearest
+    cells become an IN filter on the lists' partition column, so the
+    scan is partition-pruned to the probed cells (plan-asserted in
+    tests), then exact rerank within them.
+    """
+    cents_rows = (spark.read.parquet(f"{path}/centroids")
+                  .orderBy("cell").collect())
+    cents = [r["centroid"] for r in cents_rows]
+    nearest_expr = _nearest_centroid_expr(cents)
     q = queries.select(
         query_id_col, F.col(vec_col).alias("q_vec"),
         F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell"))
-    joined = c.join(F.broadcast(q), "cell")
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    lists = (spark.read.parquet(f"{path}/lists")
+             .filter(F.col("cell").isin(probed))
+             .select(id_col, F.col(vec_col).alias("c_vec"), "cell"))
+    joined = lists.join(F.broadcast(q), "cell")
     cos = (dot("q_vec", "c_vec")
            / (F.sqrt(dot("c_vec", "c_vec")) * F.sqrt(dot("q_vec", "q_vec")))).alias("cosine")
     scored = joined.select(query_id_col, id_col, cos)

@@ -361,3 +361,24 @@ def test_incremental_dedup_bucketed_corpus_no_corpus_shuffle(spark, tables):
         for k, v in saved.items():
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS corpus_sig_buckets")
+
+
+def test_ivf_index_build_query_matches_inline(spark, tables, tmp_path):
+    """Persisted IVF index (build once, query later) returns the same
+    neighbors as the inline ivf_topk with the same centroids, and the
+    lists scan is partition-pruned to the probed cells."""
+    from hive_parse_lineage_spark.operators.similarity import (
+        ivf_build, ivf_query, ivf_topk)
+    e = tables["embeddings"]
+    q = (e.filter("vec_id < 5")
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    ivf_build(e, path, n_centroids=8)
+    res = ivf_query(spark, path, q, k=3, n_probe=2)
+    got = [(r["query_id"], r["vec_id"], r["rank"]) for r in res.collect()]
+    inline = ivf_topk(e, q, k=3, n_centroids=8, n_probe=2)
+    want = [(r["query_id"], r["vec_id"], r["rank"]) for r in inline.collect()]
+    assert sorted(got) == sorted(want)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in part_filters, plan  # scan pruned to probed cells
