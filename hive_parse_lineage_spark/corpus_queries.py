@@ -424,6 +424,29 @@ def _x64_incremental_dedup(spark, tables):
             .select("doc_id").orderBy("doc_id"))
 
 
+def _x65_rolling_zscore(spark, tables):
+    """Windowed anomaly detection over the event stream: per-series
+    daily totals, 7-day trailing mean/stddev (excluding the current
+    day), |z| > 2 flags. One shuffle to the daily aggregate; the
+    window runs per series over ~days rows — scales with series count,
+    not event count. Population stddev (stddev_pop) is the
+    cross-engine-stable choice."""
+    e = tables["events"]
+    daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+             .agg(F.round(F.sum("value"), 2).alias("total")))
+    w = (Window.partitionBy("event_type").orderBy("d")
+         .rowsBetween(-7, -1))
+    mu = F.avg("total").over(w)
+    sd = F.stddev_pop("total").over(w)
+    z = (F.col("total") - mu) / sd
+    return (daily.select(
+                "event_type", "d", "total",
+                F.round(mu, 2).alias("mu7"),
+                F.when(sd > 0, F.abs(z) > 2).alias("anomaly"))
+            .filter(F.col("mu7").isNotNull())
+            .orderBy("event_type", "d"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -723,6 +746,24 @@ ORDER BY doc_id
 """
 
 
+_ORACLES["x65_rolling_zscore"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS total
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+win AS (
+  SELECT event_type, d, total,
+         AVG(total) OVER w AS mu,
+         STDDEV_POP(total) OVER w AS sd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, d, total, ROUND(mu, 2) AS mu7,
+       CASE WHEN sd > 0 THEN ABS((total - mu) / sd) > 2 END AS anomaly
+FROM win WHERE mu IS NOT NULL ORDER BY event_type, d
+"""
+
 _ORACLES["x63_lm_score"] = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
 g AS (SELECT doc_id, unnest({_shingle_list_sql(2)}) AS ngram FROM w),
@@ -859,6 +900,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x62_embedding_centroids": _q(_x62_embedding_centroids),
         "x63_lm_score": _q(_x63_lm_score),
         "x64_incremental_dedup": _q(_x64_incremental_dedup),
+        "x65_rolling_zscore": _q(_x65_rolling_zscore),
     }
 
 
