@@ -447,6 +447,42 @@ def _x65_rolling_zscore(spark, tables):
             .orderBy("event_type", "d"))
 
 
+def _x66_recursive_cte(spark, tables):
+    """WITH RECURSIVE (Spark 4 operator, UnionLoop execution): a
+    recursive date spine left-joined to daily event counts — the
+    iterate-until-done SQL surface the reference's Hive dialect never
+    had. Recursion depth is the spine length (30), independent of data
+    volume; the join is one shuffle on the date key."""
+    return spark.sql("""
+WITH RECURSIVE days(d) AS (
+  SELECT DATE'2024-01-01' AS d
+  UNION ALL
+  SELECT date_add(d, 1) FROM days WHERE d < DATE'2024-01-30'
+)
+SELECT d, COUNT(e.ts) AS n_events
+FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+GROUP BY d ORDER BY d
+""")
+
+
+_LATERAL_TOPN_SQL = """
+SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+ORDER BY c.c_custkey, price DESC, o.o_orderkey
+"""
+
+
+def _x67_lateral_topn(spark, tables):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    top-N-per-group spelling SQL users reach for first). Catalyst
+    decorrelates it into a window/join plan — same physical shape as
+    the explicit row_number() query (q40), no per-row re-execution."""
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -746,6 +782,19 @@ ORDER BY doc_id
 """
 
 
+_ORACLES["x67_lateral_topn"] = _LATERAL_TOPN_SQL
+
+_ORACLES["x66_recursive_cte"] = """
+WITH RECURSIVE days(d) AS (
+  SELECT DATE '2024-01-01' AS d
+  UNION ALL
+  SELECT d + 1 FROM days WHERE d < DATE '2024-01-30'
+)
+SELECT d, COUNT(e.ts) AS n_events
+FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+GROUP BY d ORDER BY d
+"""
+
 _ORACLES["x65_rolling_zscore"] = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS total
@@ -901,6 +950,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x63_lm_score": _q(_x63_lm_score),
         "x64_incremental_dedup": _q(_x64_incremental_dedup),
         "x65_rolling_zscore": _q(_x65_rolling_zscore),
+        "x66_recursive_cte": _q(_x66_recursive_cte),
+        "x67_lateral_topn": _q(_x67_lateral_topn),
     }
 
 

@@ -219,3 +219,14 @@ def test_lsh_bucket_cap_adds_no_exchange(spark, tables):
         assert n_exchanges(1000) == n_exchanges(None)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lateral_topn_decorrelates(spark, tables):
+    """The correlated LATERAL ORDER BY/LIMIT subquery (x67) must plan
+    as a decorrelated window/join, not a per-outer-row re-execution."""
+    from hive_parse_lineage_spark.corpus_queries import _LATERAL_TOPN_SQL
+    plan = spark.sql(_LATERAL_TOPN_SQL)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # row_number-style decorrelation
