@@ -36,7 +36,6 @@ sources (reference ``subQueryMap``, ``LineParser.java:369-383,534-549``).
 from __future__ import annotations
 
 import json
-import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -108,11 +107,65 @@ class ScriptLineage:
 # statement splitting (LineParser.java:85: split on unescaped ';')
 # ---------------------------------------------------------------------------
 
-_SPLIT_RE = re.compile(r"(?<!\\);")
-
-
 def split_statements(sql_text: str) -> list[str]:
-    return [s.strip() for s in _SPLIT_RE.split(sql_text) if s.strip()]
+    """Quote- and comment-aware statement split.
+
+    The reference splits on every unescaped ``;`` (LineParser.java:85),
+    which breaks statements containing ``';'`` string literals. This
+    walk honors single/double quotes (with backslash escapes and the
+    SQL ``''`` doubling), backticked identifiers, ``--`` line comments,
+    and ``/* */`` block comments, so only top-level semicolons split.
+    """
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(sql_text)
+    mode: str | None = None  # "'", '"', '`', '--', '/*'
+    while i < n:
+        ch = sql_text[i]
+        nxt = sql_text[i + 1] if i + 1 < n else ""
+        if mode is None:
+            if ch == ";":
+                out.append("".join(buf))
+                buf = []
+                i += 1
+                continue
+            if ch in ("'", '"', "`"):
+                mode = ch
+            elif ch == "-" and nxt == "-":
+                mode = "--"
+            elif ch == "/" and nxt == "*":
+                mode = "/*"
+        elif mode in ("'", '"'):
+            if ch == "\\":
+                buf.append(ch)
+                if i + 1 < n:
+                    buf.append(nxt)
+                    i += 2
+                    continue
+            elif ch == mode:
+                if nxt == mode:  # SQL '' / "" doubling stays inside
+                    buf.append(ch)
+                    buf.append(nxt)
+                    i += 2
+                    continue
+                mode = None
+        elif mode == "`":
+            if ch == "`":
+                mode = None
+        elif mode == "--":
+            if ch == "\n":
+                mode = None
+        elif mode == "/*":
+            if ch == "*" and nxt == "/":
+                buf.append(ch)
+                buf.append(nxt)
+                i += 2
+                mode = None
+                continue
+        buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return [s.strip() for s in out if s.strip()]
 
 
 # ---------------------------------------------------------------------------

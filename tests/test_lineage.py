@@ -552,3 +552,23 @@ def test_hive_relation_json_output_derivation(spark):
             "tableMeta": {"identifier": {"table": "ht2", "database": "db1"}}}
     with _pytest.raises(_JsonWalkError):
         w._walk_relation_json(bare)
+
+
+def test_split_statements_quote_and_comment_aware():
+    """Semicolons inside string literals, backticked identifiers, and
+    comments must not split (the reference's unescaped-; split does —
+    a deliberate behavior fix, like the union-overwrite bug)."""
+    from hive_parse_lineage_spark.plans.lineage import split_statements
+    assert split_statements("SELECT ';' AS s FROM t; SELECT 1") == \
+        ["SELECT ';' AS s FROM t", "SELECT 1"]
+    assert split_statements("SELECT 'it''s; fine' FROM t") == \
+        ["SELECT 'it''s; fine' FROM t"]
+    assert split_statements('SELECT ";" FROM `a;b`; SELECT 2') == \
+        ['SELECT ";" FROM `a;b`', "SELECT 2"]
+    assert split_statements(
+        "SELECT 1 -- trailing; comment\n; SELECT 2") == \
+        ["SELECT 1 -- trailing; comment", "SELECT 2"]
+    assert split_statements("SELECT /* a;b */ 1; SELECT 2") == \
+        ["SELECT /* a;b */ 1", "SELECT 2"]
+    assert split_statements("SELECT '\\'; x' FROM t") == \
+        ["SELECT '\\'; x' FROM t"]
