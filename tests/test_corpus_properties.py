@@ -46,3 +46,56 @@ def test_chunking_matches_python_slicing(spark, seed):
                                     chunk_tokens=chunk,
                                     stride=stride).collect()}
     assert got == expect
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_containment_matches_python_sets(spark, seed):
+    """ngram_containment_pairs (k=1, unblocked) == plain Python set
+    containment over random token docs, including the directional
+    asymmetry."""
+    from hive_parse_lineage_spark.operators.dedup import ngram_containment_pairs
+    rnd = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rnd.choices(vocab, k=rnd.randint(1, 15))))
+            for i in range(14)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["containment"]
+           for r in ngram_containment_pairs(df, shingle_k=1, threshold=0.6,
+                                            blocked=False).collect()}
+    toks = {i: set(t.split(" ")) for i, t in docs}
+    want = {}
+    for a in toks:
+        for b in toks:
+            if a == b:
+                continue
+            c = len(toks[a] & toks[b]) / len(toks[a])
+            if c >= 0.6:
+                want[(a, b)] = round(c, 4)
+    assert got == want
+
+
+def test_blocked_containment_loses_nothing(spark):
+    """The |sh(B)| >= t|sh(A)| block is lossless: blocked and unblocked
+    runs emit identical pairs."""
+    from hive_parse_lineage_spark.operators.dedup import ngram_containment_pairs
+    rnd = random.Random(5)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [(i, " ".join(rnd.choices(vocab, k=rnd.randint(1, 20))))
+            for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    run = lambda b: sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in ngram_containment_pairs(df, shingle_k=1, threshold=0.7,
+                                         blocked=b).collect())
+    assert run(True) == run(False)
+
+
+def test_stratified_sample_hash_is_reproducible(spark, tables):
+    """x61's salted-hash sampling is deterministic: two runs (fresh
+    plans) select the same rows — the property Bernoulli sampleBy
+    cannot give."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    fn = corpus_queries()["x61_stratified_sample"]
+    a = [r["doc_id"] for r in fn(spark, "/root/testdata/sf0.01").collect()]
+    b = [r["doc_id"] for r in fn(spark, "/root/testdata/sf0.01").collect()]
+    assert a == b and len(a) > 0
