@@ -74,6 +74,56 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str],
     df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key column over numeric ``cols``.
+
+    Each column is min/max-normalized to a ``bits``-bit integer (one
+    tiny agg computes the bounds), then the bit planes are interleaved
+    — a pure codegen expression. Sorting by this key clusters rows so
+    EVERY participating column's per-file min/max range shrinks by
+    roughly n_files^(1/k), which single-column sorting only gives the
+    leading column. Returns (key_column, bounds_row) so callers can
+    log the bounds used.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    bounds = df.agg(*aggs).first()
+    scaled = []
+    for c in cols:
+        lo = float(bounds[f"mn_{c}"])
+        hi = float(bounds[f"mx_{c}"])
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                    * F.lit(1 << bits)).cast("long"))
+        scaled.append(F.greatest(F.lit(0), q))
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * len(cols) + i).cast("long"))
+    return key, bounds
+
+
+def zorder_write(df: DataFrame, path: str, cols: list[str],
+                 n_files: int = 8, bits: int = 16) -> None:
+    """Write ``df`` Z-ordered on ``cols``: range-partition + sort by
+    the Morton key, drop it, write parquet. Files then carry tight
+    footer min/max stats on EVERY zorder column — multi-dimensional
+    data skipping from plain parquet, no table format."""
+    key, _ = zorder_key(df, cols, bits)
+    (df.withColumn("_zkey", key)
+       .repartitionByRange(n_files, "_zkey")
+       .sortWithinPartitions("_zkey")
+       .drop("_zkey")
+       .write.mode("overwrite").parquet(path))
+
+
 def parquet_file_stats(path: str, columns: list[str] | None = None) -> list[dict]:
     """Per-file row counts and per-column (min, max) from parquet
     footers — metadata only, no data pages read."""

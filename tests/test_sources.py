@@ -136,3 +136,31 @@ def test_write_jsonl_shards_roundtrip(spark, tmp_path):
     back = spark.read.schema("doc_id long, text string").json(out)
     assert back.count() == 1000
     assert back.filter("text = 't999'").count() == 1
+
+
+def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
+    """Z-order clusters BOTH columns: every file's min/max range on
+    each dimension is a fraction of the global range — single-column
+    sort only tightens the leading column."""
+    from hive_parse_lineage_spark.sources.maintenance import (
+        parquet_file_stats, write_sorted_parquet, zorder_write)
+    df = spark.sql("""
+        SELECT x, y FROM (SELECT explode(sequence(0, 127)) AS x)
+        LATERAL VIEW explode(sequence(0, 127)) t AS y""")
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(df, zpath, ["x", "y"], n_files=16, bits=7)
+
+    def avg_frac(path, col, full):
+        fr = [(s["columns"][col][1] - s["columns"][col][0]) / full
+              for s in parquet_file_stats(path, [col]) if s["rows"]]
+        return sum(fr) / len(fr)
+
+    # 16 files over a 128x128 grid: the curve's quadrant blocks keep the
+    # AVERAGE per-file range ~1/3 of global on BOTH dims (files that
+    # straddle a quadrant boundary legitimately span wider)
+    assert avg_frac(zpath, "x", 127) <= 0.45
+    assert avg_frac(zpath, "y", 127) <= 0.45
+    # contrast: x-sorted files leave y at the FULL range
+    write_sorted_parquet(df, spath, ["x"], n_files=16)
+    assert avg_frac(spath, "y", 127) > 0.9
+    assert spark.read.parquet(zpath).count() == 128 * 128
