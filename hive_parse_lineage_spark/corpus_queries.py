@@ -484,6 +484,34 @@ def _x67_lateral_topn(spark, tables):
     return spark.sql(_LATERAL_TOPN_SQL)
 
 
+def _x68_distribute_sort_by(spark, tables):
+    """Hive-dialect DISTRIBUTE BY / SORT BY (partition-then-local-sort,
+    the pre-window Hive idiom a reference user writes daily). Spark
+    executes both natively; the result SET is order-independent, so the
+    oracle is the plain projection — what the harness's row-sorted
+    hash checks is exactly the clauses' contract (same rows, engine-
+    chosen global order)."""
+    return spark.sql(
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "DISTRIBUTE BY lang SORT BY doc_id")
+
+
+def _x69_interval_range_frame(spark, tables):
+    """RANGE frame with a calendar INTERVAL bound: trailing-7-day
+    moving sum over per-day totals — value-based frames (gaps widen
+    the lookback correctly) vs q27's row-count frames. One shuffle to
+    the daily aggregate; the window orders within each series."""
+    return spark.sql("""
+SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS total,
+       ROUND(SUM(SUM(value)) OVER (PARTITION BY event_type
+             ORDER BY CAST(ts AS DATE)
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
+         AS total_7d
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, d
+""")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -785,6 +813,20 @@ ORDER BY doc_id
 
 _ORACLES["x67_lateral_topn"] = _LATERAL_TOPN_SQL
 
+_ORACLES["x68_distribute_sort_by"] = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+_ORACLES["x69_interval_range_frame"] = """
+SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS total,
+       ROUND(SUM(SUM(value)) OVER (PARTITION BY event_type
+             ORDER BY CAST(ts AS DATE)
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2)
+         AS total_7d
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, d
+"""
+
 _ORACLES["x66_recursive_cte"] = """
 WITH RECURSIVE days(d) AS (
   SELECT DATE '2024-01-01' AS d
@@ -953,6 +995,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x65_rolling_zscore": _q(_x65_rolling_zscore),
         "x66_recursive_cte": _q(_x66_recursive_cte),
         "x67_lateral_topn": _q(_x67_lateral_topn),
+        "x68_distribute_sort_by": _q(_x68_distribute_sort_by),
+        "x69_interval_range_frame": _q(_x69_interval_range_frame),
     }
 
 
