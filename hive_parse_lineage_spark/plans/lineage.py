@@ -325,6 +325,20 @@ class _Walker:
             self._walk_subquery_exprs(plan.condition())
             return mapping, conds
 
+        if cls == "LateralJoin":
+            # LATERAL derived table: only the left side is a child; the
+            # right is a LateralSubquery expression holding the
+            # (correlated) plan — walk it so lateral output columns
+            # trace to their base tables.
+            mapping, conds = self.walk(plan.children().apply(0))
+            try:
+                m2, c2 = self.walk(plan.right().plan())
+                mapping.update(m2)
+                conds = conds | c2
+            except Exception:
+                pass
+            return mapping, conds
+
         if cls == "Join":
             left, right = _seq(plan.children())
             lm, lc = self.walk(left)
@@ -650,6 +664,15 @@ class _Walker:
             if isinstance(cond, dict):
                 conds.add("WHERE:" + _jsql(cond))
                 self._walk_subquery_exprs_json(cond)
+            return mapping, conds
+
+        if cls == "LateralJoin":
+            mapping, conds = self.walk_json(ch[0])
+            sub = _decode_field(plan.get("right"))
+            if isinstance(sub, dict) and sub.get("plan"):
+                m2, c2 = self.walk_json(_decode_flat(sub["plan"]))
+                mapping.update(m2)
+                conds = conds | c2
             return mapping, conds
 
         if cls == "Join":
@@ -997,6 +1020,11 @@ def _json_output(plan: dict) -> list[dict]:
                else _json_output(ch[0]) + _json_output(ch[1]))
     elif cls in ("Union", "Intersect", "Except"):
         out = _json_output(ch[0])
+    elif cls == "LateralJoin":
+        out = list(_json_output(ch[0]))
+        sub = _decode_field(plan.get("right"))
+        if isinstance(sub, dict) and sub.get("plan"):
+            out = out + _json_output(_decode_flat(sub["plan"]))
     elif cls == "WithCTE":
         out = _json_output(ch[-1])
     elif ch:

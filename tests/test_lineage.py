@@ -572,3 +572,29 @@ def test_split_statements_quote_and_comment_aware():
         ["SELECT /* a;b */ 1", "SELECT 2"]
     assert split_statements("SELECT '\\'; x' FROM t") == \
         ["SELECT '\\'; x' FROM t"]
+
+
+def test_lateral_join_lineage(spark, tables, lineage_tables):
+    """LATERAL derived-table columns trace to their base tables (the
+    lateral plan hangs off the join's `right` expression, not a child);
+    both walk paths must agree."""
+    import os
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    sql = ("SELECT c.c_custkey, o.o_orderkey FROM customer c, LATERAL ("
+           "SELECT o_orderkey FROM orders WHERE o_custkey = c.c_custkey "
+           "LIMIT 2) o")
+    results = {}
+    saved = os.environ.get("HPL_JSON_WALK")
+    try:
+        for mode in ("strict", "0"):
+            os.environ["HPL_JSON_WALK"] = mode
+            lin = extract_lineage(spark, sql)
+            results[mode] = [(e["target_alias"], e["sources"])
+                             for e in lin.col_lines]
+            assert ("o_orderkey", ["default.orders.o_orderkey"]) \
+                in results[mode], results[mode]
+            assert lin.input_tables >= {"default.customer", "default.orders"}
+    finally:
+        if saved is not None:
+            os.environ["HPL_JSON_WALK"] = saved
+    assert results["strict"] == results["0"]
