@@ -228,10 +228,17 @@ def ivf_query(spark, path: str, queries: DataFrame, k: int = 10,
                   .orderBy("cell").collect())
     cents = [r["centroid"] for r in cents_rows]
     nearest_expr = _nearest_centroid_expr(cents)
-    q = queries.select(
+    # collect the exploded (query, probe-cell) rows ONCE — the query
+    # side is broadcast-sized by assumption, and this avoids evaluating
+    # the n_centroids-way distance expression a second time for the
+    # probed-cell set
+    q_rows = queries.select(
         query_id_col, F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell"))
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+        F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell")
+    ).collect()
+    probed = sorted({r["cell"] for r in q_rows})
+    q = spark.createDataFrame(
+        q_rows, f"{query_id_col} long, q_vec array<double>, cell int")
     lists = (spark.read.parquet(f"{path}/lists")
              .filter(F.col("cell").isin(probed))
              .select(id_col, F.col(vec_col).alias("c_vec"), "cell"))

@@ -104,7 +104,8 @@ class ScriptLineage:
 
 
 # ---------------------------------------------------------------------------
-# statement splitting (LineParser.java:85: split on unescaped ';')
+# statement splitting (superset of LineParser.java:85's unescaped-';'
+# split: \; still doesn't split, and neither do quoted/commented ';')
 # ---------------------------------------------------------------------------
 
 def split_statements(sql_text: str) -> list[str]:
@@ -124,6 +125,13 @@ def split_statements(sql_text: str) -> list[str]:
         ch = sql_text[i]
         nxt = sql_text[i + 1] if i + 1 < n else ""
         if mode is None:
+            if ch == "\\" and nxt == ";":
+                # reference behavior kept: a backslash-escaped top-level
+                # semicolon does not split (LineParser.java:85)
+                buf.append(ch)
+                buf.append(nxt)
+                i += 2
+                continue
             if ch == ";":
                 out.append("".join(buf))
                 buf = []
@@ -136,13 +144,12 @@ def split_statements(sql_text: str) -> list[str]:
             elif ch == "/" and nxt == "*":
                 mode = "/*"
         elif mode in ("'", '"'):
-            if ch == "\\":
+            if ch == "\\" and i + 1 < n:
                 buf.append(ch)
-                if i + 1 < n:
-                    buf.append(nxt)
-                    i += 2
-                    continue
-            elif ch == mode:
+                buf.append(nxt)
+                i += 2
+                continue
+            if ch == mode:
                 if nxt == mode:  # SQL '' / "" doubling stays inside
                     buf.append(ch)
                     buf.append(nxt)
@@ -329,12 +336,21 @@ class _Walker:
             # LATERAL derived table: only the left side is a child; the
             # right is a LateralSubquery expression holding the
             # (correlated) plan — walk it so lateral output columns
-            # trace to their base tables.
+            # trace to their base tables. Best-effort here (this is
+            # already the fallback walk); the JSON path raises instead.
             mapping, conds = self.walk(plan.children().apply(0))
             try:
                 m2, c2 = self.walk(plan.right().plan())
                 mapping.update(m2)
                 conds = conds | c2
+            except Exception:
+                pass
+            try:
+                cond = _opt(plan.condition())
+                if cond is not None:
+                    label = _JOIN_LABEL.get(plan.joinType().toString(), "JOIN")
+                    conds = set(conds)
+                    conds.add(f"{label}:{self._expr_sql(cond)}")
             except Exception:
                 pass
             return mapping, conds
@@ -669,10 +685,18 @@ class _Walker:
         if cls == "LateralJoin":
             mapping, conds = self.walk_json(ch[0])
             sub = _decode_field(plan.get("right"))
-            if isinstance(sub, dict) and sub.get("plan"):
-                m2, c2 = self.walk_json(_decode_flat(sub["plan"]))
-                mapping.update(m2)
-                conds = conds | c2
+            if not (isinstance(sub, dict) and sub.get("plan")):
+                # strict contract: degrade loudly to the JVM walk, not
+                # silently to lateral columns with no sources
+                raise _JsonWalkError("LateralJoin without subquery plan")
+            m2, c2 = self.walk_json(_decode_flat(sub["plan"]))
+            mapping.update(m2)
+            conds = conds | c2
+            cond = _decode_field(plan.get("condition"))
+            if isinstance(cond, dict):
+                label = _JOIN_LABEL.get(_json_join_type(plan), "JOIN")
+                conds = set(conds)
+                conds.add(f"{label}:{_jsql(cond)}")
             return mapping, conds
 
         if cls == "Join":

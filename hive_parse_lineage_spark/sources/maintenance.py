@@ -48,6 +48,11 @@ def compact_parquet_dir(spark: SparkSession, path: str, out_path: str,
     OPTIMIZE job uses so readers never see a half-written table.
     """
     sizes = dir_file_sizes(path)
+    if not sizes:
+        raise ValueError(
+            f"no top-level parquet files under {path!r} — partitioned "
+            "(partitionBy) layouts must be compacted per partition "
+            "directory, not flattened through a whole-table rewrite")
     total = sum(sizes)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
@@ -79,7 +84,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
 
     Each column is min/max-normalized to a ``bits``-bit integer (one
     tiny agg computes the bounds), then the bit planes are interleaved
-    — a pure codegen expression. Sorting by this key clusters rows so
+    — a pure codegen expression. ``bits`` is capped at
+    ``62 // len(cols)`` so the key fits a signed long (16-bit planes
+    for 2-3 columns, 15-bit for 4, and so on). Sorting by this key clusters rows so
     EVERY participating column's per-file min/max range shrinks by
     roughly n_files^(1/k), which single-column sorting only gives the
     leading column. Returns (key_column, bounds_row) so callers can
@@ -87,12 +94,18 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     """
     from pyspark.sql import functions as F
 
+    # the interleaved key must fit a signed long: bits * n_cols <= 62
+    bits = min(bits, 62 // max(1, len(cols)))
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     bounds = df.agg(*aggs).first()
     scaled = []
     for c in cols:
+        if bounds[f"mn_{c}"] is None or bounds[f"mx_{c}"] is None:
+            raise ValueError(
+                f"zorder column {c!r} has no non-NULL values "
+                "(empty input?) — nothing to cluster")
         lo = float(bounds[f"mn_{c}"])
         hi = float(bounds[f"mx_{c}"])
         span = (hi - lo) or 1.0

@@ -90,12 +90,12 @@ def test_blocked_containment_loses_nothing(spark):
     assert run(True) == run(False)
 
 
-def test_stratified_sample_hash_is_reproducible(spark, tables):
+def test_stratified_sample_hash_is_reproducible(spark, tables, sf_dir):
     """x61's salted-hash sampling is deterministic: two runs (fresh
     plans) select the same rows — the property Bernoulli sampleBy
     cannot give."""
     from hive_parse_lineage_spark.corpus_queries import corpus_queries
     fn = corpus_queries()["x61_stratified_sample"]
-    a = [r["doc_id"] for r in fn(spark, "/root/testdata/sf0.01").collect()]
-    b = [r["doc_id"] for r in fn(spark, "/root/testdata/sf0.01").collect()]
+    a = [r["doc_id"] for r in fn(spark, sf_dir).collect()]
+    b = [r["doc_id"] for r in fn(spark, sf_dir).collect()]
     assert a == b and len(a) > 0

@@ -598,3 +598,13 @@ def test_lateral_join_lineage(spark, tables, lineage_tables):
         if saved is not None:
             os.environ["HPL_JSON_WALK"] = saved
     assert results["strict"] == results["0"]
+
+
+def test_split_statements_backslash_escape_parity():
+    """Reference parity kept: a backslash-escaped TOP-LEVEL semicolon
+    does not split (LineParser.java:85); a trailing in-quote backslash
+    passes through unduplicated."""
+    from hive_parse_lineage_spark.plans.lineage import split_statements
+    assert split_statements(r"SELECT a \; b; SELECT 2") == \
+        [r"SELECT a \; b", "SELECT 2"]
+    assert split_statements("SELECT 'x\\") == ["SELECT 'x\\"]
