@@ -1095,7 +1095,10 @@ def _jsql(e: dict, defs: dict | None = None) -> str:
     if cls == "AttributeReference":
         return e.get("name", "?")
     if cls == "OuterReference":
-        return _jsql(ch[0], defs) if ch else "outer()"
+        if ch:
+            return _jsql(ch[0], defs)
+        inner = _decode_field(e.get("e"))  # leaf node: attr lives in field 'e'
+        return _jsql(inner, defs) if isinstance(inner, dict) else "outer()"
     if cls == "Between":
         # Between wraps a With whose child is the expanded >= AND <=
         return _jsql(ch[0], defs) if ch else "between()"
