@@ -413,10 +413,13 @@ def _x64_incremental_dedup(spark, tables):
     exact_hashes = corpus.select(F.md5("text").alias("h")).distinct()
     no_exact = (new.withColumn("h", F.md5("text"))
                 .join(F.broadcast(exact_hashes), "h", "left_anti"))
-    sig_new = minhash_signature_agg(new, n_hashes=64, shingle_k=2,
-                                    hasher=portable_hash64)
-    sig_corpus = minhash_signature_agg(corpus, n_hashes=64, shingle_k=2,
-                                       hasher=portable_hash64)
+    # signatures are per-doc: one pass over ALL docs, split afterwards
+    # (two separate minhash_signature_agg calls would scan and explode
+    # the corpus twice for identical values)
+    sig = minhash_signature_agg(docs, n_hashes=64, shingle_k=2,
+                                hasher=portable_hash64)
+    sig_new = sig.filter(F.col("doc_id") >= cutoff)
+    sig_corpus = sig.filter(F.col("doc_id") < cutoff)
     near = (lsh_cross_pairs(sig_new, sig_corpus, n_hashes=64, bands=16,
                             max_bucket_size=None)
             .filter(F.col("est_jaccard") >= 0.5)
