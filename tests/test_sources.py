@@ -164,3 +164,40 @@ def test_zorder_write_tightens_both_dimensions(spark, tmp_path):
     write_sorted_parquet(df, spath, ["x"], n_files=16)
     assert avg_frac(spath, "y", 127) > 0.9
     assert spark.read.parquet(zpath).count() == 128 * 128
+
+
+def test_corpusgen_datasource_deterministic_and_parallel(spark):
+    """The Python Data Source generates identical rows regardless of
+    partition count (content is a pure function of seed+doc_id), scans
+    with the requested parallelism, and injects duplicates at the
+    declared rate for dedup testing."""
+    from hive_parse_lineage_spark.sources.corpusgen import register
+    register(spark)
+
+    def load(parts):
+        return (spark.read.format("corpusgen")
+                .option("rows", 300).option("partitions", parts).load())
+
+    a = sorted(tuple(r) for r in load(8).collect())
+    b = sorted(tuple(r) for r in load(3).collect())
+    assert a == b and len(a) == 300
+    assert load(8).rdd.getNumPartitions() == 8
+    # every 10th doc repeats its predecessor's text
+    texts = {r["doc_id"]: r["text"] for r in load(8).collect()}
+    assert texts[10] == texts[9] and texts[20] == texts[19]
+    assert texts[11] != texts[10]
+
+
+def test_corpusgen_feeds_dedup_operators(spark):
+    """Generated corpus flows through the engine's operators like any
+    table: exact dedup finds exactly the injected duplicate pairs."""
+    from hive_parse_lineage_spark.operators.dedup import exact_dedup
+    from hive_parse_lineage_spark.sources.corpusgen import register
+    register(spark)
+    docs = (spark.read.format("corpusgen")
+            .option("rows", 200).option("dup_every", 10).load())
+    groups = exact_dedup(docs)
+    dups = groups.filter("n_copies > 1")
+    # docs 10,20,...,190 duplicate their predecessors -> 19 groups of 2
+    assert dups.count() == 19
+    assert groups.count() == 200 - 19
