@@ -183,3 +183,40 @@ def run_stream_over_batch(spark, batch_df: DataFrame, transform,
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def running_stats_tws(events: DataFrame, key: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API: per-key running SUM/COUNT held in ValueState across
+    micro-batches. Successor to applyInPandasWithState (above): typed
+    state handles, timers, and TTL come from the handle instead of one
+    opaque state tuple — state is per-key and bounded, so executors
+    hold O(keys), never O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "total double, n bigint")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            total, n = self._agg.get() if self._agg.exists() else (0.0, 0)
+            for pdf in rows:
+                total += float(pdf[value_col].sum())
+                n += len(pdf)
+            self._agg.update((total, n))
+            yield pd.DataFrame({key: [key_tuple[0]],
+                                "total": [round(total, 2)], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(F.col(key))
+            .transformWithStateInPandas(
+                statefulProcessor=RunningStats(),
+                outputStructType=f"{key} string, total double, n bigint",
+                outputMode="Update",
+                timeMode="None"))

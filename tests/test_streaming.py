@@ -258,3 +258,31 @@ def test_streaming_incremental_near_dup_flags(spark, events):
     stream_flags = {(r["doc_id"], r["corpus_id"]) for r in streamed.collect()}
     assert stream_flags == batch_flags
     assert batch_flags  # the fixture must actually produce candidates
+
+
+def test_transform_with_state_running_stats(spark, events):
+    """transformWithState (Spark 4 stateful API): the final per-key
+    running SUM/COUNT after all micro-batches equals the batch
+    aggregate. The API's state protocol needs google.protobuf, which
+    this container lacks — skip there (applyInPandasWithState above
+    covers the stateful contract either way)."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="transformWithState needs protobuf")
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, running_stats_tws)
+    small = events.limit(500)
+    streamed = run_stream_over_batch(
+        spark, small, lambda s: running_stats_tws(s),
+        query_name="t_tws", output_mode="update")
+    # update mode emits one row per key per micro-batch: keep the last
+    last = {}
+    for r in streamed.collect():
+        last[r["event_type"]] = (r["total"], r["n"])
+    batch = {r["event_type"]: (r["total"], r["n"])
+             for r in small.groupBy("event_type")
+             .agg(F.round(F.sum("value"), 2).alias("total"),
+                  F.count("*").alias("n")).collect()}
+    # rounding happens per micro-batch in the stream; compare at 1dp
+    assert set(last) == set(batch)
+    for k in batch:
+        assert abs(last[k][0] - batch[k][0]) < 0.1 and last[k][1] == batch[k][1]
