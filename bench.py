@@ -9,6 +9,7 @@ Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
        BENCH_PASSES        timed passes (default 2)
        BENCH_SWEEP_10X=1   add a synthesized 10x-documents sweep point
+       BENCH_SWEEP_GEN=N   add an N-doc corpusgen sweep point (no source data)
 
 Methodology: one untimed warm-up pass (JIT + codegen compilation of all
 43 unique plans dominates a cold first pass), then BENCH_PASSES timed
@@ -174,6 +175,11 @@ def scale_sweep() -> None:
     if os.environ.get("BENCH_SWEEP_10X") == "1":
         synth_dir = _synth_10x(spark, sf_dirs[-1])
         sf_dirs.append(synth_dir)
+    gen_rows = int(os.environ.get("BENCH_SWEEP_GEN", "0"))
+    gen_dir = None
+    if gen_rows > 0:
+        gen_dir = _synth_generated(spark, sf_dirs[0], gen_rows)
+        sf_dirs.append(gen_dir)
 
     # global warm phase: two untimed runs at the smallest SF so JIT /
     # codegen compilation doesn't masquerade as per-SF cost (the first
@@ -199,9 +205,10 @@ def scale_sweep() -> None:
                                           "rows_per_sec": round(rows / wall, 1)}
             out["sweep"].append(entry)
     finally:
-        if synth_dir is not None:
-            import shutil
-            shutil.rmtree(synth_dir, ignore_errors=True)
+        import shutil
+        for d in (synth_dir, gen_dir):
+            if d is not None:
+                shutil.rmtree(d, ignore_errors=True)
     # growth check: wall must not grow faster than rows between SFs
     for name in sorted(qs):
         ratios = []
@@ -212,6 +219,28 @@ def scale_sweep() -> None:
             ratios.append(round(wall_g / row_g, 3))
         out.setdefault("wall_growth_over_row_growth", {})[name] = ratios
     print(json.dumps(out))
+
+
+def _synth_generated(spark, base_dir: str, rows: int) -> str:
+    """Materialize a corpusgen documents table of ``rows`` docs (other
+    tables symlinked from ``base_dir``) — an arbitrary-size sweep point
+    with zero source data (BENCH_SWEEP_GEN=<rows>)."""
+    import tempfile
+
+    from hive_parse_lineage_spark.sources.corpusgen import register
+    from hive_parse_lineage_spark.sources.loader import TABLES
+
+    out_dir = tempfile.mkdtemp(prefix="sweepgen_")
+    register(spark)
+    parts = max(8, rows // 25_000)
+    (spark.read.format("corpusgen").option("rows", rows)
+     .option("partitions", parts).load()
+     .write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet")))
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(os.path.join(base_dir, f"{t}.parquet"),
+                       os.path.join(out_dir, f"{t}.parquet"))
+    return out_dir
 
 
 def _synth_10x(spark, base_dir: str) -> str:
