@@ -42,21 +42,45 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows_without_the_corrupt_column, quarantine_rows).
 
-    Spark refuses queries whose referenced columns are ONLY the corrupt
-    record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — the usual
-    workaround is ``.cache()``, a non-starter at scale). The quarantine
-    projection therefore coalesces the corrupt column with a real
-    column's cast: the pruner sees two referenced columns, the plan
-    stays lazy, and the value is always the raw line (the corrupt
-    column is non-null on every quarantined row).
+    Two parser quirks shape the quarantine projection:
+
+    - Spark refuses queries whose referenced columns are ONLY the
+      corrupt record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN; the
+      usual workaround is ``.cache()``, a non-starter at scale).
+    - The CSV parser decides corruptness per REFERENCED column set: if
+      pruning drops the malformed field, the row silently counts as
+      clean in that projection.
+
+    Coalescing the corrupt column with a concat of EVERY data column
+    solves both: all columns are referenced (no pruning, consistent
+    corrupt detection), the plan stays lazy, and the value is always
+    the raw line (the corrupt column is non-null on every quarantined
+    row).
     """
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     others = [c for c in df.columns if c != CORRUPT_COL]
-    raw = (F.coalesce(F.col(CORRUPT_COL), F.col(others[0]).cast("string"))
+    raw = (F.coalesce(F.col(CORRUPT_COL),
+                      F.concat_ws(",", *[F.col(c).cast("string")
+                                         for c in others]))
            if others else F.col(CORRUPT_COL))
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()) \
             .select(raw.alias("raw_line"))
     return clean, bad
+
+
+def read_csv_clean(spark: SparkSession, path: str, schema: str,
+                   header: bool = True, **options) -> DataFrame:
+    """Schema-first CSV read with the same corrupt-line capture as
+    :func:`read_jsonl` (vendor CSVs carry the same malformed tail).
+    Extra reader options (sep, quote, multiLine, ...) pass through."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    reader = (spark.read.schema(full)
+              .option("header", str(header).lower())
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", CORRUPT_COL))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
 
 
 def write_jsonl_shards(df: DataFrame, path: str,

@@ -91,7 +91,8 @@ def richer_query(draw):
     t1 = draw(tables_st)
     t2 = draw(tables_st.filter(lambda t: t != t1))
     c1, c2 = SCHEMAS[t1][0], SCHEMAS[t2][0]
-    shape = draw(st.sampled_from(["join", "agg", "subquery", "union"]))
+    shape = draw(st.sampled_from(["join", "agg", "subquery", "union",
+                                  "window", "rollup", "derived"]))
     if shape == "join":
         return (f"SELECT a.{c1} AS u, b.{c2} AS v FROM {t1} a "
                 f"JOIN {t2} b ON a.{c1} = b.{c2} WHERE a.{c1} > 0")
@@ -102,6 +103,17 @@ def richer_query(draw):
     if shape == "subquery":
         return (f"SELECT {c1}, (SELECT max({c2}) FROM {t2}) AS m "
                 f"FROM {t1} WHERE {c1} IN (SELECT {c2} FROM {t2})")
+    if shape == "window":
+        g = SCHEMAS[t1][-1]
+        return (f"SELECT {c1}, ROW_NUMBER() OVER (PARTITION BY {g} "
+                f"ORDER BY {c1}) AS rn FROM {t1}")
+    if shape == "rollup":
+        g = SCHEMAS[t1][-1]
+        return (f"SELECT {g}, count(*) AS n FROM {t1} "
+                f"GROUP BY ROLLUP({g})")
+    if shape == "derived":
+        return (f"SELECT k + 1 AS k1 FROM "
+                f"(SELECT {c1} AS k FROM {t1} WHERE {c1} > 0) d")
     return (f"SELECT {c1} AS k FROM {t1} UNION ALL "
             f"SELECT {c2} AS k FROM {t2}")
 

@@ -201,3 +201,17 @@ def test_corpusgen_feeds_dedup_operators(spark):
     # docs 10,20,...,190 duplicate their predecessors -> 19 groups of 2
     assert dups.count() == 19
     assert groups.count() == 200 - 19
+
+
+def test_read_csv_clean_quarantines_bad_rows(spark, tmp_path):
+    """CSV rows that fail the declared schema land in quarantine; the
+    clean side parses typed."""
+    from hive_parse_lineage_spark.sources.textio import (
+        read_csv_clean, split_corrupt)
+    p = tmp_path / "docs.csv"
+    p.write_text("doc_id,score\n1,0.5\n2,not_a_number\n3,0.9\n")
+    df = read_csv_clean(spark, str(p), "doc_id long, score double")
+    clean, bad = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+    raws = [r["raw_line"] for r in bad.collect()]
+    assert raws == ["2,not_a_number"]
