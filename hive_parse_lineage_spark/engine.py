@@ -32,6 +32,24 @@ class Engine:
         """Execute one SQL statement (Spark SQL; Catalyst plans/optimizes)."""
         return self.spark.sql(sql)
 
+    def run_script(self, sql_text: str) -> DataFrame | None:
+        """Execute a multi-statement script in order (quote/comment-aware
+        split — the same splitter lineage uses) and return the LAST
+        statement's DataFrame (None for an empty script). DDL/DML
+        statements execute eagerly; a trailing SELECT stays lazy."""
+        from hive_parse_lineage_spark.plans.lineage import split_statements
+        df = None
+        stmts = split_statements(sql_text)
+        for i, stmt in enumerate(stmts):
+            df = self.spark.sql(stmt)
+            if i < len(stmts) - 1:
+                # non-final statements run for their effects; Spark SQL
+                # DDL/DML execute eagerly on .sql(), SELECTs are no-ops
+                # unless collected — leave intermediate SELECT results
+                # unmaterialized on purpose
+                continue
+        return df
+
     # -- lineage (the reference's core capability) -----------------------
     def lineage(self, sql_text: str, traverse_views: bool = False) -> list[dict]:
         """Column-level lineage edges for a SQL script (may be

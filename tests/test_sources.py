@@ -215,3 +215,17 @@ def test_read_csv_clean_quarantines_bad_rows(spark, tmp_path):
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
     raws = [r["raw_line"] for r in bad.collect()]
     assert raws == ["2,not_a_number"]
+
+
+def test_engine_run_script_executes_in_order(spark, tmp_path, tables):
+    """run_script executes statements sequentially (quote-aware split)
+    and returns the final statement's DataFrame."""
+    from hive_parse_lineage_spark.engine import Engine
+    eng = Engine(spark, register_tables=False)
+    out = eng.run_script(
+        "CREATE OR REPLACE TEMPORARY VIEW rs_v AS "
+        "SELECT 1 AS a, ';' AS semi; "
+        "SELECT a, semi FROM rs_v")
+    rows = out.collect()
+    assert rows == [(1, ";")] or [tuple(r) for r in rows] == [(1, ";")]
+    spark.sql("DROP VIEW IF EXISTS rs_v")
