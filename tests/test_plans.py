@@ -230,3 +230,23 @@ def test_lateral_topn_decorrelates(spark, tables):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan  # row_number-style decorrelation
+
+
+def test_recursive_cte_plans_union_loop(spark, tables, sf_dir):
+    """x66's WITH RECURSIVE executes as Spark 4's UnionLoop operator —
+    iteration is native, not a driver-side loop."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    df = corpus_queries()["x66_recursive_cte"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnionLoop" in plan or "CTERelation" in plan, plan
+
+
+def test_rolling_zscore_single_window_shuffle(spark, tables, sf_dir):
+    """x65 shuffles once to the daily aggregate; the mean and stddev
+    windows share one Window operator (same partition/order spec)."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    df = corpus_queries()["x65_rolling_zscore"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2  # one Window op (+AQE reprint slack)
+    assert "CartesianProduct" not in plan
