@@ -515,6 +515,22 @@ ORDER BY event_type, d
 """)
 
 
+def _x70_hot_key_split_join(spark, tables):
+    """Skew-mitigation two-path join under the correctness gate: keys
+    above the hot threshold broadcast-join, the tail shuffle-joins,
+    union. The oracle is the PLAIN join — the split is a physical
+    strategy, invisible in the result, and the hash check proves it
+    (any row lost or duplicated at the hot/tail boundary fails)."""
+    from hive_parse_lineage_spark.operators.skew import hot_key_split_join
+    e = tables["events"]
+    dim = (e.groupBy("event_type")
+           .agg(F.round(F.avg("value"), 2).alias("avg_v")))
+    joined = hot_key_split_join(e.select("event_id", "event_type"), dim,
+                                "event_type", hot_threshold=3000)
+    return joined.select("event_id", "event_type", "avg_v") \
+                 .orderBy("event_id")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -816,6 +832,16 @@ ORDER BY doc_id
 
 _ORACLES["x67_lateral_topn"] = _LATERAL_TOPN_SQL
 
+_ORACLES["x70_hot_key_split_join"] = """
+WITH dim AS (
+  SELECT event_type, ROUND(AVG(value), 2) AS avg_v
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, d.avg_v
+FROM events e JOIN dim d USING (event_type)
+ORDER BY e.event_id
+"""
+
 _ORACLES["x68_distribute_sort_by"] = """
 SELECT doc_id, lang, n_chars FROM documents
 """
@@ -1000,6 +1026,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x67_lateral_topn": _q(_x67_lateral_topn),
         "x68_distribute_sort_by": _q(_x68_distribute_sort_by),
         "x69_interval_range_frame": _q(_x69_interval_range_frame),
+        "x70_hot_key_split_join": _q(_x70_hot_key_split_join),
     }
 
 
