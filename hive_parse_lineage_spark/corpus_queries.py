@@ -430,8 +430,11 @@ def _x64_incremental_dedup(spark, tables):
 
 def _x65_rolling_zscore(spark, tables):
     """Windowed anomaly detection over the event stream: per-series
-    daily totals, 7-day trailing mean/stddev (excluding the current
-    day), |z| > 2 flags. One shuffle to the daily aggregate; the
+    daily totals, trailing mean/stddev over the 7 most recent OBSERVED
+    days (a ROWS frame excluding the current day — with gaps in the
+    series the lookback spans more than 7 calendar days; x69 is the
+    calendar-correct RANGE INTERVAL spelling), |z| > 2 flags. One
+    shuffle to the daily aggregate; the
     window runs per series over ~days rows — scales with series count,
     not event count. Population stddev (stddev_pop) is the
     cross-engine-stable choice."""

@@ -129,7 +129,8 @@ def minhash_signature_agg(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = 64, bands: int = 16,
-                        max_bucket_size: int | None = 1000) -> DataFrame:
+                        max_bucket_size: int | None = 1000,
+                        cap_observation=None) -> DataFrame:
     """Candidate near-dup pairs from banding: explode signatures into
     (band_idx, band_hash) buckets, self-join within buckets.
 
@@ -142,10 +143,16 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
     whose EVERY band is oversized are exact/boilerplate duplicates by
     construction — ``exact_dedup`` and the common-shingle pass (x41)
     are the right tools there, not pairwise LSH. ``None`` disables the
-    guard. Output: distinct (id_a < id_b) pairs with the estimated
-    Jaccard (fraction of agreeing minhash components).
+    guard. The cap is a deliberate recall trade — pass a
+    ``pyspark.sql.Observation`` as ``cap_observation`` to surface how
+    much was dropped: after the first action on the result,
+    ``obs.get`` carries ``capped_bucket_rows`` (bucket entries removed)
+    and ``total_bucket_rows``, at zero extra passes (metrics piggyback
+    on the scan). Output: distinct (id_a < id_b) pairs with the
+    estimated Jaccard (fraction of agreeing minhash components).
     """
-    buckets = _band_buckets(sig_df, id_col, n_hashes, bands, max_bucket_size)
+    buckets = _band_buckets(sig_df, id_col, n_hashes, bands, max_bucket_size,
+                            cap_observation)
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (left.join(right,
@@ -162,7 +169,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
 
 
 def _band_buckets(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int,
-                  max_bucket_size: int | None) -> DataFrame:
+                  max_bucket_size: int | None,
+                  cap_observation=None) -> DataFrame:
     """Explode (id, minhash) into (id, minhash, band, band_hash) rows,
     optionally dropping oversized buckets (see lsh_candidate_pairs)."""
     r = n_hashes // bands
@@ -180,8 +188,15 @@ def _band_buckets(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int,
         from pyspark.sql import Window
         n_in_bucket = F.count(F.lit(1)).over(
             Window.partitionBy("band", "band_hash"))
-        buckets = (buckets.withColumn("_bn", n_in_bucket)
-                   .filter(F.col("_bn") <= max_bucket_size).drop("_bn"))
+        buckets = buckets.withColumn("_bn", n_in_bucket)
+        if cap_observation is not None:
+            buckets = buckets.observe(
+                cap_observation,
+                F.sum((F.col("_bn") > max_bucket_size).cast("long"))
+                 .alias("capped_bucket_rows"),
+                F.count(F.lit(1)).alias("total_bucket_rows"))
+        buckets = (buckets.filter(F.col("_bn") <= max_bucket_size)
+                   .drop("_bn"))
     return buckets
 
 
@@ -195,7 +210,8 @@ def _est_jaccard(n_hashes: int) -> Column:
 def lsh_cross_pairs(sig_new: DataFrame, sig_corpus: DataFrame,
                     id_col: str = "doc_id", n_hashes: int = 64,
                     bands: int = 16,
-                    max_bucket_size: int | None = 1000) -> DataFrame:
+                    max_bucket_size: int | None = 1000,
+                    cap_observation=None) -> DataFrame:
     """Near-dup pairs BETWEEN two signature sets — the incremental-
     ingestion shape: a new batch is checked against the standing corpus
     without ever joining the corpus to itself.
@@ -211,7 +227,7 @@ def lsh_cross_pairs(sig_new: DataFrame, sig_corpus: DataFrame,
     """
     nb = _band_buckets(sig_new, id_col, n_hashes, bands, None).alias("l")
     cb = _band_buckets(sig_corpus, id_col, n_hashes, bands,
-                       max_bucket_size).alias("r")
+                       max_bucket_size, cap_observation).alias("r")
     pairs = (nb.join(cb, (F.col("l.band") == F.col("r.band"))
                      & (F.col("l.band_hash") == F.col("r.band_hash")))
              .select(F.col(f"l.{id_col}").alias("new_id"),
@@ -228,12 +244,15 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       n_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 3, seed: int = 42,
                       hasher=None,
-                      max_bucket_size: int | None = 1000) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup detection."""
+                      max_bucket_size: int | None = 1000,
+                      cap_observation=None) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection (``cap_observation``:
+    see :func:`lsh_candidate_pairs`)."""
     sig = minhash_signature_agg(df, text_col, id_col, n_hashes,
                                 shingle_k, seed, hasher)
     cand = lsh_candidate_pairs(sig, id_col, n_hashes, bands,
-                               max_bucket_size=max_bucket_size)
+                               max_bucket_size=max_bucket_size,
+                               cap_observation=cap_observation)
     return cand.filter(F.col("est_jaccard") >= threshold)
 
 

@@ -366,6 +366,10 @@ def decode_audio(df: DataFrame, content_col: str = "content",
                     t_new = np.arange(m) * (rate / target_sample_rate)
                     res = np.stack([np.interp(t_new, np.arange(n), arr[:, c])
                                     for c in range(nch)], axis=1)
+                    if np.issubdtype(dt, np.integer):
+                        # round-to-nearest: plain astype truncates toward
+                        # zero, biasing integer PCM by up to 1 LSB
+                        res = np.rint(res)
                     pcm = res.astype(dt).tobytes()
                     rate, n = target_sample_rate, m
                 rows.append((item_id, rate, nch, n, pcm))

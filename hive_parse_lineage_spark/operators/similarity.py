@@ -237,8 +237,11 @@ def ivf_query(spark, path: str, queries: DataFrame, k: int = 10,
         F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell")
     ).collect()
     probed = sorted({r["cell"] for r in q_rows})
+    # derive the id type from the caller's schema so string/int query
+    # ids work identically to the inline ivf_topk path
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     q = spark.createDataFrame(
-        q_rows, f"{query_id_col} long, q_vec array<double>, cell int")
+        q_rows, f"{query_id_col} {qid_type}, q_vec array<double>, cell int")
     lists = (spark.read.parquet(f"{path}/lists")
              .filter(F.col("cell").isin(probed))
              .select(id_col, F.col(vec_col).alias("c_vec"), "cell"))

@@ -301,6 +301,35 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     assert exact_dedup(docs).count() == 3
 
 
+def test_lsh_cap_observation_reports_dropped_rows(spark):
+    """The bucket cap trades recall for boundedness; that loss must be
+    observable (ADVICE r4). Passing an Observation surfaces the count
+    of capped bucket entries with zero extra passes."""
+    from pyspark.sql import Observation
+
+    from hive_parse_lineage_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signature_agg)
+    rows = [(i, "the same boilerplate header repeated everywhere forever")
+            for i in range(200)]
+    rows += [(900, "a genuinely unique document about spark shuffles")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signature_agg(docs, n_hashes=16, shingle_k=2)
+    obs = Observation("lsh_cap")
+    lsh_candidate_pairs(sig, n_hashes=16, bands=4, max_bucket_size=100,
+                        cap_observation=obs).collect()
+    m = obs.get
+    # 200 clones x 4 bands = 800 oversized bucket entries dropped
+    assert m["capped_bucket_rows"] == 800
+    assert m["total_bucket_rows"] == 201 * 4
+    # no observation requested -> same pairs, no error
+    no_obs = Observation("lsh_nocap")
+    uncapped = lsh_candidate_pairs(sig, n_hashes=16, bands=4,
+                                   max_bucket_size=10_000,
+                                   cap_observation=no_obs)
+    uncapped.collect()
+    assert no_obs.get["capped_bucket_rows"] == 0
+
+
 def test_lsh_cross_pairs_matches_full_lsh_cross_subset(spark, tables):
     """lsh_cross_pairs(new, corpus) must find exactly the cross pairs
     the full self-join LSH finds — while never generating
@@ -382,3 +411,20 @@ def test_ivf_index_build_query_matches_inline(spark, tables, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     part_filters = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "cell" in part_filters, plan  # scan pruned to probed cells
+
+
+def test_ivf_query_accepts_string_query_ids(spark, tables, tmp_path):
+    """ivf_query must take the same id types as ivf_topk — the schema
+    is derived from the query DataFrame, not hardcoded long (ADVICE
+    r4)."""
+    from hive_parse_lineage_spark.operators.similarity import (
+        ivf_build, ivf_query)
+    e = tables["embeddings"]
+    q = (e.filter("vec_id < 3")
+         .select(F.concat(F.lit("q-"), F.col("vec_id").cast("string"))
+                 .alias("query_id"), "embedding"))
+    path = str(tmp_path / "ivf_str")
+    ivf_build(e, path, n_centroids=8)
+    rows = ivf_query(spark, path, q, k=2, n_probe=2).collect()
+    assert {r["query_id"] for r in rows} == {"q-0", "q-1", "q-2"}
+    assert all(r["rank"] in (1, 2) for r in rows)
