@@ -8,6 +8,14 @@ Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS    (default all cores)
        BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
        BENCH_PASSES        timed passes (default 2)
+       BENCH_STOCK=0       skip the same-run stock-Spark comparator
+                           (default on: a fresh cold-JVM subprocess runs
+                           the declared queries untuned, so tuned/stock/
+                           DuckDB walls all come from one run)
+       BENCH_CORPUS=0      skip the corpus surface
+       BENCH_DETAIL_PATH   per-query detail file (default
+                           BENCH_DETAIL_r{N}.json; the stdout line stays
+                           a compact summary the driver can capture)
        BENCH_SWEEP_10X=1   add a synthesized 10x-documents sweep point
        BENCH_SWEEP_GEN=N   add an N-doc corpusgen sweep point (no source data)
 
@@ -305,6 +313,63 @@ def lineage_bench() -> None:
     }))
 
 
+def _bench_corpus(spark, sf_dir: str):
+    """LLM-corpus surface (x01-x70): Spark wall per query, one warm +
+    one timed pass each."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    ctimes: dict[str, float] = {}
+    for name, fn in sorted(corpus_queries().items()):
+        fn(spark, sf_dir).collect()                          # warm-up
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        ctimes[name] = round(time.perf_counter() - t0, 4)
+    return ctimes
+
+
+def _bench_corpus_duckdb(sf_dir: str):
+    """DuckDB twin walls for the corpus surface, same run. Caveat
+    carried in the numbers themselves: the DuckDB twins replay md5-fold
+    hash signatures / recursive CTEs in SQL (correctness oracles, not
+    hand-tuned baselines), so per-query ratios cut both ways — e.g. the
+    connected-components oracle is a recursive CTE that scales worse
+    than label propagation."""
+    import duckdb
+
+    from hive_parse_lineage_spark.corpus_queries import corpus_oracle_sql
+    from hive_parse_lineage_spark.sources.loader import TABLES
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    dtimes: dict[str, float] = {}
+    for name, sql in sorted(corpus_oracle_sql().items()):
+        con.execute(sql).fetchdf()                           # warm-up
+        t0 = time.perf_counter()
+        con.execute(sql).fetchdf()
+        dtimes[name] = round(time.perf_counter() - t0, 4)
+    return dtimes
+
+
+def _detail_path() -> str:
+    """BENCH_DETAIL_r{N}.json next to bench.py, N = 1 + the highest
+    committed BENCH_r{N}.json (the driver names its artifact per round;
+    the detail file for the round in progress pairs with it).
+    BENCH_DETAIL_PATH overrides."""
+    override = os.environ.get("BENCH_DETAIL_PATH")
+    if override:
+        return override
+    import glob
+    import re
+    here = os.path.dirname(os.path.abspath(__file__))
+    ns = []
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f))
+        if m:
+            ns.append(int(m.group(1)))
+    n = (max(ns) + 1) if ns else 0
+    return os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from hive_parse_lineage_spark.queries import DECLARED_QUERIES
@@ -321,6 +386,7 @@ def main() -> None:
     n_passes = int(os.environ.get("BENCH_PASSES", "2"))
     queries = dict(DECLARED_QUERIES)
     out: dict = {"unit": "sec", "sf": infer_sf(sf_dir), "passes": n_passes}
+    detail: dict = {}
 
     if engine == "duckdb":
         times, pass_totals = bench_duckdb(sf_dir, queries, n_passes)
@@ -329,7 +395,34 @@ def main() -> None:
         # same-runtime-class comparator for the engine's tuned numbers
         times, pass_totals = bench_spark(sf_dir, queries, n_passes, tuned=False)
     else:
+        from pyspark.sql import SparkSession
+
         times, pass_totals = bench_spark(sf_dir, queries, n_passes)
+        if os.environ.get("BENCH_CORPUS", "1") != "0":
+            ctimes = _bench_corpus(SparkSession.builder.getOrCreate(), sf_dir)
+            out["corpus_total_wall"] = round(sum(ctimes.values()), 4)
+            detail["corpus_queries"] = ctimes
+        if os.environ.get("BENCH_STOCK", "1") != "0":
+            # stock-Spark comparator from the SAME run: the host drifts
+            # between rounds (r4's apparent regression was pure drift),
+            # so tuned-vs-stock is only meaningful when both walls come
+            # from one moment on one host. A subprocess gives stock the
+            # same cold-JVM start the tuned pass had — reusing this
+            # process's JVM would hand stock a warm codegen cache and
+            # bias the comparison.
+            import subprocess
+            env = {**os.environ, "BENCH_ENGINE": "stock",
+                   "SPARK_GRAFT_SF_DIR": sf_dir,
+                   "BENCH_PASSES": str(n_passes)}
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True)
+            try:
+                stock = json.loads(proc.stdout.strip().splitlines()[-1])
+                out["stock_total_wall"] = stock["value"]
+                detail["stock_queries"] = stock["queries"]
+            except (ValueError, IndexError, KeyError) as ex:
+                out["stock_error"] = f"{type(ex).__name__}: {ex}"
         # publish the cross-engine ratio from the same run: DuckDB is a
         # different runtime class (embedded C++, no per-query scheduling
         # floor), so the honest report is both walls plus the ratio.
@@ -339,50 +432,19 @@ def main() -> None:
         out["spark_total_wall"] = round(sum(times.values()), 4)
         if duck_total > 0:
             out["ratio"] = round(sum(times.values()) / duck_total, 2)
-
-    if engine == "spark" and os.environ.get("BENCH_CORPUS", "1") != "0":
-        # LLM-corpus surface (x41-x58): Spark wall AND the DuckDB twin
-        # wall from the same run, per query, one warm + one timed pass
-        # each. Caveat carried in the numbers themselves: the DuckDB
-        # twins replay md5-fold hash signatures / recursive CTEs in SQL
-        # (correctness oracles, not hand-tuned baselines), so per-query
-        # ratios cut both ways — e.g. the connected-components oracle is
-        # a recursive CTE that scales worse than label propagation.
-        from pyspark.sql import SparkSession
-
-        from hive_parse_lineage_spark.corpus_queries import (
-            corpus_oracle_sql, corpus_queries)
-        spark = SparkSession.builder.getOrCreate()
-        ctimes: dict[str, float] = {}
-        for name, fn in sorted(corpus_queries().items()):
-            fn(spark, sf_dir).collect()                      # warm-up
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            ctimes[name] = round(time.perf_counter() - t0, 4)
-        out["corpus_total_wall"] = round(sum(ctimes.values()), 4)
-        out["corpus_queries"] = ctimes
-
-        import duckdb
-
-        from hive_parse_lineage_spark.sources.loader import TABLES
-        con = duckdb.connect()
-        for t in TABLES:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                        f"read_parquet('{sf_dir}/{t}.parquet')")
-        dtimes: dict[str, float] = {}
-        for name, sql in sorted(corpus_oracle_sql().items()):
-            con.execute(sql).fetchdf()                       # warm-up
-            t0 = time.perf_counter()
-            con.execute(sql).fetchdf()
-            dtimes[name] = round(time.perf_counter() - t0, 4)
-        out["corpus_duckdb_wall"] = round(sum(dtimes.values()), 4)
-        out["corpus_duckdb_queries"] = dtimes
-        out["corpus_ratios"] = {
-            n: round(ctimes[n] / dtimes[n], 2) if dtimes[n] > 0 else None
-            for n in ctimes}
-        if out["corpus_duckdb_wall"] > 0:
-            out["corpus_ratio"] = round(
-                out["corpus_total_wall"] / out["corpus_duckdb_wall"], 2)
+        detail["duckdb_queries"] = duck_times
+        if "corpus_queries" in detail and os.environ.get(
+                "BENCH_CORPUS", "1") != "0":
+            dtimes = _bench_corpus_duckdb(sf_dir)
+            out["corpus_duckdb_wall"] = round(sum(dtimes.values()), 4)
+            detail["corpus_duckdb_queries"] = dtimes
+            ctimes = detail["corpus_queries"]
+            detail["corpus_ratios"] = {
+                n: round(ctimes[n] / dtimes[n], 2) if dtimes[n] > 0 else None
+                for n in ctimes}
+            if out["corpus_duckdb_wall"] > 0:
+                out["corpus_ratio"] = round(
+                    out["corpus_total_wall"] / out["corpus_duckdb_wall"], 2)
 
     total = round(sum(times.values()), 4)
     out.update({
@@ -391,6 +453,15 @@ def main() -> None:
         "queries": times,
         "pass_totals": pass_totals,
     })
+    if detail:
+        # per-query corpus/stock/duckdb maps (~200 keys) would push the
+        # stdout line past the driver's capture (r4's record came back
+        # parsed:null); the one printed line stays a compact summary
+        # and the full breakdown goes to a committed detail file.
+        path = _detail_path()
+        with open(path, "w") as fh:
+            json.dump({**out, **detail}, fh, indent=1, sort_keys=True)
+        out["detail_file"] = os.path.basename(path)
     print(json.dumps(out))
 
 
