@@ -534,6 +534,47 @@ def _x70_hot_key_split_join(spark, tables):
                  .orderBy("event_id")
 
 
+def _x71_bucket_sample(spark, tables):
+    """Deterministic ``TABLESAMPLE (BUCKET 1 OUT OF 10 ON o_orderkey)``:
+    the reference's only worked end-to-end example is a TABLESAMPLE scan
+    (LineParser.java:794-805). Spark's native TABLESAMPLE is a
+    seeded-random Bernoulli sample (not replayable cross-engine), so the
+    engine's bucket_sample keys the bucket on the portable hash — the
+    same sampled set on every engine and re-run, and the predicate is a
+    plain codegen filter that composes with pushdown/pruning."""
+    from hive_parse_lineage_spark.operators.sampling import bucket_sample
+    return (bucket_sample(tables["orders"], "o_orderkey",
+                          bucket=1, out_of=10)
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("price"))
+            .orderBy("o_orderkey"))
+
+
+_X72_BOILER = "terms of service apply to every page of this corpus"
+
+
+def _x72_capped_lsh(spark, tables):
+    """MinHash-LSH with the hot-bucket cap ACTIVE, under the hash gate:
+    20 synthesized boilerplate clones (identical text, built by both
+    engines in-query, so the fixture is SF-independent) flood every
+    band bucket past max_bucket_size=10 and are dropped BEFORE the
+    self-join — the DuckDB oracle replays the cap rule itself (window
+    count per bucket, drop oversized), so any row the cap wrongly
+    keeps or drops at the boundary fails the value hash. x07 stays the
+    uncapped twin; this is the production posture's gate."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"].select("doc_id", "text")
+    clones = (spark.range(1, 21)
+              .select((F.lit(9_000_000) + F.col("id")).alias("doc_id"),
+                      F.lit(_X72_BOILER).alias("text")))
+    return (minhash_near_dups(docs.unionByName(clones), threshold=0.3,
+                              n_hashes=16, bands=4, shingle_k=2,
+                              hasher=portable_hash64,
+                              max_bucket_size=10)
+            .orderBy("id_a", "id_b"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1030,7 +1071,29 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x68_distribute_sort_by": _q(_x68_distribute_sort_by),
         "x69_interval_range_frame": _q(_x69_interval_range_frame),
         "x70_hot_key_split_join": _q(_x70_hot_key_split_join),
+        "x71_bucket_sample": _q(_x71_bucket_sample),
+        "x72_capped_lsh": _q(_x72_capped_lsh),
     }
+
+
+def _bucket_sample_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+FROM orders WHERE {h} % 10 = 0
+ORDER BY o_orderkey
+"""
+
+
+def _capped_lsh_oracle_sql() -> str:
+    from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
+    src = ("(SELECT doc_id, text FROM documents UNION ALL "
+           f"SELECT 9000000 + r.range AS doc_id, '{_X72_BOILER}' AS text "
+           "FROM range(1, 21) r) src")
+    return _minhash_oracle_sql(n_hashes=16, bands=4, shingle_k=2,
+                               threshold=0.3, source=src,
+                               max_bucket_size=10)
 
 
 def corpus_oracle_sql() -> dict[str, str]:
@@ -1039,4 +1102,6 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x57_source_cap"] = _source_cap_oracle_sql()
     out["x61_stratified_sample"] = _stratified_sample_oracle_sql()
     out["x64_incremental_dedup"] = _incremental_dedup_oracle_sql()
+    out["x71_bucket_sample"] = _bucket_sample_oracle_sql()
+    out["x72_capped_lsh"] = _capped_lsh_oracle_sql()
     return out

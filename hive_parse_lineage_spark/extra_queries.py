@@ -769,10 +769,16 @@ FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
 
 def _minhash_oracle_sql(n_hashes: int = 64, bands: int = 16,
                         shingle_k: int = 2, threshold: float = 0.3,
-                        seed: int = 42) -> str:
+                        seed: int = 42, source: str = "documents",
+                        max_bucket_size: int | None = None) -> str:
     """DuckDB replay of the x07 MinHash-LSH pipeline: same portable
     shingle hash, same fixed (a, b) permutation constants, same banding
-    — so pairs AND est_jaccard values match the Spark run exactly."""
+    — so pairs AND est_jaccard values match the Spark run exactly.
+
+    ``source`` is the (doc_id, text) relation; ``max_bucket_size``
+    replays the hot-bucket cap rule itself (drop every entry of a
+    band bucket whose size exceeds the cap BEFORE the self-join) —
+    the x72 hash gate on the production cap path."""
     from hive_parse_lineage_spark.operators.dedup import _P, _perm_params
     k, n = shingle_k, n_hashes
     rows = n_hashes // bands
@@ -781,9 +787,18 @@ def _minhash_oracle_sql(n_hashes: int = 64, bands: int = 16,
         f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {_P}))"
         for a, b in _perm_params(n_hashes, seed))
     est = f"ROUND(len(list_filter(range(1, {n + 1}), i -> sa[i] = sb[i])) / {n}, 4)"
+    bucket_rel = "bk"
+    cap_cte = ""
+    if max_bucket_size is not None:
+        bucket_rel = "bkc"
+        cap_cte = f""", bkc AS (
+  SELECT doc_id, sig, band, bv FROM (
+    SELECT bk.*, COUNT(*) OVER (PARTITION BY band, bv) AS bn FROM bk
+  ) WHERE bn <= {max_bucket_size}
+)"""
     return f"""
 WITH toks AS (
-  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM {source}
 ), sh AS (
   SELECT doc_id,
          CASE WHEN len(t) >= {k}
@@ -799,9 +814,10 @@ WITH toks AS (
   SELECT doc_id, sig, r.range AS band,
          list_slice(sig, r.range*{rows} + 1, r.range*{rows} + {rows}) AS bv
   FROM sigs, range({bands}) r
-), pairs AS (
+){cap_cte}, pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-  FROM bk a JOIN bk b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+  FROM {bucket_rel} a JOIN {bucket_rel} b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, {est} AS est_jaccard
 FROM pairs WHERE {est} >= {threshold}

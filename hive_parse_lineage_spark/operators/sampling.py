@@ -95,6 +95,24 @@ def pack_sequences(df: DataFrame, token_col: str, id_col: str = "doc_id",
                             F.floor(F.col("start_offset") / budget)))
 
 
+def bucket_sample(df: DataFrame, key_col: str, bucket: int = 1,
+                  out_of: int = 10, salt: str = "") -> DataFrame:
+    """``TABLESAMPLE (BUCKET x OUT OF y ON key)`` semantics as a
+    deterministic filter: keep rows whose hash bucket is ``bucket - 1``
+    of ``out_of`` (Hive's 1-based bucket numbering).
+
+    The reference's only worked end-to-end example is a TABLESAMPLE
+    scan (LineParser.java:794-805). Spark's native ``TABLESAMPLE
+    (BUCKET x OUT OF y)`` is a seeded-random Bernoulli sample — not
+    reproducible across engines or re-runs — so the engine keys the
+    bucket on the portable hash instead: the sampled set is a pure
+    function of the key (re-runs, backfills and SQL oracles all agree),
+    and the predicate is a plain codegen filter, so it composes with
+    pushdown and partition pruning like any other WHERE clause.
+    """
+    return df.filter(split_bucket(key_col, salt, out_of) == bucket - 1)
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict, seed: int = 42) -> DataFrame:
     """Per-stratum Bernoulli sample (`sampleBy`): keeps roughly

@@ -330,6 +330,30 @@ def test_lsh_cap_observation_reports_dropped_rows(spark):
     assert no_obs.get["capped_bucket_rows"] == 0
 
 
+def test_x72_bucket_cap_actually_drops_clone_pairs(spark, tables):
+    """x72's hash gate only means something if the cap FIRES: the 20
+    synthesized clones must produce zero pairs under the cap while the
+    uncapped twin finds all 190 of them."""
+    from hive_parse_lineage_spark.corpus_queries import (
+        _X72_BOILER, _x72_capped_lsh)
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+
+    capped = _x72_capped_lsh(spark, tables).collect()
+    assert all(r["id_a"] < 9_000_000 and r["id_b"] < 9_000_000
+               for r in capped)
+    docs = tables["documents"].select("doc_id", "text")
+    clones = (spark.range(1, 21)
+              .select((F.lit(9_000_000) + F.col("id")).alias("doc_id"),
+                      F.lit(_X72_BOILER).alias("text")))
+    uncapped = minhash_near_dups(docs.unionByName(clones), threshold=0.3,
+                                 n_hashes=16, bands=4, shingle_k=2,
+                                 hasher=portable_hash64,
+                                 max_bucket_size=None)
+    clone_pairs = uncapped.filter("id_a >= 9000000").count()
+    assert clone_pairs == 190  # 20 choose 2
+
+
 def test_lsh_cross_pairs_matches_full_lsh_cross_subset(spark, tables):
     """lsh_cross_pairs(new, corpus) must find exactly the cross pairs
     the full self-join LSH finds — while never generating

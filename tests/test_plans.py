@@ -241,6 +241,22 @@ def test_recursive_cte_plans_union_loop(spark, tables, sf_dir):
     assert "UnionLoop" in plan or "CTERelation" in plan, plan
 
 
+def test_distribute_sort_by_partitions_then_local_sorts(spark, tables, sf_dir):
+    """x68's actual contract (the oracle only checks the row set): a
+    single hash Exchange on lang, then a WITHIN-partition sort on
+    doc_id — Sort(global=false), never a global Exchange+Sort. This is
+    the Hive idiom's whole point: no rangepartitioning pass."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    df = corpus_queries()["x68_distribute_sort_by"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(lang" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # Sort's second toString arg is the global flag: local sort only
+    assert "], false, 0" in plan, plan
+    assert "], true, 0" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
 def test_rolling_zscore_single_window_shuffle(spark, tables, sf_dir):
     """x65 shuffles once to the daily aggregate; the mean and stddev
     windows share one Window operator (same partition/order spec)."""
