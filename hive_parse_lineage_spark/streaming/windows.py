@@ -193,7 +193,22 @@ def running_stats_tws(events: DataFrame, key: str = "event_type",
     state handles, timers, and TTL come from the handle instead of one
     opaque state tuple — state is per-key and bounded, so executors
     hold O(keys), never O(events).
+
+    Requires ``protobuf`` (the API's Python<->JVM state protocol is
+    protobuf-encoded; see README "Optional dependencies"). Detected
+    here so callers get an actionable error at the operator boundary
+    instead of a mid-stream worker crash.
     """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "running_stats_tws needs the 'protobuf' package "
+            "(pip install protobuf): Spark's transformWithState "
+            "Python API encodes its state protocol with it. "
+            "applyInPandasWithState (running_stats, above) provides "
+            "the same running aggregate without the dependency."
+        ) from exc
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)

@@ -217,6 +217,62 @@ def test_read_csv_clean_quarantines_bad_rows(spark, tmp_path):
     assert raws == ["2,not_a_number"]
 
 
+_LOAD_DATA_SCRIPT = r"""
+import os, sys, tempfile
+sys.path.insert(0, "/root/repo")
+wd = tempfile.mkdtemp(prefix="hiveload_")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]").appName("load-data-e2e")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.warehouse.dir", os.path.join(wd, "wh"))
+         .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+                 "jdbc:derby:;databaseName=" + wd + "/metastore;create=true")
+         .enableHiveSupport().getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from hive_parse_lineage_spark.engine import Engine
+eng = Engine(spark, register_tables=False)
+spark.sql("CREATE TABLE load_tgt (id INT, name STRING) STORED AS TEXTFILE")
+src = os.path.join(wd, "data.txt")
+with open(src, "w") as f:
+    f.write("1\x01alpha\n2\x01beta\n")
+sql = "LOAD DATA LOCAL INPATH '%s' INTO TABLE load_tgt" % src
+rep = eng.tables_report(sql)          # lineage BEFORE execution
+eng.run_script(sql)                   # execute through the engine
+rows = sorted((r["id"], r["name"])
+              for r in spark.sql("SELECT * FROM load_tgt").collect())
+# OVERWRITE variant replaces, not appends
+with open(src, "w") as f:
+    f.write("7\x01gamma\n")
+eng.run_script("LOAD DATA LOCAL INPATH '%s' OVERWRITE INTO TABLE load_tgt"
+               % src)
+rows2 = sorted((r["id"], r["name"])
+               for r in spark.sql("SELECT * FROM load_tgt").collect())
+print("MARK", rows == [(1, "alpha"), (2, "beta")],
+      rows2 == [(7, "gamma")],
+      rep["operations"] == ["LOAD"],
+      rep["output_tables"] == ["default.load_tgt"])
+"""
+
+
+def test_load_data_inpath_executes_and_lineage_records_target(tmp_path):
+    """LOAD DATA INPATH end-to-end (ref LineParser.java:316-318, #10):
+    the engine executes it against a Hive-format table (append and
+    OVERWRITE), and lineage classifies the statement LOAD with the
+    target as an output table. Runs in a subprocess because
+    catalogImplementation=hive is a static conf the shared test
+    session can't adopt."""
+    import subprocess
+    import sys
+    script = tmp_path / "load_data_e2e.py"
+    script.write_text(_LOAD_DATA_SCRIPT)
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        cwd=str(tmp_path), timeout=300)
+    marks = [l for l in proc.stdout.splitlines() if l.startswith("MARK")]
+    assert marks and marks[-1] == "MARK True True True True", (
+        proc.stdout[-2000:], proc.stderr[-2000:])
+
+
 def test_engine_run_script_executes_in_order(spark, tmp_path, tables):
     """run_script executes statements sequentially (quote-aware split)
     and returns the final statement's DataFrame."""
