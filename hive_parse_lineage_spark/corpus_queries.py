@@ -575,6 +575,33 @@ def _x72_capped_lsh(spark, tables):
             .orderBy("id_a", "id_b"))
 
 
+_X74_WEIGHTS = {"src0": 2.5, "src1": 0.3, "src2": 2.0, "src3": 0.0}
+
+
+def _x73_dup_span_fraction(spark, tables):
+    """Substring-level duplication accounting (Lee et al.-style span
+    dedup signal): per document, the count and integer permille of
+    token positions covered by a 10-gram occurring in >= 2 documents.
+    Doc-level dedup (x07/x11) misses partially-copied documents; this
+    is the span-level metric that catches them. All-integer output,
+    replayed exactly by the DuckDB oracle."""
+    from hive_parse_lineage_spark.operators.corpus import duplicate_span_stats
+    return (duplicate_span_stats(tables["documents"], n=10, min_docs=2)
+            .orderBy("doc_id"))
+
+
+def _x74_weighted_sample(spark, tables):
+    """Deterministic epoch-weighted training mix: src0 upsampled 2.5x
+    (2 full epochs + a hash-chosen half), src2 2x, src1 kept at 30%,
+    src3 dropped, everything else 1x. The copy index is 1-based so
+    downstream packing treats copies as distinct docs. Pure function
+    of doc_id — the oracle replays the exact mix."""
+    from hive_parse_lineage_spark.operators.sampling import weighted_mix
+    return (weighted_mix(tables["documents"].select("doc_id", "source"),
+                         _X74_WEIGHTS, salt="mix")
+            .orderBy("doc_id", "copy"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1073,6 +1100,8 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x70_hot_key_split_join": _q(_x70_hot_key_split_join),
         "x71_bucket_sample": _q(_x71_bucket_sample),
         "x72_capped_lsh": _q(_x72_capped_lsh),
+        "x73_dup_span_fraction": _q(_x73_dup_span_fraction),
+        "x74_weighted_sample": _q(_x74_weighted_sample),
     }
 
 
@@ -1096,6 +1125,54 @@ def _capped_lsh_oracle_sql() -> str:
                                max_bucket_size=10)
 
 
+_DUP_SPAN_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+s AS (SELECT doc_id, len(w) AS n_tokens,
+        CASE WHEN len(w) >= 10 THEN list_transform(range(1, len(w) - 8),
+               i -> {'pos': i - 1,
+                     'shingle': array_to_string(list_slice(w, i, i + 9), ' ')})
+             ELSE [{'pos': 0, 'shingle': text}] END AS occs
+      FROM w),
+occ AS (SELECT doc_id, n_tokens, unnest(occs, recursive := true) FROM s),
+dup AS (SELECT shingle FROM occ GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (SELECT o.doc_id,
+               unnest(range(o.pos, CASE WHEN o.n_tokens >= 10
+                                        THEN o.pos + 10
+                                        ELSE o.n_tokens END)) AS tokpos
+        FROM occ o JOIN dup d USING (shingle)),
+agg AS (SELECT doc_id, COUNT(DISTINCT tokpos) AS dup_tokens
+        FROM cov GROUP BY doc_id)
+SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       (COALESCE(a.dup_tokens, 0) * 1000)
+           // len(string_split(d.text, ' ')) AS dup_permille
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _weighted_sample_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("'mix' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(f"WHEN '{s}' THEN {w}"
+                     for s, w in _X74_WEIGHTS.items())
+    return f"""
+WITH wt AS (SELECT doc_id, source,
+                   CASE source {cases} ELSE 1.0 END AS w
+            FROM documents),
+nc AS (SELECT doc_id, source,
+              CAST(FLOOR(w) AS INT)
+              + CASE WHEN ({h}) % 1000
+                          < CAST(ROUND((w - FLOOR(w)) * 1000) AS INT)
+                     THEN 1 ELSE 0 END AS n_copies
+       FROM wt)
+SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
+FROM nc WHERE n_copies >= 1
+ORDER BY doc_id, copy
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1104,4 +1181,6 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x64_incremental_dedup"] = _incremental_dedup_oracle_sql()
     out["x71_bucket_sample"] = _bucket_sample_oracle_sql()
     out["x72_capped_lsh"] = _capped_lsh_oracle_sql()
+    out["x73_dup_span_fraction"] = _DUP_SPAN_ORACLE
+    out["x74_weighted_sample"] = _weighted_sample_oracle_sql()
     return out

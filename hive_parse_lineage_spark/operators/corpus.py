@@ -158,3 +158,57 @@ def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFra
     grams = F.explode(word_shingles(text_col, n)).alias("ngram")
     return (spread_for_compute(docs)
             .select(grams).groupBy("ngram").agg(F.count("*").alias("n")))
+
+
+def duplicate_span_stats(docs: DataFrame, n: int = 10, min_docs: int = 2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Substring-level duplication accounting (the signal behind
+    span-level dedup in Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): for each document, how many of its token
+    positions are covered by an n-gram that also occurs in >= min_docs
+    documents, plus the integer-permille fraction.
+
+    Doc-level dedup (x07/x11) misses partially-copied documents; this
+    measures exactly the copied *spans*. Plan shape:
+
+    1. positional shingles: ``posexplode(word_shingles(n))`` — pure
+       codegen, |tokens| rows;
+    2. the duplicated-shingle set: one shuffle on the shingle (the
+       COUNT(DISTINCT doc) is an expand+2-level agg, map-side partials
+       apply);
+    3. occurrences semi-join the dup set on the shingle (second
+       shuffle; the dup set is usually small but unbounded, so this is
+       a shuffle join, not a broadcast — AQE converts it when it fits);
+    4. covered positions: explode the n-long span of each duplicated
+       occurrence, COUNT(DISTINCT pos) per doc (bounded by n x
+       occurrences — linear, never quadratic).
+
+    Docs shorter than n tokens collapse to one whole-doc shingle whose
+    span is the whole doc (mirrors :func:`word_shingles`). Integer
+    permille (``*1000 div n_tokens``) keeps the output float-free for
+    cross-engine replay.
+    """
+    from hive_parse_lineage_spark.functions.text import token_count
+
+    occ = (spread_for_compute(docs)
+           .select(F.col(id_col), token_count(text_col).alias("n_tokens"),
+                   F.posexplode(word_shingles(text_col, n))
+                    .alias("pos", "shingle")))
+    dup = (occ.groupBy("shingle")
+           .agg(F.countDistinct(id_col).alias("nd"))
+           .filter(F.col("nd") >= min_docs)
+           .select("shingle"))
+    span_end = (F.when(F.col("n_tokens") >= n, F.col("pos") + n - 1)
+                .otherwise(F.col("n_tokens") - 1))
+    covered = (occ.join(dup, "shingle")
+               .select(id_col, F.explode(
+                   F.sequence(F.col("pos"), span_end)).alias("tokpos"))
+               .groupBy(id_col)
+               .agg(F.countDistinct("tokpos").alias("dup_tokens")))
+    return (docs.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+            .join(covered, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+                    F.expr("(coalesce(dup_tokens, 0) * 1000) div n_tokens")
+                     .alias("dup_permille")))

@@ -119,3 +119,41 @@ def stratified_sample(df: DataFrame, strata_col: str,
     ``fractions[stratum]`` of each stratum's rows. Engine-specific
     randomness — verified statistically in tests, not oracle-hashed."""
     return df.sampleBy(strata_col, fractions, seed)
+
+
+def weighted_mix(df: DataFrame, weights: dict[str, float],
+                 source_col: str = "source", id_col: str = "doc_id",
+                 salt: str = "mix", default_weight: float = 1.0,
+                 copy_col: str = "copy") -> DataFrame:
+    """Deterministic epoch-weighted source mixing — the standard
+    training-mix upsampler (weight 2.5 on a source means every doc
+    appears twice and a hash-chosen half appear a third time; weight
+    0.3 keeps a hash-chosen 30%).
+
+    ``n_copies = floor(w) + (1 if hash(salt||id) mod 1000 <
+    round(frac*1000) else 0)`` — a pure function of the row id, so
+    re-runs, backfills and SQL oracles produce the identical mix (no
+    engine RNG). Emits one row per copy with a 1-based ``copy`` index
+    (downstream shuffling/packing can treat copies as distinct docs).
+
+    Plan: codegen CASE for the weight, one hash, ``explode(sequence)``
+    — no shuffle, no Python; output size is exactly
+    ``sum(w_source x rows_source)``. Zero-copy rows are dropped before
+    the explode, so a heavily down-weighted source costs only its scan.
+    """
+    w_expr = None
+    for name, w in weights.items():
+        case = F.when(F.col(source_col) == name, F.lit(float(w)))
+        w_expr = case if w_expr is None else w_expr.when(
+            F.col(source_col) == name, F.lit(float(w)))
+    w_expr = (F.lit(float(default_weight)) if w_expr is None
+              else w_expr.otherwise(F.lit(float(default_weight))))
+    whole = F.floor(w_expr).cast("int")
+    frac_millis = F.round((w_expr - F.floor(w_expr)) * 1000).cast("int")
+    bump = (split_bucket(id_col, salt, 1000) < frac_millis).cast("int")
+    n_copies = (whole + bump).alias("n_copies")
+    return (df.withColumn("n_copies", n_copies)
+            .filter(F.col("n_copies") >= 1)
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+            .drop("n_copies"))

@@ -185,3 +185,50 @@ def test_salted_agg_matches_plain_agg(spark):
            for r in salted_agg(df, ["k"], sums=["v"]).collect()}
     assert got["hot"][0] == 500 and abs(got["hot"][1] - sum(range(500))) < 1e-6
     assert got["cold"] == (1, 1.0)
+
+
+def test_duplicate_span_stats_crafted_overlap(spark):
+    from hive_parse_lineage_spark.operators.corpus import duplicate_span_stats
+    # docs 1 and 2 share an exact 10-token prefix; doc 3 is disjoint;
+    # docs 4 and 5 are identical 3-token shorties (whole-doc shingle).
+    shared = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=shared + " tail1 tail2"),
+        Row(doc_id=2, text=shared + " other3 other4 other5"),
+        Row(doc_id=3, text=" ".join(f"u{i}" for i in range(12))),
+        Row(doc_id=4, text="tiny dup doc"),
+        Row(doc_id=5, text="tiny dup doc"),
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in duplicate_span_stats(docs, n=10, min_docs=2).collect()}
+    # exactly the 10 shared prefix positions are covered in docs 1/2
+    assert out[1]["dup_tokens"] == 10 and out[2]["dup_tokens"] == 10
+    assert out[1]["dup_permille"] == 10 * 1000 // 12
+    assert out[3]["dup_tokens"] == 0 and out[3]["dup_permille"] == 0
+    # whole-doc shingle of a short doc spans the whole doc
+    assert out[4]["dup_tokens"] == 3 and out[4]["dup_permille"] == 1000
+    assert out[5]["dup_tokens"] == 3
+
+
+def test_weighted_mix_epochs_and_fraction(spark):
+    from hive_parse_lineage_spark.operators.sampling import weighted_mix
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 4}") for i in range(400)])
+    weights = {"s0": 2.0, "s1": 0.5, "s2": 0.0}  # s3 defaults to 1.0
+    out = weighted_mix(df, weights, salt="t").groupBy("source").count()
+    counts = {r["source"]: r["count"] for r in out.collect()}
+    assert counts["s0"] == 200            # exactly 2 epochs
+    assert counts["s3"] == 100            # default weight 1.0
+    assert "s2" not in counts             # weight 0 drops the source
+    assert 30 <= counts["s1"] <= 70       # hash-chosen ~50% of 100
+    # deterministic: same salt -> identical mix
+    again = {r["source"]: r["count"]
+             for r in weighted_mix(df, weights, salt="t")
+             .groupBy("source").count().collect()}
+    assert again == counts
+    # copy indices are 1-based and dense per doc
+    copies = (weighted_mix(df, weights, salt="t")
+              .filter(F.col("source") == "s0")
+              .groupBy("doc_id").agg(F.sort_array(F.collect_list("copy"))
+                                     .alias("c")).collect())
+    assert all(r["c"] == [1, 2] for r in copies)
