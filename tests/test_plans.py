@@ -266,3 +266,28 @@ def test_rolling_zscore_single_window_shuffle(spark, tables, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") <= 2  # one Window op (+AQE reprint slack)
     assert "CartesianProduct" not in plan
+
+
+def test_dup_span_no_cartesian_and_pruned_scan(spark, tables, sf_dir):
+    """x73 joins occurrences to the duplicated-shingle set on the
+    shingle key — a hash join, never a cartesian; and the documents
+    scan must prune to (doc_id, text) only."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    df = corpus_queries()["x73_dup_span_fraction"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "lang" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_weighted_mix_is_shuffle_free(spark, tables, sf_dir):
+    """x74 is a codegen CASE + hash + explode: no Exchange at all
+    before the final orderBy (scan -> filter -> generate), so at 100 TB
+    it costs exactly one pass over the corpus."""
+    from hive_parse_lineage_spark.operators.sampling import weighted_mix
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    df = weighted_mix(docs, {"src0": 2.5, "src1": 0.3}, salt="mix")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
