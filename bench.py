@@ -136,8 +136,37 @@ def bench_duckdb(sf_dir: str, queries: dict[str, str], n_passes: int):
         lambda name, sql: len(con.execute(sql).fetchdf()), queries, n_passes)
 
 
-SWEEP_QUERIES = ("x41_common_shingles", "x46_dup_clusters",
-                 "x56_training_pipeline")
+SWEEP_QUERIES = ("x41_common_shingles", "x56_training_pipeline")
+
+
+def _x46_capped(spark, sf_dir: str):
+    """x46's PRODUCTION posture for the sweep: same LSH->components
+    pipeline, but with the default xxhash64 hasher and the hot-bucket
+    cap active (max_bucket_size=1000).
+
+    The registry's x46 deliberately runs uncapped with a portable md5
+    hash so DuckDB can replay it row-for-row; at sweep scales that
+    spelling is the wrong thing to measure — on the Zipf-headed
+    synthetic corpus a few band buckets grow to ~10^4 docs and the
+    uncapped candidate-pair stage goes quadratic (both early sweep
+    attempts died spilling that adjacency to disk). The cap bounds
+    every bucket's pair count, which is exactly the posture a 100 TB
+    run uses.
+    """
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.operators.components import (
+        connected_components)
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    from hive_parse_lineage_spark.sources.loader import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, max_bucket_size=1000)
+             .select("id_a", "id_b"))
+    vertices = docs.select(F.col("doc_id").alias("vertex"))
+    return (connected_components(edges, vertices=vertices, max_iter=4)
+            .orderBy("vertex"))
 
 
 def scale_sweep() -> None:
@@ -172,6 +201,7 @@ def scale_sweep() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = {k: v for k, v in corpus_queries().items() if k in SWEEP_QUERIES}
+    qs["x46_dup_clusters_capped"] = _x46_capped
     root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     sf_dirs = sorted((d for d in glob.glob(os.path.join(root, "sf*"))
                       if infer_sf(d) > 0), key=infer_sf)
@@ -199,9 +229,18 @@ def scale_sweep() -> None:
     out: dict = {"metric": "scale_sweep", "unit": "sec", "sweep": []}
     try:
         for d in sf_dirs:
-            rows = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+            from pyspark.sql import functions as F
+            docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+            rows = docs.count()
+            # token volume too: the sweep points differ in avg doc
+            # length (corpusgen docs run ~2.5x longer than testdata
+            # docs), so per-ROW growth over-reports the text operators'
+            # cost growth; per-TOKEN is the like-for-like axis
+            toks = docs.select(F.sum(F.size(F.split("text", " ")))
+                               .alias("t")).first()["t"]
             entry: dict = {"sf_dir": os.path.basename(d.rstrip("/")),
-                           "doc_rows": rows, "queries": {}}
+                           "doc_rows": rows, "doc_tokens": int(toks),
+                           "queries": {}}
             for name, fn in sorted(qs.items()):
                 fn(spark, d).collect()                       # warm-up
                 wall = float("inf")
@@ -212,20 +251,29 @@ def scale_sweep() -> None:
                 entry["queries"][name] = {"wall": round(wall, 4),
                                           "rows_per_sec": round(rows / wall, 1)}
             out["sweep"].append(entry)
+            # progress to stderr: a crash mid-sweep still leaves the
+            # completed points on record
+            print("sweep-point " + json.dumps(entry), file=sys.stderr,
+                  flush=True)
     finally:
         import shutil
         for d in (synth_dir, gen_dir):
             if d is not None:
                 shutil.rmtree(d, ignore_errors=True)
-    # growth check: wall must not grow faster than rows between SFs
+    # growth check: wall must not grow faster than input volume between
+    # SFs — reported against both axes (rows and tokens; token volume
+    # is the honest axis when points differ in avg doc length)
     for name in sorted(qs):
-        ratios = []
+        row_ratios, tok_ratios = [], []
         for a, b in zip(out["sweep"], out["sweep"][1:]):
-            row_g = b["doc_rows"] / max(a["doc_rows"], 1)
             wall_g = (b["queries"][name]["wall"]
                       / max(a["queries"][name]["wall"], 1e-9))
-            ratios.append(round(wall_g / row_g, 3))
-        out.setdefault("wall_growth_over_row_growth", {})[name] = ratios
+            row_ratios.append(round(
+                wall_g / (b["doc_rows"] / max(a["doc_rows"], 1)), 3))
+            tok_ratios.append(round(
+                wall_g / (b["doc_tokens"] / max(a["doc_tokens"], 1)), 3))
+        out.setdefault("wall_growth_over_row_growth", {})[name] = row_ratios
+        out.setdefault("wall_growth_over_token_growth", {})[name] = tok_ratios
     print(json.dumps(out))
 
 
@@ -252,8 +300,19 @@ def _synth_generated(spark, base_dir: str, rows: int) -> str:
 
 
 def _synth_10x(spark, base_dir: str) -> str:
-    """Materialize a 10x documents table (id-shifted unions) in a temp
-    dir that symlinks every other table to ``base_dir``."""
+    """Materialize a 10x documents table in a temp dir that symlinks
+    every other table to ``base_dir``.
+
+    Each of the 9 extra copies rewrites every token with a copy-unique
+    suffix (``tok`` -> ``tok_3``), NOT verbatim duplication: verbatim
+    copies would give every document 10 exact clones, inflating every
+    LSH bucket 10x and the candidate-pair count 100x — a quadratic
+    near-dup-graph blowup no real 10x corpus has (the first sweep
+    attempt died spilling exactly that x46 adjacency to disk). With
+    suffixed tokens the shingle universes of the copies are disjoint,
+    so the near-dup graph is 10 isomorphic disjoint copies of the
+    original — every query's work scales exactly 10x, which is the
+    thing the sweep is trying to measure."""
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix="sweep10x_")
@@ -263,8 +322,12 @@ def _synth_10x(spark, base_dir: str) -> str:
     shift = (docs.selectExpr("max(doc_id)").first()[0] or 0) + 1
     big = docs
     for i in range(1, 10):
+        text_i = F.concat_ws(" ", F.transform(
+            F.split("text", " "), lambda t: F.concat(t, F.lit(f"_{i}"))))
         big = big.unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift)))
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+                .withColumn("text", text_i)
+                .withColumn("n_chars", F.length(text_i)))
     big.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     for t in TABLES:
         if t != "documents":

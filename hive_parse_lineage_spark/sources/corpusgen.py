@@ -29,7 +29,30 @@ _SCHEMA = ("doc_id bigint, text string, lang string, source string, "
            "n_chars bigint")
 _LANGS = ("en", "de", "fr", "es", "zh")
 _SOURCES = ("web", "books", "code", "wiki")
-_VOCAB = [f"w{i:03d}" for i in range(400)]
+# Vocabulary and doc-length ranges matter for realism, not just
+# volume: the first cut (400 words, 5-120-token docs) made chance
+# 2-shingle Jaccard between unrelated SHORT docs exceed the usual 0.3
+# near-dup threshold, so a 500k-doc generate produced genuine
+# ~10^4-doc near-dup mega-clusters and every pair-emitting dedup went
+# quadratic (73 GB of shuffle before dying). Real corpora have much
+# larger vocabularies and longer documents; 2k words / >= 30 tokens
+# keeps the Zipf head hot (shared shingles for x41-style stats) while
+# chance Jaccard stays far below near-dup thresholds.
+_VOCAB = [f"w{i:04d}" for i in range(2000)]
+
+# Zipf(1.1) over the vocabulary via inverse-CDF. The first cut drew
+# min(paretovariate, uniform), which put ~88% of ALL tokens on the top
+# 5 words — every document became nearly the same bag of five tokens,
+# i.e. one corpus-wide genuine near-dup cluster, and pair-emitting
+# dedup at 500k generated docs was correctly quadratic (73 GB of
+# shuffle). A 1/r^1.1 head (~7% on the top word) keeps shared-shingle
+# statistics realistic without making unrelated docs near-duplicates.
+_CUM = []
+_acc = 0.0
+for _r in range(1, len(_VOCAB) + 1):
+    _acc += 1.0 / _r ** 1.1
+    _CUM.append(_acc)
+_TOT = _CUM[-1]
 
 
 class _Range(InputPartition):
@@ -47,12 +70,12 @@ def _mix(*parts: int) -> int:
 
 
 def _doc_text(seed: int, doc_id: int) -> str:
+    import bisect
+
     rnd = random.Random(_mix(seed, doc_id))
-    n_words = rnd.randint(5, 120)
-    # zipf-ish head: low word ids drawn more often
+    n_words = rnd.randint(30, 120)
     return " ".join(
-        _VOCAB[min(int(rnd.paretovariate(1.2)) % len(_VOCAB),
-                   rnd.randrange(len(_VOCAB)))]
+        _VOCAB[bisect.bisect_left(_CUM, rnd.random() * _TOT)]
         for _ in range(n_words))
 
 

@@ -1,0 +1,41 @@
+"""Partition-count invariance: a distributed operator whose OUTPUT
+depends on the partitioning is silently nondeterministic at cluster
+scale (AQE re-plans, executors come and go, inputs re-split). The
+hash/sampling/dedup surface must produce byte-identical results no
+matter how the data is partitioned — this runs representative registry
+entries under two different shuffle-partition settings and wildly
+different input splits and compares value hashes."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import value_hash
+
+# the entries whose plans contain hash-dependent routing (LSH bands,
+# salting, sampled buckets, hash splits) — the ones that WOULD break
+# first if any stage picked up partition-dependent state
+INVARIANCE_QUERIES = [
+    "x07_minhash_near_dup",     # LSH banding + dedup of pairs
+    "x39_hash_split",           # deterministic train/val/test routing
+    "x52_salted_agg",           # explicit-salt two-stage aggregation
+    "x61_stratified_sample",    # salted-hash per-stratum sampling
+    "x70_hot_key_split_join",   # broadcast hot path + shuffle tail union
+    "x74_weighted_sample",      # hash-thresholded fractional epochs
+]
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_result_invariant_to_partitioning(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    q = e.queries()[name]
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        h3 = value_hash(q(spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        h29 = value_hash(q(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert h3 == h29, f"{name} output depends on shuffle partitioning"
