@@ -180,15 +180,21 @@ def duplicate_span_stats(docs: DataFrame, n: int = 10, min_docs: int = 2,
     3. occurrences semi-join the dup set on the shingle (second
        shuffle; the dup set is usually small but unbounded, so this is
        a shuffle join, not a broadcast — AQE converts it when it fits);
-    4. covered positions: explode the n-long span of each duplicated
-       occurrence, COUNT(DISTINCT pos) per doc (bounded by n x
-       occurrences — linear, never quadratic).
+    4. covered positions by INTERVAL UNION (gaps-and-islands over the
+       [pos, pos+n-1] spans, one shuffle on the doc id): running-max
+       end over a pos-ordered window marks island starts, a cumulative
+       sum numbers the islands, and the union length is the sum of
+       per-island extents. Never explodes the n positions of each span
+       and never needs a COUNT(DISTINCT) expand — per-doc cost is the
+       number of duplicated OCCURRENCES, not occurrences x n.
 
     Docs shorter than n tokens collapse to one whole-doc shingle whose
     span is the whole doc (mirrors :func:`word_shingles`). Integer
     permille (``*1000 div n_tokens``) keeps the output float-free for
     cross-engine replay.
     """
+    from pyspark.sql import Window
+
     from hive_parse_lineage_spark.functions.text import token_count
 
     occ = (spread_for_compute(docs)
@@ -201,11 +207,22 @@ def duplicate_span_stats(docs: DataFrame, n: int = 10, min_docs: int = 2,
            .select("shingle"))
     span_end = (F.when(F.col("n_tokens") >= n, F.col("pos") + n - 1)
                 .otherwise(F.col("n_tokens") - 1))
-    covered = (occ.join(dup, "shingle")
-               .select(id_col, F.explode(
-                   F.sequence(F.col("pos"), span_end)).alias("tokpos"))
+    spans = (occ.join(dup, "shingle")
+             .select(id_col, "pos", span_end.alias("end")))
+    w_prev = (Window.partitionBy(id_col).orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_cum = (Window.partitionBy(id_col).orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    prev_end = F.max("end").over(w_prev)
+    covered = (spans
+               .withColumn("new_island",
+                           (prev_end.isNull()
+                            | (F.col("pos") > prev_end)).cast("int"))
+               .withColumn("island", F.sum("new_island").over(w_cum))
+               .groupBy(id_col, "island")
+               .agg((F.max("end") - F.min("pos") + 1).alias("ext"))
                .groupBy(id_col)
-               .agg(F.countDistinct("tokpos").alias("dup_tokens")))
+               .agg(F.sum("ext").alias("dup_tokens")))
     return (docs.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
             .join(covered, id_col, "left")
             .select(id_col, "n_tokens",
