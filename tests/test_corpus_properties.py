@@ -99,3 +99,43 @@ def test_stratified_sample_hash_is_reproducible(spark, tables, sf_dir):
     a = [r["doc_id"] for r in fn(spark, sf_dir).collect()]
     b = [r["doc_id"] for r in fn(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("seed", [5, 77, 4242])
+def test_duplicate_span_stats_matches_python_reference(spark, seed):
+    """The interval-union spelling of duplicate_span_stats must equal a
+    brute-force reference (materialize every covered position, count
+    the set) on random corpora with a tiny vocabulary — small vocab
+    forces heavy cross-doc shingle sharing, overlapping spans, short
+    docs and whole-doc shingles all at once."""
+    from hive_parse_lineage_spark.operators.corpus import duplicate_span_stats
+
+    rnd = random.Random(seed)
+    n, min_docs = 4, 2
+    vocab = [f"v{i}" for i in range(6)]
+    texts = {d: [rnd.choice(vocab) for _ in range(rnd.randrange(1, 15))]
+             for d in range(30)}
+
+    def shingles(toks):
+        if len(toks) >= n:
+            return [(" ".join(toks[i:i + n]), i) for i in range(len(toks) - n + 1)]
+        return [(" ".join(toks), 0)]
+
+    docs_of = {}
+    for d, toks in texts.items():
+        for s, _ in shingles(toks):
+            docs_of.setdefault(s, set()).add(d)
+    expect = {}
+    for d, toks in texts.items():
+        cov = set()
+        for s, pos in shingles(toks):
+            if len(docs_of[s]) >= min_docs:
+                end = pos + n - 1 if len(toks) >= n else len(toks) - 1
+                cov.update(range(pos, end + 1))
+        expect[d] = (len(toks), len(cov), len(cov) * 1000 // len(toks))
+
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=" ".join(t)) for d, t in texts.items()])
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_permille"])
+           for r in duplicate_span_stats(df, n=n, min_docs=min_docs).collect()}
+    assert got == expect
