@@ -602,6 +602,16 @@ def _x74_weighted_sample(spark, tables):
             .orderBy("doc_id", "copy"))
 
 
+def _x75_chunk_dedup(spark, tables):
+    """Chunk-granularity exact dedup (the unit that must be unique in
+    an assembled training corpus is the chunk, not the document):
+    x53's 64/48 overlapping windows, one survivor per distinct chunk
+    text with the corpus-wide copy count. One uniform md5 shuffle."""
+    from hive_parse_lineage_spark.operators.dedup import chunk_dedup
+    return (chunk_dedup(tables["documents"], chunk_tokens=64, stride=48)
+            .orderBy("doc_id", "chunk_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1102,6 +1112,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x72_capped_lsh": _q(_x72_capped_lsh),
         "x73_dup_span_fraction": _q(_x73_dup_span_fraction),
         "x74_weighted_sample": _q(_x74_weighted_sample),
+        "x75_chunk_dedup": _q(_x75_chunk_dedup),
     }
 
 
@@ -1173,6 +1184,29 @@ ORDER BY doc_id, copy
 """
 
 
+_CHUNK_DEDUP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, w,
+         unnest(range(0, CAST(1 + FLOOR((greatest(len(w) - 64, 0) + 47) / 48.0)
+                              AS BIGINT))) AS chunk_id
+  FROM w
+), ch AS (
+  SELECT doc_id, chunk_id,
+         len(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS n_tokens,
+         md5(array_to_string(list_slice(w, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                             ' ')) AS h
+  FROM c
+)
+SELECT doc_id, chunk_id, n_tokens,
+       COUNT(*) OVER (PARTITION BY h) AS n_copies
+FROM ch
+QUALIFY ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) = 1
+ORDER BY doc_id, chunk_id
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1183,4 +1217,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x72_capped_lsh"] = _capped_lsh_oracle_sql()
     out["x73_dup_span_fraction"] = _DUP_SPAN_ORACLE
     out["x74_weighted_sample"] = _weighted_sample_oracle_sql()
+    out["x75_chunk_dedup"] = _CHUNK_DEDUP_ORACLE
     return out

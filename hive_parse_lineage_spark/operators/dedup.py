@@ -416,3 +416,35 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
                      F.col(f"r.{id_col}").alias("id_b"),
                      F.round(cont, 4).alias("containment"))
              .filter(F.col("containment") >= threshold))
+
+
+def chunk_dedup(docs: DataFrame, chunk_tokens: int = 64, stride: int = 48,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup at CHUNK granularity: chunk every document into
+    overlapping token windows, then keep one surviving chunk per
+    distinct chunk text (first in (doc, chunk) order), with the
+    corpus-wide copy count.
+
+    Doc-level dedup (:func:`exact_dedup`) misses the common case where
+    different documents embed the same boilerplate block or where a
+    RAG/pretraining corpus is assembled from overlapping sources — the
+    unit that must be unique downstream is the training chunk, not the
+    document. Plan: the explode-only chunker, an md5 per chunk, then
+    keep-first + copy count as two window functions over ONE hash
+    exchange (same partition key, so Spark plans a single shuffle; the
+    md5 key is uniform, so no skew at any corpus size).
+    """
+    from pyspark.sql import Window
+
+    from hive_parse_lineage_spark.operators.corpus import chunk_documents
+
+    chunks = (chunk_documents(docs, chunk_tokens=chunk_tokens, stride=stride,
+                              text_col=text_col, id_col=id_col)
+              .withColumn("chunk_hash", F.md5("chunk_text")))
+    w_first = Window.partitionBy("chunk_hash").orderBy(id_col, "chunk_id")
+    w_all = Window.partitionBy("chunk_hash")
+    return (chunks
+            .withColumn("n_copies", F.count("*").over(w_all))
+            .withColumn("_rk", F.row_number().over(w_first))
+            .filter(F.col("_rk") == 1)
+            .select(id_col, "chunk_id", "n_tokens", "n_copies"))

@@ -232,3 +232,16 @@ def test_weighted_mix_epochs_and_fraction(spark):
               .groupBy("doc_id").agg(F.sort_array(F.collect_list("copy"))
                                      .alias("c")).collect())
     assert all(r["c"] == [1, 2] for r in copies)
+
+
+def test_chunk_dedup_keeps_first_and_counts(spark):
+    from hive_parse_lineage_spark.operators.dedup import chunk_dedup
+    block = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=block),                 # chunk == doc 2's chunk
+        Row(doc_id=2, text=block),
+        Row(doc_id=3, text="solo unique words"),
+    ])
+    out = chunk_dedup(docs, chunk_tokens=8, stride=8)
+    rows = {(r["doc_id"], r["chunk_id"]): r["n_copies"] for r in out.collect()}
+    assert rows == {(1, 0): 2, (3, 0): 1}  # doc 2's copy deduped away

@@ -291,3 +291,15 @@ def test_weighted_mix_is_shuffle_free(spark, tables, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_chunk_dedup_single_hash_exchange(spark, tables, sf_dir):
+    """x75's keep-first and copy-count windows share the chunk_hash
+    partition key: one hash Exchange feeds both Window operators — a
+    second shuffle would double the cost of the dominant stage."""
+    from hive_parse_lineage_spark.operators.dedup import chunk_dedup
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    df = chunk_dedup(load_tables(spark, sf_dir)["documents"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(chunk_hash" in plan, plan
