@@ -125,6 +125,18 @@ def _x09_knn_cosine_topk(spark, tables):
               .orderBy("query_id", "rank")
 
 
+def _x76_hard_negatives(spark, tables):
+    """Contrastive-training negative mining: per query vector
+    (vec_id < 10), the 5 most-cosine-similar embeddings with a
+    DIFFERENT label. Broadcast queries, label filter before the
+    top-k window; the corpus side never shuffles."""
+    from hive_parse_lineage_spark.operators.similarity import hard_negatives
+    e = tables["embeddings"]
+    q = (e.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    return hard_negatives(e, q, k=5).orderBy("query_id", "rank")
+
+
 def _x10_lsh_knn(spark, tables):
     from hive_parse_lineage_spark.operators.similarity import lsh_topk
     e = tables["embeddings"]
@@ -568,6 +580,22 @@ WITH s AS (
 SELECT query_id, vec_id, cosine, rank FROM r
 WHERE rank <= 5 AND query_id <> vec_id ORDER BY query_id, rank
 """,
+    "x76_hard_negatives": """
+WITH s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label AS label,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.label <> q.label
+), r AS (
+  SELECT query_id, vec_id, label, ROUND(cos, 4) AS cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, label, cosine, rank FROM r
+WHERE rank <= 5 ORDER BY query_id, rank
+""",
     "x32_map_access": """
 SELECT n_nationkey,
        map_extract(MAP {'key': n_nationkey, 'region': n_regionkey}, 'region')[1] AS rk
@@ -970,6 +998,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x08_simhash_near_dup": _q(_x08_simhash_near_dup),
         "x09_knn_cosine_topk": _q(_x09_knn_cosine_topk),
         "x10_lsh_knn": _q(_x10_lsh_knn),
+        "x76_hard_negatives": _q(_x76_hard_negatives),
         "x11_exact_dedup": _q(_x11_exact_dedup),
         "x12_pivot": _q(_x12_pivot),
         "x13_window_distribution": _q(_x13_window_distribution),

@@ -52,6 +52,41 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                           F.round("cosine", 4).alias("cosine"), "rank"))
 
 
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   query_id_col: str = "query_id",
+                   label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive / metric-learning training
+    sets: per query vector, the top-k most-similar corpus vectors with
+    a DIFFERENT label (the negatives that sit closest to the decision
+    boundary — the ones worth training on).
+
+    Same plan shape as :func:`cosine_topk` — queries broadcast, corpus
+    partitions never shuffle, one bounded per-query top-k window — with
+    the label inequality applied BEFORE the window, so same-class
+    neighbors never occupy negative ranks. At 100 TB this is one corpus
+    scan per mining batch regardless of query count.
+    """
+    q = queries.select(F.col(query_id_col),
+                       F.col(label_col).alias("q_label"),
+                       F.col(vec_col).alias("q_vec"),
+                       _norm_col(vec_col).alias("q_norm"))
+    c = corpus.select(F.col(id_col), F.col(label_col),
+                      F.col(vec_col).alias("c_vec"),
+                      _norm_col(vec_col).alias("c_norm"))
+    cos = (dot("q_vec", "c_vec")
+           / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col(label_col) != F.col("q_label"))
+              .select(query_id_col, id_col, label_col, cos))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"),
+                                                 F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select(query_id_col, id_col, label_col,
+                          F.round("cosine", 4).alias("cosine"), "rank"))
+
+
 def hyperplane_signature(df: DataFrame, planes, vec_col: str = "embedding",
                          out_col: str = "sig") -> DataFrame:
     """n-bit signature: bit i = 1 iff dot(vec, plane_i) > 0.

@@ -452,3 +452,24 @@ def test_ivf_query_accepts_string_query_ids(spark, tables, tmp_path):
     rows = ivf_query(spark, path, q, k=2, n_probe=2).collect()
     assert {r["query_id"] for r in rows} == {"q-0", "q-1", "q-2"}
     assert all(r["rank"] in (1, 2) for r in rows)
+
+
+def test_hard_negatives_excludes_query_label_and_ranks_densely(spark, tables):
+    """Every mined negative carries a label different from its query's,
+    ranks are dense 1..k per query, and the rank order follows cosine
+    descending (ties by id) — the contrastive-mining contract."""
+    from hive_parse_lineage_spark.operators.similarity import hard_negatives
+    e = tables["embeddings"]
+    q = (e.filter(F.col("vec_id") < 6)
+         .select(F.col("vec_id").alias("query_id"), "embedding", "label"))
+    rows = hard_negatives(e, q, k=4).collect()
+    q_label = {r["vec_id"]: r["label"]
+               for r in e.select("vec_id", "label").collect() if r["vec_id"] < 6}
+    by_q = {}
+    for r in rows:
+        assert r["label"] != q_label[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for qid, rs in by_q.items():
+        rs.sort()
+        assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
+        assert [c for _, c in rs] == sorted((c for _, c in rs), reverse=True)
