@@ -612,6 +612,21 @@ def _x75_chunk_dedup(spark, tables):
             .orderBy("doc_id", "chunk_id"))
 
 
+def _x77_bloom_decontaminate(spark, tables):
+    """Bloom-prefiltered benchmark decontamination: the eval set (every
+    25th doc) hashes into a 256-word bloom; each corpus shingle is
+    membership-tested via two broadcast word lookups + codegen bit
+    tests, then exactly confirmed. Output counts per doc expose the
+    prefilter's false-positive cost (`false_pos = bloom - exact`). The
+    oracle replays the identical double-hash bit pattern, so a single
+    misplaced bit anywhere in the filter fails the hash gate."""
+    from hive_parse_lineage_spark.operators.corpus import bloom_decontaminate
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return (bloom_decontaminate(docs, bench, n=5, n_words=256)
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1113,6 +1128,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x73_dup_span_fraction": _q(_x73_dup_span_fraction),
         "x74_weighted_sample": _q(_x74_weighted_sample),
         "x75_chunk_dedup": _q(_x75_chunk_dedup),
+        "x77_bloom_decontaminate": _q(_x77_bloom_decontaminate),
     }
 
 
@@ -1207,6 +1223,45 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def _bloom_decontaminate_oracle_sql(n_words: int = 256) -> str:
+    """Replays x77's exact bloom bit pattern: same md5-fold double
+    hashing, same 62-bit words, same broadcast-word lookups spelled as
+    LEFT JOINs on the word index."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    m = n_words * 62
+    h1 = portable_hash64_sql("shingle")
+    h2 = portable_hash64_sql("'b#' || shingle")
+    return f"""
+WITH {_DOC_SHINGLES_5},
+bs AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 25 = 0),
+bh AS (SELECT shingle, {h1} AS h1, {h2} AS h2 FROM bs),
+be AS (SELECT (h1 % {m}) AS bit FROM bh
+       UNION ALL SELECT ((h1 + h2) % {m}) FROM bh),
+bw AS (SELECT bit // 62 AS word,
+              bit_or(1::BIGINT << CAST(bit % 62 AS INTEGER)) AS bits
+       FROM be GROUP BY 1),
+ch AS (SELECT doc_id, shingle, {h1} AS h1, {h2} AS h2 FROM s),
+cp AS (SELECT doc_id, shingle, (h1 % {m}) AS b0, ((h1 + h2) % {m}) AS b1
+       FROM ch),
+j AS (SELECT cp.doc_id,
+             (w0.bits IS NOT NULL
+              AND (w0.bits & (1::BIGINT << CAST(cp.b0 % 62 AS INTEGER))) <> 0
+              AND w1.bits IS NOT NULL
+              AND (w1.bits & (1::BIGINT << CAST(cp.b1 % 62 AS INTEGER))) <> 0)
+                 AS bloom_hit,
+             (e.shingle IS NOT NULL) AS exact_hit
+      FROM cp LEFT JOIN bw w0 ON w0.word = cp.b0 // 62
+              LEFT JOIN bw w1 ON w1.word = cp.b1 // 62
+              LEFT JOIN bs e ON e.shingle = cp.shingle)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hits,
+       CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+       CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS false_pos
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1218,4 +1273,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x73_dup_span_fraction"] = _DUP_SPAN_ORACLE
     out["x74_weighted_sample"] = _weighted_sample_oracle_sql()
     out["x75_chunk_dedup"] = _CHUNK_DEDUP_ORACLE
+    out["x77_bloom_decontaminate"] = _bloom_decontaminate_oracle_sql()
     return out

@@ -160,6 +160,84 @@ def ngram_counts(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFra
             .select(grams).groupBy("ngram").agg(F.count("*").alias("n")))
 
 
+BLOOM_WORD_BITS = 62  # masks stay off the BIGINT sign bit in every engine
+
+
+def bloom_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
+                        n_words: int = 256, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Bloom-filter prefilter for benchmark decontamination: per
+    document, how many of its distinct n-gram shingles *might* be in
+    the benchmark set (bloom hit) and how many actually are (exact
+    confirm), i.e. the operator a 100 TB pipeline runs instead of
+    shuffle-joining every corpus shingle against the eval set.
+
+    Build: the benchmark shingles hash into a ``n_words × 62``-bit
+    bloom (2 probes, double hashing ``bit_j = (h1 + j*h2) mod m``) via
+    one tiny aggregation on the bench side. Probe: the bloom table is
+    a few KB regardless of benchmark size, so membership is two
+    BROADCAST joins on the word index plus codegen bit tests — the
+    corpus side never shuffles until the final per-doc count. Exact
+    confirmation is a third broadcast join; because a bloom has no
+    false negatives, ``exact_hits <= bloom_hits`` and ``false_pos``
+    measures the prefilter's precision loss directly.
+
+    Word size is 62 bits so the single-bit masks never touch the
+    BIGINT sign bit (portable across engines); hashes are the
+    md5-fold ``portable_hash64`` so a SQL oracle replays the exact
+    bit pattern. Production would fold the word array into plan
+    literals (no join at all) and use xxhash64 — same plan shape.
+    """
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+
+    m = n_words * BLOOM_WORD_BITS
+    h1 = portable_hash64(F.col("shingle"))
+    h2 = portable_hash64(F.concat(F.lit("b#"), F.col("shingle")))
+
+    def bit(j: int) -> Column:
+        return (h1 + F.lit(j) * h2) % F.lit(m)
+
+    def word(b: Column) -> Column:
+        return (b / F.lit(BLOOM_WORD_BITS)).cast("long")
+
+    def mask(b: Column) -> Column:
+        # F.shiftleft only takes a literal shift; call the SQL builtin
+        # directly so the shift amount can be a column
+        return F.call_function("shiftleft", F.lit(1).cast("long"),
+                               (b % BLOOM_WORD_BITS).cast("int"))
+
+    bench_sh = doc_shingles(bench, n, text_col, id_col) \
+        .select("shingle").distinct()
+    entries = bench_sh.select(F.explode(F.array(*[
+        F.struct(word(bit(j)).alias("word"), mask(bit(j)).alias("mask"))
+        for j in range(2)])).alias("p")).select("p.word", "p.mask")
+    bloom = entries.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+    corp = (doc_shingles(docs, n, text_col, id_col)
+            .withColumn("w0", word(bit(0))).withColumn("m0", mask(bit(0)))
+            .withColumn("w1", word(bit(1))).withColumn("m1", mask(bit(1))))
+    probed = (corp
+              .join(F.broadcast(bloom.select(F.col("word").alias("w0"),
+                                             F.col("bits").alias("bits0"))),
+                    "w0", "left")
+              .join(F.broadcast(bloom.select(F.col("word").alias("w1"),
+                                             F.col("bits").alias("bits1"))),
+                    "w1", "left")
+              .join(F.broadcast(bench_sh.withColumn("_b", F.lit(1))),
+                    "shingle", "left"))
+    bloom_hit = (F.col("bits0").isNotNull()
+                 & (F.col("bits0").bitwiseAND(F.col("m0")) != 0)
+                 & F.col("bits1").isNotNull()
+                 & (F.col("bits1").bitwiseAND(F.col("m1")) != 0))
+    return (probed
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(bloom_hit.cast("long")).alias("bloom_hits"),
+                 F.sum(F.col("_b").isNotNull().cast("long")).alias("exact_hits"))
+            .withColumn("false_pos",
+                        F.col("bloom_hits") - F.col("exact_hits")))
+
+
 def duplicate_span_stats(docs: DataFrame, n: int = 10, min_docs: int = 2,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:

@@ -473,3 +473,31 @@ def test_hard_negatives_excludes_query_label_and_ranks_densely(spark, tables):
         rs.sort()
         assert [rk for rk, _ in rs] == list(range(1, len(rs) + 1))
         assert [c for _, c in rs] == sorted((c for _, c in rs), reverse=True)
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, tables):
+    """A bloom filter may over-approximate but never under-approximate:
+    every exact benchmark shingle hit must also be a bloom hit
+    (false_pos >= 0 row-wise), and exact_hits must equal the
+    brute-force membership join count per document."""
+    from hive_parse_lineage_spark.operators.corpus import (
+        bloom_decontaminate, doc_shingles)
+    docs = tables["documents"]
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    rows = bloom_decontaminate(docs, bench, n=5, n_words=64).collect()
+    assert rows, "no output"
+    for r in rows:
+        assert 0 <= r["exact_hits"] <= r["bloom_hits"] <= r["n_shingles"]
+        assert r["false_pos"] == r["bloom_hits"] - r["exact_hits"]
+    # brute-force exact membership for comparison
+    bench_sh = doc_shingles(bench, 5).select("shingle").distinct()
+    brute = {r["doc_id"]: r["n"] for r in
+             doc_shingles(docs, 5).join(bench_sh, "shingle")
+             .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r["exact_hits"] == brute.get(r["doc_id"], 0)
+    # the benchmark docs themselves are fully flagged
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    for r in rows:
+        if r["doc_id"] in bench_ids:
+            assert r["exact_hits"] == r["n_shingles"]
