@@ -627,6 +627,19 @@ def _x77_bloom_decontaminate(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x78_semdedup(spark, tables):
+    """SemDeDup over the embeddings table: every 100th vector is a seed
+    centroid, each vector joins its most-similar seed's cluster, and
+    within a cluster any vector with a lower-id cell-mate at cosine
+    >= 0.2 is dropped. The cluster assignment bounds the pair join —
+    the all-pairs cosine never materializes at any corpus size."""
+    from hive_parse_lineage_spark.operators.dedup import semdedup
+    e = tables["embeddings"]
+    seeds = (e.filter(F.col("vec_id") % 100 == 0)
+             .select(F.col("vec_id").alias("seed_id"), "embedding"))
+    return semdedup(e, seeds, threshold=0.2).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1129,6 +1142,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x74_weighted_sample": _q(_x74_weighted_sample),
         "x75_chunk_dedup": _q(_x75_chunk_dedup),
         "x77_bloom_decontaminate": _q(_x77_bloom_decontaminate),
+        "x78_semdedup": _q(_x78_semdedup),
     }
 
 
@@ -1262,6 +1276,26 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# x78: same assignment argmax (cos DESC, seed ASC) and same keep rule
+# (lowest id in a >=threshold pair survives) as operators/dedup.semdedup.
+_SEMDEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sd AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id % 100 = 0),
+sc AS (SELECT e.vec_id, e.v, sd.cell,
+              list_cosine_similarity(e.v, sd.sv) AS cos FROM e, sd),
+asg AS (SELECT vec_id, v, cell, cos FROM sc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cell) = 1),
+drp AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.2)
+SELECT g.vec_id, g.cell, ROUND(g.cos, 4) AS cos_to_cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM asg g LEFT JOIN drp d ON d.vec_id = g.vec_id
+ORDER BY g.vec_id
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1274,4 +1308,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x74_weighted_sample"] = _weighted_sample_oracle_sql()
     out["x75_chunk_dedup"] = _CHUNK_DEDUP_ORACLE
     out["x77_bloom_decontaminate"] = _bloom_decontaminate_oracle_sql()
+    out["x78_semdedup"] = _SEMDEDUP_ORACLE
     return out

@@ -448,3 +448,59 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 64, stride: int = 48,
             .withColumn("_rk", F.row_number().over(w_first))
             .filter(F.col("_rk") == 1)
             .select(id_col, "chunk_id", "n_tokens", "n_copies"))
+
+
+def semdedup(corpus: DataFrame, seeds: DataFrame, threshold: float = 0.2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed_id_col: str = "seed_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings, then drop near-identical vectors *within* each
+    cluster — clusters bound the pairwise comparison exactly the way
+    LSH bands bound MinHash, so the quadratic blowup of all-pairs
+    cosine never happens.
+
+    1. **Assign**: each corpus vector goes to its most-similar seed
+       centroid (``seeds`` is broadcast — at 100 TB it is a k-row
+       table). The argmax is a single hash aggregate over a min-of-
+       structs ``(-cos, seed_id)`` — map-side partials collapse the
+       k-way expansion before the only corpus shuffle (on the id).
+    2. **Dedup**: within a cell, a vector is dropped iff a lower-id
+       cell-mate has cosine >= ``threshold`` with it. The self-join is
+       per-cell (equi-join on the cell key), never global.
+
+    Returns (id, cell, cos_to_cell, kept). Deterministic: ties in the
+    assignment argmax break toward the lowest seed id; the keep rule
+    is pure (lowest id in a duplicate pair survives), so a SQL oracle
+    replays it exactly.
+    """
+    from hive_parse_lineage_spark.functions.vector import dot, norm
+
+    s = seeds.select(F.col(seed_id_col).alias("cell"),
+                     F.col(vec_col).alias("s_vec"),
+                     norm(vec_col).alias("s_norm"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
+                      norm(vec_col).alias("c_norm"))
+    cos = dot("c_vec", "s_vec") / (F.col("c_norm") * F.col("s_norm"))
+    # (-cos, cell) min-struct = argmax cosine with lowest-seed tiebreak;
+    # c_vec rides along (never compared: (cos, cell) is unique per row)
+    pick = F.min(F.struct((-cos).alias("neg"), F.col("cell"),
+                          F.col("c_vec"))).alias("m")
+    assigned = (c.crossJoin(F.broadcast(s))
+                .groupBy(id_col).agg(pick)
+                .select(F.col(id_col), F.col("m.cell").alias("cell"),
+                        (-F.col("m.neg")).alias("cos_to_cell"),
+                        F.col("m.c_vec").alias("v")))
+    a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"),
+                        F.col("v").alias("va"))
+    b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"),
+                        F.col("v").alias("vb"))
+    pair_cos = dot("va", "vb") / (norm("va") * norm("vb"))
+    dropped = (a.join(b, "cell")
+               .filter((F.col("id_a") < F.col("id_b"))
+                       & (pair_cos >= threshold))
+               .select(F.col("id_b").alias(id_col)).distinct())
+    return (assigned
+            .join(dropped.withColumn("_d", F.lit(1)), id_col, "left")
+            .select(id_col, "cell",
+                    F.round("cos_to_cell", 4).alias("cos_to_cell"),
+                    F.col("_d").isNull().cast("int").alias("kept")))

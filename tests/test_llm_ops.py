@@ -501,3 +501,34 @@ def test_bloom_decontaminate_no_false_negatives(spark, tables):
     for r in rows:
         if r["doc_id"] in bench_ids:
             assert r["exact_hits"] == r["n_shingles"]
+
+
+def test_semdedup_matches_numpy_reference(spark, tables):
+    """semdedup's assignment and keep rule replayed in NumPy: argmax
+    cosine to seeds (tie -> lowest seed), drop iff a lower-id cell-mate
+    has cosine >= threshold."""
+    from hive_parse_lineage_spark.operators.dedup import semdedup
+    e = tables["embeddings"].filter(F.col("vec_id") < 200)
+    seeds = (e.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("seed_id"), "embedding"))
+    got = {r["vec_id"]: (r["cell"], r["kept"])
+           for r in semdedup(e, seeds, threshold=0.3).collect()}
+
+    rows = sorted((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+                  for r in e.collect())
+    ids = [i for i, _ in rows]
+    mat = np.stack([v for _, v in rows])
+    seed_ids = [i for i in ids if i % 50 == 0]
+    sm = np.stack([mat[ids.index(i)] for i in seed_ids])
+    sims = (mat @ sm.T) / (np.linalg.norm(mat, axis=1)[:, None]
+                           * np.linalg.norm(sm, axis=1)[None, :])
+    cells = [seed_ids[int(np.argmax(s))] for s in sims]  # argmax: first max
+    nrm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    pair = nrm @ nrm.T
+    for bi, vid in enumerate(ids):
+        expect_kept = 1
+        for ai, aid in enumerate(ids):
+            if aid < vid and cells[ai] == cells[bi] and pair[ai, bi] >= 0.3:
+                expect_kept = 0
+                break
+        assert got[vid] == (cells[bi], expect_kept), vid
