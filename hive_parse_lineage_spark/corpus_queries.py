@@ -640,6 +640,18 @@ def _x78_semdedup(spark, tables):
     return semdedup(e, seeds, threshold=0.2).orderBy("vec_id")
 
 
+def _x79_ann_recall(spark, tables):
+    """Recall@5 of the x10 hyperplane-LSH path vs the x09 exact top-k,
+    per query (self-hits excluded on both sides). The quality dial for
+    the ANN scale path, measured inside the engine — integer permille
+    so the oracle replays it exactly."""
+    from hive_parse_lineage_spark.operators.similarity import ann_recall
+    e = tables["embeddings"]
+    q = (e.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ann_recall(e, q, k=5, n_bits=8).orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1143,6 +1155,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x75_chunk_dedup": _q(_x75_chunk_dedup),
         "x77_bloom_decontaminate": _q(_x77_bloom_decontaminate),
         "x78_semdedup": _q(_x78_semdedup),
+        "x79_ann_recall": _q(_x79_ann_recall),
     }
 
 
@@ -1296,6 +1309,47 @@ ORDER BY g.vec_id
 """
 
 
+def _ann_recall_oracle_sql(k: int = 5, n_bits: int = 8, dim: int = 64,
+                           seed: int = 42, n_queries: int = 10) -> str:
+    """Replays x79: the x09 exact top-k and the x10 LSH-bucket top-k
+    (identical hyperplane signatures), self-excluded, then per-query
+    overlap counting in integer permille."""
+    from hive_parse_lineage_spark.extra_queries import _hyperplane_sig_terms
+    sig_terms = _hyperplane_sig_terms(n_bits, dim, seed)
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rnk
+    FROM base q JOIN base c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rnk <= {k}
+), sigs AS (
+  SELECT vec_id, e, ({sig_terms}) AS sg FROM base
+), ann AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rnk
+    FROM sigs q JOIN sigs c ON q.sg = c.sg AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rnk <= {k}
+), eg AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+ag AS (SELECT query_id, COUNT(*) AS n_ann FROM ann GROUP BY 1),
+ov AS (SELECT e.query_id, COUNT(*) AS n_overlap
+       FROM exact e JOIN ann a USING (query_id, vec_id) GROUP BY 1)
+SELECT eg.query_id, eg.n_exact,
+       COALESCE(ag.n_ann, 0) AS n_ann,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       (COALESCE(ov.n_overlap, 0) * 1000) // eg.n_exact AS recall_permille
+FROM eg LEFT JOIN ag USING (query_id) LEFT JOIN ov USING (query_id)
+ORDER BY eg.query_id
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1309,4 +1363,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x75_chunk_dedup"] = _CHUNK_DEDUP_ORACLE
     out["x77_bloom_decontaminate"] = _bloom_decontaminate_oracle_sql()
     out["x78_semdedup"] = _SEMDEDUP_ORACLE
+    out["x79_ann_recall"] = _ann_recall_oracle_sql()
     return out

@@ -329,3 +329,62 @@ def cosine_topk_pandas(corpus: DataFrame, query_vectors: dict[int, list[float]],
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (partial.withColumn("rank", F.row_number().over(w))
                    .filter(F.col("rank") <= k))
+
+
+def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_bits: int = 8, dim: int = 64, seed: int = 42,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               query_id_col: str = "query_id") -> DataFrame:
+    """Recall@k of the hyperplane-LSH path against the exact top-k —
+    the measurement every ANN deployment needs before trading recall
+    for the bucketed scale path (self-matches excluded from both
+    sides, so the metric isn't inflated by the trivial hit).
+
+    Returns (query_id, n_exact, n_ann, n_overlap, recall_permille)
+    with integer permille so a SQL oracle replays it exactly. Cost:
+    one broadcast-nested-loop pass for the exact baseline (bounded by
+    the query count) plus the LSH bucket join — the corpus never
+    self-joins.
+    """
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("q_vec"),
+                       _norm_col(vec_col).alias("q_norm"))
+    c = corpus.select(F.col(id_col),
+                      F.col(vec_col).alias("c_vec"),
+                      _norm_col(vec_col).alias("c_norm"))
+    cos = (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    exact = (c.crossJoin(F.broadcast(q))
+             .filter(F.col(query_id_col) != F.col(id_col))
+             .select(query_id_col, id_col, cos)
+             .withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= k)
+             .select(query_id_col, id_col))
+
+    planes = make_planes(n_bits, dim, seed)
+    cs = hyperplane_signature(corpus.select(id_col, vec_col), planes,
+                              vec_col).withColumnRenamed(vec_col, "c_vec")
+    qs = hyperplane_signature(queries.select(query_id_col, vec_col), planes,
+                              vec_col).withColumnRenamed(vec_col, "q_vec")
+    bcos = (dot("q_vec", "c_vec")
+            / (F.sqrt(dot("c_vec", "c_vec"))
+               * F.sqrt(dot("q_vec", "q_vec")))).alias("cosine")
+    ann = (cs.join(F.broadcast(qs), "sig")
+           .filter(F.col(query_id_col) != F.col(id_col))
+           .select(query_id_col, id_col, bcos)
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select(query_id_col, id_col))
+
+    eg = exact.groupBy(query_id_col).agg(F.count("*").alias("n_exact"))
+    ag = ann.groupBy(query_id_col).agg(F.count("*").alias("n_ann"))
+    ov = (exact.join(ann, [query_id_col, id_col])
+          .groupBy(query_id_col).agg(F.count("*").alias("n_overlap")))
+    return (eg.join(ag, query_id_col, "left")
+            .join(ov, query_id_col, "left")
+            .select(query_id_col, "n_exact",
+                    F.coalesce("n_ann", F.lit(0).cast("long")).alias("n_ann"),
+                    F.coalesce("n_overlap",
+                               F.lit(0).cast("long")).alias("n_overlap"))
+            .withColumn("recall_permille",
+                        F.expr("(n_overlap * 1000) div n_exact")))

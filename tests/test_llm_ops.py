@@ -532,3 +532,23 @@ def test_semdedup_matches_numpy_reference(spark, tables):
                 expect_kept = 0
                 break
         assert got[vid] == (cells[bi], expect_kept), vid
+
+
+def test_ann_recall_invariants_and_bucket_size_tradeoff(spark, tables):
+    """Recall bookkeeping is internally consistent, and shrinking the
+    signature width (bigger buckets) can only raise the candidate
+    count — the recall/cost dial the operator exists to measure."""
+    from hive_parse_lineage_spark.operators.similarity import ann_recall
+    e = tables["embeddings"]
+    q = (e.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    narrow = {r["query_id"]: r for r in ann_recall(e, q, k=5, n_bits=8).collect()}
+    wide = {r["query_id"]: r for r in ann_recall(e, q, k=5, n_bits=2).collect()}
+    assert set(narrow) == set(wide) == set(range(8))
+    for rs in (narrow, wide):
+        for r in rs.values():
+            assert 0 <= r["n_overlap"] <= min(r["n_exact"], r["n_ann"])
+            assert r["recall_permille"] == r["n_overlap"] * 1000 // r["n_exact"]
+    for qid in narrow:
+        assert wide[qid]["n_ann"] >= narrow[qid]["n_ann"]
+        assert wide[qid]["recall_permille"] >= narrow[qid]["recall_permille"]
