@@ -652,6 +652,19 @@ def _x79_ann_recall(spark, tables):
     return ann_recall(e, q, k=5, n_bits=8).orderBy("query_id")
 
 
+def _x80_mmr_diversify(spark, tables):
+    """MMR-diversified retrieval: per query (vec_id < 5), 3 picks from
+    a 10-candidate cosine pool, each round re-scored as 0.7*sim(q,c) -
+    0.3*max-sim-to-already-selected. Bounded driver rounds over
+    pool-sized DataFrames; the oracle unrolls the identical 3 rounds
+    as CTEs, so every pick (and its score) is hash-gated."""
+    from hive_parse_lineage_spark.operators.similarity import mmr_topk
+    e = tables["embeddings"]
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return mmr_topk(e, q, k=3, pool=10, lam=0.7).orderBy("query_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1156,6 +1169,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x77_bloom_decontaminate": _q(_x77_bloom_decontaminate),
         "x78_semdedup": _q(_x78_semdedup),
         "x79_ann_recall": _q(_x79_ann_recall),
+        "x80_mmr_diversify": _q(_x80_mmr_diversify),
     }
 
 
@@ -1350,6 +1364,62 @@ ORDER BY eg.query_id
 """
 
 
+# x80: the 3 MMR rounds unrolled. Round 1 scores 0.7*simq; rounds 2-3
+# subtract 0.3 * the max pairwise cosine to the already-selected set —
+# identical double arithmetic to operators/similarity.mmr_topk.
+_MMR_ORACLE = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 5),
+cand AS (
+  SELECT query_id, vec_id, e, simq FROM (
+    SELECT q.query_id, c.vec_id, c.e,
+           list_cosine_similarity(q.qe, c.e) AS simq,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.e) DESC, c.vec_id) AS rnk
+    FROM q JOIN base c ON c.vec_id <> q.query_id)
+  WHERE rnk <= 10),
+pairs AS (SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+                 list_cosine_similarity(a.e, b.e) AS s
+          FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+sel1 AS (SELECT query_id, vec_id, 0.7 * simq AS score FROM cand
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY 0.7 * simq DESC, vec_id) = 1),
+rem2 AS (SELECT c.* FROM cand c LEFT JOIN sel1 s
+         ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+         WHERE s.vec_id IS NULL),
+sc2 AS (SELECT r.query_id, r.vec_id,
+               0.7 * r.simq - 0.3 * MAX(p.s) AS score
+        FROM rem2 r
+        JOIN pairs p ON p.query_id = r.query_id AND p.va = r.vec_id
+        JOIN sel1 s ON s.query_id = p.query_id AND s.vec_id = p.vb
+        GROUP BY r.query_id, r.vec_id, r.simq),
+sel2 AS (SELECT query_id, vec_id, score FROM sc2
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) = 1),
+sel12 AS (SELECT query_id, vec_id FROM sel1
+          UNION ALL SELECT query_id, vec_id FROM sel2),
+rem3 AS (SELECT c.* FROM cand c LEFT JOIN sel12 s
+         ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+         WHERE s.vec_id IS NULL),
+sc3 AS (SELECT r.query_id, r.vec_id,
+               0.7 * r.simq - 0.3 * MAX(p.s) AS score
+        FROM rem3 r
+        JOIN pairs p ON p.query_id = r.query_id AND p.va = r.vec_id
+        JOIN sel12 s ON s.query_id = p.query_id AND s.vec_id = p.vb
+        GROUP BY r.query_id, r.vec_id, r.simq),
+sel3 AS (SELECT query_id, vec_id, score FROM sc3
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) = 1)
+SELECT query_id, 1 AS rank, vec_id, ROUND(score, 4) AS score FROM sel1
+UNION ALL
+SELECT query_id, 2 AS rank, vec_id, ROUND(score, 4) AS score FROM sel2
+UNION ALL
+SELECT query_id, 3 AS rank, vec_id, ROUND(score, 4) AS score FROM sel3
+ORDER BY query_id, rank
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1364,4 +1434,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x77_bloom_decontaminate"] = _bloom_decontaminate_oracle_sql()
     out["x78_semdedup"] = _SEMDEDUP_ORACLE
     out["x79_ann_recall"] = _ann_recall_oracle_sql()
+    out["x80_mmr_diversify"] = _MMR_ORACLE
     return out

@@ -388,3 +388,76 @@ def ann_recall(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                F.lit(0).cast("long")).alias("n_overlap"))
             .withColumn("recall_permille",
                         F.expr("(n_overlap * 1000) div n_exact")))
+
+
+def mmr_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             pool: int = 10, lam: float = 0.7,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id") -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the RAG retrieval pattern that trades raw
+    similarity for coverage: round r picks
+    ``argmax lam*sim(q,c) - (1-lam)*max_{s in selected} sim(c,s)``.
+
+    Plan shape for 100 TB: the corpus contributes ONE broadcast-
+    nested-loop pass to build the per-query candidate pool (top
+    ``pool`` by cosine, self excluded); every MMR round then operates
+    on pool-bounded DataFrames (``pool * n_queries`` rows), pairwise
+    sims computed once. Rounds are a driver loop over tiny bounded
+    joins — localCheckpoint truncates the growing plan, the corpus is
+    never rescanned. Deterministic: ties break toward the lower id,
+    so a bounded-round SQL oracle replays every pick exactly.
+    """
+    q = queries.select(F.col(query_id_col),
+                       F.col(vec_col).alias("q_vec"),
+                       _norm_col(vec_col).alias("q_norm"))
+    c = corpus.select(F.col(id_col),
+                      F.col(vec_col).alias("c_vec"),
+                      _norm_col(vec_col).alias("c_norm"))
+    simq = (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("simq"), F.col(id_col))
+    cand = (c.crossJoin(F.broadcast(q))
+            .filter(F.col(query_id_col) != F.col(id_col))
+            .select(query_id_col, id_col, simq.alias("simq"), "c_vec")
+            .withColumn("_rnk", F.row_number().over(w))
+            .filter(F.col("_rnk") <= pool).drop("_rnk")
+            .localCheckpoint())
+    a = cand.select(F.col(query_id_col), F.col(id_col).alias("va"),
+                    F.col("c_vec").alias("ea"))
+    b = cand.select(F.col(query_id_col), F.col(id_col).alias("vb"),
+                    F.col("c_vec").alias("eb"))
+    pair_sim = dot("ea", "eb") / (norm("ea") * norm("eb"))
+    pairs = (a.join(b, query_id_col)
+             .filter(F.col("va") != F.col("vb"))
+             .select(query_id_col, "va", "vb", pair_sim.alias("s"))
+             .localCheckpoint())
+
+    sel = None
+    w_pick = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                      F.col(id_col))
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = cand.select(query_id_col, id_col,
+                                 (F.lit(lam) * F.col("simq")).alias("score"))
+        else:
+            rem = cand.join(sel.select(query_id_col, id_col),
+                            [query_id_col, id_col], "left_anti")
+            msel = (rem.join(pairs.withColumnRenamed("va", id_col),
+                             [query_id_col, id_col])
+                    .join(sel.select(F.col(query_id_col),
+                                     F.col(id_col).alias("vb")),
+                          [query_id_col, "vb"])
+                    .groupBy(query_id_col, id_col, "simq")
+                    .agg(F.max("s").alias("maxsel")))
+            scored = msel.select(
+                query_id_col, id_col,
+                (F.lit(lam) * F.col("simq")
+                 - F.lit(1.0 - lam) * F.col("maxsel")).alias("score"))
+        pick = (scored.withColumn("_rn", F.row_number().over(w_pick))
+                .filter(F.col("_rn") == 1)
+                .select(query_id_col, F.lit(r).alias("rank"),
+                        F.col(id_col), "score"))
+        sel = pick if sel is None else sel.unionByName(pick)
+        sel = sel.localCheckpoint()
+    return sel.select(query_id_col, "rank", id_col,
+                      F.round("score", 4).alias("score"))

@@ -552,3 +552,38 @@ def test_ann_recall_invariants_and_bucket_size_tradeoff(spark, tables):
     for qid in narrow:
         assert wide[qid]["n_ann"] >= narrow[qid]["n_ann"]
         assert wide[qid]["recall_permille"] >= narrow[qid]["recall_permille"]
+
+
+def test_mmr_matches_numpy_reference(spark, tables):
+    """Every MMR pick replayed greedily in NumPy: round r maximizes
+    0.7*sim(q,c) - 0.3*max-sim-to-selected over the top-10 pool
+    (ties -> lower id)."""
+    from hive_parse_lineage_spark.operators.similarity import mmr_topk
+    e = tables["embeddings"].filter(F.col("vec_id") < 300)
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("query_id"), "embedding"))
+    got = {(r["query_id"], r["rank"]): r["vec_id"]
+           for r in mmr_topk(e, q, k=3, pool=10, lam=0.7).collect()}
+
+    rows = sorted((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+                  for r in e.collect())
+    ids = np.array([i for i, _ in rows])
+    mat = np.stack([v for _, v in rows])
+    nrm = mat / np.linalg.norm(mat, axis=1)[:, None]
+    for qi in range(3):
+        sims = nrm @ nrm[list(ids).index(qi)]
+        order = sorted((i for i in range(len(ids)) if ids[i] != qi),
+                       key=lambda i: (-sims[i], ids[i]))
+        pool = order[:10]
+        selected = []
+        for rank in range(1, 4):
+            best = None
+            for i in pool:
+                if i in selected:
+                    continue
+                pen = max((nrm[i] @ nrm[j] for j in selected), default=0.0)
+                score = 0.7 * sims[i] - 0.3 * pen
+                if best is None or (score, -ids[i]) > best[0]:
+                    best = ((score, -ids[i]), i)
+            selected.append(best[1])
+            assert got[(qi, rank)] == ids[best[1]], (qi, rank)
