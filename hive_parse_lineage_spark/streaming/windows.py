@@ -235,3 +235,59 @@ def running_stats_tws(events: DataFrame, key: str = "event_type",
                 outputStructType=f"{key} string, total double, n bigint",
                 outputMode="Update",
                 timeMode="None"))
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         key="user_id", ts_left: str = "ts",
+                         ts_right: str = "ts_r",
+                         delay: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner interval join: right-side events within
+    ``[left.ts, left.ts + delay]`` for the same key (the
+    click-to-conversion / impression-attribution shape).
+
+    Both sides carry a watermark and the join condition carries the
+    time bound, so Spark's symmetric hash join can EVICT state once
+    the watermark passes ``ts + delay`` — without the interval bound
+    a stream-stream join buffers both streams forever. Inner-join
+    matches emit as soon as both sides arrive (emission is not gated
+    on the watermark; only state cleanup is), so batch equivalence
+    holds exactly. Works identically on batch frames (watermark is a
+    streaming-only no-op there), which is what the equivalence test
+    exploits.
+    """
+    l = left.withWatermark(ts_left, watermark) if left.isStreaming else left
+    r = (right.withWatermark(ts_right, watermark)
+         if right.isStreaming else right)
+    lk, rk = key if isinstance(key, tuple) else (key, key)
+    cond = ((l[lk] == r[rk])
+            & (r[ts_right] >= l[ts_left])
+            & (r[ts_right] <= l[ts_left] + F.expr(f"INTERVAL {delay}")))
+    return l.join(r, cond, "inner")
+
+
+def run_two_streams_over_batch(spark, left_df: DataFrame,
+                               right_df: DataFrame, transform2,
+                               query_name: str = "stream2_out",
+                               output_mode: str = "append") -> DataFrame:
+    """Two-source variant of :func:`run_stream_over_batch` for
+    stream-stream joins: both batch frames become file streams,
+    ``transform2(left_stream, right_stream)`` builds the joined
+    stream, results land in a memory sink."""
+    import tempfile
+
+    ltmp = tempfile.mkdtemp(prefix="stream_l_")
+    rtmp = tempfile.mkdtemp(prefix="stream_r_")
+    left_df.write.mode("overwrite").parquet(ltmp)
+    right_df.write.mode("overwrite").parquet(rtmp)
+    lsrc = (spark.readStream.schema(left_df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(ltmp))
+    rsrc = (spark.readStream.schema(right_df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(rtmp))
+    q = (transform2(lsrc, rsrc).writeStream.outputMode(output_mode)
+         .format("memory").queryName(query_name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

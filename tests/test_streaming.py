@@ -286,3 +286,31 @@ def test_transform_with_state_running_stats(spark, events):
     assert set(last) == set(batch)
     for k in batch:
         assert abs(last[k][0] - batch[k][0]) < 0.1 and last[k][1] == batch[k][1]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events):
+    """Stream-stream inner interval join (watermarks on both sides,
+    time-bounded state) must produce exactly the batch join's rows:
+    even-id events join odd-id events of the same user arriving within
+    the next 10 minutes."""
+    from hive_parse_lineage_spark.streaming.windows import (
+        interval_join_stream, run_two_streams_over_batch)
+    left = (events.filter(F.col("event_id") % 2 == 0)
+            .select(F.col("event_id").alias("l_id"),
+                    F.col("user_id").alias("user_l"), "ts"))
+    right = (events.filter(F.col("event_id") % 2 == 1)
+             .select(F.col("event_id").alias("r_id"),
+                     F.col("user_id").alias("user_r"),
+                     F.col("ts").alias("ts_r")))
+
+    def joined(l, r):
+        return interval_join_stream(
+            l, r, key=("user_l", "user_r"), ts_left="ts",
+            ts_right="ts_r").select("l_id", "r_id")
+
+    stream = run_two_streams_over_batch(
+        spark, left, right, joined, query_name="t_ssj")
+    batch = joined(left, right)
+    got = sorted((r["l_id"], r["r_id"]) for r in stream.collect())
+    want = sorted((r["l_id"], r["r_id"]) for r in batch.collect())
+    assert got and got == want
