@@ -665,6 +665,25 @@ def _x80_mmr_diversify(spark, tables):
     return mmr_topk(e, q, k=3, pool=10, lam=0.7).orderBy("query_id", "rank")
 
 
+def _x81_quality_threshold(spark, tables):
+    """Adaptive quality gating: keep a document iff its x03 quality
+    score clears its own language's median — the dynamic-threshold
+    variant of C4/Gopher-style filtering (a fixed global cutoff
+    over/under-filters whole languages). Exact median here for the
+    oracle; at 100 TB the same plan swaps in ``approx_percentile``
+    (sketch-mergeable, one pass). The per-language median table is
+    broadcast back, so the corpus side stays a projection + filter."""
+    from hive_parse_lineage_spark.functions.text import quality_score
+    docs = tables["documents"].select(
+        "doc_id", "lang", quality_score("text").alias("score"))
+    med = docs.groupBy("lang").agg(F.median("score").alias("med"))
+    return (docs.join(F.broadcast(med), "lang")
+            .select("doc_id", "lang", "score",
+                    F.round("med", 4).alias("lang_median"),
+                    (F.col("score") >= F.col("med")).cast("int").alias("keep"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1170,6 +1189,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x78_semdedup": _q(_x78_semdedup),
         "x79_ann_recall": _q(_x79_ann_recall),
         "x80_mmr_diversify": _q(_x80_mmr_diversify),
+        "x81_quality_threshold": _q(_x81_quality_threshold),
     }
 
 
@@ -1420,6 +1440,32 @@ ORDER BY query_id, rank
 """
 
 
+# x81: the x03 quality score per doc, per-language exact median
+# (quantile_cont = Spark's interpolated median), keep iff score >= med.
+_QUALITY_THRESHOLD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang, len(toks) AS n,
+         len(list_distinct(toks)) AS nd,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_len
+  FROM t
+), sc AS (
+  SELECT doc_id, lang,
+         ROUND( (nd / n) * 0.5
+              + (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25
+              + (CASE WHEN total_len / n >= 2.0 AND total_len / n <= 12.0
+                      THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS score
+  FROM m
+), md AS (
+  SELECT lang, quantile_cont(score, 0.5) AS med FROM sc GROUP BY lang
+)
+SELECT sc.doc_id, sc.lang, sc.score, ROUND(md.med, 4) AS lang_median,
+       CASE WHEN sc.score >= md.med THEN 1 ELSE 0 END AS keep
+FROM sc JOIN md USING (lang) ORDER BY sc.doc_id
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1435,4 +1481,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x78_semdedup"] = _SEMDEDUP_ORACLE
     out["x79_ann_recall"] = _ann_recall_oracle_sql()
     out["x80_mmr_diversify"] = _MMR_ORACLE
+    out["x81_quality_threshold"] = _QUALITY_THRESHOLD_ORACLE
     return out
