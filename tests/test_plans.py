@@ -303,3 +303,40 @@ def test_chunk_dedup_single_hash_exchange(spark, tables, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Exchange hashpartitioning(chunk_hash" in plan, plan
+
+
+def test_bloom_probe_joins_all_broadcast(spark, tables, sf_dir):
+    """x77's membership test must be broadcast joins only on the
+    corpus side — a SortMergeJoin against the bloom word table or the
+    bench shingle set would reintroduce the corpus shuffle the bloom
+    exists to avoid (the only Exchanges allowed are the tiny bench-side
+    aggregation and the final per-doc agg)."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    df = corpus_queries()["x77_bloom_decontaminate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_pair_join_is_cell_bounded(spark, tables, sf_dir):
+    """x78's pair comparison must be an equi join on the cell key
+    (cluster-bounded, the SemDeDup point) — never a cartesian; the
+    seed assignment is the only nested-loop (broadcast, k seeds)."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    df = corpus_queries()["x78_semdedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the within-cell self-join hashes on the cell key
+    assert "cell" in plan, plan
+
+
+def test_mmr_corpus_scanned_once_per_pool_build(spark, tables, sf_dir):
+    """x80's round joins operate on localCheckpointed pool-sized
+    frames: the executed plan of the final result must contain no
+    parquet scan at all (the corpus was read exactly once, during
+    candidate-pool materialization)."""
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    df = corpus_queries()["x80_mmr_diversify"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
