@@ -684,6 +684,29 @@ def _x81_quality_threshold(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x82_oov_rate(spark, tables):
+    """Tokenizer-vocabulary coverage: build the top-100 BPE-ish-token
+    vocabulary from the corpus itself (count desc, token asc — exact
+    and replayable), broadcast it back, and report each document's
+    out-of-vocabulary token count and integer permille. The diagnostic
+    run before freezing a tokenizer: one token-count shuffle + a
+    TakeOrdered top-k; the per-doc pass is explode + broadcast lookup
+    + one count aggregate — no corpus-sized join key anywhere."""
+    from hive_parse_lineage_spark.functions.text import bpe_ish_tokens
+    docs = tables["documents"]
+    toks = docs.select("doc_id", F.explode(bpe_ish_tokens("text")).alias("tok"))
+    vocab = (toks.groupBy("tok").agg(F.count("*").alias("n"))
+             .orderBy(F.col("n").desc(), "tok").limit(100)
+             .select("tok", F.lit(1).alias("_v")))
+    return (toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 (F.count("*") - F.count("_v")).alias("n_oov"))
+            .withColumn("oov_permille",
+                        F.expr("(n_oov * 1000) div n_tokens"))
+            .orderBy("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1190,6 +1213,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x79_ann_recall": _q(_x79_ann_recall),
         "x80_mmr_diversify": _q(_x80_mmr_diversify),
         "x81_quality_threshold": _q(_x81_quality_threshold),
+        "x82_oov_rate": _q(_x82_oov_rate),
     }
 
 
@@ -1466,6 +1490,26 @@ FROM sc JOIN md USING (lang) ORDER BY sc.doc_id
 """
 
 
+# x82: top-100 BPE-ish-token vocabulary (count DESC, token ASC), then
+# per-doc OOV counting — identical tokenization to x38's oracle.
+_OOV_RATE_ORACLE = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM tk GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok LIMIT 100
+)
+SELECT tk.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+           // COUNT(*) AS oov_permille
+FROM tk LEFT JOIN vocab v ON v.tok = tk.tok
+GROUP BY tk.doc_id ORDER BY tk.doc_id
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1482,4 +1526,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x79_ann_recall"] = _ann_recall_oracle_sql()
     out["x80_mmr_diversify"] = _MMR_ORACLE
     out["x81_quality_threshold"] = _QUALITY_THRESHOLD_ORACLE
+    out["x82_oov_rate"] = _OOV_RATE_ORACLE
     return out
