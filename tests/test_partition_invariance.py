@@ -22,6 +22,10 @@ INVARIANCE_QUERIES = [
     "x61_stratified_sample",    # salted-hash per-stratum sampling
     "x70_hot_key_split_join",   # broadcast hot path + shuffle tail union
     "x74_weighted_sample",      # hash-thresholded fractional epochs
+    "x77_bloom_decontaminate",  # bloom bit routing via double hashing
+    "x78_semdedup",             # centroid argmax + within-cell pair drop
+    "x80_mmr_diversify",        # greedy argmax rounds over checkpointed pools
+    "x82_oov_rate",             # global top-k vocabulary cutoff
 ]
 
 
