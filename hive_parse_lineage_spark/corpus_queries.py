@@ -707,6 +707,34 @@ def _x82_oov_rate(spark, tables):
             .orderBy("doc_id"))
 
 
+def _x83_cluster_representatives(spark, tables):
+    """Quality-aware cluster representatives: assign embeddings to the
+    x78 seed clusters, join each vector's document (doc_id == vec_id
+    in the testdata), and keep the highest-quality member per cluster
+    — the curation move that keeps the BEST member of each semantic
+    group instead of an arbitrary survivor. Cross-table (documents +
+    embeddings); the per-cell argmax is one window over the cell key."""
+    from hive_parse_lineage_spark.functions.text import quality_score
+    from hive_parse_lineage_spark.operators.dedup import seed_assign
+    e = tables["embeddings"]
+    seeds = (e.filter(F.col("vec_id") % 100 == 0)
+             .select(F.col("vec_id").alias("seed_id"), "embedding"))
+    asg = seed_assign(e, seeds).select("vec_id", "cell")
+    q = tables["documents"].select(
+        F.col("doc_id"), quality_score("text").alias("score"))
+    joined = asg.join(q, asg["vec_id"] == q["doc_id"]).select(
+        "cell", "doc_id", "score")
+    w = Window.partitionBy("cell").orderBy(F.col("score").desc(), "doc_id")
+    wc = Window.partitionBy("cell")
+    return (joined
+            .withColumn("n_members", F.count("*").over(wc))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cell", "doc_id", F.col("score").alias("rep_score"),
+                    "n_members")
+            .orderBy("cell"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1214,6 +1242,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x80_mmr_diversify": _q(_x80_mmr_diversify),
         "x81_quality_threshold": _q(_x81_quality_threshold),
         "x82_oov_rate": _q(_x82_oov_rate),
+        "x83_cluster_representatives": _q(_x83_cluster_representatives),
     }
 
 
@@ -1510,6 +1539,39 @@ GROUP BY tk.doc_id ORDER BY tk.doc_id
 """
 
 
+# x83: the x78 seed-cluster assignment joined to the x03 quality
+# score (doc_id == vec_id), best-quality member per cluster.
+_CLUSTER_REPS_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sd AS (SELECT vec_id AS cell, v AS sv FROM e WHERE vec_id % 100 = 0),
+scj AS (SELECT e.vec_id, sd.cell,
+               list_cosine_similarity(e.v, sd.sv) AS cos FROM e, sd),
+asg AS (SELECT vec_id, cell FROM scj
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, cell) = 1),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+             list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 AS total_len
+      FROM t),
+q AS (SELECT doc_id,
+             ROUND( (nd / n) * 0.5
+                  + (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25
+                  + (CASE WHEN total_len / n >= 2.0 AND total_len / n <= 12.0
+                          THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS score
+      FROM m),
+j AS (SELECT a.cell, q.doc_id, q.score FROM asg a
+      JOIN q ON q.doc_id = a.vec_id)
+SELECT cell, doc_id, score AS rep_score, n_members FROM (
+  SELECT cell, doc_id, score,
+         COUNT(*) OVER (PARTITION BY cell) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cell
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM j)
+WHERE rn = 1 ORDER BY cell
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1527,4 +1589,5 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x80_mmr_diversify"] = _MMR_ORACLE
     out["x81_quality_threshold"] = _QUALITY_THRESHOLD_ORACLE
     out["x82_oov_rate"] = _OOV_RATE_ORACLE
+    out["x83_cluster_representatives"] = _CLUSTER_REPS_ORACLE
     return out

@@ -450,6 +450,35 @@ def chunk_dedup(docs: DataFrame, chunk_tokens: int = 64, stride: int = 48,
             .select(id_col, "chunk_id", "n_tokens", "n_copies"))
 
 
+def seed_assign(corpus: DataFrame, seeds: DataFrame,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                seed_id_col: str = "seed_id") -> DataFrame:
+    """Assign every corpus vector to its most-cosine-similar seed
+    centroid (ties toward the lowest seed id). ``seeds`` is broadcast
+    — a k-row table at any corpus scale — and the argmax is one hash
+    aggregate over a min-of-structs ``(-cos, seed_id)``, so map-side
+    partials collapse the k-way expansion before the only shuffle.
+    Returns (id, cell, cos_to_cell, v) with the vector carried along
+    for downstream within-cell work."""
+    from hive_parse_lineage_spark.functions.vector import dot, norm
+
+    s = seeds.select(F.col(seed_id_col).alias("cell"),
+                     F.col(vec_col).alias("s_vec"),
+                     norm(vec_col).alias("s_norm"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
+                      norm(vec_col).alias("c_norm"))
+    cos = dot("c_vec", "s_vec") / (F.col("c_norm") * F.col("s_norm"))
+    # (-cos, cell) min-struct = argmax cosine with lowest-seed tiebreak;
+    # c_vec rides along (never compared: (cos, cell) is unique per row)
+    pick = F.min(F.struct((-cos).alias("neg"), F.col("cell"),
+                          F.col("c_vec"))).alias("m")
+    return (c.crossJoin(F.broadcast(s))
+            .groupBy(id_col).agg(pick)
+            .select(F.col(id_col), F.col("m.cell").alias("cell"),
+                    (-F.col("m.neg")).alias("cos_to_cell"),
+                    F.col("m.c_vec").alias("v")))
+
+
 def semdedup(corpus: DataFrame, seeds: DataFrame, threshold: float = 0.2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              seed_id_col: str = "seed_id") -> DataFrame:
@@ -473,23 +502,9 @@ def semdedup(corpus: DataFrame, seeds: DataFrame, threshold: float = 0.2,
     is pure (lowest id in a duplicate pair survives), so a SQL oracle
     replays it exactly.
     """
+    assigned = seed_assign(corpus, seeds, vec_col=vec_col, id_col=id_col,
+                           seed_id_col=seed_id_col)
     from hive_parse_lineage_spark.functions.vector import dot, norm
-
-    s = seeds.select(F.col(seed_id_col).alias("cell"),
-                     F.col(vec_col).alias("s_vec"),
-                     norm(vec_col).alias("s_norm"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"),
-                      norm(vec_col).alias("c_norm"))
-    cos = dot("c_vec", "s_vec") / (F.col("c_norm") * F.col("s_norm"))
-    # (-cos, cell) min-struct = argmax cosine with lowest-seed tiebreak;
-    # c_vec rides along (never compared: (cos, cell) is unique per row)
-    pick = F.min(F.struct((-cos).alias("neg"), F.col("cell"),
-                          F.col("c_vec"))).alias("m")
-    assigned = (c.crossJoin(F.broadcast(s))
-                .groupBy(id_col).agg(pick)
-                .select(F.col(id_col), F.col("m.cell").alias("cell"),
-                        (-F.col("m.neg")).alias("cos_to_cell"),
-                        F.col("m.c_vec").alias("v")))
     a = assigned.select(F.col("cell"), F.col(id_col).alias("id_a"),
                         F.col("v").alias("va"))
     b = assigned.select(F.col("cell"), F.col(id_col).alias("id_b"),
