@@ -735,6 +735,84 @@ def _x83_cluster_representatives(spark, tables):
             .orderBy("cell"))
 
 
+def _x84_split_leakage(spark, tables):
+    """Train->test leakage audit over the x39 hash split itself: train
+    documents that share at least one 8-gram with ANY test document
+    (near-dups straddling the split boundary silently leak eval data
+    into training). One shuffle on the shingle key; the test-side
+    shingle set is distinct-reduced first, and AQE broadcasts it when
+    it fits. Output: leaking train docs with their shared-gram count."""
+    from hive_parse_lineage_spark.operators.corpus import doc_shingles
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    split = hash_split(tables["documents"], salt="v1")
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    tr = doc_shingles(train, n=8)
+    te = doc_shingles(test, n=8).select("shingle").distinct()
+    return (tr.join(te, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams"))
+            .orderBy("doc_id"))
+
+
+def _x85_user_sequences(spark, tables):
+    """Behavior-sequence assembly: each user's first 20 events (by
+    time, ties by event id) flattened to an ordered event-type string
+    — the training-example constructor for session/recommendation
+    models. One window shuffle on user_id, then sort_array over
+    collected structs (deterministic — a bare collect_list would be
+    partition-order dependent)."""
+    e = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (e.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= 20))
+    seq = F.concat_ws(
+        ",", F.transform(
+            F.sort_array(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"]))
+    return (first.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), seq.alias("seq"))
+            .orderBy("user_id"))
+
+
+def _x86_source_drift(spark, tables):
+    """Per-source token-distribution drift: total-variation distance
+    (integer permille) between each source's token distribution and
+    the whole-corpus distribution — the mix-curation diagnostic that
+    flags a source whose language shifted. All-integer arithmetic:
+    TV = sum_t |c_st*T - c_t*T_s| / (2*T_s*T), with the absent-token
+    tail folded in CLOSED FORM ((T - sum_present c_t) * T_s) so the
+    per-source sum runs only over tokens the source actually contains
+    — never vocabulary x sources."""
+    from hive_parse_lineage_spark.functions.text import tokens
+    toks = (tables["documents"]
+            .select("source", F.explode(tokens("text")).alias("tok")))
+    st = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    ts_ = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    total = ts_.select(F.sum("t_s").alias("t_all"))
+    j = (st.join(ct, "tok")
+         .join(F.broadcast(ts_), "source")
+         .crossJoin(F.broadcast(total)))
+    per_src = (j.groupBy("source", "t_s", "t_all")
+               .agg(F.sum(F.abs(F.col("c_st") * F.col("t_all")
+                                - F.col("c_t") * F.col("t_s")))
+                    .alias("present_num"),
+                    F.sum("c_t").alias("present_ct")))
+    num = (F.col("present_num")
+           + (F.col("t_all") - F.col("present_ct")) * F.col("t_s"))
+    return (per_src
+            .select("source", F.col("t_s").alias("n_tokens"),
+                    F.col("t_all").alias("_t_all"),
+                    num.alias("_num"))
+            .withColumn("tv_permille",
+                        F.expr("(_num * 1000) div (2 * n_tokens * _t_all)"))
+            .select("source", "n_tokens", "tv_permille")
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1243,6 +1321,9 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x81_quality_threshold": _q(_x81_quality_threshold),
         "x82_oov_rate": _q(_x82_oov_rate),
         "x83_cluster_representatives": _q(_x83_cluster_representatives),
+        "x84_split_leakage": _q(_x84_split_leakage),
+        "x85_user_sequences": _q(_x85_user_sequences),
+        "x86_source_drift": _q(_x86_source_drift),
     }
 
 
@@ -1572,6 +1653,72 @@ WHERE rn = 1 ORDER BY cell
 """
 
 
+def _split_leakage_oracle_sql() -> str:
+    """Replays x84: the x39 hash split (salt v1), 8-gram shingles,
+    train semi-joined to the distinct test shingle set."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("'v1' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT doc_id, text, {h} % 100 AS bucket FROM documents
+), w AS (
+  SELECT doc_id, bucket, string_split(text, ' ') AS w, text FROM b
+), s AS (
+  SELECT DISTINCT doc_id, bucket, unnest({_shingle_list_sql(8)}) AS shingle
+  FROM w
+), te AS (
+  SELECT DISTINCT shingle FROM s WHERE bucket >= 90
+)
+SELECT s.doc_id, COUNT(*) AS n_shared_grams
+FROM s JOIN te USING (shingle)
+WHERE s.bucket < 80
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
+_USER_SEQUENCES_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM r WHERE rn <= 20
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# x86: all-integer total-variation distance; the absent-token tail is
+# the closed form (T - sum_present c_t) * T_s, so the sum never runs
+# over vocabulary x sources.
+_SOURCE_DRIFT_ORACLE = """
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), st AS (
+  SELECT source, tok, COUNT(*) AS c_st FROM tk GROUP BY source, tok
+), ct AS (
+  SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+), ts_ AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY source
+), tt AS (
+  SELECT CAST(SUM(t_s) AS BIGINT) AS t_all FROM ts_
+), agg AS (
+  SELECT st.source, ts_.t_s, tt.t_all,
+         CAST(SUM(ABS(st.c_st * tt.t_all - ct.c_t * ts_.t_s)) AS BIGINT)
+             AS present_num,
+         CAST(SUM(ct.c_t) AS BIGINT) AS present_ct
+  FROM st JOIN ct USING (tok) JOIN ts_ USING (source) CROSS JOIN tt
+  GROUP BY st.source, ts_.t_s, tt.t_all
+)
+SELECT source, t_s AS n_tokens,
+       ((present_num + (t_all - present_ct) * t_s) * 1000)
+           // (2 * t_s * t_all) AS tv_permille
+FROM agg ORDER BY source
+"""
+
+
 def corpus_oracle_sql() -> dict[str, str]:
     out = dict(_ORACLES)
     out["x56_training_pipeline"] = _training_pipeline_oracle_sql()
@@ -1590,4 +1737,7 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x81_quality_threshold"] = _QUALITY_THRESHOLD_ORACLE
     out["x82_oov_rate"] = _OOV_RATE_ORACLE
     out["x83_cluster_representatives"] = _CLUSTER_REPS_ORACLE
+    out["x84_split_leakage"] = _split_leakage_oracle_sql()
+    out["x85_user_sequences"] = _USER_SEQUENCES_ORACLE
+    out["x86_source_drift"] = _SOURCE_DRIFT_ORACLE
     return out
