@@ -813,6 +813,29 @@ def _x86_source_drift(spark, tables):
             .orderBy("source"))
 
 
+def _x87_cluster_size_histogram(spark, tables):
+    """The dedup report: distribution of duplicate-cluster sizes over
+    the x46 components (how much of the corpus sits in 2-clusters vs
+    giant boilerplate blobs — the number that decides cap and survivor
+    policy). Two cheap aggregations after the component labels: size
+    per component, then cluster count + total docs per size."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.components import connected_components
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b"))
+    vertices = docs.select(F.col("doc_id").alias("vertex"))
+    comp = connected_components(edges, vertices=vertices, max_iter=4)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("size"))
+    return (sizes.groupBy("size")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("size").alias("n_docs"))
+            .orderBy("size"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1324,6 +1347,7 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x84_split_leakage": _q(_x84_split_leakage),
         "x85_user_sequences": _q(_x85_user_sequences),
         "x86_source_drift": _q(_x86_source_drift),
+        "x87_cluster_size_histogram": _q(_x87_cluster_size_histogram),
     }
 
 
@@ -1740,4 +1764,16 @@ def corpus_oracle_sql() -> dict[str, str]:
     out["x84_split_leakage"] = _split_leakage_oracle_sql()
     out["x85_user_sequences"] = _USER_SEQUENCES_ORACLE
     out["x86_source_drift"] = _SOURCE_DRIFT_ORACLE
+    out["x87_cluster_size_histogram"] = f"""
+WITH {_cc_edges_sql()},
+l0 AS (SELECT doc_id AS vertex, doc_id AS component FROM documents),
+{_cc_round('l0', 'l1')},
+{_cc_round('l1', 'l2')},
+{_cc_round('l2', 'l3')},
+{_cc_round('l3', 'l4')},
+sz AS (SELECT component, COUNT(*) AS size FROM l4 GROUP BY component)
+SELECT size, COUNT(*) AS n_clusters,
+       CAST(SUM(size) AS BIGINT) AS n_docs
+FROM sz GROUP BY size ORDER BY size
+"""
     return out
