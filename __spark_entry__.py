@@ -44,6 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(corpus_queries())
     except ImportError:
         pass
+    try:
+        from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+        out.update(pipeline_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -58,6 +63,11 @@ def oracle_sql() -> dict[str, str]:
     try:
         from hive_parse_lineage_spark.corpus_queries import corpus_oracle_sql
         out.update(corpus_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from hive_parse_lineage_spark.pipeline_queries import pipeline_oracle_sql
+        out.update(pipeline_oracle_sql())
     except ImportError:
         pass
     return out

@@ -380,8 +380,10 @@ def _bench_corpus(spark, sf_dir: str):
     """LLM-corpus surface (x01-x70): Spark wall per query, one warm +
     one timed pass each."""
     from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
     ctimes: dict[str, float] = {}
-    for name, fn in sorted(corpus_queries().items()):
+    allq = {**corpus_queries(), **pipeline_queries()}
+    for name, fn in sorted(allq.items()):
         fn(spark, sf_dir).collect()                          # warm-up
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
@@ -399,13 +401,15 @@ def _bench_corpus_duckdb(sf_dir: str):
     import duckdb
 
     from hive_parse_lineage_spark.corpus_queries import corpus_oracle_sql
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_oracle_sql
     from hive_parse_lineage_spark.sources.loader import TABLES
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     dtimes: dict[str, float] = {}
-    for name, sql in sorted(corpus_oracle_sql().items()):
+    allsql = {**corpus_oracle_sql(), **pipeline_oracle_sql()}
+    for name, sql in sorted(allsql.items()):
         con.execute(sql).fetchdf()                           # warm-up
         t0 = time.perf_counter()
         con.execute(sql).fetchdf()

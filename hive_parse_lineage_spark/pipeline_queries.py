@@ -1,0 +1,348 @@
+"""Training-pipeline query surface x88+: lexical retrieval (BM25),
+importance-weighted data selection, segment-level dedup with document
+reconstruction, exact length quantiles, PMI collocations, and the
+corpus novelty curve.
+
+Every entry has an exact DuckDB oracle (same playbook as
+corpus_queries: integer surrogates where libm would diverge, identical
+IEEE expression trees where doubles are unavoidable, and explicit
+deterministic tie-breaks everywhere a rank appears).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_parse_lineage_spark.sources.loader import load_tables
+
+BM25_TERMS = ["spark", "table", "hash", "merge"]
+SEG_TOKENS = 16
+
+
+def _q(fn: Callable[[SparkSession, dict], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        return fn(spark, tables)
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Spark implementations
+# ---------------------------------------------------------------------------
+
+def _x88_bm25_topk(spark, tables):
+    """BM25 top-10 per query term (log-free rational idf so the
+    ranking function is IEEE-reproducible under the hash gate). One
+    filtered explode + one equi-join; df and corpus stats broadcast."""
+    from hive_parse_lineage_spark.operators.retrieval import bm25_term_topk
+    return (bm25_term_topk(tables["documents"], BM25_TERMS, k=10)
+            .orderBy("term", "rank"))
+
+
+def _x89_importance_weights(spark, tables):
+    """DSIR-style importance scoring for data selection: the target
+    distribution is the English slice; a document's weight is the
+    permille of its token OCCURRENCES whose token is over-represented
+    in the target (c_en * T_all > c_all * T_en — all-integer, the
+    cross-multiplied form of p_target > p_raw). Two token-count
+    aggregates (map-side combined), counts broadcast back onto one
+    explode; no per-row Python."""
+    from hive_parse_lineage_spark.functions.text import tokens
+    docs = tables["documents"]
+    tk = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    c_all = tk.groupBy("tok").agg(F.count("*").alias("c_all"))
+    c_en = (tk.filter(F.col("lang") == "en")
+            .groupBy("tok").agg(F.count("*").alias("c_en")))
+    totals = (c_all.agg(F.sum("c_all").alias("t_all"))
+              .crossJoin(c_en.agg(F.sum("c_en").alias("t_en"))))
+    j = (tk.join(F.broadcast(c_all), "tok")
+         .join(F.broadcast(c_en), "tok", "left")
+         .crossJoin(F.broadcast(totals))
+         .withColumn("c_en", F.coalesce("c_en", F.lit(0))))
+    over = (F.col("c_en") * F.col("t_all")
+            > F.col("c_all") * F.col("t_en")).cast("long")
+    return (j.groupBy("doc_id", "lang")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(over).alias("n_over"))
+            .withColumn("over_permille",
+                        F.expr("n_over * 1000 div n_tokens"))
+            .select("doc_id", "lang", "n_tokens", "over_permille")
+            .orderBy("doc_id"))
+
+
+def _x90_segment_dedup_rebuild(spark, tables):
+    """Segment-level dedup with document reconstruction: cut every
+    document into non-overlapping 16-token segments, keep only the
+    globally FIRST occurrence of each distinct segment (by doc_id,
+    then position), and rebuild each document's surviving text — the
+    'clean the corpus, keep the prose readable' operator. One shuffle
+    on the segment text, one per-doc aggregate."""
+    docs = tables["documents"]
+    w = F.split(F.col("text"), " ")
+    segs = (docs.select("doc_id", w.alias("w"))
+            .select("doc_id",
+                    F.explode(F.expr(
+                        f"sequence(0, (size(w) + {SEG_TOKENS - 1}) "
+                        f"div {SEG_TOKENS} - 1)")).alias("seg_idx"),
+                    F.col("w"))
+            .select("doc_id", "seg_idx",
+                    F.array_join(
+                        F.slice("w", F.col("seg_idx") * SEG_TOKENS + 1,
+                                F.lit(SEG_TOKENS)), " ").alias("seg")))
+    first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = (segs.withColumn("_rn", F.row_number().over(first))
+            .filter(F.col("_rn") == 1))
+    rebuilt = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg), " ")
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").alias("n_kept"), rebuilt.alias("rebuilt"))
+            .orderBy("doc_id"))
+
+
+def _x91_length_quantiles(spark, tables):
+    """Exact per-language length quantiles (discrete: the value at row
+    ceil(q*n), all-integer row arithmetic — no interpolation, so no
+    float divergence) plus outlier counts outside [p10, p90]. One sort
+    per language partition + a broadcast join of the 5-row quantile
+    table back onto the corpus."""
+    docs = tables["documents"]
+    byl = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang", "n_chars", "doc_id",
+        F.row_number().over(byl).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"))
+    q = (ranked.groupBy("lang")
+         .agg(F.max("n").alias("n_docs"),
+              F.max(F.when(F.expr("rn = (n + 9) div 10"),
+                           F.col("n_chars"))).alias("p10"),
+              F.max(F.when(F.expr("rn = (n + 1) div 2"),
+                           F.col("n_chars"))).alias("p50"),
+              F.max(F.when(F.expr("rn = (9 * n + 9) div 10"),
+                           F.col("n_chars"))).alias("p90")))
+    j = docs.join(F.broadcast(q), "lang")
+    return (j.groupBy("lang", "n_docs", "p10", "p50", "p90")
+            .agg(F.sum((F.col("n_chars") < F.col("p10")).cast("long"))
+                 .alias("n_below"),
+                 F.sum((F.col("n_chars") > F.col("p90")).cast("long"))
+                 .alias("n_above"))
+            .orderBy("lang"))
+
+
+def _x92_pmi_collocations(spark, tables):
+    """Collocation mining: top-20 adjacent-token bigrams by an
+    all-integer PMI surrogate — lift = p(x,y) / (p(x)p(y)) cross-
+    multiplied to (c_xy * T * T * 1000) div (T_bi * c_x * c_y), with
+    a min-support floor of 5. Unigram counts broadcast onto the
+    bigram counts; two explode→count shuffles total."""
+    from hive_parse_lineage_spark.functions.text import tokens
+    docs = tables["documents"]
+    base = docs.select("doc_id", tokens("text").alias("w"))
+    uni = (base.select(F.explode("w").alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("c")))
+    bi = (base.filter(F.size("w") >= 2)
+          .select(F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> struct(w[i-1] as x, w[i] as y))")).alias("p"))
+          .select("p.x", "p.y")
+          .groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+          .filter(F.col("c_xy") >= 5))
+    tot = (uni.agg(F.sum("c").alias("t_all"))
+           .crossJoin(bi.agg(F.sum("c_xy").alias("t_bi"))))
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    j = (bi.join(F.broadcast(ux), "x").join(F.broadcast(uy), "y")
+         .crossJoin(F.broadcast(tot)))
+    lift = F.expr("c_xy * t_all * t_all * 1000 div (t_bi * c_x * c_y)")
+    scored = j.select("x", "y", "c_xy", lift.alias("lift_permille"))
+    w = Window.orderBy(F.desc("lift_permille"), F.desc("c_xy"), "x", "y")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select("rank", "x", "y", "c_xy", "lift_permille"))
+
+
+def _x93_novelty_curve(spark, tables):
+    """Corpus novelty curve: split the corpus into 10 ingestion
+    deciles (NTILE over doc_id — the stand-in for a crawl-date column
+    at scale) and measure, per decile, what permille of its distinct
+    per-doc 3-gram instances were already seen in an earlier decile.
+    The curve is how corpus curators decide when a crawl stops adding
+    information. One shuffle on the shingle, one on the decile."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    docs = tables["documents"]
+    # bucket BEFORE the explode (in one select Spark places the
+    # Generate below the Window, i.e. ntile would run over gram rows)
+    decile = (docs.select(
+        "doc_id", "text",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"))
+        .select(
+        "doc_id", "bucket",
+        F.explode(F.array_distinct(word_shingles("text", 3))).alias("g")))
+    firsts = decile.groupBy("g").agg(F.min("bucket").alias("first_b"))
+    j = decile.join(firsts, "g")
+    return (j.groupBy("bucket")
+            .agg(F.count("*").alias("n_grams"),
+                 F.sum((F.col("first_b") < F.col("bucket")).cast("long"))
+                 .alias("n_rep"))
+            .withColumn("repeated_permille",
+                        F.expr("n_rep * 1000 div n_grams"))
+            .select("bucket", "n_grams", "repeated_permille")
+            .orderBy("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_IMPORTANCE_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), c_all AS (
+  SELECT tok, COUNT(*) AS c_all FROM tk GROUP BY tok
+), c_en AS (
+  SELECT tok, COUNT(*) AS c_en FROM tk WHERE lang = 'en' GROUP BY tok
+), tot AS (
+  SELECT (SELECT CAST(SUM(c_all) AS BIGINT) FROM c_all) AS t_all,
+         (SELECT CAST(SUM(c_en) AS BIGINT) FROM c_en) AS t_en
+)
+SELECT tk.doc_id, tk.lang, COUNT(*) AS n_tokens,
+       (CAST(SUM(CASE WHEN COALESCE(c_en.c_en, 0) * tot.t_all
+                           > c_all.c_all * tot.t_en
+                      THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+           // COUNT(*) AS over_permille
+FROM tk JOIN c_all USING (tok) LEFT JOIN c_en USING (tok) CROSS JOIN tot
+GROUP BY tk.doc_id, tk.lang
+ORDER BY tk.doc_id
+"""
+
+_SEGMENT_REBUILD_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), segs AS (
+  SELECT doc_id,
+         unnest(range(0, (len(w) + {SEG_TOKENS - 1}) // {SEG_TOKENS}))
+             AS seg_idx,
+         unnest(list_transform(
+             range(0, (len(w) + {SEG_TOKENS - 1}) // {SEG_TOKENS}),
+             i -> array_to_string(
+                 list_slice(w, CAST(i AS INT) * {SEG_TOKENS} + 1,
+                            CAST(i AS INT) * {SEG_TOKENS} + {SEG_TOKENS}),
+                 ' '))) AS seg
+  FROM w
+), kept AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id, COUNT(*) AS n_kept,
+       string_agg(seg, ' ' ORDER BY seg_idx) AS rebuilt
+FROM kept WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+_LENGTH_QUANTILES_ORACLE = """
+WITH ranked AS (
+  SELECT lang, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), q AS (
+  SELECT lang, MAX(n) AS n_docs,
+         MAX(CASE WHEN rn = (n + 9) // 10 THEN n_chars END) AS p10,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+         MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90
+  FROM ranked GROUP BY lang
+)
+SELECT d.lang, q.n_docs, q.p10, q.p50, q.p90,
+       CAST(SUM(CASE WHEN d.n_chars < q.p10 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below,
+       CAST(SUM(CASE WHEN d.n_chars > q.p90 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above
+FROM documents d JOIN q USING (lang)
+GROUP BY d.lang, q.n_docs, q.p10, q.p50, q.p90
+ORDER BY d.lang
+"""
+
+_PMI_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT unnest(w) AS tok FROM w) GROUP BY tok
+), bi AS (
+  SELECT x, y, COUNT(*) AS c_xy FROM (
+    SELECT unnest(list_slice(w, 1, len(w) - 1)) AS x,
+           unnest(list_slice(w, 2, len(w))) AS y
+    FROM w WHERE len(w) >= 2
+  )
+  GROUP BY x, y HAVING COUNT(*) >= 5
+), tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS t_all,
+         (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bi) AS t_bi
+), scored AS (
+  SELECT bi.x, bi.y, bi.c_xy,
+         (bi.c_xy * tot.t_all * tot.t_all * 1000)
+             // (tot.t_bi * ux.c * uy.c) AS lift_permille
+  FROM bi JOIN uni ux ON bi.x = ux.tok JOIN uni uy ON bi.y = uy.tok
+  CROSS JOIN tot
+)
+SELECT ROW_NUMBER() OVER (ORDER BY lift_permille DESC, c_xy DESC, x, y)
+           AS rank,
+       x, y, c_xy, lift_permille
+FROM scored
+ORDER BY lift_permille DESC, c_xy DESC, x, y
+LIMIT 20
+"""
+
+
+def _novelty_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text,
+         NTILE(10) OVER (ORDER BY doc_id) AS bucket
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, bucket, unnest({_shingle_list_sql(3)}) AS g
+  FROM w
+), firsts AS (
+  SELECT g, MIN(bucket) AS first_b FROM g GROUP BY g
+)
+SELECT bucket, COUNT(*) AS n_grams,
+       (CAST(SUM(CASE WHEN first_b < bucket THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000) // COUNT(*) AS repeated_permille
+FROM g JOIN firsts USING (g)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "x88_bm25_topk": _q(_x88_bm25_topk),
+        "x89_importance_weights": _q(_x89_importance_weights),
+        "x90_segment_dedup_rebuild": _q(_x90_segment_dedup_rebuild),
+        "x91_length_quantiles": _q(_x91_length_quantiles),
+        "x92_pmi_collocations": _q(_x92_pmi_collocations),
+        "x93_novelty_curve": _q(_x93_novelty_curve),
+    }
+
+
+def pipeline_oracle_sql() -> dict[str, str]:
+    from hive_parse_lineage_spark.operators.retrieval import bm25_oracle_sql
+    return {
+        "x88_bm25_topk": bm25_oracle_sql(BM25_TERMS, k=10),
+        "x89_importance_weights": _IMPORTANCE_ORACLE,
+        "x90_segment_dedup_rebuild": _SEGMENT_REBUILD_ORACLE,
+        "x91_length_quantiles": _LENGTH_QUANTILES_ORACLE,
+        "x92_pmi_collocations": _PMI_ORACLE,
+        "x93_novelty_curve": _novelty_oracle_sql(),
+    }

@@ -1,0 +1,96 @@
+"""x88-x93 (pipeline_queries): plan-shape assertions plus a
+brute-force BM25 reference on a toy corpus. Value-level correctness
+vs DuckDB is covered by the oracle gate (selfcheck / driver sweep);
+these tests pin the 100 TB plan posture and the scoring math."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+from hive_parse_lineage_spark.sources.loader import load_tables
+
+
+def _plan_of(spark, sf_dir, name: str) -> str:
+    df = pipeline_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_matches_brute_force(spark):
+    """Score parity with a driver-side reference implementation of the
+    log-free BM25 on a toy corpus (including a term hitting one doc
+    and a term hitting none)."""
+    from hive_parse_lineage_spark.operators.retrieval import bm25_term_topk
+    rows = [(1, "a b a c"), (2, "a d"), (3, "b b b e"), (4, "c c a b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["dl"], r["score"], r["rank"])
+           for r in bm25_term_topk(docs, ["a", "e", "zz"], k=10).collect()}
+    toks = {d: t.split(" ") for d, t in rows}
+    n, total = len(rows), sum(len(w) for w in toks.values())
+    exp = {}
+    for term in ["a", "e"]:
+        hits = {d: w.count(term) for d, w in toks.items() if term in w}
+        df = len(hits)
+        idf = (2 * n - 2 * df + 1) / (2 * df + 1)
+        scored = sorted(
+            ((idf * (tf / (tf + 0.3 + 0.9 * len(toks[d]) * n / total)), d, tf)
+             for d, tf in hits.items()), key=lambda x: (-x[0], x[1]))
+        for rank, (s, d, tf) in enumerate(scored, 1):
+            exp[(term, d)] = (tf, len(toks[d]), round(s, 4), rank)
+    assert got == exp  # and nothing for 'zz'
+
+
+def test_bm25_stats_and_df_broadcast(spark, tables, sf_dir):
+    """x88: per-term df and the 1-row corpus stats broadcast; the only
+    non-broadcast join is the tf⋈dl equi-join. Never a cartesian."""
+    plan = _plan_of(spark, sf_dir, "x88_bm25_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_importance_counts_broadcast_onto_explode(spark, tables, sf_dir):
+    """x89: token-frequency tables join the exploded corpus as
+    broadcasts — reshuffling the token stream by tok would be the
+    100 TB bottleneck."""
+    plan = _plan_of(spark, sf_dir, "x89_importance_weights")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_segment_rebuild_shuffles_on_segment_then_doc(spark, tables, sf_dir):
+    """x90: keep-first windows over the segment text (one hash
+    exchange on seg), then one per-doc aggregate — no join at all."""
+    plan = _plan_of(spark, sf_dir, "x90_segment_dedup_rebuild")
+    assert "Exchange hashpartitioning(seg" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_length_quantiles_broadcast_back(spark, tables, sf_dir):
+    """x91: the 5-row quantile table must broadcast onto the corpus
+    for the outlier counts."""
+    plan = _plan_of(spark, sf_dir, "x91_length_quantiles")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pmi_unigrams_broadcast(spark, tables, sf_dir):
+    """x92: both unigram sides attach to the bigram counts as
+    broadcast joins (vocabulary << bigram stream)."""
+    plan = _plan_of(spark, sf_dir, "x92_pmi_collocations")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_novelty_bucket_assigned_before_explode(spark, tables, sf_dir):
+    """x93 regression: ntile must run over the 10-deciles of DOCS, not
+    of exploded gram rows (uniform bucket gram-counts are the bug
+    signature). Cheap value check at sf0.001-scale data."""
+    df = pipeline_queries()["x93_novelty_curve"](spark, sf_dir)
+    rows = df.collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    # bucket 1 can never contain an already-seen gram
+    assert rows[0]["repeated_permille"] == 0
+    # doc-level deciles have *varying* gram totals; the exploded-row
+    # ntile bug yields all-equal n_grams (±1)
+    totals = {r["n_grams"] for r in rows}
+    assert len(totals) > 2, rows
