@@ -192,6 +192,73 @@ def _x93_novelty_curve(spark, tables):
             .orderBy("bucket"))
 
 
+def _x94_packing_efficiency(spark, tables):
+    """Packing-efficiency report over x40's shard-local sequence
+    packing: per shard, pack count, padding waste (permille of
+    capacity left empty by the final partial pack) and the number of
+    documents straddling a pack boundary (the ones a trainer must
+    re-read across sequences). The report is what decides budget and
+    shard count before a 100 TB packing run; cost = x40's one shard
+    shuffle + a 4-row aggregate."""
+    from hive_parse_lineage_spark.functions.text import token_count
+    from hive_parse_lineage_spark.operators.sampling import pack_sequences
+    budget = 512
+    docs = tables["documents"].select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens"))
+    packed = pack_sequences(docs, "n_tokens", budget=budget, n_shards=4,
+                            shard_salt="p1")
+    straddle = (F.expr(f"start_offset div {budget}")
+                != F.expr(f"(start_offset + n_tokens - 1) div {budget}"))
+    per = (packed.groupBy("shard")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.sum(straddle.cast("long")).alias("n_straddles")))
+    return (per
+            .withColumn("n_packs",
+                        F.expr(f"(total_tokens + {budget - 1}) div {budget}"))
+            .withColumn("waste_permille",
+                        F.expr(f"(n_packs * {budget} - total_tokens) * 1000 "
+                               f"div (n_packs * {budget})"))
+            .select("shard", "n_docs", "total_tokens", "n_packs",
+                    "n_straddles", "waste_permille")
+            .orderBy("shard"))
+
+
+def _x95_quality_dup_calibration(spark, tables):
+    """Does the cheap quality score actually separate duplicated
+    boilerplate? Per quality decile (ntile over the x03 score,
+    doc_id tiebreak): exact-duplicate rate in permille. The curve
+    justifies (or kills) using the score as a pre-dedup filter. One
+    window on text (dup count), one global ntile, one aggregate."""
+    from hive_parse_lineage_spark.functions.text import quality_score
+    docs = tables["documents"].select(
+        "doc_id", "text", quality_score("text").alias("q"))
+    dup_n = F.count("*").over(Window.partitionBy("text"))
+    scored = (docs.withColumn("is_dup", (dup_n > 1).cast("long"))
+              .select("doc_id", "q", "is_dup",
+                      F.ntile(10).over(Window.orderBy("q", "doc_id"))
+                      .alias("decile")))
+    return (scored.groupBy("decile")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("is_dup").alias("n_dups"))
+            .withColumn("dup_permille",
+                        F.expr("n_dups * 1000 div n_docs"))
+            .orderBy("decile"))
+
+
+def _x96_lang_confusion(spark, tables):
+    """Confusion matrix of the declared lang label vs the x02
+    stopword-heuristic language ID — the curation QA table that says
+    which language pairs the cheap filter confuses. Pure codegen
+    projection + one small aggregate."""
+    from hive_parse_lineage_spark.functions.text import language_id
+    return (tables["documents"]
+            .select("lang", language_id("text").alias("pred_lang"))
+            .groupBy("lang", "pred_lang")
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy("lang", "pred_lang"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -300,6 +367,99 @@ LIMIT 20
 """
 
 
+def _packing_efficiency_oracle_sql(budget: int = 512, n_shards: int = 4,
+                                   salt: str = "p1") -> str:
+    """x94: the x40 packing replay (same hash shard, same running
+    sum), then per-shard capacity/waste/straddle arithmetic."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         {h} % {n_shards} AS shard
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM d
+), per AS (
+  SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN start_offset // {budget}
+                       != (start_offset + n_tokens - 1) // {budget}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
+  FROM c GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+       (total_tokens + {budget - 1}) // {budget} AS n_packs,
+       n_straddles,
+       (((total_tokens + {budget - 1}) // {budget}) * {budget}
+            - total_tokens) * 1000
+           // (((total_tokens + {budget - 1}) // {budget}) * {budget})
+           AS waste_permille
+FROM per ORDER BY shard
+"""
+
+
+_QUALITY_DUP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, text, len(toks) AS n,
+         len(list_distinct(toks)) AS nd,
+         list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+             AS total_len
+  FROM t
+), q AS (
+  SELECT doc_id, text,
+         ROUND( (nd / n) * 0.5
+              + (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25
+              + (CASE WHEN total_len / n >= 2.0 AND total_len / n <= 12.0
+                      THEN 1.0 ELSE 0.5 END) * 0.25, 4) AS q
+  FROM m
+), s AS (
+  SELECT doc_id, q,
+         CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1
+              THEN 1 ELSE 0 END AS is_dup,
+         NTILE(10) OVER (ORDER BY q, doc_id) AS decile
+  FROM q
+)
+SELECT decile, COUNT(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+       (CAST(SUM(is_dup) AS BIGINT) * 1000) // COUNT(*) AS dup_permille
+FROM s GROUP BY decile ORDER BY decile
+"""
+
+
+def _lang_confusion_oracle_sql() -> str:
+    from hive_parse_lineage_spark.extra_queries import _SW
+    return f"""
+WITH s AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), sc AS (
+  SELECT lang,
+         len(list_intersect(toks, [{_SW['de']}])) AS s_de,
+         len(list_intersect(toks, [{_SW['en']}])) AS s_en,
+         len(list_intersect(toks, [{_SW['es']}])) AS s_es,
+         len(list_intersect(toks, [{_SW['fr']}])) AS s_fr,
+         len(list_intersect(toks, [{_SW['zh']}])) AS s_zh
+  FROM s
+), p AS (
+  SELECT lang,
+         CASE WHEN s_de >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS pred_lang
+  FROM sc
+)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
 def _novelty_oracle_sql() -> str:
     from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
     return f"""
@@ -333,6 +493,9 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x91_length_quantiles": _q(_x91_length_quantiles),
         "x92_pmi_collocations": _q(_x92_pmi_collocations),
         "x93_novelty_curve": _q(_x93_novelty_curve),
+        "x94_packing_efficiency": _q(_x94_packing_efficiency),
+        "x95_quality_dup_calibration": _q(_x95_quality_dup_calibration),
+        "x96_lang_confusion": _q(_x96_lang_confusion),
     }
 
 
@@ -345,4 +508,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x91_length_quantiles": _LENGTH_QUANTILES_ORACLE,
         "x92_pmi_collocations": _PMI_ORACLE,
         "x93_novelty_curve": _novelty_oracle_sql(),
+        "x94_packing_efficiency": _packing_efficiency_oracle_sql(),
+        "x95_quality_dup_calibration": _QUALITY_DUP_ORACLE,
+        "x96_lang_confusion": _lang_confusion_oracle_sql(),
     }

@@ -6,6 +6,7 @@ these tests pin the 100 TB plan posture and the scoring math."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
 from hive_parse_lineage_spark.sources.loader import load_tables
@@ -79,6 +80,50 @@ def test_pmi_unigrams_broadcast(spark, tables, sf_dir):
     plan = _plan_of(spark, sf_dir, "x92_pmi_collocations")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_packing_efficiency_single_shard_shuffle(spark, tables, sf_dir):
+    """x94 inherits x40's posture: ONE hash exchange on the shard key
+    feeds both the running-sum window and the per-shard aggregate
+    (plus the final 4-row orderBy range exchange)."""
+    plan = _plan_of(spark, sf_dir, "x94_packing_efficiency")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange hashpartitioning(shard" in plan, plan
+
+
+def test_packing_waste_consistency(spark, tables, sf_dir):
+    """Waste and straddles are internally consistent: capacity covers
+    the tokens, and straddle count < doc count."""
+    rows = pipeline_queries()["x94_packing_efficiency"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_packs"] * 512 >= r["total_tokens"]
+        assert 0 <= r["waste_permille"] < 1000
+        assert 0 <= r["n_straddles"] < r["n_docs"]
+
+
+def test_quality_dup_deciles_cover_corpus(spark, tables, sf_dir):
+    rows = pipeline_queries()["x95_quality_dup_calibration"](spark, sf_dir).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n = sum(r["n_docs"] for r in rows)
+    assert n == load_tables(spark, sf_dir)["documents"].count()
+
+
+def test_lang_confusion_partitions_corpus(spark, tables, sf_dir):
+    """The matrix is a partition of the corpus: per-lang row sums
+    equal the label counts, predictions stay in the 5-lang domain.
+    (No diagonal-dominance assert: the synthetic corpus's vocabulary
+    is English-leaning whatever the label — surfacing exactly that
+    mismatch is what the matrix is for.)"""
+    rows = pipeline_queries()["x96_lang_confusion"](spark, sf_dir).collect()
+    langs = {"de", "en", "es", "fr", "zh"}
+    assert {r["pred_lang"] for r in rows} <= langs
+    got = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + r["n_docs"]
+    exp = {r["lang"]: r["n"] for r in load_tables(spark, sf_dir)["documents"]
+           .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == exp
 
 
 def test_novelty_bucket_assigned_before_explode(spark, tables, sf_dir):
