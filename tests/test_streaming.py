@@ -314,3 +314,49 @@ def test_stream_stream_interval_join_equals_batch(spark, events):
     got = sorted((r["l_id"], r["r_id"]) for r in stream.collect())
     want = sorted((r["l_id"], r["r_id"]) for r in batch.collect())
     assert got and got == want
+
+
+def test_stream_near_dup_operator_equals_batch_cross_lsh(spark, tables):
+    """streaming/neardup.py operator: a micro-batched stream of new
+    docs (20 verbatim copies of corpus docs + 30 fresh ones) against
+    the static corpus buckets must flag exactly the batch
+    lsh_cross_pairs set at the same threshold — and every copied doc
+    must be caught (est_jaccard 1.0 for identical text)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import lsh_cross_pairs
+    from hive_parse_lineage_spark.operators.dedup import minhash_signature_agg
+    from hive_parse_lineage_spark.streaming.neardup import (
+        corpus_band_buckets, stream_near_dup_matches)
+    from hive_parse_lineage_spark.streaming.windows import run_stream_over_batch
+
+    docs = tables["documents"]
+    corpus = docs.filter("doc_id < 400").select("doc_id", "text")
+    copies = (docs.filter("doc_id < 20")
+              .select((F.col("doc_id") + 10_000).alias("doc_id"), "text"))
+    fresh = (docs.filter("doc_id >= 400 and doc_id < 430")
+             .select((F.col("doc_id") + 20_000).alias("doc_id"), "text"))
+    new = copies.unionByName(fresh)
+
+    cb = corpus_band_buckets(corpus, n_hashes=16, bands=8,
+                             hasher=portable_hash64)
+    streamed = run_stream_over_batch(
+        spark, new,
+        lambda s: stream_near_dup_matches(s, cb, threshold=0.9,
+                                          n_hashes=16, bands=8,
+                                          hasher=portable_hash64),
+        query_name="t_neardup", output_mode="append")
+    got = {(r["new_id"], r["corpus_id"], r["est_jaccard"])
+           for r in streamed.collect()}
+
+    sig_new = minhash_signature_agg(new, n_hashes=16,
+                                    hasher=portable_hash64)
+    sig_corpus = minhash_signature_agg(corpus, n_hashes=16,
+                                       hasher=portable_hash64)
+    exp = {(r["new_id"], r["corpus_id"], r["est_jaccard"])
+           for r in lsh_cross_pairs(sig_new, sig_corpus, n_hashes=16,
+                                    bands=8).collect()
+           if r["est_jaccard"] >= 0.9}
+    assert got == exp
+    # every verbatim copy is flagged against its source at 1.0
+    for i in range(20):
+        assert (10_000 + i, i, 1.0) in got
