@@ -169,22 +169,31 @@ def _x93_novelty_curve(spark, tables):
     at scale) and measure, per decile, what permille of its distinct
     per-doc 3-gram instances were already seen in an earlier decile.
     The curve is how corpus curators decide when a crawl stops adding
-    information. One shuffle on the shingle, one on the decile."""
+    information.
+
+    Shuffle shape: the full gram-instance stream shuffles ONCE — into
+    the (g, bucket) count aggregate (map-side combined). The first-
+    seen-bucket window then runs over the aggregated rows (≤10 per
+    gram), and the final per-bucket rollup is 10 rows. The naive
+    spelling (groupBy(g) + join back on g) shuffles the instance
+    stream twice and was ~2× slower at sf0.1."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"]
     # bucket BEFORE the explode (in one select Spark places the
     # Generate below the Window, i.e. ntile would run over gram rows)
-    decile = (docs.select(
+    inst = (docs.select(
         "doc_id", "text",
         F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"))
         .select(
-        "doc_id", "bucket",
+        "bucket",
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("g")))
-    firsts = decile.groupBy("g").agg(F.min("bucket").alias("first_b"))
-    j = decile.join(firsts, "g")
-    return (j.groupBy("bucket")
-            .agg(F.count("*").alias("n_grams"),
-                 F.sum((F.col("first_b") < F.col("bucket")).cast("long"))
+    gb = inst.groupBy("g", "bucket").agg(F.count("*").alias("c"))
+    per = gb.withColumn(
+        "first_b", F.min("bucket").over(Window.partitionBy("g")))
+    return (per.groupBy("bucket")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.sum(F.when(F.col("first_b") < F.col("bucket"),
+                              F.col("c")).otherwise(F.lit(0)))
                  .alias("n_rep"))
             .withColumn("repeated_permille",
                         F.expr("n_rep * 1000 div n_grams"))
