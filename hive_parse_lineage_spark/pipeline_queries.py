@@ -236,23 +236,83 @@ def _x94_packing_efficiency(spark, tables):
 def _x95_quality_dup_calibration(spark, tables):
     """Does the cheap quality score actually separate duplicated
     boilerplate? Per quality decile (ntile over the x03 score,
-    doc_id tiebreak): exact-duplicate rate in permille. The curve
-    justifies (or kills) using the score as a pre-dedup filter. One
-    window on text (dup count), one global ntile, one aggregate."""
+    doc_id tiebreak): rate of docs sharing their 8-token PREFIX with
+    another doc (boilerplate starts — the signal exists at every SF,
+    unlike whole-text exact dups, which the sf0.01 gate data doesn't
+    contain). One window on the prefix, one global ntile, one
+    aggregate."""
     from hive_parse_lineage_spark.functions.text import quality_score
+    pre = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
     docs = tables["documents"].select(
-        "doc_id", "text", quality_score("text").alias("q"))
-    dup_n = F.count("*").over(Window.partitionBy("text"))
-    scored = (docs.withColumn("is_dup", (dup_n > 1).cast("long"))
-              .select("doc_id", "q", "is_dup",
+        "doc_id", pre.alias("pre"), quality_score("text").alias("q"))
+    dup_n = F.count("*").over(Window.partitionBy("pre"))
+    scored = (docs.withColumn("is_boiler", (dup_n > 1).cast("long"))
+              .select("doc_id", "q", "is_boiler",
                       F.ntile(10).over(Window.orderBy("q", "doc_id"))
                       .alias("decile")))
     return (scored.groupBy("decile")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("is_dup").alias("n_dups"))
-            .withColumn("dup_permille",
-                        F.expr("n_dups * 1000 div n_docs"))
+                 F.sum("is_boiler").alias("n_boiler"))
+            .withColumn("boiler_permille",
+                        F.expr("n_boiler * 1000 div n_docs"))
             .orderBy("decile"))
+
+
+def _x97_integrity_audit(spark, tables):
+    """Cross-modal dataset integrity audit: documents vs their
+    embedding rows (a training shard is only usable when text and
+    vectors line up). The testdata is perfectly aligned, so the audit
+    perturbs in-query (drop 2% of each side by hash — SF-independent,
+    both engines replay it) and must account for every id: matched /
+    doc-without-embedding / embedding-without-doc. One full outer
+    join on the id."""
+    docs = (tables["documents"].select("doc_id")
+            .filter(F.expr("doc_id % 50 != 3")))
+    embs = (tables["embeddings"].select(F.col("vec_id").alias("doc_id"))
+            .filter(F.expr("doc_id % 50 != 7")))
+    j = (docs.withColumn("has_doc", F.lit(1))
+         .join(embs.withColumn("has_emb", F.lit(1)), "doc_id", "full_outer"))
+    status = (F.when(F.col("has_doc").isNull(), F.lit("embedding_without_doc"))
+              .when(F.col("has_emb").isNull(), F.lit("doc_without_embedding"))
+              .otherwise(F.lit("matched")))
+    return (j.select(status.alias("status"))
+            .groupBy("status").agg(F.count("*").alias("n"))
+            .orderBy("status"))
+
+
+def _x98_frequency_spectrum(spark, tables):
+    """Zipf spectrum of the token distribution: frequency at ranks
+    1, 2, 4, ..., 4096 plus rank*freq (constant under a perfect Zipf
+    law — how vocab size and tokenizer budgets get picked). One
+    count aggregate + a global rank over the tiny vocab table."""
+    from hive_parse_lineage_spark.functions.text import tokens
+    ranks = [2 ** i for i in range(13)]
+    freq = (tables["documents"]
+            .select(F.explode(tokens("text")).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("freq")))
+    ranked = freq.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "tok")))
+    return (ranked.filter(F.col("rank").isin(ranks))
+            .select("rank", "tok", "freq",
+                    F.expr("rank * freq").alias("rank_x_freq"))
+            .orderBy("rank"))
+
+
+def _x99_metadata_inconsistency(spark, tables):
+    """Metadata-inconsistency audit: groups of documents sharing an
+    8-token prefix (same boilerplate start) but labeled with more
+    than one lang or source — the signature of mislabeled scrapes
+    that poison per-language mixing. One shuffle on the prefix."""
+    pre = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
+    return (tables["documents"]
+            .select(pre.alias("pre"), "lang", "source")
+            .groupBy("pre")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.countDistinct("source").alias("n_sources"))
+            .filter((F.col("n_docs") > 1)
+                    & ((F.col("n_langs") > 1) | (F.col("n_sources") > 1)))
+            .orderBy("pre"))
 
 
 def _x96_lang_confusion(spark, tables):
@@ -414,15 +474,17 @@ FROM per ORDER BY shard
 
 _QUALITY_DUP_ORACLE = """
 WITH t AS (
-  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), m AS (
-  SELECT doc_id, text, len(toks) AS n,
+  SELECT doc_id,
+         array_to_string(list_slice(toks, 1, 8), ' ') AS pre,
+         len(toks) AS n,
          len(list_distinct(toks)) AS nd,
          list_aggregate(list_transform(toks, x -> length(x)), 'sum')
              AS total_len
   FROM t
 ), q AS (
-  SELECT doc_id, text,
+  SELECT doc_id, pre,
          ROUND( (nd / n) * 0.5
               + (CASE WHEN n >= 20 AND n <= 1000 THEN 1.0 ELSE 0.5 END) * 0.25
               + (CASE WHEN total_len / n >= 2.0 AND total_len / n <= 12.0
@@ -430,15 +492,60 @@ WITH t AS (
   FROM m
 ), s AS (
   SELECT doc_id, q,
-         CASE WHEN COUNT(*) OVER (PARTITION BY text) > 1
-              THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN COUNT(*) OVER (PARTITION BY pre) > 1
+              THEN 1 ELSE 0 END AS is_boiler,
          NTILE(10) OVER (ORDER BY q, doc_id) AS decile
   FROM q
 )
 SELECT decile, COUNT(*) AS n_docs,
-       CAST(SUM(is_dup) AS BIGINT) AS n_dups,
-       (CAST(SUM(is_dup) AS BIGINT) * 1000) // COUNT(*) AS dup_permille
+       CAST(SUM(is_boiler) AS BIGINT) AS n_boiler,
+       (CAST(SUM(is_boiler) AS BIGINT) * 1000) // COUNT(*) AS boiler_permille
 FROM s GROUP BY decile ORDER BY decile
+"""
+
+
+_INTEGRITY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 1 AS has_doc FROM documents WHERE doc_id % 50 != 3
+), e AS (
+  SELECT vec_id AS doc_id, 1 AS has_emb FROM embeddings
+  WHERE vec_id % 50 != 7
+), j AS (
+  SELECT CASE WHEN d.has_doc IS NULL THEN 'embedding_without_doc'
+              WHEN e.has_emb IS NULL THEN 'doc_without_embedding'
+              ELSE 'matched' END AS status
+  FROM d FULL OUTER JOIN e USING (doc_id)
+)
+SELECT status, COUNT(*) AS n FROM j GROUP BY status ORDER BY status
+"""
+
+
+_SPECTRUM_ORACLE = f"""
+WITH f AS (
+  SELECT tok, COUNT(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), r AS (
+  SELECT tok, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM f
+)
+SELECT rank, tok, freq, rank * freq AS rank_x_freq
+FROM r WHERE rank IN ({", ".join(str(2 ** i) for i in range(13))})
+ORDER BY rank
+"""
+
+
+_METADATA_INCONSISTENCY_ORACLE = """
+SELECT array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') AS pre,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY pre
+HAVING COUNT(*) > 1
+   AND (COUNT(DISTINCT lang) > 1 OR COUNT(DISTINCT source) > 1)
+ORDER BY pre
 """
 
 
@@ -505,6 +612,9 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x94_packing_efficiency": _q(_x94_packing_efficiency),
         "x95_quality_dup_calibration": _q(_x95_quality_dup_calibration),
         "x96_lang_confusion": _q(_x96_lang_confusion),
+        "x97_integrity_audit": _q(_x97_integrity_audit),
+        "x98_frequency_spectrum": _q(_x98_frequency_spectrum),
+        "x99_metadata_inconsistency": _q(_x99_metadata_inconsistency),
     }
 
 
@@ -520,4 +630,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x94_packing_efficiency": _packing_efficiency_oracle_sql(),
         "x95_quality_dup_calibration": _QUALITY_DUP_ORACLE,
         "x96_lang_confusion": _lang_confusion_oracle_sql(),
+        "x97_integrity_audit": _INTEGRITY_ORACLE,
+        "x98_frequency_spectrum": _SPECTRUM_ORACLE,
+        "x99_metadata_inconsistency": _METADATA_INCONSISTENCY_ORACLE,
     }

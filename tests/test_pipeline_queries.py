@@ -126,6 +126,40 @@ def test_lang_confusion_partitions_corpus(spark, tables, sf_dir):
     assert got == exp
 
 
+def test_integrity_audit_accounts_for_every_id(spark, tables, sf_dir):
+    """x97's three statuses must partition the union of both
+    (perturbed) id sets — the audit loses nothing."""
+    rows = {r["status"]: r["n"] for r in
+            pipeline_queries()["x97_integrity_audit"](spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir)["documents"]
+    n = docs.count()
+    n_docs = docs.filter("doc_id % 50 != 3").count()
+    n_embs = (load_tables(spark, sf_dir)["embeddings"]
+              .filter("vec_id % 50 != 7").count())
+    assert rows["matched"] + rows["doc_without_embedding"] == n_docs
+    assert rows["matched"] + rows["embedding_without_doc"] == n_embs
+    assert sum(rows.values()) <= 2 * n
+
+
+def test_frequency_spectrum_is_monotone(spark, tables, sf_dir):
+    """Frequencies must be non-increasing in rank and ranks must be
+    powers of two."""
+    rows = pipeline_queries()["x98_frequency_spectrum"](spark, sf_dir).collect()
+    ranks = [r["rank"] for r in rows]
+    freqs = [r["freq"] for r in rows]
+    assert all(r & (r - 1) == 0 for r in ranks)
+    assert freqs == sorted(freqs, reverse=True)
+    assert all(r["rank_x_freq"] == r["rank"] * r["freq"] for r in rows)
+
+
+def test_metadata_inconsistency_rows_are_real_conflicts(spark, tables, sf_dir):
+    rows = pipeline_queries()["x99_metadata_inconsistency"](spark, sf_dir).collect()
+    assert rows  # the synthetic corpus does contain conflicting groups
+    for r in rows:
+        assert r["n_docs"] > 1
+        assert r["n_langs"] > 1 or r["n_sources"] > 1
+
+
 def test_novelty_bucket_assigned_before_explode(spark, tables, sf_dir):
     """x93 regression: ntile must run over the 10-deciles of DOCS, not
     of exploded gram rows (uniform bucket gram-counts are the bug
