@@ -136,7 +136,8 @@ def bench_duckdb(sf_dir: str, queries: dict[str, str], n_passes: int):
         lambda name, sql: len(con.execute(sql).fetchdf()), queries, n_passes)
 
 
-SWEEP_QUERIES = ("x41_common_shingles", "x56_training_pipeline")
+SWEEP_QUERIES = ("x41_common_shingles", "x56_training_pipeline",
+                 "x90_segment_dedup_rebuild", "x93_novelty_curve")
 
 
 def _x46_capped(spark, sf_dir: str):
@@ -200,7 +201,9 @@ def scale_sweep() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    qs = {k: v for k, v in corpus_queries().items() if k in SWEEP_QUERIES}
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    pool = {**corpus_queries(), **pipeline_queries()}
+    qs = {k: v for k, v in pool.items() if k in SWEEP_QUERIES}
     qs["x46_dup_clusters_capped"] = _x46_capped
     root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     sf_dirs = sorted((d for d in glob.glob(os.path.join(root, "sf*"))

@@ -519,3 +519,40 @@ def semdedup(corpus: DataFrame, seeds: DataFrame, threshold: float = 0.2,
             .select(id_col, "cell",
                     F.round("cos_to_cell", 4).alias("cos_to_cell"),
                     F.col("_d").isNull().cast("int").alias("kept")))
+
+
+def segment_dedup_rebuild(docs: DataFrame, seg_tokens: int = 16,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Segment-level dedup with document reconstruction: cut each
+    document into non-overlapping ``seg_tokens``-token segments, keep
+    only the globally FIRST occurrence of each distinct segment text
+    (ordered by id, then position), and rebuild each document's
+    surviving prose in original order.
+
+    The 'clean the corpus, keep it readable' operator: unlike whole-doc
+    dedup it removes repeated boilerplate blocks INSIDE otherwise-unique
+    documents. One shuffle on the segment text (keep-first window), one
+    per-doc aggregate; documents whose every segment was seen earlier
+    drop out. Output: (id, n_kept, rebuilt).
+    """
+    from pyspark.sql import Window
+    w = F.split(F.col(text_col), " ")
+    segs = (docs.select(id_col, w.alias("w"))
+            .select(id_col,
+                    F.explode(F.expr(
+                        f"sequence(0, (size(w) + {seg_tokens - 1}) "
+                        f"div {seg_tokens} - 1)")).alias("seg_idx"),
+                    F.col("w"))
+            .select(id_col, "seg_idx",
+                    F.array_join(
+                        F.slice("w", F.col("seg_idx") * seg_tokens + 1,
+                                F.lit(seg_tokens)), " ").alias("seg")))
+    first = Window.partitionBy("seg").orderBy(id_col, "seg_idx")
+    kept = (segs.withColumn("_rn", F.row_number().over(first))
+            .filter(F.col("_rn") == 1))
+    rebuilt = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.seg), " ")
+    return (kept.groupBy(id_col)
+            .agg(F.count("*").alias("n_kept"), rebuilt.alias("rebuilt")))

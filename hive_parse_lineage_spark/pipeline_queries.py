@@ -78,27 +78,11 @@ def _x90_segment_dedup_rebuild(spark, tables):
     globally FIRST occurrence of each distinct segment (by doc_id,
     then position), and rebuild each document's surviving text — the
     'clean the corpus, keep the prose readable' operator. One shuffle
-    on the segment text, one per-doc aggregate."""
-    docs = tables["documents"]
-    w = F.split(F.col("text"), " ")
-    segs = (docs.select("doc_id", w.alias("w"))
-            .select("doc_id",
-                    F.explode(F.expr(
-                        f"sequence(0, (size(w) + {SEG_TOKENS - 1}) "
-                        f"div {SEG_TOKENS} - 1)")).alias("seg_idx"),
-                    F.col("w"))
-            .select("doc_id", "seg_idx",
-                    F.array_join(
-                        F.slice("w", F.col("seg_idx") * SEG_TOKENS + 1,
-                                F.lit(SEG_TOKENS)), " ").alias("seg")))
-    first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-    kept = (segs.withColumn("_rn", F.row_number().over(first))
-            .filter(F.col("_rn") == 1))
-    rebuilt = F.array_join(
-        F.transform(F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                    lambda s: s.seg), " ")
-    return (kept.groupBy("doc_id")
-            .agg(F.count("*").alias("n_kept"), rebuilt.alias("rebuilt"))
+    on the segment text, one per-doc aggregate (operator:
+    operators/dedup.py segment_dedup_rebuild, property-tested against
+    a pure-Python reference)."""
+    from hive_parse_lineage_spark.operators.dedup import segment_dedup_rebuild
+    return (segment_dedup_rebuild(tables["documents"], seg_tokens=SEG_TOKENS)
             .orderBy("doc_id"))
 
 
@@ -157,35 +141,38 @@ def _x92_pmi_collocations(spark, tables):
          .crossJoin(F.broadcast(tot)))
     lift = F.expr("c_xy * t_all * t_all * 1000 div (t_bi * c_x * c_y)")
     scored = j.select("x", "y", "c_xy", lift.alias("lift_permille"))
+    # top-20 via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global window); the rank window then runs over 20 rows
+    top = scored.orderBy(F.desc("lift_permille"), F.desc("c_xy"),
+                         "x", "y").limit(20)
     w = Window.orderBy(F.desc("lift_permille"), F.desc("c_xy"), "x", "y")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("rank", "x", "y", "c_xy", "lift_permille"))
 
 
 def _x93_novelty_curve(spark, tables):
     """Corpus novelty curve: split the corpus into 10 ingestion
-    deciles (NTILE over doc_id — the stand-in for a crawl-date column
-    at scale) and measure, per decile, what permille of its distinct
-    per-doc 3-gram instances were already seen in an earlier decile.
+    buckets (id-range deciles — the stand-in for a crawl-date column
+    at scale) and measure, per bucket, what permille of its distinct
+    per-doc 3-gram instances were already seen in an earlier bucket.
     The curve is how corpus curators decide when a crawl stops adding
     information.
 
-    Shuffle shape: the full gram-instance stream shuffles ONCE — into
-    the (g, bucket) count aggregate (map-side combined). The first-
-    seen-bucket window then runs over the aggregated rows (≤10 per
-    gram), and the final per-bucket rollup is 10 rows. The naive
-    spelling (groupBy(g) + join back on g) shuffles the instance
-    stream twice and was ~2× slower at sf0.1."""
+    Scale shape: the bucket is ``(doc_id * 10) div (max_id + 1) + 1``
+    — a codegen projection against one broadcast scalar. The first
+    spelling used ``ntile(10) OVER (ORDER BY doc_id)``, which funnels
+    the whole corpus through ONE partition: the scale sweep measured
+    it 19× slower at 10× rows (500k docs: 310 s → ~minutes of global
+    sort). The full gram-instance stream then shuffles ONCE — into the
+    (g, bucket) count aggregate (map-side combined); the first-seen
+    window runs over the aggregated rows (≤10 per gram) and the final
+    rollup is 10 rows."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"]
-    # bucket BEFORE the explode (in one select Spark places the
-    # Generate below the Window, i.e. ntile would run over gram rows)
-    inst = (docs.select(
-        "doc_id", "text",
-        F.ntile(10).over(Window.orderBy("doc_id")).alias("bucket"))
-        .select(
-        "bucket",
+    mx = docs.agg(F.max("doc_id").alias("_mx"))
+    inst = (docs.crossJoin(F.broadcast(mx))
+            .select(
+        F.expr("doc_id * 10 div (_mx + 1) + 1").alias("bucket"),
         F.explode(F.array_distinct(word_shingles("text", 3))).alias("g")))
     gb = inst.groupBy("g", "bucket").agg(F.count("*").alias("c"))
     per = gb.withColumn(
@@ -240,7 +227,10 @@ def _x95_quality_dup_calibration(spark, tables):
     another doc (boilerplate starts — the signal exists at every SF,
     unlike whole-text exact dups, which the sf0.01 gate data doesn't
     contain). One window on the prefix, one global ntile, one
-    aggregate."""
+    aggregate. 100 TB note: the exact global ntile is the oracle-
+    replayable spelling for the gate; at scale the decile boundaries
+    come from approx_percentile over the score (the x81 pattern) and
+    the ntile becomes a broadcast range lookup."""
     from hive_parse_lineage_spark.functions.text import quality_score
     pre = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
     docs = tables["documents"].select(
@@ -579,10 +569,12 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 def _novelty_oracle_sql() -> str:
     from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
     return f"""
-WITH w AS (
+WITH mx AS (
+  SELECT MAX(doc_id) AS mx FROM documents
+), w AS (
   SELECT doc_id, string_split(text, ' ') AS w, text,
-         NTILE(10) OVER (ORDER BY doc_id) AS bucket
-  FROM documents
+         (doc_id * 10) // (mx.mx + 1) + 1 AS bucket
+  FROM documents, mx
 ), g AS (
   SELECT DISTINCT doc_id, bucket, unnest({_shingle_list_sql(3)}) AS g
   FROM w

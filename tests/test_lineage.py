@@ -608,3 +608,20 @@ def test_split_statements_backslash_escape_parity():
     assert split_statements(r"SELECT a \; b; SELECT 2") == \
         [r"SELECT a \; b", "SELECT 2"]
     assert split_statements("SELECT 'x\\") == ["SELECT 'x\\"]
+
+
+def test_mapjoin_hint_transparent_to_lineage(spark, lineage_tables):
+    """Hive's /*+ MAPJOIN(t) */ hint (reference TOK_MAPJOIN,
+    LineParser.java:286 — the reference skips over it too): Spark
+    resolves it to a broadcast-join hint; lineage must see straight
+    through to the same sources and conditions as the unhinted query."""
+    hinted = ("SELECT /*+ MAPJOIN(b) */ a.col1, b.c1 "
+              "FROM t1 a JOIN t2 b ON a.col2 = b.col2")
+    plain = ("SELECT a.col1, b.c1 "
+             "FROM t1 a JOIN t2 b ON a.col2 = b.col2")
+    lh, lp = lineage(spark, hinted), lineage(spark, plain)
+    assert lh.input_tables == lp.input_tables == {"default.t1", "default.t2"}
+    assert by_alias(lh)["col1"]["sources"] == ["default.t1.col1"]
+    assert by_alias(lh)["c1"]["sources"] == ["default.t2.c1"]
+    assert [c["sources"] for c in lh.col_lines] == \
+        [c["sources"] for c in lp.col_lines]
