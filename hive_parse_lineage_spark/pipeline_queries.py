@@ -91,7 +91,9 @@ def _x91_length_quantiles(spark, tables):
     ceil(q*n), all-integer row arithmetic — no interpolation, so no
     float divergence) plus outlier counts outside [p10, p90]. One sort
     per language partition + a broadcast join of the 5-row quantile
-    table back onto the corpus."""
+    table back onto the corpus. 100 TB note: exact value-at-row is the
+    oracle-replayable gate spelling; at scale the boundaries come from
+    approx_percentile (x28/x81 pattern) and the sort disappears."""
     docs = tables["documents"]
     byl = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     ranked = docs.select(
@@ -274,13 +276,17 @@ def _x98_frequency_spectrum(spark, tables):
     """Zipf spectrum of the token distribution: frequency at ranks
     1, 2, 4, ..., 4096 plus rank*freq (constant under a perfect Zipf
     law — how vocab size and tokenizer budgets get picked). One
-    count aggregate + a global rank over the tiny vocab table."""
+    count aggregate; the rank runs over only the top-4096 vocab rows
+    (TakeOrderedAndProject — the max rank the spectrum reads), never a
+    global window over the full vocabulary, which at web scale is
+    10^8+ distinct tokens through one partition."""
     from hive_parse_lineage_spark.functions.text import tokens
     ranks = [2 ** i for i in range(13)]
     freq = (tables["documents"]
             .select(F.explode(tokens("text")).alias("tok"))
             .groupBy("tok").agg(F.count("*").alias("freq")))
-    ranked = freq.withColumn(
+    top = freq.orderBy(F.desc("freq"), "tok").limit(max(ranks))
+    ranked = top.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("freq"), "tok")))
     return (ranked.filter(F.col("rank").isin(ranks))
             .select("rank", "tok", "freq",
