@@ -324,6 +324,49 @@ def _x96_lang_confusion(spark, tables):
             .orderBy("lang", "pred_lang"))
 
 
+def _x100_dup_pagerank(spark, tables):
+    """Fixed-point PageRank over the near-dup graph (x46's edges):
+    ranks the boilerplate HUBS — documents whose text radiates through
+    the most duplication mass, the first ones a curator inspects.
+    Integer ppm arithmetic, 2 synchronous rounds; the oracle unrolls
+    the identical rounds over the identical LSH edge oracle."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    from hive_parse_lineage_spark.operators.graph import pagerank_fixed_point
+    docs = tables["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b"))
+    vertices = docs.select(F.col("doc_id").alias("vertex"))
+    return (pagerank_fixed_point(edges, vertices, rounds=2)
+            .orderBy("vertex"))
+
+
+def _x101_training_manifest(spark, tables):
+    """The training-run manifest: per (split, source), document and
+    token counts plus each source's permille share of its split's
+    tokens — the provenance record shipped next to every assembled
+    corpus (x39's deterministic hash split; zero-shuffle split
+    assignment, one rollup, one 3-partition window over the tiny
+    aggregate)."""
+    from hive_parse_lineage_spark.functions.text import token_count
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    docs = hash_split(tables["documents"], id_col="doc_id", salt="v1")
+    per = (docs.select("split", "source",
+                       token_count("text").cast("long").alias("n_tok"))
+           .groupBy("split", "source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens")))
+    tot = F.sum("n_tokens").over(Window.partitionBy("split"))
+    return (per.withColumn("_t", tot)
+            .withColumn("share_permille",
+                        F.expr("n_tokens * 1000 div _t"))
+            .select("split", "source", "n_docs", "n_tokens",
+                    "share_permille")
+            .orderBy("split", "source"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -572,6 +615,56 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+def _pr_round(prev: str, cur: str) -> str:
+    """One unrolled fixed-point PageRank round (mirrors
+    operators/graph.py: per-edge integer division, then the damped
+    integer update)."""
+    return (f"{cur} AS (SELECT n.vertex, "
+            f"150000 + (850000 * COALESCE(SUM(p.r // deg.deg), 0)) "
+            f"// 1000000 AS r "
+            f"FROM {prev} n "
+            f"LEFT JOIN adj a ON a.u = n.vertex "
+            f"LEFT JOIN {prev} p ON p.vertex = a.v "
+            f"LEFT JOIN deg ON deg.v = a.v "
+            f"GROUP BY n.vertex)")
+
+
+def _dup_pagerank_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _cc_edges_sql
+    return f"""
+WITH {_cc_edges_sql()},
+deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+r0 AS (SELECT doc_id AS vertex, CAST(1000000 AS BIGINT) AS r
+       FROM documents),
+{_pr_round('r0', 'r1')},
+{_pr_round('r1', 'r2')}
+SELECT vertex, CAST(r AS BIGINT) AS rank_ppm FROM r2 ORDER BY vertex
+"""
+
+
+def _training_manifest_oracle_sql(salt: str = "v1",
+                                  n_buckets: int = 100) -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tok,
+         CASE WHEN {h} % {n_buckets} < 80 THEN 'train'
+              WHEN {h} % {n_buckets} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), per AS (
+  SELECT split, source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM b GROUP BY split, source
+)
+SELECT split, source, n_docs, n_tokens,
+       (n_tokens * 1000)
+           // SUM(n_tokens) OVER (PARTITION BY split) AS share_permille
+FROM per ORDER BY split, source
+"""
+
+
 def _novelty_oracle_sql() -> str:
     from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
     return f"""
@@ -613,6 +706,8 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x97_integrity_audit": _q(_x97_integrity_audit),
         "x98_frequency_spectrum": _q(_x98_frequency_spectrum),
         "x99_metadata_inconsistency": _q(_x99_metadata_inconsistency),
+        "x100_dup_pagerank": _q(_x100_dup_pagerank),
+        "x101_training_manifest": _q(_x101_training_manifest),
     }
 
 
@@ -631,4 +726,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x97_integrity_audit": _INTEGRITY_ORACLE,
         "x98_frequency_spectrum": _SPECTRUM_ORACLE,
         "x99_metadata_inconsistency": _METADATA_INCONSISTENCY_ORACLE,
+        "x100_dup_pagerank": _dup_pagerank_oracle_sql(),
+        "x101_training_manifest": _training_manifest_oracle_sql(),
     }

@@ -292,3 +292,42 @@ def test_novelty_has_no_global_sort_stage(spark, tables, sf_dir):
     plan = _plan_of(spark, sf_dir, "x93_novelty_curve")
     assert "ntile" not in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Fixed-point PageRank vs a driver-side integer reference on a
+    small graph with a hub, a chain, and an isolated vertex."""
+    from hive_parse_lineage_spark.operators.graph import pagerank_fixed_point
+    pairs = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    verts = [1, 2, 3, 4, 5, 99]   # 99 isolated
+    got = {r["vertex"]: r["rank_ppm"] for r in pagerank_fixed_point(
+        spark.createDataFrame(pairs, "id_a long, id_b long"),
+        spark.createDataFrame([(v,) for v in verts], "vertex long"),
+        rounds=3).collect()}
+    adj: dict[int, list[int]] = {v: [] for v in verts}
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    r = {v: 1_000_000 for v in verts}
+    for _ in range(3):
+        r = {v: 150_000 + (850_000 * sum(r[u] // len(adj[u])
+                                         for u in adj if v in adj[u]))
+             // 1_000_000 for v in verts}
+    assert got == r
+    assert got[99] == 150_000          # isolated settles at base
+    assert got[1] == max(got.values())  # the hub out-ranks everyone
+
+
+def test_training_manifest_shares_sum_to_1000(spark, tables, sf_dir):
+    """Per split: source shares (floored permille) must sum into
+    (1000 - n_sources, 1000], and doc counts must cover the corpus."""
+    rows = pipeline_queries()["x101_training_manifest"](spark, sf_dir).collect()
+    by_split: dict[str, list] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    assert set(by_split) == {"train", "val", "test"}
+    for split, rs in by_split.items():
+        s = sum(r["share_permille"] for r in rs)
+        assert 1000 - len(rs) < s <= 1000, (split, s)
+    n = sum(r["n_docs"] for r in rows)
+    assert n == load_tables(spark, sf_dir)["documents"].count()
