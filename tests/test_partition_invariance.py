@@ -26,6 +26,13 @@ INVARIANCE_QUERIES = [
     "x78_semdedup",             # centroid argmax + within-cell pair drop
     "x80_mmr_diversify",        # greedy argmax rounds over checkpointed pools
     "x82_oov_rate",             # global top-k vocabulary cutoff
+    "x88_bm25_topk",            # float ranking + rank-boundary ties
+    "x90_segment_dedup_rebuild",  # global keep-first over segment windows
+    "x92_pmi_collocations",     # TakeOrdered top-20 with integer ties
+    "x93_novelty_curve",        # id-range buckets + first-seen minima
+    "x94_packing_efficiency",   # hash shards + running-sum pack ids
+    "x100_dup_pagerank",        # iterative integer updates over LSH edges
+    "x101_training_manifest",   # hash-split routing + floored shares
 ]
 
 
