@@ -367,6 +367,38 @@ def _x101_training_manifest(spark, tables):
             .orderBy("split", "source"))
 
 
+def _x102_stream_neardup(spark, tables):
+    """The streaming surface under the exact hash gate: the arriving
+    batch (doc_id >= 400, 4 micro-batches through a REAL Structured
+    Streaming query — parquet source, memory sink) is near-dup-matched
+    against the static corpus's LSH buckets via the stateless
+    stream-static join (streaming/neardup.py), and the streamed output
+    must hash-match the batch SQL oracle (the x07 LSH oracle filtered
+    to cross pairs). Band-collision duplicate rows are deduped batch-
+    side on the sink table — exactly where an idempotent production
+    sink would."""
+    import uuid
+
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.streaming.neardup import (
+        corpus_band_buckets, stream_near_dup_matches)
+    from hive_parse_lineage_spark.streaming.windows import run_stream_over_batch
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+           .coalesce(4))
+    cb = corpus_band_buckets(corpus, n_hashes=64, bands=16, shingle_k=2,
+                             hasher=portable_hash64, max_bucket_size=None)
+    sink = run_stream_over_batch(
+        spark, new,
+        lambda s: stream_near_dup_matches(s, cb, threshold=0.5, n_hashes=64,
+                                          bands=16, shingle_k=2,
+                                          hasher=portable_hash64),
+        query_name=f"x102_{uuid.uuid4().hex[:8]}", output_mode="append")
+    return (sink.dropDuplicates(["new_id", "corpus_id"])
+            .orderBy("new_id", "corpus_id"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -615,6 +647,23 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+def _stream_neardup_oracle_sql() -> str:
+    """x102: the x07 self-join LSH oracle restricted to cross pairs —
+    corpus ids all sort below new ids, so (corpus, new) pairs are
+    exactly the id_a < 400 <= id_b slice."""
+    from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
+    mh = _minhash_oracle_sql(n_hashes=64, bands=16, shingle_k=2,
+                             threshold=0.5)
+    return f"""
+WITH mh AS (
+{mh}
+)
+SELECT id_b AS new_id, id_a AS corpus_id, est_jaccard
+FROM mh WHERE id_a < 400 AND id_b >= 400
+ORDER BY new_id, corpus_id
+"""
+
+
 def _pr_round(prev: str, cur: str) -> str:
     """One unrolled fixed-point PageRank round (mirrors
     operators/graph.py: per-edge integer division, then the damped
@@ -708,6 +757,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x99_metadata_inconsistency": _q(_x99_metadata_inconsistency),
         "x100_dup_pagerank": _q(_x100_dup_pagerank),
         "x101_training_manifest": _q(_x101_training_manifest),
+        "x102_stream_neardup": _q(_x102_stream_neardup),
     }
 
 
@@ -728,4 +778,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x99_metadata_inconsistency": _METADATA_INCONSISTENCY_ORACLE,
         "x100_dup_pagerank": _dup_pagerank_oracle_sql(),
         "x101_training_manifest": _training_manifest_oracle_sql(),
+        "x102_stream_neardup": _stream_neardup_oracle_sql(),
     }
