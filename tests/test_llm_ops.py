@@ -587,3 +587,43 @@ def test_mmr_matches_numpy_reference(spark, tables):
                     best = ((score, -ids[i]), i)
             selected.append(best[1])
             assert got[(qi, rank)] == ids[best[1]], (qi, rank)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Evidence that the engine's session posture (AQE + skewJoin
+    enabled, session.py RUNTIME_CONFS) actually handles data skew at
+    runtime: a 200k-row fact with 95% of rows on one key joined to a
+    small-but-not-broadcast dim must execute with AQE's skew-split
+    (the final adaptive plan marks the SMJ `skew=true`), not one giant
+    straggler partition."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pad"))
+        dim = spark.range(50_000).select(F.col("id").alias("k"),
+                                         (F.col("id") * 2).alias("v"))
+        joined = fact.join(dim, "k")
+        # execute THIS DataFrame's QueryExecution (count() would build
+        # a fresh one and leave this plan isFinalPlan=false)
+        assert len(joined.collect()) == 192_500
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:1000]
+        assert "skew=true" in plan, plan[:4000]
+        assert "skewed" in plan, plan[:4000]   # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
