@@ -403,6 +403,41 @@ def _x102_stream_neardup(spark, tables):
             .orderBy("new_id", "corpus_id"))
 
 
+def _x103_conversion_window(spark, tables):
+    """Time-constrained conversion funnel: per user, the FIRST view
+    whose next purchase lands within 1 hour, rolled up per view-day
+    with integer average latency. Unlike x48's order-only funnel this
+    is the time-window attribution semantic.
+
+    Scale shape: NO view×purchase join — one per-user window pass
+    (ORDER BY ts DESC: running MIN over purchase timestamps =
+    'earliest purchase at-or-after me' for every view), then a
+    keep-first window and a tiny per-day rollup. Total order
+    (ts, event_id) makes the frame engine-exact."""
+    e = (tables["events"]
+         .filter(F.col("event_type").isin("view", "purchase"))
+         .select("user_id", "event_id", "ts", "event_type"))
+    w_next = (Window.partitionBy("user_id")
+              .orderBy(F.desc("ts"), F.desc("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nxt = F.min(F.when(F.col("event_type") == "purchase",
+                       F.col("ts"))).over(w_next)
+    tagged = e.withColumn("p_ts", nxt)
+    conv = (tagged.filter(F.col("event_type") == "view")
+            .filter(F.col("p_ts").isNotNull())
+            .withColumn("lat_us", F.unix_micros("p_ts") - F.unix_micros("ts"))
+            .filter(F.col("lat_us") <= 3_600_000_000))
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (conv.withColumn("_rn", F.row_number().over(w_first))
+             .filter(F.col("_rn") == 1))
+    return (first.select(F.to_date("ts").alias("day"), "lat_us")
+            .groupBy("day")
+            .agg(F.count("*").alias("n_conversions"),
+                 F.expr("sum(lat_us) div count(*) div 1000000")
+                 .alias("avg_latency_sec"))
+            .orderBy("day"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -651,6 +686,37 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+_CONVERSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'purchase')
+), tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_ts
+  FROM e
+), conv AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(p_ts) - epoch_us(ts) AS lat_us
+  FROM tagged
+  WHERE event_type = 'view' AND p_ts IS NOT NULL
+    AND epoch_us(p_ts) - epoch_us(ts) <= 3600000000
+), first AS (
+  SELECT user_id, ts, lat_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM conv
+)
+SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_conversions,
+       (CAST(SUM(lat_us) AS BIGINT) // COUNT(*)) // 1000000
+           AS avg_latency_sec
+FROM first WHERE rn = 1
+GROUP BY CAST(ts AS DATE) ORDER BY day
+"""
+
+
 def _stream_neardup_oracle_sql() -> str:
     """x102: the x07 self-join LSH oracle restricted to cross pairs —
     corpus ids all sort below new ids, so (corpus, new) pairs are
@@ -762,6 +828,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x100_dup_pagerank": _q(_x100_dup_pagerank),
         "x101_training_manifest": _q(_x101_training_manifest),
         "x102_stream_neardup": _q(_x102_stream_neardup),
+        "x103_conversion_window": _q(_x103_conversion_window),
     }
 
 
@@ -783,4 +850,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x100_dup_pagerank": _dup_pagerank_oracle_sql(),
         "x101_training_manifest": _training_manifest_oracle_sql(),
         "x102_stream_neardup": _stream_neardup_oracle_sql(),
+        "x103_conversion_window": _CONVERSION_WINDOW_ORACLE,
     }

@@ -331,3 +331,53 @@ def test_training_manifest_shares_sum_to_1000(spark, tables, sf_dir):
         assert 1000 - len(rs) < s <= 1000, (split, s)
     n = sum(r["n_docs"] for r in rows)
     assert n == load_tables(spark, sf_dir)["documents"].count()
+
+
+def test_conversion_window_no_join(spark, tables, sf_dir):
+    """x103 computes next-purchase attribution with windows over ONE
+    sorted pass — never a view×purchase join."""
+    plan = _plan_of(spark, sf_dir, "x103_conversion_window")
+    assert "Join" not in plan, plan
+
+
+@pytest.mark.parametrize("seed", [13, 202])
+def test_conversion_window_matches_brute_force(spark, seed):
+    """Random event streams vs a pure-Python scan: same per-day
+    conversion counts and integer average latency."""
+    import datetime
+    import random
+    rnd = random.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user in range(40):
+        t = base + datetime.timedelta(seconds=rnd.randrange(0, 86400 * 3))
+        for _ in range(rnd.randrange(1, 12)):
+            t += datetime.timedelta(seconds=rnd.randrange(1, 5000))
+            rows.append((eid, user, t,
+                         rnd.choice(["view", "purchase", "click"])))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    from hive_parse_lineage_spark.pipeline_queries import _x103_conversion_window
+    got = {(r["day"], r["n_conversions"], r["avg_latency_sec"])
+           for r in _x103_conversion_window(spark, {"events": df}).collect()}
+
+    firsts = {}
+    for user in range(40):
+        evs = sorted([r for r in rows if r[1] == user], key=lambda r: (r[2], r[0]))
+        for i, (eid_, _, ts, ty) in enumerate(evs):
+            if ty != "view":
+                continue
+            nxt = next((p[2] for p in evs[i:] if p[3] == "purchase"
+                        and p[2] >= ts), None)
+            if nxt is not None and (nxt - ts).total_seconds() <= 3600:
+                firsts[user] = (ts.date(), int((nxt - ts) /
+                                               datetime.timedelta(microseconds=1)))
+                break
+    per_day: dict = {}
+    for day, lat in firsts.values():
+        n, s = per_day.get(day, (0, 0))
+        per_day[day] = (n + 1, s + lat)
+    exp = {(day, n, (s // n) // 1_000_000) for day, (n, s) in per_day.items()}
+    assert got == exp
