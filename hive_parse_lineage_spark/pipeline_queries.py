@@ -1,11 +1,12 @@
-"""Training-pipeline query surface x88-x102: lexical retrieval (BM25),
+"""Training-pipeline query surface x88-x103: lexical retrieval (BM25),
 importance-weighted data selection, segment-level dedup with document
 reconstruction, exact length quantiles, PMI collocations, the corpus
 novelty curve, packing-efficiency report, quality-vs-dup calibration,
 language confusion matrix, cross-modal integrity audit, Zipf frequency
 spectrum, metadata-inconsistency audit, fixed-point PageRank over the
 dup graph, the training-run manifest, and the streaming near-dup
-filter executed through a real Structured Streaming query.
+filter executed through a real Structured Streaming query, plus
+time-window conversion attribution.
 
 Every entry has an exact DuckDB oracle (same playbook as
 corpus_queries: integer surrogates where libm would diverge, identical
