@@ -439,6 +439,52 @@ def _x103_conversion_window(spark, tables):
             .orderBy("day"))
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBES = ["spark", "table", "hash", "merge", "the", "a",
+              "window", "batch", "scan", "slow"]
+
+
+def _x104_cms_heavy_hitters(spark, tables):
+    """Count-Min sketch over the token stream, with per-probe error
+    accounting against exact counts. The sketch is the fixed-size
+    (depth×width = 1024 cells) map-side-combinable counting structure
+    a 100 TB pipeline uses when per-key exact counts don't fit — and
+    because CMS is DETERMINISTIC given its hash functions (portable
+    salted hash mod width), the whole estimate sits under the value
+    hash gate, unlike HLL whose register layout is engine-private.
+    One aggregate to 1024 cells (broadcast), probes join the sketch;
+    est >= exact always (CMS never undercounts)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64, tokens
+    docs = tables["documents"]
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    rows = tok.select("tok", F.explode(F.array(
+        *[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"))
+    cell = F.pmod(portable_hash64(
+        F.concat(F.col("j").cast("string"), F.lit("#"), F.col("tok"))),
+        F.lit(CMS_WIDTH))
+    cms = (rows.select("j", cell.alias("cell"))
+           .groupBy("j", "cell").agg(F.count("*").alias("c")))
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES],
+                                   "tok string")
+    pj = probes.select("tok", F.explode(F.array(
+        *[F.lit(j) for j in range(CMS_DEPTH)])).alias("j"))
+    pcell = F.pmod(portable_hash64(
+        F.concat(F.col("j").cast("string"), F.lit("#"), F.col("tok"))),
+        F.lit(CMS_WIDTH))
+    est = (pj.select("tok", "j", pcell.alias("cell"))
+           .join(F.broadcast(cms), ["j", "cell"], "left")
+           .withColumn("c", F.coalesce("c", F.lit(0)))
+           .groupBy("tok").agg(F.min("c").alias("est")))
+    exact = (tok.groupBy("tok").agg(F.count("*").alias("exact"))
+             .filter(F.col("tok").isin(CMS_PROBES)))
+    return (est.join(exact, "tok", "left")
+            .withColumn("exact", F.coalesce("exact", F.lit(0)))
+            .withColumn("overcount", F.col("est") - F.col("exact"))
+            .select("tok", "est", "exact", "overcount")
+            .orderBy("tok"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -687,6 +733,42 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+def _cms_oracle_sql() -> str:
+    """x104: identical CMS — same salted portable hash per depth row,
+    same width, same min-over-rows estimate."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("CAST(j AS VARCHAR) || '#' || tok")
+    hp = portable_hash64_sql("CAST(r.j AS VARCHAR) || '#' || p.tok")
+    probe_list = ", ".join(f"('{t}')" for t in CMS_PROBES)
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), rows_ AS (
+  SELECT tok, j FROM tok, range(0, {CMS_DEPTH}) AS r(j)
+), cms AS (
+  SELECT j, {h} % {CMS_WIDTH} AS cell, COUNT(*) AS c
+  FROM rows_ GROUP BY j, {h} % {CMS_WIDTH}
+), probes(tok) AS (
+  VALUES {probe_list}
+), pj AS (
+  SELECT p.tok, r.j, {hp} % {CMS_WIDTH} AS cell
+  FROM probes p, range(0, {CMS_DEPTH}) AS r(j)
+), est AS (
+  SELECT pj.tok, MIN(COALESCE(cms.c, 0)) AS est
+  FROM pj LEFT JOIN cms ON cms.j = pj.j AND cms.cell = pj.cell
+  GROUP BY pj.tok
+), exact AS (
+  SELECT tok, COUNT(*) AS exact FROM tok
+  WHERE tok IN (SELECT tok FROM probes) GROUP BY tok
+)
+SELECT est.tok, CAST(est.est AS BIGINT) AS est,
+       CAST(COALESCE(exact.exact, 0) AS BIGINT) AS exact,
+       CAST(est.est - COALESCE(exact.exact, 0) AS BIGINT) AS overcount
+FROM est LEFT JOIN exact ON est.tok = exact.tok
+ORDER BY est.tok
+"""
+
+
 _CONVERSION_WINDOW_ORACLE = """
 WITH e AS (
   SELECT user_id, event_id, ts, event_type FROM events
@@ -830,6 +912,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x101_training_manifest": _q(_x101_training_manifest),
         "x102_stream_neardup": _q(_x102_stream_neardup),
         "x103_conversion_window": _q(_x103_conversion_window),
+        "x104_cms_heavy_hitters": _q(_x104_cms_heavy_hitters),
     }
 
 
@@ -852,4 +935,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x101_training_manifest": _training_manifest_oracle_sql(),
         "x102_stream_neardup": _stream_neardup_oracle_sql(),
         "x103_conversion_window": _CONVERSION_WINDOW_ORACLE,
+        "x104_cms_heavy_hitters": _cms_oracle_sql(),
     }

@@ -381,3 +381,14 @@ def test_conversion_window_matches_brute_force(spark, seed):
         per_day[day] = (n + 1, s + lat)
     exp = {(day, n, (s // n) // 1_000_000) for day, (n, s) in per_day.items()}
     assert got == exp
+
+
+def test_cms_never_undercounts(spark, tables, sf_dir):
+    """x104 CMS invariant: est >= exact for every probe (CMS can only
+    overcount), and every probe token appears in the output."""
+    from hive_parse_lineage_spark.pipeline_queries import CMS_PROBES
+    rows = pipeline_queries()["x104_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert {r["tok"] for r in rows} == set(CMS_PROBES)
+    for r in rows:
+        assert r["est"] >= r["exact"] >= 0
+        assert r["overcount"] == r["est"] - r["exact"]
