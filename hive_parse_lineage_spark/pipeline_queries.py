@@ -1,4 +1,4 @@
-"""Training-pipeline query surface x88-x103: lexical retrieval (BM25),
+"""Training-pipeline query surface x88-x105: lexical retrieval (BM25),
 importance-weighted data selection, segment-level dedup with document
 reconstruction, exact length quantiles, PMI collocations, the corpus
 novelty curve, packing-efficiency report, quality-vs-dup calibration,
@@ -485,6 +485,66 @@ def _x104_cms_heavy_hitters(spark, tables):
             .orderBy("tok"))
 
 
+PP_T_NUM, PP_T_DEN = 3, 5      # Jaccard threshold 0.6 as a rational
+
+
+def _x105_ppjoin_exact(spark, tables):
+    """EXACT set-similarity self-join (3-shingle Jaccard >= 0.6) via
+    PPJoin-style prefix filtering — the no-false-negative counterpart
+    to MinHash-LSH (x07): candidates must share an element among each
+    document's RAREST p = n - ceil(t*n) + 1 distinct shingles
+    (global-frequency order, tie-broken by shingle text — portable),
+    then exact verification by all-integer cross-multiplication
+    (DEN*|∩| >= NUM*(n_a + n_b - |∩|)). Where LSH trades recall for
+    speed, prefix filtering is exact: every qualifying pair survives.
+
+    Scale shape: the join key is prefix shingles only — rare by
+    construction, so candidate fanout stays bounded where a full
+    shingle join would explode on boilerplate; freq table broadcasts;
+    verification is one count aggregate over the candidate pairs'
+    shared distinct shingles."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    docs = tables["documents"]
+    dt = (docs.select("doc_id",
+                      F.explode(F.array_distinct(word_shingles("text", 3)))
+                      .alias("tok")))
+    freq = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ordered = (dt.join(F.broadcast(freq), "tok")
+               .groupBy("doc_id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                   lambda s: s.tok).alias("toks")))
+    # p = n - ceil(t*n) + 1 ; ceil(t*n) = (NUM*n + DEN - 1) div DEN
+    prefix = (ordered.join(sizes, "doc_id")
+              .select("doc_id",
+                      F.explode(F.slice(
+                          "toks", 1,
+                          F.expr(f"n - ((({PP_T_NUM} * n + {PP_T_DEN - 1}) "
+                                 f"div {PP_T_DEN})) + 1").cast("int")))
+                      .alias("tok")))
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.tok") == F.col("b.tok"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    inter = (cand.join(dt.select(F.col("doc_id").alias("id_a"),
+                                 F.col("tok")), "id_a")
+             .join(dt.select(F.col("doc_id").alias("id_b"),
+                             F.col("tok")), ["id_b", "tok"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+            .filter(F.expr(f"{PP_T_DEN} * i >= {PP_T_NUM} * (n_a + n_b - i)"))
+            .withColumn("jaccard_permille",
+                        F.expr("i * 1000 div (n_a + n_b - i)"))
+            .select("id_a", "id_b", "i", "n_a", "n_b", "jaccard_permille")
+            .orderBy("id_a", "id_b"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -733,6 +793,45 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+def _ppjoin_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+), dt AS (
+  SELECT DISTINCT doc_id, unnest({_shingle_list_sql(3)}) AS tok FROM w
+), freq AS (
+  SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id
+), pref AS (
+  SELECT doc_id, tok FROM (
+    SELECT d.doc_id, d.tok, s.n,
+           ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                              ORDER BY f.df, d.tok) AS rn
+    FROM dt d JOIN freq f USING (tok) JOIN sizes s USING (doc_id)
+  ) WHERE rn <= n - (({PP_T_NUM} * n + {PP_T_DEN - 1}) // {PP_T_DEN}) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS i
+  FROM cand c
+  JOIN dt x ON x.doc_id = c.id_a
+  JOIN dt y ON y.doc_id = c.id_b AND y.tok = x.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b, CAST(i.i AS BIGINT) AS i,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       (i.i * 1000) // (sa.n + sb.n - i.i) AS jaccard_permille
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE {PP_T_DEN} * i.i >= {PP_T_NUM} * (sa.n + sb.n - i.i)
+ORDER BY id_a, id_b
+"""
+
+
 def _cms_oracle_sql() -> str:
     """x104: identical CMS — same salted portable hash per depth row,
     same width, same min-over-rows estimate."""
@@ -913,6 +1012,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x102_stream_neardup": _q(_x102_stream_neardup),
         "x103_conversion_window": _q(_x103_conversion_window),
         "x104_cms_heavy_hitters": _q(_x104_cms_heavy_hitters),
+        "x105_ppjoin_exact": _q(_x105_ppjoin_exact),
     }
 
 
@@ -936,4 +1036,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x102_stream_neardup": _stream_neardup_oracle_sql(),
         "x103_conversion_window": _CONVERSION_WINDOW_ORACLE,
         "x104_cms_heavy_hitters": _cms_oracle_sql(),
+        "x105_ppjoin_exact": _ppjoin_oracle_sql(),
     }

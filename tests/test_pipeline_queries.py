@@ -392,3 +392,44 @@ def test_cms_never_undercounts(spark, tables, sf_dir):
     for r in rows:
         assert r["est"] >= r["exact"] >= 0
         assert r["overcount"] == r["est"] - r["exact"]
+
+
+@pytest.mark.parametrize("seed", [31, 404])
+def test_ppjoin_finds_every_pair_brute_force(spark, seed):
+    """x105's defining property: prefix filtering is EXACT — on random
+    corpora it must emit precisely the pairs a brute-force all-pairs
+    3-shingle Jaccard scan finds (no false negatives, unlike LSH)."""
+    import random
+
+    from hive_parse_lineage_spark.pipeline_queries import _x105_ppjoin_exact
+    rnd = random.Random(seed)
+    alpha = [f"w{i}" for i in range(8)]
+    rows = []
+    for i in range(30):
+        if i % 5 == 0 and rows:   # inject near-copies to force matches
+            base = rows[rnd.randrange(len(rows))][1].split(" ")
+            if len(base) > 3:
+                base = base[:-1] + [rnd.choice(alpha)]
+            rows.append((100 + i, " ".join(base)))
+        else:
+            rows.append((100 + i, " ".join(
+                rnd.choice(alpha) for _ in range(rnd.randrange(3, 15)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["i"], r["jaccard_permille"])
+           for r in _x105_ppjoin_exact(spark, {"documents": df}).collect()}
+
+    def shingles(t):
+        w = t.split(" ")
+        if len(w) < 3:
+            return {t}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    exp = {}
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            sa, sb = shingles(rows[a][1]), shingles(rows[b][1])
+            i = len(sa & sb)
+            if 5 * i >= 3 * (len(sa | sb)):
+                exp[(rows[a][0], rows[b][0])] = (i, i * 1000 // len(sa | sb))
+    assert got == exp
+    assert exp  # the injected near-copies must produce matches
