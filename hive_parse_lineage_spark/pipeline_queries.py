@@ -517,16 +517,21 @@ def _x105_ppjoin_exact(spark, tables):
                    lambda s: s.tok).alias("toks")))
     # p = n - ceil(t*n) + 1 ; ceil(t*n) = (NUM*n + DEN - 1) div DEN
     prefix = (ordered.join(sizes, "doc_id")
-              .select("doc_id",
+              .select("doc_id", "n",
                       F.explode(F.slice(
                           "toks", 1,
                           F.expr(f"n - ((({PP_T_NUM} * n + {PP_T_DEN - 1}) "
                                  f"div {PP_T_DEN})) + 1").cast("int")))
                       .alias("tok")))
+    # length filter (lossless): Jaccard >= t forces t*max(n) <= min(n)
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   (F.col("a.tok") == F.col("b.tok"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))
+                  & (F.lit(PP_T_DEN) * F.col("a.n")
+                     >= F.lit(PP_T_NUM) * F.col("b.n"))
+                  & (F.lit(PP_T_DEN) * F.col("b.n")
+                     >= F.lit(PP_T_NUM) * F.col("a.n")))
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"))
             .distinct())
@@ -805,7 +810,7 @@ WITH w AS (
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM dt GROUP BY doc_id
 ), pref AS (
-  SELECT doc_id, tok FROM (
+  SELECT doc_id, tok, n FROM (
     SELECT d.doc_id, d.tok, s.n,
            ROW_NUMBER() OVER (PARTITION BY d.doc_id
                               ORDER BY f.df, d.tok) AS rn
@@ -814,6 +819,8 @@ WITH w AS (
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND {PP_T_DEN} * a.n >= {PP_T_NUM} * b.n
+   AND {PP_T_DEN} * b.n >= {PP_T_NUM} * a.n
 ), inter AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS i
   FROM cand c
