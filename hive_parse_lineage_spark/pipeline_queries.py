@@ -1,4 +1,4 @@
-"""Training-pipeline query surface x88-x105: lexical retrieval (BM25),
+"""Training-pipeline query surface x88-x107: lexical retrieval (BM25),
 importance-weighted data selection, segment-level dedup with document
 reconstruction, exact length quantiles, PMI collocations, the corpus
 novelty curve, packing-efficiency report, quality-vs-dup calibration,
@@ -550,6 +550,54 @@ def _x105_ppjoin_exact(spark, tables):
             .orderBy("id_a", "id_b"))
 
 
+def _x106_event_transitions(spark, tables):
+    """Per-user event-type transition counts (the first-order Markov
+    prior a session model trains against): for every consecutive
+    event pair in each user's (ts, event_id)-ordered stream, count
+    (from_type, to_type) corpus-wide, with permille share of each
+    from_type's outgoing mass. One LEAD window over the user
+    partitioning + one small aggregate."""
+    e = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("event_type").over(w)
+    pairs = (e.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("to_type", nxt)
+             .filter(F.col("to_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"), "to_type")
+             .agg(F.count("*").alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("from_type"))
+    return (pairs.withColumn("_t", tot)
+            .select("from_type", "to_type", "n",
+                    F.expr("n * 1000 div _t").alias("share_permille"))
+            .orderBy("from_type", "to_type"))
+
+
+def _x107_langid_kappa(spark, tables):
+    """Cohen's kappa between the declared lang label and the x02
+    heuristic prediction — agreement beyond chance, as an ALL-INTEGER
+    permille: kappa = (po - pe) / (1 - pe) cross-multiplied to
+    (diag*N - sum_i(row_i*col_i)) * 1000 div (N*N - sum_i(row_i*col_i)).
+    The one-number QA gate for the cheap filter; a confusion-matrix
+    aggregate plus driver-free integer arithmetic over 5 classes."""
+    from hive_parse_lineage_spark.functions.text import language_id
+    m = (tables["documents"]
+         .select("lang", language_id("text").alias("pred"))
+         .groupBy("lang", "pred").agg(F.count("*").alias("c")))
+    diag = F.sum(F.when(F.col("lang") == F.col("pred"), F.col("c"))
+                 .otherwise(F.lit(0))).alias("diag")
+    n = F.sum("c").alias("n")
+    rows_ = m.groupBy("lang").agg(F.sum("c").alias("r"))
+    cols_ = m.groupBy("pred").agg(F.sum("c").alias("col"))
+    pe_num = (rows_.join(cols_, rows_["lang"] == cols_["pred"])
+              .agg(F.sum(F.col("r") * F.col("col")).alias("pe_num")))
+    base = m.agg(diag, n)
+    return (base.crossJoin(F.broadcast(pe_num))
+            .withColumn("pe_num", F.coalesce("pe_num", F.lit(0)))
+            .select("n", "diag", "pe_num",
+                    F.expr("(diag * n - pe_num) * 1000 "
+                           "div (n * n - pe_num)").alias("kappa_permille")))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -798,6 +846,63 @@ FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
 """
 
 
+_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY event_type, to_type
+)
+SELECT from_type, to_type, n,
+       (n * 1000) // SUM(n) OVER (PARTITION BY from_type)
+           AS share_permille
+FROM pairs ORDER BY from_type, to_type
+"""
+
+
+def _langid_kappa_oracle_sql() -> str:
+    from hive_parse_lineage_spark.extra_queries import _SW
+    return f"""
+WITH s AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), sc AS (
+  SELECT lang,
+         len(list_intersect(toks, [{_SW['de']}])) AS s_de,
+         len(list_intersect(toks, [{_SW['en']}])) AS s_en,
+         len(list_intersect(toks, [{_SW['es']}])) AS s_es,
+         len(list_intersect(toks, [{_SW['fr']}])) AS s_fr,
+         len(list_intersect(toks, [{_SW['zh']}])) AS s_zh
+  FROM s
+), m AS (
+  SELECT lang,
+         CASE WHEN s_de >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr >= greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS pred,
+         COUNT(*) AS c
+  FROM sc GROUP BY lang, pred
+), rows_ AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS r FROM m GROUP BY lang),
+cols_ AS (SELECT pred, CAST(SUM(c) AS BIGINT) AS col FROM m GROUP BY pred),
+pe AS (
+  SELECT CAST(COALESCE(SUM(rows_.r * cols_.col), 0) AS BIGINT) AS pe_num
+  FROM rows_ JOIN cols_ ON rows_.lang = cols_.pred
+), base AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN lang = pred THEN c ELSE 0 END) AS BIGINT) AS diag
+  FROM m
+)
+SELECT n, diag, pe.pe_num,
+       ((diag * n - pe.pe_num) * 1000) // (n * n - pe.pe_num)
+           AS kappa_permille
+FROM base CROSS JOIN pe
+"""
+
+
 def _ppjoin_oracle_sql() -> str:
     from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
     return f"""
@@ -1020,6 +1125,8 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x103_conversion_window": _q(_x103_conversion_window),
         "x104_cms_heavy_hitters": _q(_x104_cms_heavy_hitters),
         "x105_ppjoin_exact": _q(_x105_ppjoin_exact),
+        "x106_event_transitions": _q(_x106_event_transitions),
+        "x107_langid_kappa": _q(_x107_langid_kappa),
     }
 
 
@@ -1044,4 +1151,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x103_conversion_window": _CONVERSION_WINDOW_ORACLE,
         "x104_cms_heavy_hitters": _cms_oracle_sql(),
         "x105_ppjoin_exact": _ppjoin_oracle_sql(),
+        "x106_event_transitions": _EVENT_TRANSITIONS_ORACLE,
+        "x107_langid_kappa": _langid_kappa_oracle_sql(),
     }

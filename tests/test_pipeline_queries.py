@@ -433,3 +433,26 @@ def test_ppjoin_finds_every_pair_brute_force(spark, seed):
                 exp[(rows[a][0], rows[b][0])] = (i, i * 1000 // len(sa | sb))
     assert got == exp
     assert exp  # the injected near-copies must produce matches
+
+
+def test_event_transitions_shares_partition(spark, tables, sf_dir):
+    """x106: per from_type, floored permille shares sum into
+    (1000 - k, 1000]; pair count = full 5x5 matrix on the fixture."""
+    rows = pipeline_queries()["x106_event_transitions"](spark, sf_dir).collect()
+    by_from: dict[str, list] = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["share_permille"])
+    for f, shares in by_from.items():
+        assert 1000 - len(shares) < sum(shares) <= 1000, (f, shares)
+    assert len(rows) == 25
+
+
+def test_langid_kappa_bounds_and_consistency(spark, tables, sf_dir):
+    """x107: kappa_permille in [-1000, 1000] and consistent with the
+    x96 confusion matrix's diagonal."""
+    r = pipeline_queries()["x107_langid_kappa"](spark, sf_dir).collect()[0]
+    assert -1000 <= r["kappa_permille"] <= 1000
+    conf = pipeline_queries()["x96_lang_confusion"](spark, sf_dir).collect()
+    diag = sum(c["n_docs"] for c in conf if c["lang"] == c["pred_lang"])
+    n = sum(c["n_docs"] for c in conf)
+    assert (r["diag"], r["n"]) == (diag, n)
