@@ -33,6 +33,10 @@ INVARIANCE_QUERIES = [
     "x94_packing_efficiency",   # hash shards + running-sum pack ids
     "x100_dup_pagerank",        # iterative integer updates over LSH edges
     "x101_training_manifest",   # hash-split routing + floored shares
+    "x103_conversion_window",   # desc-ordered window frames + keep-first
+    "x104_cms_heavy_hitters",   # salted-hash sketch cells
+    "x105_ppjoin_exact",        # frequency-ordered prefixes + pair joins
+    "x106_event_transitions",   # per-user LEAD over (ts, event_id) order
 ]
 
 
