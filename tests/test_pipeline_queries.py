@@ -456,3 +456,17 @@ def test_langid_kappa_bounds_and_consistency(spark, tables, sf_dir):
     diag = sum(c["n_docs"] for c in conf if c["lang"] == c["pred_lang"])
     n = sum(c["n_docs"] for c in conf)
     assert (r["diag"], r["n"]) == (diag, n)
+
+
+def test_new_entries_plan_hygiene(spark, tables, sf_dir):
+    """x100/x101/x104-x107 plan floor: no CartesianProduct anywhere;
+    x104's probe side attaches to the 1024-cell sketch as a broadcast;
+    x101 has no join at all (pure rollup over the hash split)."""
+    for name in ["x100_dup_pagerank", "x101_training_manifest",
+                 "x104_cms_heavy_hitters", "x105_ppjoin_exact",
+                 "x106_event_transitions", "x107_langid_kappa"]:
+        plan = _plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan[:2000])
+    assert "BroadcastHashJoin" in _plan_of(spark, sf_dir,
+                                           "x104_cms_heavy_hitters")
+    assert "Join" not in _plan_of(spark, sf_dir, "x101_training_manifest")
