@@ -273,9 +273,13 @@ def _x56_training_pipeline(spark, tables):
     flagged = common_shingles(docs, n=5, min_docs=3)
     clean_ids = (contamination_score(q, flagged, n=5, max_flagged_pct=5)
                  .filter("keep").select("doc_id"))
-    clean = q.join(F.broadcast(clean_ids), "doc_id")
+    # clean_ids / keep_ids are survivor-id sets — corpus-proportional,
+    # so plain shuffle joins (a forced broadcast would materialize the
+    # whole id set on the driver at 100 TB; AQE still broadcasts them
+    # when actually small)
+    clean = q.join(clean_ids, "doc_id")
     keep_ids = exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
-    survivors = clean.join(F.broadcast(keep_ids), "doc_id")
+    survivors = clean.join(keep_ids, "doc_id")
     return (hash_split(survivors, salt="v1")
             .select("doc_id", "bucket", "split", F.size(T.tokens("text"))
                     .alias("n_tokens"))
@@ -402,7 +406,19 @@ def _x64_incremental_dedup(spark, tables):
     new docs that are neither an exact copy (md5 anti-join) nor a
     near-dup (cross-LSH, est_jaccard >= 0.5) of any corpus doc. The
     cross-LSH shape never joins corpus-to-corpus, so daily cost scales
-    with the batch (operators/dedup.py lsh_cross_pairs)."""
+    with the batch (operators/dedup.py lsh_cross_pairs).
+
+    Exact-dup prefilter scale shape: everything broadcast is
+    BATCH-scaled, never corpus-scaled. The batch's md5 set (bounded by
+    assumption — it's one ingestion batch) broadcasts into a semi-join
+    that filters the standing corpus's hashes map-side, so the corpus
+    is scanned (one projected column) but never shuffled and never
+    materialized on the driver; the surviving hit set (<= batch size)
+    then broadcasts into the anti-join. The earlier spelling broadcast
+    the CORPUS's distinct md5 set — a driver OOM at 100 TB. For a
+    cheaper corpus pass still, a fixed-size bloom over the batch
+    hashes (operators/corpus.py decontamination pattern) can prefilter
+    the scan before the exact confirm."""
     from hive_parse_lineage_spark.functions.text import portable_hash64
     from hive_parse_lineage_spark.operators.dedup import (
         lsh_cross_pairs, minhash_signature_agg)
@@ -410,9 +426,12 @@ def _x64_incremental_dedup(spark, tables):
     cutoff = 400
     corpus = docs.filter(F.col("doc_id") < cutoff)
     new = docs.filter(F.col("doc_id") >= cutoff)
-    exact_hashes = corpus.select(F.md5("text").alias("h")).distinct()
-    no_exact = (new.withColumn("h", F.md5("text"))
-                .join(F.broadcast(exact_hashes), "h", "left_anti"))
+    batch = new.withColumn("h", F.md5("text"))
+    batch_hashes = batch.select("h").distinct()
+    hit_hashes = (corpus.select(F.md5("text").alias("h"))
+                  .join(F.broadcast(batch_hashes), "h", "left_semi")
+                  .distinct())
+    no_exact = batch.join(F.broadcast(hit_hashes), "h", "left_anti")
     # signatures are per-doc: one pass over ALL docs, split afterwards
     # (two separate minhash_signature_agg calls would scan and explode
     # the corpus twice for identical values)

@@ -91,10 +91,13 @@ def dedup_survivors(docs: DataFrame, edges: DataFrame,
     """Keep one document per duplicate cluster (the min-id member).
 
     The canonical tail of a near-dup pipeline: pairs -> components ->
-    anti-join the non-survivors out. The component table is
-    edge-universe-sized (only docs that matched anything), so it
-    broadcasts; the corpus side stays unshuffled."""
+    anti-join the non-survivors out. The loser set is
+    edge-universe-sized — in a boilerplate-heavy crawl that is
+    corpus-sized, so this is a plain shuffle anti-join, never a forced
+    broadcast (a broadcast would materialize every duplicate id on the
+    driver at 100 TB; AQE converts to broadcast when the set is
+    genuinely small)."""
     comp = connected_components(edges, **cc_kwargs)
     losers = comp.filter(F.col("vertex") != F.col("component")) \
                  .select(F.col("vertex").alias(id_col))
-    return docs.join(F.broadcast(losers), id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")

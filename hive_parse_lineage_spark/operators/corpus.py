@@ -103,9 +103,12 @@ def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     Uses the integer rarity surrogate ``score = tf * (N - df)`` —
     monotone in tf and in idf, but exactly representable, so the
     DuckDB differential oracle matches bit-for-bit (a float
-    ``log(N/df)`` would be libm-dependent across engines). Two shuffles
-    total: one on token for df, one on doc for the window; the df side
-    is vocabulary-sized and broadcast back."""
+    ``log(N/df)`` would be libm-dependent across engines). Three
+    shuffles total: one on token for df, one token equi-join of df back
+    onto tf, one on doc for the window. The df side is
+    vocabulary-sized — unbounded at 100 TB — so it is a plain shuffle
+    join, never a forced broadcast (AQE broadcasts it when the vocab is
+    actually small); only the single-row n_docs is broadcast."""
     tf = (spread_for_compute(docs)
           .select(id_col, F.explode(tokens(text_col)).alias("token"))
           .groupBy(id_col, "token")
@@ -115,7 +118,7 @@ def tf_idf_topk(docs: DataFrame, k: int = 3, text_col: str = "text",
     from pyspark.sql import Window
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("token").asc())
-    return (tf.join(F.broadcast(df_), "token")
+    return (tf.join(df_, "token")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("score", F.col("tf") * (F.col("n_docs") - F.col("df")))
               .withColumn("rnk", F.row_number().over(w))

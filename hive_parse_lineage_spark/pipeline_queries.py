@@ -52,8 +52,12 @@ def _x89_importance_weights(spark, tables):
     permille of its token OCCURRENCES whose token is over-represented
     in the target (c_en * T_all > c_all * T_en — all-integer, the
     cross-multiplied form of p_target > p_raw). Two token-count
-    aggregates (map-side combined), counts broadcast back onto one
-    explode; no per-row Python."""
+    aggregates (map-side combined) joined back onto one explode; no
+    per-row Python. The unigram-count joins are plain shuffle
+    equi-joins on tok — the vocabulary is unbounded at 100 TB (1e8+
+    distinct tokens), so a forced broadcast would be a driver-memory
+    hazard; AQE converts them to broadcast when the vocab is actually
+    small. Only the single-row ``totals`` is broadcast."""
     from hive_parse_lineage_spark.functions.text import tokens
     docs = tables["documents"]
     tk = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
@@ -62,8 +66,8 @@ def _x89_importance_weights(spark, tables):
             .groupBy("tok").agg(F.count("*").alias("c_en")))
     totals = (c_all.agg(F.sum("c_all").alias("t_all"))
               .crossJoin(c_en.agg(F.sum("c_en").alias("t_en"))))
-    j = (tk.join(F.broadcast(c_all), "tok")
-         .join(F.broadcast(c_en), "tok", "left")
+    j = (tk.join(c_all, "tok")
+         .join(c_en, "tok", "left")
          .crossJoin(F.broadcast(totals))
          .withColumn("c_en", F.coalesce("c_en", F.lit(0))))
     over = (F.col("c_en") * F.col("t_all")
@@ -123,11 +127,18 @@ def _x91_length_quantiles(spark, tables):
 
 
 def _x92_pmi_collocations(spark, tables):
-    """Collocation mining: top-20 adjacent-token bigrams by an
-    all-integer PMI surrogate — lift = p(x,y) / (p(x)p(y)) cross-
-    multiplied to (c_xy * T * T * 1000) div (T_bi * c_x * c_y), with
-    a min-support floor of 5. Unigram counts broadcast onto the
-    bigram counts; two explode→count shuffles total."""
+    """Collocation mining: top-20 adjacent-token bigrams by lift
+    = p(x,y) / (p(x)p(y)), computed as c_xy * T/c_x * T/c_y / T_bi
+    * 1000 in DOUBLE with one fixed left-associated expression tree
+    (multiply/divide are exactly rounded in IEEE-754, no libm — both
+    engines produce bit-identical doubles; the x88 BM25 pattern). The
+    earlier all-integer cross-multiplied spelling overflowed int64 at
+    ~37M corpus tokens (c_xy * T^2 * 1000 > 2^63 whenever c_xy > 6),
+    silently wrapping in non-ANSI Spark while DuckDB raised — the
+    double form has no overflow below 1e300. Min-support floor of 5;
+    the unigram-count joins are plain shuffle equi-joins on the token
+    (vocab is unbounded at 100 TB — never force-broadcast it; AQE
+    broadcasts when actually small); two explode→count shuffles."""
     from hive_parse_lineage_spark.functions.text import tokens
     docs = tables["documents"]
     base = docs.select("doc_id", tokens("text").alias("w"))
@@ -144,9 +155,10 @@ def _x92_pmi_collocations(spark, tables):
            .crossJoin(bi.agg(F.sum("c_xy").alias("t_bi"))))
     ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
     uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
-    j = (bi.join(F.broadcast(ux), "x").join(F.broadcast(uy), "y")
+    j = (bi.join(ux, "x").join(uy, "y")
          .crossJoin(F.broadcast(tot)))
-    lift = F.expr("c_xy * t_all * t_all * 1000 div (t_bi * c_x * c_y)")
+    lift = F.expr("cast(c_xy as double) * t_all / c_x * t_all / c_y "
+                  "/ t_bi * 1000")
     scored = j.select("x", "y", "c_xy", lift.alias("lift_permille"))
     # top-20 via orderBy+limit (TakeOrderedAndProject — per-partition
     # heaps, no global window); the rank window then runs over 20 rows
@@ -500,9 +512,13 @@ def _x105_ppjoin_exact(spark, tables):
 
     Scale shape: the join key is prefix shingles only — rare by
     construction, so candidate fanout stays bounded where a full
-    shingle join would explode on boilerplate; freq table broadcasts;
-    verification is one count aggregate over the candidate pairs'
-    shared distinct shingles."""
+    shingle join would explode on boilerplate; verification is one
+    count aggregate over the candidate pairs' shared distinct
+    shingles. The shingle-frequency table and the per-doc size tables
+    are shuffle equi-joins, NOT forced broadcasts — freq is
+    shingle-vocabulary-sized and na/nb are |docs|-sized, both
+    corpus-proportional at 100 TB; AQE broadcasts them when they are
+    genuinely small."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"]
     dt = (docs.select("doc_id",
@@ -510,7 +526,7 @@ def _x105_ppjoin_exact(spark, tables):
                       .alias("tok")))
     freq = dt.groupBy("tok").agg(F.count("*").alias("df"))
     sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ordered = (dt.join(F.broadcast(freq), "tok")
+    ordered = (dt.join(freq, "tok")
                .groupBy("doc_id")
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("df", "tok"))),
@@ -542,7 +558,7 @@ def _x105_ppjoin_exact(spark, tables):
              .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    return (inter.join(F.broadcast(na), "id_a").join(F.broadcast(nb), "id_b")
+    return (inter.join(na, "id_a").join(nb, "id_b")
             .filter(F.expr(f"{PP_T_DEN} * i >= {PP_T_NUM} * (n_a + n_b - i)"))
             .withColumn("jaccard_permille",
                         F.expr("i * 1000 div (n_a + n_b - i)"))
@@ -577,8 +593,15 @@ def _x107_langid_kappa(spark, tables):
     heuristic prediction — agreement beyond chance, as an ALL-INTEGER
     permille: kappa = (po - pe) / (1 - pe) cross-multiplied to
     (diag*N - sum_i(row_i*col_i)) * 1000 div (N*N - sum_i(row_i*col_i)).
-    The one-number QA gate for the cheap filter; a confusion-matrix
-    aggregate plus driver-free integer arithmetic over 5 classes."""
+    Degenerate guard: when labels and predictions each collapse to a
+    single identical class, pe_num = N^2 and the denominator is zero —
+    kappa is undefined; both engines return 0 via an explicit CASE
+    (Spark div would yield NULL while DuckDB // errors, so the guard
+    keeps the engines aligned). Overflow bound: the N*N term caps the
+    all-integer spelling at N <= ~3e9 docs; beyond that compute kappa
+    in double (the x92 pattern). The one-number QA gate for the cheap
+    filter; a confusion-matrix aggregate plus driver-free integer
+    arithmetic over 5 classes."""
     from hive_parse_lineage_spark.functions.text import language_id
     m = (tables["documents"]
          .select("lang", language_id("text").alias("pred"))
@@ -594,8 +617,9 @@ def _x107_langid_kappa(spark, tables):
     return (base.crossJoin(F.broadcast(pe_num))
             .withColumn("pe_num", F.coalesce("pe_num", F.lit(0)))
             .select("n", "diag", "pe_num",
-                    F.expr("(diag * n - pe_num) * 1000 "
-                           "div (n * n - pe_num)").alias("kappa_permille")))
+                    F.expr("CASE WHEN n * n = pe_num THEN CAST(0 AS BIGINT) "
+                           "ELSE (diag * n - pe_num) * 1000 "
+                           "div (n * n - pe_num) END").alias("kappa_permille")))
 
 
 # ---------------------------------------------------------------------------
@@ -692,8 +716,8 @@ WITH w AS (
          (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bi) AS t_bi
 ), scored AS (
   SELECT bi.x, bi.y, bi.c_xy,
-         (bi.c_xy * tot.t_all * tot.t_all * 1000)
-             // (tot.t_bi * ux.c * uy.c) AS lift_permille
+         CAST(bi.c_xy AS DOUBLE) * tot.t_all / ux.c * tot.t_all / uy.c
+             / tot.t_bi * 1000 AS lift_permille
   FROM bi JOIN uni ux ON bi.x = ux.tok JOIN uni uy ON bi.y = uy.tok
   CROSS JOIN tot
 )
@@ -897,8 +921,9 @@ pe AS (
   FROM m
 )
 SELECT n, diag, pe.pe_num,
-       ((diag * n - pe.pe_num) * 1000) // (n * n - pe.pe_num)
-           AS kappa_permille
+       CASE WHEN n * n = pe.pe_num THEN CAST(0 AS BIGINT)
+            ELSE ((diag * n - pe.pe_num) * 1000) // (n * n - pe.pe_num)
+            END AS kappa_permille
 FROM base CROSS JOIN pe
 """
 

@@ -49,13 +49,18 @@ def test_bm25_stats_and_df_broadcast(spark, tables, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_importance_counts_broadcast_onto_explode(spark, tables, sf_dir):
-    """x89: token-frequency tables join the exploded corpus as
-    broadcasts — reshuffling the token stream by tok would be the
-    100 TB bottleneck."""
+def test_importance_counts_join_without_forced_broadcast(spark, tables,
+                                                         sf_dir):
+    """x89: the unigram-count tables are vocabulary-sized (unbounded
+    at 100 TB), so they must reach the plan as plain equi-joins — the
+    only forced broadcast is the single-row totals. AQE may still
+    choose broadcast at small SF; what matters is no hint makes the
+    driver materialize the vocab."""
     plan = _plan_of(spark, sf_dir, "x89_importance_weights")
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    df = pipeline_queries()["x89_importance_weights"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed  # totals only
 
 
 def test_segment_rebuild_shuffles_on_segment_then_doc(spark, tables, sf_dir):
@@ -74,12 +79,15 @@ def test_length_quantiles_broadcast_back(spark, tables, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_pmi_unigrams_broadcast(spark, tables, sf_dir):
-    """x92: both unigram sides attach to the bigram counts as
-    broadcast joins (vocabulary << bigram stream)."""
+def test_pmi_unigrams_join_without_forced_broadcast(spark, tables, sf_dir):
+    """x92: the unigram sides are vocabulary-sized, so they attach to
+    the bigram counts as plain equi-joins (no forced broadcast; the
+    single-row totals is the only hint)."""
     plan = _plan_of(spark, sf_dir, "x92_pmi_collocations")
-    assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+    df = pipeline_queries()["x92_pmi_collocations"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed  # tot only
 
 
 def test_packing_efficiency_single_shard_shuffle(spark, tables, sf_dir):

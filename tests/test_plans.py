@@ -184,13 +184,20 @@ def test_decontamination_broadcasts_flagged_set(spark, tables, sf_dir):
 
 
 def test_training_pipeline_plan_shape(spark, tables, sf_dir):
-    """x56: id-set joins are broadcast-backed, nothing goes cartesian,
-    and the scan still prunes (no full-row reads for the id joins)."""
+    """x56: nothing goes cartesian and the only forced broadcast is
+    the thresholded flagged-shingle set — the clean_ids/keep_ids
+    survivor sets are corpus-proportional, so they must reach the plan
+    as plain joins (AQE may still broadcast them at small SF, but no
+    hint forces the driver to materialize them at 100 TB)."""
     from hive_parse_lineage_spark.corpus_queries import corpus_queries
-    plan = _op_plan(corpus_queries()["x56_training_pipeline"](spark, sf_dir))
+    df = corpus_queries()["x56_training_pipeline"](spark, sf_dir)
+    plan = _op_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 2  # clean_ids + keep_ids
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # the flagged-set subtree appears twice (clean_ids recompute); any
+    # third hint would be a reintroduced survivor-id-set broadcast
+    assert analyzed.count("ResolvedHint") == 2, analyzed
 
 
 def test_source_cap_single_window_shuffle(spark, tables, sf_dir):
@@ -340,3 +347,47 @@ def test_mmr_corpus_scanned_once_per_pool_build(spark, tables, sf_dir):
     df = corpus_queries()["x80_mmr_diversify"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FileScan" not in plan, plan
+
+
+# --- r6: forced-broadcast hygiene for corpus-proportional tables ----------
+#
+# A `F.broadcast()` hint bypasses Spark's size check: the driver
+# materializes the whole table no matter how big it is. That is fine
+# for provably-bounded inputs (single-row stats, fixed-size sketches,
+# thresholded hot/flagged sets, by-assumption-small query/batch sides)
+# and a 100 TB OOM for anything corpus-proportional (vocabularies,
+# survivor-id sets, per-doc size tables, the standing corpus's hash
+# set). These budgets pin, per registry entry, EXACTLY how many hints
+# its analyzed plan may carry and what each allowed hint is — any
+# extra hint is a reintroduced scale killer.
+
+_HINT_BUDGETS = {
+    # query name -> (max ResolvedHint count, what the allowed hints are)
+    "x44_tfidf_topk": (1, "single-row n_docs"),
+    "x46_dup_clusters": (0, "no hints: edges/components all shuffle"),
+    "x56_training_pipeline": (2, "flagged boilerplate-shingle set x2 "
+                                 "(subtree recompute); survivor-id sets "
+                                 "must NOT be hinted"),
+    "x59_dedup_keep_one": (0, "loser set must NOT be hinted"),
+    "x64_incremental_dedup": (2, "batch md5 set + hit set (<= batch); "
+                                 "the corpus hash set must NOT be hinted"),
+    "x89_importance_weights": (1, "single-row totals; unigram vocab "
+                                  "must NOT be hinted"),
+    "x92_pmi_collocations": (1, "single-row tot; unigram vocab x2 "
+                                "must NOT be hinted"),
+    "x105_ppjoin_exact": (0, "freq/na/nb are corpus-proportional, "
+                             "never hinted"),
+    "x107_langid_kappa": (1, "single-row pe_num"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_HINT_BUDGETS))
+def test_no_corpus_proportional_broadcast_hints(spark, tables, sf_dir, name):
+    import __spark_entry__ as entry
+    budget, what = _HINT_BUDGETS[name]
+    df = entry.queries()[name](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n = analyzed.count("ResolvedHint")
+    assert n <= budget, (
+        f"{name}: {n} broadcast hints > budget {budget} ({what})\n"
+        + analyzed[:3000])
