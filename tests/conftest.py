@@ -15,6 +15,36 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 os.environ.setdefault("HPL_JSON_WALK", "strict")
 
 
+def _wire_protobuf_fallback() -> None:
+    """transformWithState's state protocol needs google.protobuf, which
+    isn't pip-installed in this container. The Google Cloud SDK (when
+    present) ships a self-contained pure-Python protobuf runtime; put
+    it on the path — and on PYTHONPATH *before* the JVM starts, so the
+    forked Python workers inherit it too. The runtime there (6.32) is
+    one minor version older than pyspark's gencode (6.33), a pairing
+    the official TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK escape
+    hatch exists for (minor-version skew only; the wire format is
+    stable). No-op when protobuf is already importable or the SDK is
+    absent — the test falls back to its documented importorskip."""
+    try:
+        import google.protobuf  # noqa: F401
+        return
+    except ImportError:
+        pass
+    sdk = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(sdk, "google", "protobuf")):
+        return
+    sys.path.insert(0, sdk)
+    os.environ["PYTHONPATH"] = (
+        sdk + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else sdk)
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK",
+                          "true")
+
+
+_wire_protobuf_fallback()
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     from hive_parse_lineage_spark.session import get_spark

@@ -263,17 +263,33 @@ def test_streaming_incremental_near_dup_flags(spark, events):
 def test_transform_with_state_running_stats(spark, events):
     """transformWithState (Spark 4 stateful API): the final per-key
     running SUM/COUNT after all micro-batches equals the batch
-    aggregate. The API's state protocol needs google.protobuf, which
-    this container lacks — skip there (applyInPandasWithState above
-    covers the stateful contract either way)."""
+    aggregate. Needs (a) google.protobuf for the state protocol —
+    skip when no importable copy exists (README documents the
+    PYTHONPATH recipe for a pure-Python protobuf; the
+    applyInPandasWithState test above covers the stateful contract
+    either way) — and (b) the RocksDB state store, because the
+    HDFS-backed default doesn't support the API's multiple column
+    families; the provider conf is per-query, set here and
+    restored."""
     pytest.importorskip("google.protobuf.descriptor",
                         reason="transformWithState needs protobuf")
     from hive_parse_lineage_spark.streaming.windows import (
         run_stream_over_batch, running_stats_tws)
     small = events.limit(500)
-    streamed = run_stream_over_batch(
-        spark, small, lambda s: running_stats_tws(s),
-        query_name="t_tws", output_mode="update")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        streamed = run_stream_over_batch(
+            spark, small, lambda s: running_stats_tws(s),
+            query_name="t_tws", output_mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
     # update mode emits one row per key per micro-batch: keep the last
     last = {}
     for r in streamed.collect():
