@@ -400,7 +400,7 @@ def _x63_lm_score(spark, tables):
             .orderBy("doc_id"))
 
 
-def _x64_incremental_dedup(spark, tables):
+def _x64_incremental_dedup(spark, tables, cutoff=400):
     """Incremental-ingestion dedup: a 'new batch' (doc_id >= 400)
     checked against the standing corpus (doc_id < 400) — survivors are
     new docs that are neither an exact copy (md5 anti-join) nor a
@@ -423,7 +423,6 @@ def _x64_incremental_dedup(spark, tables):
     from hive_parse_lineage_spark.operators.dedup import (
         lsh_cross_pairs, minhash_signature_agg)
     docs = tables["documents"]
-    cutoff = 400
     corpus = docs.filter(F.col("doc_id") < cutoff)
     new = docs.filter(F.col("doc_id") >= cutoff)
     batch = new.withColumn("h", F.md5("text"))
