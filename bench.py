@@ -403,7 +403,7 @@ def lineage_bench() -> None:
 
 
 def _bench_corpus(spark, sf_dir: str):
-    """Full LLM-corpus x-surface (x01-x107, minus the streaming gate):
+    """Full LLM-corpus x-surface (x01 onward, minus the streaming gate):
     Spark wall per query, one warm + one timed pass each."""
     from hive_parse_lineage_spark.corpus_queries import corpus_queries
     from hive_parse_lineage_spark.extra_queries import extra_queries

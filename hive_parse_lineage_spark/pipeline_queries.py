@@ -622,6 +622,136 @@ def _x107_langid_kappa(spark, tables):
                            "div (n * n - pe_num) END").alias("kappa_permille")))
 
 
+KMV_K = 64
+KMV_M = 1 << 60          # portable_hash64 range: [0, 2^60)
+
+
+def _x108_kmv_distinct(spark, tables):
+    """Per-source distinct-token cardinality via a K-Minimum-Values
+    sketch (Bar-Yossef et al.) with exact error accounting — the
+    distinct-count sketch family's HASH-GATE-CHECKABLE member, the way
+    x104's Count-Min is for frequency (Spark's approx_count_distinct
+    HLL is engine-private and can never be oracled). Estimator: with
+    h_k = the k-th smallest distinct 60-bit portable hash of the
+    source's tokens, est = (k-1) * 2^60 / h_k, computed in DOUBLE with
+    one fixed multiply-then-divide tree (exactly rounded IEEE ops —
+    bit-identical across engines; the all-integer form overflows int64
+    when h_k is small). Sources with fewer than k distinct hashes ARE
+    the exact set (est = n_hashes). Estimate is over distinct HASHES
+    on both engines, exact count over distinct tokens, so hash
+    collisions land in the measured error, not in a gate divergence.
+
+    Scale shape: one distinct-pair aggregate, then rn <= k under a
+    per-source window — Spark's WindowGroupLimit pushes the rank
+    filter below the shuffle, so each map task ships at most k hashes
+    per source: a per-partition top-k merge, exactly how a production
+    KMV union works. Nothing vocabulary-sized is sorted, collected,
+    or broadcast."""
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, tokens)
+    docs = tables["documents"]
+    dt = (docs.select("source", F.explode(tokens("text")).alias("tok"))
+          .distinct())
+    hashes = (dt.select("source", portable_hash64(F.col("tok")).alias("h"))
+              .distinct())
+    w = Window.partitionBy("source").orderBy("h")
+    topk = (hashes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_h"),
+                 F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("hk")))
+    exact = dt.groupBy("source").agg(F.count("*").alias("exact_distinct"))
+    est = F.expr(f"CASE WHEN hk IS NULL THEN CAST(n_h AS DOUBLE) "
+                 f"ELSE CAST({KMV_K - 1} AS DOUBLE) * {KMV_M} / hk END")
+    return (topk.join(exact, "source")
+            .withColumn("est", est)
+            .select("source", "exact_distinct", "est",
+                    F.expr("abs(est - exact_distinct) * 1000 "
+                           "/ exact_distinct").alias("err_permille"))
+            .orderBy("source"))
+
+
+def _x109_key_skew_report(spark, tables):
+    """Pre-flight shuffle-skew diagnosis for a prospective groupBy/join
+    key: per key column (events.event_type, documents.source), the key
+    count, row total, the hottest key's load share, and an all-integer
+    Gini coefficient of the per-key load distribution — the one-table
+    answer to 'will this key need the x52/x70 salting path?'. Gini
+    over ascending per-key counts c_1..c_n (ties broken by key text):
+    G = (2*sum(i*c_i) - (n+1)*sum(c_i)) * 1000 div (n * sum(c_i)).
+    Plan: one per-key count aggregate per dimension (map-side
+    combined), then a window + final aggregate over the KEY table
+    (n_keys rows, not corpus rows) — the corpus is scanned once per
+    dimension and never reshuffled."""
+    def report(df, col, dim):
+        counts = (df.groupBy(F.col(col).alias("key"))
+                  .agg(F.count("*").alias("c")))
+        w = Window.partitionBy().orderBy("c", "key")
+        ranked = counts.select(
+            "c", F.row_number().over(w).alias("i"))
+        return (ranked.agg(
+            F.lit(dim).alias("dim"),
+            F.count("*").alias("n_keys"),
+            F.sum("c").alias("total_rows"),
+            F.max("c").alias("top1_rows"),
+            F.sum(F.col("i") * F.col("c")).alias("_ic"))
+            .select(
+                "dim", "n_keys", "total_rows",
+                F.expr("top1_rows * 1000 div total_rows")
+                .alias("top1_share_permille"),
+                F.expr("(2 * _ic - (n_keys + 1) * total_rows) * 1000 "
+                       "div (n_keys * total_rows)").alias("gini_permille")))
+    return (report(tables["events"], "event_type", "events.event_type")
+            .unionByName(report(tables["documents"], "source",
+                                "documents.source"))
+            .orderBy("dim"))
+
+
+def _x110_quality_auc(spark, tables):
+    """Exact ROC-AUC of a cheap score against a pipeline label via the
+    Mann-Whitney rank-sum, ALL-INTEGER including tie handling — here:
+    does document length (n_chars) predict exact-duplicate membership
+    (md5-text appears >= 2 times)? The one-number companion to x95's
+    calibration deciles. Tie-averaged ranks stay integral by working
+    in doubled ranks: every row with score s has
+    2*rank = 2*(#rows below s) + (#rows at s) + 1, so
+    sum_pos(2*rank) = sum_s pos_s * (2*cum_s + cnt_s + 1) and
+    auc_permille = (sum_pos2rank - n_pos*(n_pos+1)) * 1000
+    div (2 * n_pos * n_neg). CASE-guards return 500 (chance) when
+    either class is empty (x107 lesson: guard the degenerate
+    denominator identically on both engines). Overflow bound:
+    doubled ranks cap the integer spelling at ~2e9 rows; beyond that
+    compute the ratio in double (x92 pattern).
+
+    Plan: one md5 count aggregate for the label, one per-SCORE-VALUE
+    aggregate, then the running-total window runs over the score
+    HISTOGRAM (distinct n_chars values — bounded by value cardinality,
+    never corpus rows; the x93 global-window audit rule)."""
+    docs = tables["documents"]
+    dup = (docs.withColumn("h", F.md5("text"))
+           .withColumn("n_copies",
+                       F.count("*").over(Window.partitionBy("h")))
+           .select("n_chars",
+                   (F.col("n_copies") >= 2).cast("long").alias("pos")))
+    hist = (dup.groupBy("n_chars")
+            .agg(F.count("*").alias("cnt"), F.sum("pos").alias("pos")))
+    w = (Window.partitionBy().orderBy("n_chars")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    scored = hist.select(
+        "cnt", "pos",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum"))
+    agg = scored.agg(
+        F.sum(F.col("pos") * (2 * F.col("cum") + F.col("cnt") + 1))
+        .alias("pos2rank"),
+        F.sum("pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).alias("n_neg"))
+    return agg.select(
+        "n_pos", "n_neg",
+        F.expr("CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(500 AS BIGINT) "
+               "ELSE (pos2rank - n_pos * (n_pos + 1)) * 1000 "
+               "div (2 * n_pos * n_neg) END").alias("auc_permille"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -885,6 +1015,102 @@ SELECT from_type, to_type, n,
        (n * 1000) // SUM(n) OVER (PARTITION BY from_type)
            AS share_permille
 FROM pairs ORDER BY from_type, to_type
+"""
+
+
+def _kmv_distinct_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("tok")
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), hs AS (
+  SELECT DISTINCT source, {h} AS h FROM dt
+), r AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hs
+), topk AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM r WHERE rn <= {KMV_K} GROUP BY source
+), ex AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+  FROM dt GROUP BY source
+)
+SELECT t.source, ex.exact_distinct,
+       CASE WHEN t.hk IS NULL THEN CAST(t.n_h AS DOUBLE)
+            ELSE CAST({KMV_K - 1} AS DOUBLE) * {KMV_M} / t.hk END AS est,
+       abs(CASE WHEN t.hk IS NULL THEN CAST(t.n_h AS DOUBLE)
+            ELSE CAST({KMV_K - 1} AS DOUBLE) * {KMV_M} / t.hk END
+           - ex.exact_distinct) * 1000 / ex.exact_distinct AS err_permille
+FROM topk t JOIN ex USING (source)
+ORDER BY t.source
+"""
+
+
+_KEY_SKEW_ORACLE = """
+WITH ec AS (
+  SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type
+), er AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, key) AS i FROM ec
+), e AS (
+  SELECT 'events.event_type' AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS total_rows,
+         CAST(MAX(c) AS BIGINT) AS top1_rows,
+         CAST(SUM(i * c) AS BIGINT) AS ic
+  FROM er
+), dc AS (
+  SELECT source AS key, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source
+), dr AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, key) AS i FROM dc
+), d AS (
+  SELECT 'documents.source' AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS total_rows,
+         CAST(MAX(c) AS BIGINT) AS top1_rows,
+         CAST(SUM(i * c) AS BIGINT) AS ic
+  FROM dr
+), u AS (SELECT * FROM e UNION ALL SELECT * FROM d)
+SELECT dim, n_keys, total_rows,
+       (top1_rows * 1000) // total_rows AS top1_share_permille,
+       ((2 * ic - (n_keys + 1) * total_rows) * 1000)
+           // (n_keys * total_rows) AS gini_permille
+FROM u ORDER BY dim
+"""
+
+
+_QUALITY_AUC_ORACLE = """
+WITH lab AS (
+  SELECT n_chars,
+         CASE WHEN COUNT(*) OVER (PARTITION BY md5(text)) >= 2
+              THEN 1 ELSE 0 END AS pos
+  FROM documents
+), hist AS (
+  SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS pos
+  FROM lab GROUP BY n_chars
+), scored AS (
+  SELECT cnt, pos,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum
+  FROM hist
+), agg AS (
+  SELECT CAST(SUM(pos * (2 * cum + cnt + 1)) AS BIGINT) AS pos2rank,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg
+  FROM scored
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(500 AS BIGINT)
+            ELSE ((pos2rank - n_pos * (n_pos + 1)) * 1000)
+                 // (2 * n_pos * n_neg) END AS auc_permille
+FROM agg
 """
 
 
@@ -1152,6 +1378,9 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x105_ppjoin_exact": _q(_x105_ppjoin_exact),
         "x106_event_transitions": _q(_x106_event_transitions),
         "x107_langid_kappa": _q(_x107_langid_kappa),
+        "x108_kmv_distinct": _q(_x108_kmv_distinct),
+        "x109_key_skew_report": _q(_x109_key_skew_report),
+        "x110_quality_auc": _q(_x110_quality_auc),
     }
 
 
@@ -1178,4 +1407,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x105_ppjoin_exact": _ppjoin_oracle_sql(),
         "x106_event_transitions": _EVENT_TRANSITIONS_ORACLE,
         "x107_langid_kappa": _langid_kappa_oracle_sql(),
+        "x108_kmv_distinct": _kmv_distinct_oracle_sql(),
+        "x109_key_skew_report": _KEY_SKEW_ORACLE,
+        "x110_quality_auc": _QUALITY_AUC_ORACLE,
     }

@@ -478,3 +478,59 @@ def test_new_entries_plan_hygiene(spark, tables, sf_dir):
     assert "BroadcastHashJoin" in _plan_of(spark, sf_dir,
                                            "x104_cms_heavy_hitters")
     assert "Join" not in _plan_of(spark, sf_dir, "x101_training_manifest")
+
+
+def test_kmv_rank_filter_pushes_below_shuffle(spark, tables, sf_dir):
+    """x108's scale claim is that rn <= k is a per-partition top-k
+    merge, not a vocabulary-sized per-source sort: the executed plan
+    must carry WindowGroupLimit (map-side group-limit before the
+    exchange). Also sanity-pin the estimator: every per-source
+    estimate lands within 50% of the exact distinct count at sf0.01
+    (KMV k=64 standard error is ~1/sqrt(62) ~ 13%)."""
+    plan = _plan_of(spark, sf_dir, "x108_kmv_distinct")
+    assert "WindowGroupLimit" in plan, plan
+    rows = pipeline_queries()["x108_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est"] > 0
+        assert abs(r["est"] - r["exact_distinct"]) <= 0.5 * r["exact_distinct"], r
+
+
+def test_key_skew_report_shape_and_bounds(spark, tables, sf_dir):
+    """x109: join-free (two scans, two aggregates, windows over key
+    tables only) and Gini/top-share invariants hold: 0 <= gini < 1000,
+    top1 share >= ceil(1000/n_keys) (the hottest key is at least the
+    mean)."""
+    plan = _plan_of(spark, sf_dir, "x109_key_skew_report")
+    assert "Join" not in plan, plan
+    rows = pipeline_queries()["x109_key_skew_report"](spark, sf_dir).collect()
+    assert {r["dim"] for r in rows} == {"events.event_type",
+                                        "documents.source"}
+    for r in rows:
+        assert 0 <= r["gini_permille"] < 1000, r
+        assert r["top1_share_permille"] * r["n_keys"] >= 1000 - r["n_keys"], r
+
+
+def test_quality_auc_matches_brute_force(spark):
+    """x110's doubled-rank Mann-Whitney on a toy table vs the O(n^2)
+    definition (mean over all pos/neg pairs of [s_pos > s_neg] + 0.5
+    [tie]), including ties across classes."""
+    import itertools
+
+    from hive_parse_lineage_spark.pipeline_queries import _x110_quality_auc
+    rows = [(1, "a", 10), (2, "a", 10), (3, "b", 12), (4, "c", 15),
+            (5, "c", 15), (6, "d", 8), (7, "e", 15), (8, "f", 20)]
+    # duplicate-label: docs 1,2 share text "a"; 4,5 share "c"
+    docs = spark.createDataFrame(
+        [(i, t, n) for i, t, n in rows],
+        "doc_id long, text string, n_chars long")
+    out = _x110_quality_auc(spark, {"documents": docs}).collect()[0]
+    pos = [n for _, t, n in rows
+           if sum(1 for _, t2, _ in rows if t2 == t) >= 2]
+    neg = [n for _, t, n in rows
+           if sum(1 for _, t2, _ in rows if t2 == t) < 2]
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    u = sum(1.0 if p > q else (0.5 if p == q else 0.0)
+            for p, q in itertools.product(pos, neg))
+    expected = int(u * 1000 // (len(pos) * len(neg)))
+    assert out["auc_permille"] == expected, (out, u)
