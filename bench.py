@@ -413,7 +413,9 @@ def _bench_corpus(spark, sf_dir: str):
     # x102 drives a real Structured Streaming query (per-micro-batch
     # checkpointing dominates its wall): it's a correctness gate, not a
     # throughput query — benching it would only measure stream startup
-    allq.pop("x102_stream_neardup", None)
+    for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
+                     "x112_stream_dedup_admission"):
+        allq.pop(stream_q, None)
     for name, fn in sorted(allq.items()):
         fn(spark, sf_dir).collect()                          # warm-up
         t0 = time.perf_counter()
@@ -442,7 +444,9 @@ def _bench_corpus_duckdb(sf_dir: str):
     dtimes: dict[str, float] = {}
     allsql = {**extra_oracle_sql(), **corpus_oracle_sql(),
               **pipeline_oracle_sql()}
-    allsql.pop("x102_stream_neardup", None)   # mirrors _bench_corpus
+    for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
+                     "x112_stream_dedup_admission"):   # mirrors _bench_corpus
+        allsql.pop(stream_q, None)
     for name, sql in sorted(allsql.items()):
         con.execute(sql).fetchdf()                           # warm-up
         t0 = time.perf_counter()

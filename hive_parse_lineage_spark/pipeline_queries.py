@@ -622,6 +622,71 @@ def _x107_langid_kappa(spark, tables):
                            "div (n * n - pe_num) END").alias("kappa_permille")))
 
 
+def _x111_stream_hourly_rollup(spark, tables):
+    """STATEFUL streaming aggregation under the exact hash gate
+    (x102's stream-static join is stateless; this is the other half of
+    the streaming story): the event stream runs through a REAL
+    Structured Streaming query — parquet source in 4 micro-batches,
+    tumbling 1-hour event-time windows per event_type, complete-mode
+    memory sink — and the final sink table must hash-match the batch
+    GROUP BY oracle. Complete mode makes the final table equal the
+    batch aggregate by definition, so the gate checks the cross-
+    micro-batch state merging, not watermark-closure timing. Sums
+    stay order-free by aggregating the integer surrogate
+    floor(value*100) — a double SUM's addition order differs between
+    a 4-micro-batch state merge and a batch scan, an IEEE divergence
+    the gate would catch. State is O(windows × event_types) — bounded
+    by time span and type cardinality, never by event count."""
+    import uuid
+
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch)
+    e = tables["events"].select("ts", "event_type", "value").coalesce(4)
+
+    def agg(s):
+        return (s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.floor(F.col("value") * 100).cast("long"))
+                     .alias("sv100"))
+                .select(F.col("w.start").alias("w"), "event_type",
+                        "n", "sv100"))
+
+    sink = run_stream_over_batch(
+        spark, e, agg, query_name=f"x111_{uuid.uuid4().hex[:8]}",
+        output_mode="complete")
+    return sink.orderBy("w", "event_type")
+
+
+def _x112_stream_dedup_admission(spark, tables):
+    """Streaming exact-dedup admission under the hash gate: the event
+    stream (4 real micro-batches) passes through streaming
+    ``dropDuplicates`` on (user_id, event_type) with an append-mode
+    memory sink — each key's FIRST arrival is admitted, every later
+    one is dropped mid-stream — and the admitted key set must
+    hash-match batch SELECT DISTINCT. Projecting the output to the
+    dedup keys themselves makes the result arrival-order-free. State
+    is O(distinct keys) — bounded by key-domain cardinality
+    (users × 5 types), never by stream length; for an UNBOUNDED key
+    domain the production swap is dropDuplicatesWithinWatermark
+    (bounded state, at-most-once per watermark span), which this gate
+    spelling can't use because re-admission timing isn't
+    batch-replayable."""
+    import uuid
+
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch)
+    e = tables["events"].select("ts", "user_id", "event_type").coalesce(4)
+
+    def dedup(s):
+        return (s.dropDuplicates(["user_id", "event_type"])
+                .select("user_id", "event_type"))
+
+    sink = run_stream_over_batch(
+        spark, e, dedup, query_name=f"x112_{uuid.uuid4().hex[:8]}",
+        output_mode="append")
+    return sink.orderBy("user_id", "event_type")
+
+
 KMV_K = 64
 KMV_M = 1 << 60          # portable_hash64 range: [0, 2^60)
 
@@ -1084,6 +1149,22 @@ FROM u ORDER BY dim
 """
 
 
+_STREAM_HOURLY_ORACLE = """
+SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sv100
+FROM events
+GROUP BY CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP), event_type
+ORDER BY w, event_type
+"""
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
 _QUALITY_AUC_ORACLE = """
 WITH lab AS (
   SELECT n_chars,
@@ -1381,6 +1462,8 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x108_kmv_distinct": _q(_x108_kmv_distinct),
         "x109_key_skew_report": _q(_x109_key_skew_report),
         "x110_quality_auc": _q(_x110_quality_auc),
+        "x111_stream_hourly_rollup": _q(_x111_stream_hourly_rollup),
+        "x112_stream_dedup_admission": _q(_x112_stream_dedup_admission),
     }
 
 
@@ -1410,4 +1493,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x108_kmv_distinct": _kmv_distinct_oracle_sql(),
         "x109_key_skew_report": _KEY_SKEW_ORACLE,
         "x110_quality_auc": _QUALITY_AUC_ORACLE,
+        "x111_stream_hourly_rollup": _STREAM_HOURLY_ORACLE,
+        "x112_stream_dedup_admission": _STREAM_DEDUP_ORACLE,
     }
