@@ -687,6 +687,41 @@ def _x112_stream_dedup_admission(spark, tables):
     return sink.orderBy("user_id", "event_type")
 
 
+def _x113_split_ks_drift(spark, tables):
+    """Two-sample Kolmogorov-Smirnov statistic between the train and
+    val splits' length distributions — 'did the hash split produce
+    distribution-identical partitions?', the QA gate a split ships
+    with (x84 checks content leakage; this checks covariate drift).
+    ALL-INTEGER: D = max_v |F_train(v) - F_val(v)| cross-multiplied to
+    max |cum_a*n_b - cum_b*n_a| * 1000 div (n_a*n_b); a double CDF
+    would hit libm-free but order-sensitive accumulation. The
+    running-total window runs over the n_chars HISTOGRAM (value
+    cardinality, never corpus rows — the x93 audit rule); one
+    histogram aggregate + one single-row total, broadcast. Overflow:
+    cum*n caps the integer spelling at ~3e9 rows per split (x107
+    note); beyond that, doubles (x92 pattern)."""
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    two = (hash_split(tables["documents"], salt="v1")
+           .filter(F.col("split").isin("train", "val")))
+    hist = (two.groupBy("n_chars")
+            .agg(F.sum((F.col("split") == "train").cast("long")).alias("a"),
+                 F.sum((F.col("split") == "val").cast("long")).alias("b")))
+    w = (Window.partitionBy().orderBy("n_chars")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.select(F.sum("a").over(w).alias("ca"),
+                      F.sum("b").over(w).alias("cb"))
+    tot = hist.agg(F.sum("a").alias("n_a"), F.sum("b").alias("n_b"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                 F.max(F.abs(F.col("ca") * F.col("n_b")
+                             - F.col("cb") * F.col("n_a"))).alias("d_num"))
+            .select("n_a", "n_b",
+                    F.expr("CASE WHEN n_a = 0 OR n_b = 0 "
+                           "THEN CAST(1000 AS BIGINT) "
+                           "ELSE d_num * 1000 div (n_a * n_b) END")
+                    .alias("ks_permille")))
+
+
 KMV_K = 64
 KMV_M = 1 << 60          # portable_hash64 range: [0, 2^60)
 
@@ -1149,6 +1184,39 @@ FROM u ORDER BY dim
 """
 
 
+def _split_ks_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("'v1' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT n_chars, ({h}) % 100 AS bucket FROM documents
+), hist AS (
+  SELECT n_chars,
+         CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM b WHERE bucket < 90 GROUP BY n_chars
+), cum AS (
+  SELECT CAST(SUM(a) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS ca,
+         CAST(SUM(b) OVER (ORDER BY n_chars
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cb
+  FROM hist
+), tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b
+  FROM hist
+)
+SELECT tot.n_a, tot.n_b,
+       CASE WHEN tot.n_a = 0 OR tot.n_b = 0 THEN CAST(1000 AS BIGINT)
+            ELSE CAST(MAX(ABS(ca * tot.n_b - cb * tot.n_a)) AS BIGINT)
+                 * 1000 // (tot.n_a * tot.n_b) END AS ks_permille
+FROM cum CROSS JOIN tot
+GROUP BY tot.n_a, tot.n_b
+"""
+
+
 _STREAM_HOURLY_ORACLE = """
 SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1464,6 +1532,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x110_quality_auc": _q(_x110_quality_auc),
         "x111_stream_hourly_rollup": _q(_x111_stream_hourly_rollup),
         "x112_stream_dedup_admission": _q(_x112_stream_dedup_admission),
+        "x113_split_ks_drift": _q(_x113_split_ks_drift),
     }
 
 
@@ -1495,4 +1564,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x110_quality_auc": _QUALITY_AUC_ORACLE,
         "x111_stream_hourly_rollup": _STREAM_HOURLY_ORACLE,
         "x112_stream_dedup_admission": _STREAM_DEDUP_ORACLE,
+        "x113_split_ks_drift": _split_ks_oracle_sql(),
     }

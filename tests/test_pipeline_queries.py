@@ -534,3 +534,23 @@ def test_quality_auc_matches_brute_force(spark):
             for p, q in itertools.product(pos, neg))
     expected = int(u * 1000 // (len(pos) * len(neg)))
     assert out["auc_permille"] == expected, (out, u)
+
+
+def test_split_ks_matches_brute_force(spark):
+    """x113's cross-multiplied KS vs the textbook max-CDF-gap on a toy
+    corpus, with the split assignment taken from the same hash_split
+    the operator uses."""
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    from hive_parse_lineage_spark.pipeline_queries import _x113_split_ks_drift
+    rows = [(i, f"doc {i}", (i * 7) % 40 + 5) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = _x113_split_ks_drift(spark, {"documents": docs}).collect()[0]
+    assign = {r["doc_id"]: r["split"]
+              for r in hash_split(docs, salt="v1").collect()}
+    a = sorted(n for i, _, n in rows if assign[i] == "train")
+    b = sorted(n for i, _, n in rows if assign[i] == "val")
+    assert out["n_a"] == len(a) and out["n_b"] == len(b)
+    vals = sorted(set(a) | set(b))
+    d_num = max(abs(sum(1 for x in a if x <= v) * len(b)
+                    - sum(1 for x in b if x <= v) * len(a)) for v in vals)
+    assert out["ks_permille"] == d_num * 1000 // (len(a) * len(b)), out
