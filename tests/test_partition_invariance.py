@@ -37,6 +37,9 @@ INVARIANCE_QUERIES = [
     "x104_cms_heavy_hitters",   # salted-hash sketch cells
     "x105_ppjoin_exact",        # frequency-ordered prefixes + pair joins
     "x106_event_transitions",   # per-user LEAD over (ts, event_id) order
+    "x108_kmv_distinct",        # k-th smallest hash per source (WindowGroupLimit)
+    "x110_quality_auc",         # doubled ranks over the score histogram
+    "x113_split_ks_drift",      # hash-split routing + running CDF gap
 ]
 
 
