@@ -285,3 +285,91 @@ def test_engine_run_script_executes_in_order(spark, tmp_path, tables):
     rows = out.collect()
     assert rows == [(1, ";")] or [tuple(r) for r in rows] == [(1, ";")]
     spark.sql("DROP VIEW IF EXISTS rs_v")
+
+
+# --- Hive-style partitioned layout + ORC (sources/partitioned.py) ---------
+
+def test_partitioned_write_prunes_at_planning_time(spark, tables, tmp_path):
+    """A filter on the partition column must appear as PartitionFilters
+    on the scan (directory pruning, no file opens for other
+    partitions) and the pruned scan must read strictly fewer files
+    than the table holds."""
+    import os
+
+    from hive_parse_lineage_spark.sources.partitioned import (
+        read_partitioned, write_partitioned)
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(tables["events"].select("event_id", "ts", "value",
+                                              "event_type"),
+                      path, ["event_type"])
+    parts = [d for d in os.listdir(path) if d.startswith("event_type=")]
+    assert len(parts) >= 2
+    df = read_partitioned(spark, path).filter(F.col("event_type") == "view")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() == tables["events"].filter("event_type = 'view'").count()
+    read_files = {r[0] for r in
+                  df.select(F.input_file_name()).distinct().collect()}
+    assert all("event_type=view" in f for f in read_files)
+
+
+def test_dynamic_partition_overwrite_touches_only_incoming(spark, tables,
+                                                           tmp_path):
+    """INSERT OVERWRITE one partition (Hive dynamic semantics): the
+    rewritten partition has the new rows, every other partition is
+    byte-identical (same files, same sizes)."""
+    import os
+
+    from hive_parse_lineage_spark.sources.partitioned import (
+        overwrite_partitions, read_partitioned, write_partitioned)
+    path = str(tmp_path / "docs_by_lang")
+    docs = tables["documents"].select("doc_id", "n_chars", "lang")
+    write_partitioned(docs, path, ["lang"])
+
+    def files_of(lang):
+        d = os.path.join(path, f"lang={lang}")
+        return {f: os.path.getsize(os.path.join(d, f))
+                for f in os.listdir(d) if not f.startswith(("_", "."))}
+
+    langs = sorted(r["lang"] for r in docs.select("lang").distinct().collect())
+    target, untouched = langs[0], langs[1]
+    before_other = files_of(untouched)
+    replacement = (docs.filter(F.col("lang") == target)
+                   .withColumn("n_chars", F.lit(-1).cast("long")).limit(10))
+    overwrite_partitions(replacement, path, ["lang"])
+    out = read_partitioned(spark, path)
+    assert out.filter(F.col("lang") == target).count() == 10
+    assert (out.filter(F.col("lang") == target)
+            .agg(F.max("n_chars")).first()[0] == -1)
+    assert files_of(untouched) == before_other
+    assert (out.filter(F.col("lang") == untouched).count()
+            == docs.filter(F.col("lang") == untouched).count())
+    # the scoped conf was restored: session default is still static
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "STATIC").upper() == "STATIC"
+
+
+def test_orc_round_trip_with_pushdown_and_pruning(spark, tables, tmp_path):
+    """ORC (Hive's default storage format): values round-trip exactly,
+    predicate pushdown reaches the ORC scan, and partition pruning
+    works identically to parquet."""
+    from hive_parse_lineage_spark.sources.partitioned import (
+        read_partitioned, write_partitioned)
+    path = str(tmp_path / "orders_orc")
+    orders = tables["orders"].select("o_orderkey", "o_totalprice",
+                                     "o_orderstatus")
+    write_partitioned(orders, path, ["o_orderstatus"], fmt="orc")
+    back = read_partitioned(spark, path, fmt="orc")
+    assert back.count() == orders.count()
+    assert (back.agg(F.sum("o_orderkey")).first()[0]
+            == orders.agg(F.sum("o_orderkey")).first()[0])
+    df = back.filter((F.col("o_totalprice") > 50000)
+                     & (F.col("o_orderstatus") == "F"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:300]
+    assert "PartitionFilters" in plan
+    exp = orders.filter("o_totalprice > 50000 AND o_orderstatus = 'F'")
+    assert df.count() == exp.count()
