@@ -378,6 +378,11 @@ _HINT_BUDGETS = {
     "x105_ppjoin_exact": (0, "freq/na/nb are corpus-proportional, "
                              "never hinted"),
     "x107_langid_kappa": (1, "single-row pe_num"),
+    "x108_kmv_distinct": (0, "no hints: per-source top-k + exact join "
+                             "both shuffle"),
+    "x109_key_skew_report": (0, "no joins at all"),
+    "x110_quality_auc": (0, "no joins at all"),
+    "x113_split_ks_drift": (1, "single-row totals"),
 }
 
 
