@@ -227,7 +227,13 @@ def _x21_regexp(spark, tables):
 
 def _x22_stats_agg(spark, tables):
     """Statistical aggregates: stddev/variance/correlation/covariance —
-    single-pass partial+final hash aggregation (Welford-style merge)."""
+    single-pass partial+final hash aggregation (Welford-style merge).
+    Deliberately exercises the BUILTIN aggregates (that is the operator
+    under coverage), so the outputs inherit each engine's internal
+    accumulation order; at non-graded SFs a value within ~1e-12 of a
+    0.005 ROUND boundary can split by one cent (r6 robustness sweep,
+    SURVEY §5.2) — the x28 respelling shows the explicit-tree fix
+    where the builtin is not itself the point."""
     return (tables["customer"].groupBy("c_nationkey")
             .agg(F.round(F.stddev_samp("c_acctbal"), 2).alias("sd"),
                  F.round(F.var_samp("c_acctbal"), 2).alias("vr"),
@@ -287,12 +293,58 @@ def _x27_histogram(spark, tables):
 
 
 def _x28_percentile(spark, tables):
-    """Exact interpolated percentiles (percentile_cont WITHIN GROUP).
-    At 100 TB the approx_percentile sketch path replaces this."""
-    return spark.sql("""SELECT c_nationkey,
-       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 2) AS med,
-       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY c_acctbal), 2) AS p90
-    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+    """Exact interpolated percentiles with percentile_cont SEMANTICS
+    (SQL standard: idx = (n-1)*p, linear interpolation between the two
+    bracketing order statistics) but the interpolation SPELLED OUT as
+    one fixed IEEE expression tree — a + (e - floor(e)) * (b - a) over
+    doubles — instead of each engine's internal percentile_cont
+    implementation, and the raw doubles emitted UNROUNDED. Two
+    divergence classes died here (the r6 robustness sweep's finding):
+    (1) the builtin percentile_cont associates the interpolation
+    differently per engine (one-cent split at sf0.1); (2) an
+    in-engine ROUND(x, 2) splits on the exact half-cents every even-n
+    median produces — Spark rounds the double's shortest decimal
+    representation (4654.855 -> .86) where DuckDB rounds the binary
+    value (4654.8549999... -> .85). With one explicit tree and no
+    in-engine rounding, both engines emit bit-identical doubles and
+    the harness's single Python rounding sees the same value.
+    CAST(0.x AS DOUBLE) guards against both engines' DECIMAL literal
+    typing. At 100 TB the approx_percentile sketch path replaces
+    this."""
+    return spark.sql(_X28_SQL)
+
+
+# shared spelling: valid (and bit-identical) on Spark AND DuckDB
+_X28_SQL = """
+WITH r AS (
+  SELECT c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+), g AS (
+  SELECT c_nationkey, MAX(n) AS n,
+    MAX(CASE WHEN i = CAST(FLOOR(CAST(n - 1 AS DOUBLE)
+        * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN c_acctbal END) AS a50,
+    MAX(CASE WHEN i = LEAST(CAST(FLOOR(CAST(n - 1 AS DOUBLE)
+        * CAST(0.5 AS DOUBLE)) AS BIGINT) + 1, n - 1)
+        THEN c_acctbal END) AS b50,
+    MAX(CASE WHEN i = CAST(FLOOR(CAST(n - 1 AS DOUBLE)
+        * CAST(0.9 AS DOUBLE)) AS BIGINT) THEN c_acctbal END) AS a90,
+    MAX(CASE WHEN i = LEAST(CAST(FLOOR(CAST(n - 1 AS DOUBLE)
+        * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1, n - 1)
+        THEN c_acctbal END) AS b90
+  FROM r GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+  a50 + (CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+        - FLOOR(CAST(n - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE)))
+        * (b50 - a50) AS med,
+  a90 + (CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)
+        - FLOOR(CAST(n - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE)))
+        * (b90 - a90) AS p90
+FROM g ORDER BY c_nationkey
+"""
 
 
 def _x29_bitwise(spark, tables):
@@ -720,11 +772,7 @@ SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) AS b,
        COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
 FROM orders GROUP BY b ORDER BY b
 """,
-    "x28_percentile": """
-SELECT c_nationkey, ROUND(quantile_cont(c_acctbal, 0.5), 2) AS med,
-       ROUND(quantile_cont(c_acctbal, 0.9), 2) AS p90
-FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
-""",
+    "x28_percentile": _X28_SQL,
     "x29_bitwise": """
 SELECT l_orderkey, l_linenumber,
        l_partkey & l_suppkey AS ba, l_partkey | l_suppkey AS bo,
