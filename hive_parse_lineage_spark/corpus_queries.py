@@ -452,23 +452,41 @@ def _x65_rolling_zscore(spark, tables):
     days (a ROWS frame excluding the current day — with gaps in the
     series the lookback spans more than 7 calendar days; x69 is the
     calendar-correct RANGE INTERVAL spelling), |z| > 2 flags. One
-    shuffle to the daily aggregate; the
-    window runs per series over ~days rows — scales with series count,
-    not event count. Population stddev (stddev_pop) is the
-    cross-engine-stable choice."""
+    shuffle to the daily aggregate; the window runs per series over
+    ~days rows — scales with series count, not event count.
+
+    r6 respelling, fully order-free: daily totals accumulate as
+    INTEGER CENTS (floor(value*100), the x111 surrogate — a double
+    SUM's order differs across engines/partitionings), the |z| > 2
+    flag is the cross-multiplied integer inequality
+    (c·x − S)² > 4·(c·Q − S²) over the frame's exact moment sums
+    (population-stddev semantics, no float in the decision at all),
+    and the emitted total/mu7 doubles come from single identical
+    division trees over exact integers — bit-identical on both
+    engines at every SF (the earlier builtin stddev_pop/ROUND
+    spelling straddled a 2 dp boundary at sf0.001; SURVEY §5.2).
+    Overflow bound: daily cent totals up to ~1e9 keep the squared
+    moments inside int64; beyond that the x22-class float path."""
     e = tables["events"]
     daily = (e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
-             .agg(F.round(F.sum("value"), 2).alias("total")))
+             .agg(F.sum(F.floor(F.col("value") * 100).cast("long"))
+                  .alias("tc")))
     w = (Window.partitionBy("event_type").orderBy("d")
          .rowsBetween(-7, -1))
-    mu = F.avg("total").over(w)
-    sd = F.stddev_pop("total").over(w)
-    z = (F.col("total") - mu) / sd
+    s = F.sum("tc").over(w)
+    q = F.sum(F.col("tc") * F.col("tc")).over(w)
+    c = F.count("tc").over(w)
     return (daily.select(
-                "event_type", "d", "total",
-                F.round(mu, 2).alias("mu7"),
-                F.when(sd > 0, F.abs(z) > 2).alias("anomaly"))
-            .filter(F.col("mu7").isNotNull())
+                "event_type", "d", "tc",
+                s.alias("s"), q.alias("q"), c.alias("c"))
+            .filter(F.col("c") >= 1)
+            .select(
+                "event_type", "d",
+                F.expr("cast(tc as double) / 100").alias("total"),
+                F.expr("cast(s as double) / c / 100").alias("mu7"),
+                F.expr("CASE WHEN c * q - s * s > 0 THEN "
+                       "(c * tc - s) * (c * tc - s) "
+                       "> 4 * (c * q - s * s) END").alias("anomaly"))
             .orderBy("event_type", "d"))
 
 
@@ -1192,20 +1210,25 @@ GROUP BY d ORDER BY d
 
 _ORACLES["x65_rolling_zscore"] = """
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS total
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS tc
   FROM events GROUP BY event_type, CAST(ts AS DATE)
 ),
 win AS (
-  SELECT event_type, d, total,
-         AVG(total) OVER w AS mu,
-         STDDEV_POP(total) OVER w AS sd
+  SELECT event_type, d, tc,
+         CAST(SUM(tc) OVER w AS BIGINT) AS s,
+         CAST(SUM(tc * tc) OVER w AS BIGINT) AS q,
+         CAST(COUNT(tc) OVER w AS BIGINT) AS c
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY d
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
-SELECT event_type, d, total, ROUND(mu, 2) AS mu7,
-       CASE WHEN sd > 0 THEN ABS((total - mu) / sd) > 2 END AS anomaly
-FROM win WHERE mu IS NOT NULL ORDER BY event_type, d
+SELECT event_type, d,
+       CAST(tc AS DOUBLE) / 100 AS total,
+       CAST(s AS DOUBLE) / c / 100 AS mu7,
+       CASE WHEN c * q - s * s > 0 THEN
+            (c * tc - s) * (c * tc - s) > 4 * (c * q - s * s) END AS anomaly
+FROM win WHERE c >= 1 ORDER BY event_type, d
 """
 
 _ORACLES["x63_lm_score"] = f"""
