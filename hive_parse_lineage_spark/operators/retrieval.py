@@ -110,3 +110,120 @@ SELECT term, doc_id, tf, dl, ROUND(_score, 4) AS score, rank
 FROM ranked WHERE rank <= {k}
 ORDER BY term, rank
 """
+
+def hybrid_rrf_topk(docs: DataFrame, terms: list[str], k: int = 10,
+                    pool: int = 20, c: int = 60,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Two-stage hybrid retrieval fused with Reciprocal Rank Fusion.
+
+    Ranker A is BM25 (:func:`bm25_term_topk`, top-``pool`` per term);
+    ranker B is query-likelihood term density (``tf/dl``, the
+    smoothing-free QL ranker), also top-``pool``. The fused score is
+    the classic RRF ``sum(1/(c + rank_i))`` with a missing ranker
+    contributing 0; output is the top-``k`` per term by fused score
+    (ties broken on ``doc_id``).
+
+    Determinism under the hash gate: each contribution is ONE double
+    division of small integers (``CAST(1 AS DOUBLE)/(c+rank)``) and the
+    sum is a fixed two-term left-associated add — the DuckDB oracle
+    (:func:`rrf_oracle_sql`) writes the identical IEEE tree, so the
+    doubles are bit-equal.
+
+    Scale posture: both rankers end in a per-term top-``pool``
+    window (rank state bounded by |terms| * pool, never corpus rows);
+    the fusion join is |terms| * pool vs |terms| * pool — tiny — and
+    the only corpus-sized work is the shared filtered explode both
+    rankers derive from. Reference parity: the reference exposes only
+    single-signal ranking (SURVEY §2); fusion is the standard data-
+    curation composition of its lexical + vector surfaces.
+    """
+    a = (bm25_term_topk(docs, terms, k=pool, id_col=id_col,
+                        text_col=text_col)
+         .select("term", id_col, F.col("rank").alias("ra")))
+    base = docs.select(F.col(id_col), tokens(text_col).alias("w"))
+    dl = base.select(id_col, F.size("w").alias("dl"))
+    tf = (base.select(id_col, F.explode("w").alias("tok"))
+          .filter(F.col("tok").isin(terms))
+          .groupBy("tok", id_col).agg(F.count("*").alias("tf")))
+    dens = (tf.join(dl, id_col)
+            .select(F.col("tok").alias("term"), F.col(id_col),
+                    (F.col("tf").cast("double") / F.col("dl"))
+                    .alias("_d")))
+    wb = Window.partitionBy("term").orderBy(F.desc("_d"), F.col(id_col))
+    b = (dens.withColumn("rb", F.row_number().over(wb))
+         .filter(F.col("rb") <= pool).select("term", id_col, "rb"))
+    one = F.lit(1).cast("double")
+    zero = F.lit(0).cast("double")
+    fused = (a.join(b, ["term", id_col], "full_outer")
+             .select("term", id_col, "ra", "rb",
+                     (F.coalesce(one / (F.lit(c) + F.col("ra")), zero)
+                      + F.coalesce(one / (F.lit(c) + F.col("rb")), zero))
+                     .alias("rrf")))
+    wf = Window.partitionBy("term").orderBy(F.desc("rrf"), F.col(id_col))
+    return (fused.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("term", id_col, "ra", "rb", "rrf", "rank"))
+
+
+def rrf_oracle_sql(terms: list[str], k: int = 10, pool: int = 20,
+                   c: int = 60, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk` — same BM25 tree, same
+    density ranker, same two-division RRF expression."""
+    c0 = repr(k1 * (1.0 - b))
+    c1 = repr(k1 * b)
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), dl AS (
+  SELECT doc_id, len(w) AS dl FROM w
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl
+), tf AS (
+  SELECT tok, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS tok FROM w)
+  WHERE tok IN ({term_list})
+  GROUP BY tok, doc_id
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.tok AS term, tf.doc_id, tf.tf, dl.dl,
+         (CAST(2 * stats.n_docs - 2 * df.df + 1 AS DOUBLE)
+              / (2 * df.df + 1))
+         * (tf.tf / (tf.tf + {c0}
+                     + {c1} * dl.dl * stats.n_docs / stats.total_len))
+             AS _score
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN stats
+), ranked_a AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY _score DESC, doc_id) AS ra
+  FROM scored
+), pool_a AS (
+  SELECT term, doc_id, ra FROM ranked_a WHERE ra <= {pool}
+), dens AS (
+  SELECT tf.tok AS term, tf.doc_id,
+         CAST(tf.tf AS DOUBLE) / dl.dl AS _d
+  FROM tf JOIN dl USING (doc_id)
+), ranked_b AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY _d DESC, doc_id) AS rb
+  FROM dens
+), pool_b AS (
+  SELECT term, doc_id, rb FROM ranked_b WHERE rb <= {pool}
+), fused AS (
+  SELECT term, doc_id, ra, rb,
+         COALESCE(CAST(1 AS DOUBLE) / ({c} + ra), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / ({c} + rb), CAST(0 AS DOUBLE))
+             AS rrf
+  FROM pool_a FULL OUTER JOIN pool_b USING (term, doc_id)
+)
+SELECT term, doc_id, ra, rb, rrf,
+       ROW_NUMBER() OVER (PARTITION BY term
+                          ORDER BY rrf DESC, doc_id) AS rank
+FROM fused
+QUALIFY rank <= {k}
+ORDER BY term, rank
+"""

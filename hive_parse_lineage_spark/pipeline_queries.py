@@ -1501,6 +1501,70 @@ GROUP BY bucket ORDER BY bucket
 """
 
 
+PHRASES = ["table hash", "merge group", "customer join window",
+           "table hash agg"]
+RRF_TERMS = ["spark", "table", "hash", "merge"]
+
+
+def _x114_rrf_hybrid(spark, tables):
+    """Hybrid retrieval: BM25 and QL term-density rankers fused with
+    Reciprocal Rank Fusion (top-10 per term from two top-20 pools).
+    The fused double is two single divisions of small integers plus a
+    fixed-order add — identical IEEE tree in the oracle. Both rankers
+    derive from one shared filtered explode; every window is bounded
+    by |terms| * pool, never corpus rows (the x93 audit rule)."""
+    from hive_parse_lineage_spark.operators.retrieval import hybrid_rrf_topk
+    return hybrid_rrf_topk(tables["documents"], RRF_TERMS, k=10, pool=20)
+
+
+def _x115_phrase_match(spark, tables):
+    """Multi-phrase exact matching via the anchor-bigram broadcast
+    join (operators/phrasematch.py): ONE tokenization pass emitting a
+    fixed-width context window per position, a K-row phrase table
+    broadcast onto the anchor equi-join (bounded by the request — a
+    legitimate hint under the repo's broadcast policy), token-boundary
+    exact. The phrase list includes two phrases sharing an anchor
+    ('table hash' / 'table hash agg') to exercise the join fanout."""
+    from hive_parse_lineage_spark.operators.phrasematch import phrase_match
+    return phrase_match(spark, tables["documents"], PHRASES)
+
+
+def _x116_tokenizer_fertility(spark, tables):
+    """Tokenizer-fertility report per language: docs, whitespace
+    tokens, UTF-8 bytes, bytes-per-token and tokens-per-doc in
+    permille — the go/no-go table for choosing a tokenizer's
+    vocabulary against a multilingual corpus. All-integer (div), so
+    hash-stable at every SF; one map-side-combinable aggregate over a
+    codegen projection, zero joins."""
+    d = tables["documents"]
+    agg = (d.select("lang",
+                    F.size(F.split("text", " ")).alias("nt"),
+                    F.octet_length("text").alias("nb"))
+           .groupBy("lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("nt").alias("n_tokens"),
+                F.sum("nb").alias("n_bytes")))
+    return (agg.select(
+        "lang", "n_docs", "n_tokens", "n_bytes",
+        F.expr("n_bytes * 1000 div n_tokens").alias("bytes_per_tok_milli"),
+        F.expr("n_tokens * 1000 div n_docs").alias("toks_per_doc_milli"))
+        .orderBy("lang"))
+
+
+_FERTILITY_ORACLE = """
+WITH a AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens, n_bytes,
+       n_bytes * 1000 // n_tokens AS bytes_per_tok_milli,
+       n_tokens * 1000 // n_docs AS toks_per_doc_milli
+FROM a ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1533,7 +1597,21 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x111_stream_hourly_rollup": _q(_x111_stream_hourly_rollup),
         "x112_stream_dedup_admission": _q(_x112_stream_dedup_admission),
         "x113_split_ks_drift": _q(_x113_split_ks_drift),
+        "x114_rrf_hybrid": _q(_x114_rrf_hybrid),
+        "x115_phrase_match": _q(_x115_phrase_match),
+        "x116_tokenizer_fertility": _q(_x116_tokenizer_fertility),
     }
+
+
+def _rrf_oracle() -> str:
+    from hive_parse_lineage_spark.operators.retrieval import rrf_oracle_sql
+    return rrf_oracle_sql(RRF_TERMS, k=10, pool=20)
+
+
+def _phrase_oracle() -> str:
+    from hive_parse_lineage_spark.operators.phrasematch import (
+        phrase_match_oracle_sql)
+    return phrase_match_oracle_sql(PHRASES)
 
 
 def pipeline_oracle_sql() -> dict[str, str]:
@@ -1565,4 +1643,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x111_stream_hourly_rollup": _STREAM_HOURLY_ORACLE,
         "x112_stream_dedup_admission": _STREAM_DEDUP_ORACLE,
         "x113_split_ks_drift": _split_ks_oracle_sql(),
+        "x114_rrf_hybrid": _rrf_oracle(),
+        "x115_phrase_match": _phrase_oracle(),
+        "x116_tokenizer_fertility": _FERTILITY_ORACLE,
     }

@@ -383,7 +383,30 @@ _HINT_BUDGETS = {
     "x109_key_skew_report": (0, "no joins at all"),
     "x110_quality_auc": (0, "no joins at all"),
     "x113_split_ks_drift": (1, "single-row totals"),
+    "x114_rrf_hybrid": (2, "|terms|-row df + single-row stats (BM25 "
+                           "side); density side and fusion join "
+                           "must NOT be hinted"),
+    "x115_phrase_match": (1, "K-row phrase table, bounded by request"),
+    "x116_tokenizer_fertility": (0, "no joins at all"),
 }
+
+
+def test_phrase_match_broadcasts_and_never_shuffles_context(
+        spark, tables, sf_dir):
+    """x115's whole point: the corpus-sized (anchor, t3, pos) context
+    stream meets the K-row phrase table in a map-side broadcast hash
+    join — no Exchange between the explode and the match, no
+    cartesian, and the only shuffle in the plan is the final
+    per-(doc, phrase) aggregate."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    df = pipeline_queries()["x115_phrase_match"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # one hash exchange for the groupBy + the broadcast exchange; no
+    # extra repartition of the exploded context stream
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 @pytest.mark.parametrize("name", sorted(_HINT_BUDGETS))
