@@ -1551,6 +1551,125 @@ def _x116_tokenizer_fertility(spark, tables):
         .orderBy("lang"))
 
 
+def _x117_incident_bin_join(spark, tables):
+    """Interval-overlap join via time-bin bucketing — the scalable
+    spelling of a range join with NO equi key. Incident windows are
+    the error-heavy hours (hourly error count >= 2x the hourly
+    average — integer cross-multiplied, scale-free) extended to 90
+    minutes; the ask is every non-error event falling inside any
+    window. The naive plan (the oracle's spelling) is a theta join
+    ts BETWEEN start AND end — O(incidents x events) row comparisons
+    and a BroadcastNestedLoopJoin at scale. The engine manufactures
+    the missing equi key: each interval explodes into the hour bins
+    it covers (sequence(start, end, 1 hour) — 2 rows per 90-minute
+    window), each point maps to its hour bin, and the match becomes a
+    bin equi-join plus a residual range filter. A point's bin matches
+    at most one exploded row per interval, so no post-join dedup.
+    Incidents are the top-12 hottest error hours (row_number over the
+    HOURLY table — time-bounded, the x93 audit rule — with an h0
+    tiebreak; a relative >= 2x-average threshold goes empty at large
+    SF as Poisson noise concentrates), so the broadcast side is a
+    FIXED 12-interval / 24-bin table — legitimate under the hint
+    policy."""
+    e = tables["events"]
+    hourly = (e.filter(F.col("event_type") == "error")
+              .groupBy(F.date_trunc("hour", "ts").alias("h0"))
+              .agg(F.count("*").alias("n_err")))
+    wtop = Window.partitionBy().orderBy(F.desc("n_err"), F.col("h0"))
+    inc = (hourly.withColumn("rn", F.row_number().over(wtop))
+           .filter(F.col("rn") <= 12)
+           .select(F.col("h0").alias("win_start"),
+                   (F.col("h0") + F.expr("INTERVAL 90 MINUTES"))
+                   .alias("win_end"),
+                   "n_err"))
+    bins = inc.select(
+        "win_start", "win_end", "n_err",
+        F.explode(F.expr("sequence(win_start, win_end, interval 1 hour)"))
+        .alias("bin"))
+    pts = (e.filter(F.col("event_type") != "error")
+           .select("ts", "event_type",
+                   F.date_trunc("hour", "ts").alias("bin")))
+    j = (pts.join(F.broadcast(bins), "bin")
+         .filter((F.col("ts") >= F.col("win_start"))
+                 & (F.col("ts") < F.col("win_end"))))
+    return (j.groupBy("win_start", "win_end", "n_err")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("event_type").alias("n_types"))
+            .orderBy("win_start"))
+
+
+def _x118_stream_session_windows(spark, tables):
+    """Streaming SESSION windows under the exact hash gate — the
+    third stateful streaming shape next to x111's tumbling windows
+    and x112's dedup state: per-user 30-minute-gap sessions computed
+    by a REAL Structured Streaming query (parquet source, 4
+    micro-batches, complete-mode memory sink). Session state MERGES
+    across micro-batches (a session spanning a batch boundary must
+    fuse two open windows), which is exactly what the gate checks:
+    the sink must hash-match the batch gaps-and-islands oracle
+    (lag/cumsum spelling, break at gap >= 30 min — Spark's session
+    windows are [start, last_ts + gap), so a gap of exactly the
+    timeout starts a new session). State is O(open sessions), bounded
+    by active users, never event count; counts are integral so no
+    order-sensitive double SUM crosses the state merge."""
+    import uuid
+
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch)
+    e = tables["events"].select("ts", "user_id").coalesce(4)
+
+    def agg(s):
+        return (s.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                          "user_id")
+                .agg(F.count("*").alias("n"))
+                .select("user_id", F.col("w.start").alias("s_start"),
+                        F.col("w.end").alias("s_end"), "n"))
+
+    sink = run_stream_over_batch(
+        spark, e, agg, query_name=f"x118_{uuid.uuid4().hex[:8]}",
+        output_mode="complete")
+    return sink.orderBy("user_id", "s_start")
+
+
+_INCIDENT_BIN_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h0, COUNT(*) AS n_err
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), ranked AS (
+  SELECT h0, n_err,
+         ROW_NUMBER() OVER (ORDER BY n_err DESC, h0) AS rn
+  FROM hourly
+), inc AS (
+  SELECT h0 AS win_start, h0 + INTERVAL 90 MINUTE AS win_end, n_err
+  FROM ranked WHERE rn <= 12
+)
+SELECT i.win_start, i.win_end, i.n_err,
+       COUNT(*) AS n_events, COUNT(DISTINCT e.event_type) AS n_types
+FROM inc i JOIN events e
+  ON e.event_type <> 'error' AND e.ts >= i.win_start AND e.ts < i.win_end
+GROUP BY 1, 2, 3 ORDER BY 1
+"""
+
+_STREAM_SESSION_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM d
+)
+SELECT user_id, MIN(ts) AS s_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+       COUNT(*) AS n
+FROM g GROUP BY user_id, grp ORDER BY user_id, s_start
+"""
+
+
 _FERTILITY_ORACLE = """
 WITH a AS (
   SELECT lang, COUNT(*) AS n_docs,
@@ -1600,6 +1719,8 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x114_rrf_hybrid": _q(_x114_rrf_hybrid),
         "x115_phrase_match": _q(_x115_phrase_match),
         "x116_tokenizer_fertility": _q(_x116_tokenizer_fertility),
+        "x117_incident_bin_join": _q(_x117_incident_bin_join),
+        "x118_stream_session_windows": _q(_x118_stream_session_windows),
     }
 
 
@@ -1646,4 +1767,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x114_rrf_hybrid": _rrf_oracle(),
         "x115_phrase_match": _phrase_oracle(),
         "x116_tokenizer_fertility": _FERTILITY_ORACLE,
+        "x117_incident_bin_join": _INCIDENT_BIN_ORACLE,
+        "x118_stream_session_windows": _STREAM_SESSION_ORACLE,
     }

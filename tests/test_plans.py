@@ -388,7 +388,22 @@ _HINT_BUDGETS = {
                            "must NOT be hinted"),
     "x115_phrase_match": (1, "K-row phrase table, bounded by request"),
     "x116_tokenizer_fertility": (0, "no joins at all"),
+    "x117_incident_bin_join": (1, "fixed top-12 incident bin table"),
+    "x118_stream_session_windows": (0, "no joins at all"),
 }
+
+
+def test_incident_bin_join_is_equi_not_nested_loop(spark, tables, sf_dir):
+    """x117's whole point: the interval-overlap match runs as a hash
+    equi-join on the manufactured hour-bin key with a residual range
+    filter — never the BroadcastNestedLoopJoin/CartesianProduct a raw
+    theta join would produce (the oracle's naive spelling)."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    df = pipeline_queries()["x117_incident_bin_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
 def test_phrase_match_broadcasts_and_never_shuffles_context(
