@@ -1631,6 +1631,116 @@ def _x118_stream_session_windows(spark, tables):
     return sink.orderBy("user_id", "s_start")
 
 
+def _x119_minhash_calibration(spark, tables):
+    """Calibration audit of the MinHash estimator against EXACT
+    Jaccard on the LSH candidate pairs — the dedup stack's QA dial:
+    per estimate-decile (m*10 div 64 over the 64 matching signature
+    positions), how far off is the estimate really? Per-pair error is
+    the all-integer ppm |m*uni - inter*64| * 1e6 div (64*uni), so the
+    bucket MAE is an integer SUM div COUNT — order-free under the
+    hash gate (an AVG of per-pair doubles would not be). Exact
+    inter/union come from distinct 2-shingle sets joined onto the
+    candidate pairs (pair-bounded work: LSH candidates, never all
+    pairs). Signatures use the portable md5-fold hash so the DuckDB
+    oracle replays them exactly (x07 playbook)."""
+    from hive_parse_lineage_spark.functions import text as T
+    from hive_parse_lineage_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signature_agg)
+    docs = tables["documents"]
+    sig = minhash_signature_agg(docs, shingle_k=2,
+                                hasher=T.portable_hash64)
+    pairs = (lsh_candidate_pairs(sig, max_bucket_size=None)
+             .select("id_a", "id_b"))
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(T.word_shingles("text", 2)).alias("ds"))
+    j = (pairs
+         .join(sig.select(F.col("doc_id").alias("id_a"),
+                          F.col("minhash").alias("ma")), "id_a")
+         .join(sig.select(F.col("doc_id").alias("id_b"),
+                          F.col("minhash").alias("mb")), "id_b")
+         .join(sh.select(F.col("doc_id").alias("id_a"),
+                         F.col("ds").alias("sa")), "id_a")
+         .join(sh.select(F.col("doc_id").alias("id_b"),
+                         F.col("ds").alias("sb")), "id_b"))
+    # bigint from the start: size() is int32 and m*uni*1e6 overflows it
+    per = j.select(
+        F.expr("cast(size(filter(zip_with(ma, mb, (x, y) -> x = y), "
+               "v -> v)) as bigint)").alias("m"),
+        F.expr("cast(size(array_intersect(sa, sb)) as bigint)")
+        .alias("inter"),
+        (F.size("sa") + F.size("sb")).cast("long").alias("ab"))
+    e = per.select(
+        F.expr("m * 10 div 64").alias("bucket"),
+        F.expr("abs(m * (ab - inter) * 1000000 - inter * 64 * 1000000) "
+               "div (64 * (ab - inter))").alias("err_ppm"))
+    return (e.groupBy("bucket")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.expr("sum(err_ppm) div count(*)").alias("mae_ppm"),
+                 F.max("err_ppm").alias("max_err_ppm"))
+            .orderBy("bucket"))
+
+
+def _minhash_calibration_oracle_sql(n_hashes: int = 64, bands: int = 16,
+                                    shingle_k: int = 2,
+                                    seed: int = 42) -> str:
+    """DuckDB twin of x119: replays the exact portable signatures and
+    banding (same constants as the x07 oracle), then the same
+    all-integer per-pair error and bucket aggregate."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    from hive_parse_lineage_spark.operators.dedup import _P, _perm_params
+    k, n = shingle_k, n_hashes
+    rows = n_hashes // bands
+    h = portable_hash64_sql("s")
+    mins = ",\n    ".join(
+        f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {_P}))"
+        for a, b in _perm_params(n_hashes, seed))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(range(1, len(t) - {k} + 2),
+                                  i -> array_to_string(
+                                      list_slice(t, i, i + {k} - 1), ' '))
+              ELSE [text] END AS shingles
+  FROM toks
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+), hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {h} % {_P}) AS hs FROM sh
+), sigs AS (
+  SELECT doc_id, [{mins}] AS sig FROM hashed
+), bk AS (
+  SELECT doc_id, sig, r.range AS band,
+         list_slice(sig, r.range*{rows} + 1, r.range*{rows} + {rows}) AS bv
+  FROM sigs, range({bands}) r
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sa_sig, b.sig AS sb_sig
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+), per AS (
+  SELECT len(list_filter(range(1, {n + 1}), i -> sa_sig[i] = sb_sig[i]))
+             AS m,
+         len(list_filter(da.ds, x -> list_contains(db.ds, x))) AS inter,
+         len(da.ds) + len(db.ds) AS ab
+  FROM pairs JOIN dsh da ON pairs.id_a = da.doc_id
+             JOIN dsh db ON pairs.id_b = db.doc_id
+), e AS (
+  SELECT m * 10 // {n} AS bucket,
+         abs(m * (ab - inter) * 1000000 - inter * {n} * 1000000)
+             // ({n} * (ab - inter)) AS err_ppm
+  FROM per
+)
+SELECT bucket, COUNT(*) AS n_pairs,
+       CAST(SUM(err_ppm) AS BIGINT) // COUNT(*) AS mae_ppm,
+       MAX(err_ppm) AS max_err_ppm
+FROM e GROUP BY bucket ORDER BY bucket
+"""
+
+
 _INCIDENT_BIN_ORACLE = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h0, COUNT(*) AS n_err
@@ -1721,6 +1831,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x116_tokenizer_fertility": _q(_x116_tokenizer_fertility),
         "x117_incident_bin_join": _q(_x117_incident_bin_join),
         "x118_stream_session_windows": _q(_x118_stream_session_windows),
+        "x119_minhash_calibration": _q(_x119_minhash_calibration),
     }
 
 
@@ -1769,4 +1880,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x116_tokenizer_fertility": _FERTILITY_ORACLE,
         "x117_incident_bin_join": _INCIDENT_BIN_ORACLE,
         "x118_stream_session_windows": _STREAM_SESSION_ORACLE,
+        "x119_minhash_calibration": _minhash_calibration_oracle_sql(),
     }

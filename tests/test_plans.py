@@ -390,6 +390,8 @@ _HINT_BUDGETS = {
     "x116_tokenizer_fertility": (0, "no joins at all"),
     "x117_incident_bin_join": (1, "fixed top-12 incident bin table"),
     "x118_stream_session_windows": (0, "no joins at all"),
+    "x119_minhash_calibration": (0, "sig/shingle joins all shuffle; "
+                                    "pair set is LSH-bounded"),
 }
 
 
