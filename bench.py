@@ -414,7 +414,8 @@ def _bench_corpus(spark, sf_dir: str):
     # checkpointing dominates its wall): it's a correctness gate, not a
     # throughput query — benching it would only measure stream startup
     for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
-                     "x112_stream_dedup_admission"):
+                     "x112_stream_dedup_admission",
+                     "x118_stream_session_windows"):
         allq.pop(stream_q, None)
     for name, fn in sorted(allq.items()):
         fn(spark, sf_dir).collect()                          # warm-up
@@ -445,7 +446,8 @@ def _bench_corpus_duckdb(sf_dir: str):
     allsql = {**extra_oracle_sql(), **corpus_oracle_sql(),
               **pipeline_oracle_sql()}
     for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
-                     "x112_stream_dedup_admission"):   # mirrors _bench_corpus
+                     "x112_stream_dedup_admission",
+                     "x118_stream_session_windows"):   # mirrors _bench_corpus
         allsql.pop(stream_q, None)
     for name, sql in sorted(allsql.items()):
         con.execute(sql).fetchdf()                           # warm-up

@@ -1741,6 +1741,125 @@ FROM e GROUP BY bucket ORDER BY bucket
 """
 
 
+def _x120_temperature_mix(spark, tables):
+    """Temperature-scaled multilingual sampling proportions (the
+    p^alpha rebalancing of multilingual pretraining, alpha = 1/2):
+    per-language adjusted share sqrt(n_tokens)/sum(sqrt(n_tokens))
+    and the implied boost factor over raw proportional sampling.
+
+    Float determinism: sqrt is CORRECTLY ROUNDED by IEEE-754 (unlike
+    ln/pow, which is why alpha is 1/2 and not 0.7), and the weight
+    sum — the one order-sensitive reduction — is an explicitly
+    ORDERED fold: collect_list of (lang, w) structs, array_sort, then
+    aggregate(...) left-to-right; the oracle folds array_agg(w ORDER
+    BY lang) with list_reduce, and 0+w1 == w1 in IEEE so the trees
+    agree bit-for-bit. |langs| rows — the single-row totals cross
+    join is the only broadcast."""
+    d = tables["documents"]
+    a = (d.select("lang", F.size(F.split("text", " ")).alias("nt0"))
+         .groupBy("lang").agg(F.sum("nt0").alias("nt")))
+    w = a.select("lang", "nt",
+                 F.sqrt(F.col("nt").cast("double")).alias("w"))
+    tot = w.agg(
+        F.expr("aggregate(array_sort(collect_list(struct(lang, w))), "
+               "cast(0 as double), (acc, s) -> acc + s.w)").alias("tw"),
+        F.sum("nt").alias("tnt"))
+    return (w.crossJoin(F.broadcast(tot))
+            .select("lang", F.col("nt").alias("n_tokens"),
+                    F.expr("nt * 1000 div tnt").alias("raw_permille"),
+                    (F.col("w") / F.col("tw")).alias("adj_share"),
+                    ((F.col("w") / F.col("tw"))
+                     * (F.col("tnt").cast("double") / F.col("nt")))
+                    .alias("boost"))
+            .orderBy("lang"))
+
+
+def _x121_lang_length_regression(spark, tables):
+    """Per-language OLS fit of chars-on-tokens (slope ~ mean word
+    length + 1, r^2 ~ how homogeneous the language slice is — a
+    mislabeled-slice detector next to x96/x99): the regression is
+    computed from EXACT INTEGER MOMENTS (n, Sx, Sy, Sxx, Sxy, Syy —
+    map-side-combinable integer SUMs, so nothing order-sensitive
+    crosses the shuffle, unlike builtin regr_slope/corr whose double
+    accumulation order x22 documents as the boundary class), with
+    slope/intercept/r2 emitted through single identical IEEE division
+    trees. Degenerate slices (constant x) CASE-guard to NULL on both
+    engines (the r2 guard is two separate sign checks — their int
+    PRODUCT would itself overflow first). Overflow bound: Sx^2 at
+    ~1e8 total tokens per lang stays inside int64; beyond that the
+    moments need the double path."""
+    d = tables["documents"]
+    m = (d.select("lang",
+                  F.size(F.split("text", " ")).cast("long").alias("x"),
+                  F.col("n_chars").alias("y"))
+         .groupBy("lang")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    return (m.select(
+        "lang", "n",
+        F.expr("CASE WHEN n * sxx - sx * sx > 0 THEN "
+               "CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) "
+               "END").alias("slope"),
+        F.expr("CASE WHEN n * sxx - sx * sx > 0 THEN "
+               "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) "
+               "/ (n * sxx - sx * sx)) * sx) / n END").alias("intercept"),
+        F.expr("CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 "
+               "THEN CAST(n * sxy - sx * sy AS DOUBLE) "
+               "* CAST(n * sxy - sx * sy AS DOUBLE) "
+               "/ (CAST(n * sxx - sx * sx AS DOUBLE) "
+               "* CAST(n * syy - sy * sy AS DOUBLE)) END").alias("r2"))
+        .orderBy("lang"))
+
+
+_LANG_REGRESSION_ORACLE = """
+WITH m AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+               n_chars AS y
+        FROM documents)
+  GROUP BY lang
+)
+SELECT lang, n,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+            CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+            (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+             / (n * sxx - sx * sx)) * sx) / n END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+            CAST(n * sxy - sx * sy AS DOUBLE)
+            * CAST(n * sxy - sx * sy AS DOUBLE)
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+FROM m ORDER BY lang
+"""
+
+
+_TEMPERATURE_MIX_ORACLE = """
+WITH a AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS nt
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, nt, sqrt(CAST(nt AS DOUBLE)) AS w FROM a
+), t AS (
+  SELECT list_reduce(array_agg(w ORDER BY lang), (x, y) -> x + y) AS tw,
+         CAST(SUM(nt) AS BIGINT) AS tnt
+  FROM w
+)
+SELECT lang, nt AS n_tokens, nt * 1000 // tnt AS raw_permille,
+       w / tw AS adj_share,
+       (w / tw) * (CAST(tnt AS DOUBLE) / nt) AS boost
+FROM w CROSS JOIN t ORDER BY lang
+"""
+
+
 _INCIDENT_BIN_ORACLE = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h0, COUNT(*) AS n_err
@@ -1832,6 +1951,8 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x117_incident_bin_join": _q(_x117_incident_bin_join),
         "x118_stream_session_windows": _q(_x118_stream_session_windows),
         "x119_minhash_calibration": _q(_x119_minhash_calibration),
+        "x120_temperature_mix": _q(_x120_temperature_mix),
+        "x121_lang_length_regression": _q(_x121_lang_length_regression),
     }
 
 
@@ -1881,4 +2002,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x117_incident_bin_join": _INCIDENT_BIN_ORACLE,
         "x118_stream_session_windows": _STREAM_SESSION_ORACLE,
         "x119_minhash_calibration": _minhash_calibration_oracle_sql(),
+        "x120_temperature_mix": _TEMPERATURE_MIX_ORACLE,
+        "x121_lang_length_regression": _LANG_REGRESSION_ORACLE,
     }

@@ -392,6 +392,8 @@ _HINT_BUDGETS = {
     "x118_stream_session_windows": (0, "no joins at all"),
     "x119_minhash_calibration": (0, "sig/shingle joins all shuffle; "
                                     "pair set is LSH-bounded"),
+    "x120_temperature_mix": (1, "single-row totals"),
+    "x121_lang_length_regression": (0, "no joins at all"),
 }
 
 
