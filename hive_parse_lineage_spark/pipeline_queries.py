@@ -1814,6 +1814,94 @@ def _x121_lang_length_regression(spark, tables):
         .orderBy("lang"))
 
 
+def _x122_quantized_recall(spark, tables):
+    """Recall@10 of int8-QUANTIZED similarity search against the exact
+    float-cosine top-k — the storage/recall dial for shipping a 4x
+    smaller ANN shard (x51's codes actually searched, not just
+    stored). The approximate ranking is the INTEGER dot product of the
+    symmetric-int8 codes (exact arithmetic, order-free — the
+    approximation error is all in the quantizer, none in the engine),
+    the exact side is x09's broadcast cosine; both sides rank with a
+    vec_id tiebreak, and recall is an all-integer permille. Plan: 8
+    query rows broadcast twice onto one corpus scan each — the corpus
+    never shuffles; the final intersection join is k-bounded."""
+    from hive_parse_lineage_spark.functions.vector import (
+        cosine, quantize_int8)
+    e = tables["embeddings"]
+    q = e.filter(F.col("vec_id") < 8)
+    codes, _ = quantize_int8("embedding")
+    ec = e.select("vec_id", codes.alias("c"))
+    qc = q.select(F.col("vec_id").alias("query_id"), codes.alias("qc"))
+    idot = F.expr("aggregate(zip_with(qc, c, (x, y) -> x * y), "
+                  "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    wa = Window.partitionBy("query_id").orderBy(F.desc("iscore"),
+                                                F.col("vec_id"))
+    approx = (ec.crossJoin(F.broadcast(qc))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", idot.alias("iscore"))
+              .withColumn("rn", F.row_number().over(wa))
+              .filter(F.col("rn") <= 10).select("query_id", "vec_id"))
+    qe = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qv"))
+    cos = cosine(F.col("qv"), F.col("embedding"))
+    we = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                F.col("vec_id"))
+    exact = (e.crossJoin(F.broadcast(qe))
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id", cos.alias("cos"))
+             .withColumn("rn", F.row_number().over(we))
+             .filter(F.col("rn") <= 10).select("query_id", "vec_id"))
+    hits = (approx.join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count("*").alias("n_hits")))
+    return (qe.select("query_id")
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.expr("coalesce(n_hits, 0) * 1000 div 10")
+                    .alias("recall_permille"))
+            .orderBy("query_id"))
+
+
+_QUANTIZED_RECALL_ORACLE = """
+WITH d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), codes AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(FLOOR(x * 127.0 /
+             greatest(list_max(list_transform(e, v -> abs(v))), 1e-30))
+             AS BIGINT)) AS c
+  FROM d
+), qc AS (
+  SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < 8
+), ap AS (
+  SELECT qc.query_id, codes.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qc.query_id ORDER BY
+             list_reduce(list_transform(range(1, len(qc.qc) + 1),
+                         i -> qc.qc[i] * codes.c[i]),
+                         (a, b) -> a + b) DESC, codes.vec_id) AS rn
+  FROM qc, codes WHERE codes.vec_id <> qc.query_id
+), approx AS (
+  SELECT query_id, vec_id FROM ap WHERE rn <= 10
+), qe AS (
+  SELECT vec_id AS query_id, e AS qv FROM d WHERE vec_id < 8
+), ex AS (
+  SELECT qe.query_id, d.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qe.query_id ORDER BY
+             list_cosine_similarity(qe.qv, d.e) DESC, d.vec_id) AS rn
+  FROM qe, d WHERE d.vec_id <> qe.query_id
+), exact AS (
+  SELECT query_id, vec_id FROM ex WHERE rn <= 10
+), hits AS (
+  SELECT query_id, COUNT(*) AS n_hits
+  FROM approx JOIN exact USING (query_id, vec_id)
+  GROUP BY query_id
+)
+SELECT qe.query_id, COALESCE(hits.n_hits, 0) AS n_hits,
+       COALESCE(hits.n_hits, 0) * 1000 // 10 AS recall_permille
+FROM qe LEFT JOIN hits USING (query_id) ORDER BY qe.query_id
+"""
+
+
 _LANG_REGRESSION_ORACLE = """
 WITH m AS (
   SELECT lang, COUNT(*) AS n,
@@ -1953,6 +2041,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x119_minhash_calibration": _q(_x119_minhash_calibration),
         "x120_temperature_mix": _q(_x120_temperature_mix),
         "x121_lang_length_regression": _q(_x121_lang_length_regression),
+        "x122_quantized_recall": _q(_x122_quantized_recall),
     }
 
 
@@ -2004,4 +2093,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x119_minhash_calibration": _minhash_calibration_oracle_sql(),
         "x120_temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "x121_lang_length_regression": _LANG_REGRESSION_ORACLE,
+        "x122_quantized_recall": _QUANTIZED_RECALL_ORACLE,
     }

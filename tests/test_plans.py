@@ -394,6 +394,8 @@ _HINT_BUDGETS = {
                                     "pair set is LSH-bounded"),
     "x120_temperature_mix": (1, "single-row totals"),
     "x121_lang_length_regression": (0, "no joins at all"),
+    "x122_quantized_recall": (2, "8-row query side x2 (codes + floats); "
+                                 "corpus never shuffles"),
 }
 
 
