@@ -1862,6 +1862,160 @@ def _x122_quantized_recall(spark, tables):
             .orderBy("query_id"))
 
 
+def _x123_weighted_jaccard(spark, tables):
+    """Rarity-weighted Jaccard near-dup pairs — two docs sharing the
+    rare half of their vocabulary are nearer duplicates than two
+    sharing only stopwords, which plain Jaccard (x05) can't see.
+    Presence weights are x44's integer rarity surrogate
+    (w_t = n_docs div df_t), so wJ = IW / (Wa + Wb - IW) is an
+    all-integer permille. The size-ratio block stays LOSSLESS under
+    weighting: IW <= min(Wa, Wb) implies wJ <= min/max, so
+    5*least(Wa, Wb) >= 4*greatest(Wa, Wb) is necessary for wJ >= 0.8 —
+    evaluated as a join predicate, it prunes the posting self-join's
+    pair stream before the aggregate, exactly like the unweighted
+    block in x05. Weight lookup and per-doc sums are plain shuffle
+    equi-joins (vocab unbounded at scale — never a forced broadcast);
+    only the single-row n_docs broadcasts. Bounded id space like x05
+    (the unbounded path is LSH, x07/x72)."""
+    docs = tables["documents"].filter(F.col("doc_id") < 250)
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    dfq = tk.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("nd"))
+    # no broadcast hint even on the single-row nd: the weight subtree
+    # is duplicated 6x through the self-join, so one hint would count
+    # 6x against the plan budget; AQE broadcasts a 1-row side anyway
+    w = (dfq.crossJoin(nd)
+         .select("tok", F.expr("nd div df").alias("w")))
+    tw = tk.join(w, "tok")
+    wa = tw.groupBy("doc_id").agg(F.sum("w").alias("ws"),
+                                  F.count("*").alias("nt"))
+    twx = tw.join(wa, "doc_id")
+    a, b = twx.alias("a"), twx.alias("b")
+    pairs = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                    & (5 * F.least(F.col("a.ws"), F.col("b.ws"))
+                       >= 4 * F.greatest(F.col("a.ws"), F.col("b.ws"))))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.sum(F.col("a.w")).alias("iw"),
+                  F.count("*").alias("ni")))
+    j = (pairs
+         .join(wa.select(F.col("doc_id").alias("id_a"),
+                         F.col("ws").alias("wsa"),
+                         F.col("nt").alias("na")), "id_a")
+         .join(wa.select(F.col("doc_id").alias("id_b"),
+                         F.col("ws").alias("wsb"),
+                         F.col("nt").alias("nb")), "id_b"))
+    return (j.filter(1000 * F.col("iw")
+                     >= 800 * (F.col("wsa") + F.col("wsb") - F.col("iw")))
+            .select("id_a", "id_b",
+                    F.expr("iw * 1000 div (wsa + wsb - iw)")
+                    .alias("wj_permille"),
+                    F.expr("ni * 1000 div (na + nb - ni)")
+                    .alias("j_permille"))
+            .orderBy("id_a", "id_b"))
+
+
+def _x124_code_switch_audit(spark, tables):
+    """Code-switching / mixed-language audit: a document whose tokens
+    hit >= 3 stopwords from EACH of two different languages is either
+    genuinely code-switched or a concatenation artifact — both matter
+    to a monolingual training slice (x02 assigns exactly one language
+    and can't see this; x96/x99 audit labels, not content). The five
+    per-language hit counts are fixed codegen array expressions over
+    one tokenization (size(filter(w, array_contains(...))) — no join,
+    no shuffle before the per-language report), so the whole audit is
+    a projection plus one small aggregate. All-integer."""
+    from hive_parse_lineage_spark.functions.text import STOPWORDS
+    d = tables["documents"]
+    w = d.select("lang", F.split("text", " ").alias("w"))
+    hit_cols = []
+    for lg in sorted(STOPWORDS):
+        arr = ", ".join(f"'{t}'" for t in STOPWORDS[lg])
+        hit_cols.append(
+            F.expr(f"size(filter(w, t -> array_contains(array({arr}), t)))")
+            .alias(f"h_{lg}"))
+    h = w.select("lang", *hit_cols)
+    n_langs = sum((F.col(f"h_{lg}") >= 3).cast("long")
+                  for lg in sorted(STOPWORDS))
+    flagged = h.select("lang", n_langs.alias("nl"))
+    return (flagged.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("nl") >= 2).cast("long")).alias("n_multi"))
+            .select("lang", "n_docs", "n_multi",
+                    F.expr("n_multi * 1000 div n_docs")
+                    .alias("multi_permille"))
+            .orderBy("lang"))
+
+
+def _code_switch_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import STOPWORDS
+    hits = []
+    for lg in sorted(STOPWORDS):
+        arr = ", ".join(f"'{t}'" for t in STOPWORDS[lg])
+        hits.append(f"len(list_filter(w, t -> list_contains([{arr}], t)))"
+                    f" AS h_{lg}")
+    nl = " + ".join(
+        f"CASE WHEN h_{lg} >= 3 THEN 1 ELSE 0 END" for lg in sorted(STOPWORDS))
+    cols = ",\n         ".join(hits)
+    return f"""
+WITH w AS (
+  SELECT lang, string_split(text, ' ') AS w FROM documents
+), h AS (
+  SELECT lang,
+         {cols}
+  FROM w
+), f AS (
+  SELECT lang, ({nl}) AS nl FROM h
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN nl >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       CAST(SUM(CASE WHEN nl >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+           // COUNT(*) AS multi_permille
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+
+_WEIGHTED_JACCARD_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 250
+), tk AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM docs
+), dfq AS (
+  SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok
+), nd AS (
+  SELECT COUNT(*) AS nd FROM docs
+), w AS (
+  SELECT tok, nd // df AS w FROM dfq CROSS JOIN nd
+), tw AS (
+  SELECT tk.doc_id, tk.tok, w.w FROM tk JOIN w USING (tok)
+), wa AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS ws, COUNT(*) AS nt
+  FROM tw GROUP BY doc_id
+), twx AS (
+  SELECT tw.doc_id, tw.tok, tw.w, wa.ws FROM tw JOIN wa USING (doc_id)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.w) AS BIGINT) AS iw, COUNT(*) AS ni
+  FROM twx a JOIN twx b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND 5 * least(a.ws, b.ws) >= 4 * greatest(a.ws, b.ws)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       iw * 1000 // (wsa.ws + wsb.ws - iw) AS wj_permille,
+       ni * 1000 // (wsa.nt + wsb.nt - ni) AS j_permille
+FROM pairs
+JOIN wa wsa ON pairs.id_a = wsa.doc_id
+JOIN wa wsb ON pairs.id_b = wsb.doc_id
+WHERE 1000 * iw >= 800 * (wsa.ws + wsb.ws - iw)
+ORDER BY id_a, id_b
+"""
+
+
 _QUANTIZED_RECALL_ORACLE = """
 WITH d AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2042,6 +2196,8 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x120_temperature_mix": _q(_x120_temperature_mix),
         "x121_lang_length_regression": _q(_x121_lang_length_regression),
         "x122_quantized_recall": _q(_x122_quantized_recall),
+        "x123_weighted_jaccard": _q(_x123_weighted_jaccard),
+        "x124_code_switch_audit": _q(_x124_code_switch_audit),
     }
 
 
@@ -2094,4 +2250,6 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x120_temperature_mix": _TEMPERATURE_MIX_ORACLE,
         "x121_lang_length_regression": _LANG_REGRESSION_ORACLE,
         "x122_quantized_recall": _QUANTIZED_RECALL_ORACLE,
+        "x123_weighted_jaccard": _WEIGHTED_JACCARD_ORACLE,
+        "x124_code_switch_audit": _code_switch_oracle_sql(),
     }

@@ -396,6 +396,10 @@ _HINT_BUDGETS = {
     "x121_lang_length_regression": (0, "no joins at all"),
     "x122_quantized_recall": (2, "8-row query side x2 (codes + floats); "
                                  "corpus never shuffles"),
+    "x123_weighted_jaccard": (0, "no hints: the weight subtree is "
+                                 "duplicated through the self-join, so "
+                                 "even the single-row nd stays unhinted"),
+    "x124_code_switch_audit": (0, "no joins at all"),
 }
 
 
