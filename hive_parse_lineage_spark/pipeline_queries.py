@@ -1978,6 +1978,207 @@ FROM f GROUP BY lang ORDER BY lang
 """
 
 
+def _x125_lsh_pair_recall(spark, tables):
+    """The LSH banding S-curve measured empirically — per TRUE-Jaccard
+    decile, what fraction of truly-similar pairs does (16 bands x 4
+    rows) banding actually catch? x79 audits the ANN path and x119 the
+    ESTIMATOR; this audits the CANDIDATE GENERATOR itself, which is
+    the recall floor of every LSH dedup pass (x07/x72). Ground truth
+    is the exact token-set Jaccard of every co-token pair in a bounded
+    id space (posting self-join — J>0 pairs only, which is every pair
+    banding could ever catch and every pair with nonzero recall mass);
+    candidates are the uncapped portable-hash banding pairs on the
+    SAME token sets (shingle_k=1). All-integer permille per decile.
+    Expected shape: ~0 below the (1/16)^(1/4) ~ 0.5 knee, ~1000 above
+    — the curve that justifies the threshold choices in x07."""
+    from hive_parse_lineage_spark.functions import text as T
+    from hive_parse_lineage_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signature_agg)
+    docs = tables["documents"].filter(F.col("doc_id") < 250)
+    tk = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    na = tk.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    a, b = tk.alias("a"), tk.alias("b")
+    inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("ni")))
+    truth = (inter
+             .join(na.select(F.col("doc_id").alias("id_a"),
+                             F.col("nt").alias("na")), "id_a")
+             .join(na.select(F.col("doc_id").alias("id_b"),
+                             F.col("nt").alias("nb")), "id_b")
+             .select("id_a", "id_b",
+                     F.expr("ni * 1000 div (na + nb - ni)")
+                     .alias("jp")))
+    sig = minhash_signature_agg(docs, shingle_k=1,
+                                hasher=T.portable_hash64)
+    cand = (lsh_candidate_pairs(sig, max_bucket_size=None)
+            .select("id_a", "id_b", F.lit(1).alias("hit")))
+    j = truth.join(cand, ["id_a", "id_b"], "left")
+    return (j.groupBy(F.expr("jp div 100").alias("decile"))
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum(F.coalesce("hit", F.lit(0))).alias("n_caught"))
+            .select("decile", "n_pairs", "n_caught",
+                    F.expr("n_caught * 1000 div n_pairs")
+                    .alias("recall_permille"))
+            .orderBy("decile"))
+
+
+def _lsh_pair_recall_oracle_sql(n_hashes: int = 64, bands: int = 16,
+                                seed: int = 42) -> str:
+    """DuckDB twin of x125: posting-join truth + the x119-style
+    portable-signature banding, shingle_k=1 (token sets)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    from hive_parse_lineage_spark.operators.dedup import _P, _perm_params
+    rows = n_hashes // bands
+    h = portable_hash64_sql("s")
+    mins = ",\n    ".join(
+        f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {_P}))"
+        for a, b in _perm_params(n_hashes, seed))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 250
+), tk AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM docs
+), na AS (
+  SELECT doc_id, COUNT(*) AS nt FROM tk GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), truth AS (
+  SELECT id_a, id_b, ni * 1000 // (wa.nt + wb.nt - ni) AS jp
+  FROM inter JOIN na wa ON inter.id_a = wa.doc_id
+             JOIN na wb ON inter.id_b = wb.doc_id
+), toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM docs
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 1 THEN t ELSE [text] END AS shingles
+  FROM toks
+), hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {h} % {_P}) AS hs FROM sh
+), sigs AS (
+  SELECT doc_id, [{mins}] AS sig FROM hashed
+), bk AS (
+  SELECT doc_id, r.range AS band,
+         list_slice(sig, r.range*{rows} + 1, r.range*{rows} + {rows}) AS bv
+  FROM sigs, range({bands}) r
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+), j AS (
+  SELECT truth.jp, CASE WHEN cand.id_a IS NULL THEN 0 ELSE 1 END AS hit
+  FROM truth LEFT JOIN cand USING (id_a, id_b)
+)
+SELECT jp // 100 AS decile, COUNT(*) AS n_pairs,
+       CAST(SUM(hit) AS BIGINT) AS n_caught,
+       CAST(SUM(hit) AS BIGINT) * 1000 // COUNT(*) AS recall_permille
+FROM j GROUP BY jp // 100 ORDER BY decile
+"""
+
+
+def _x126_dedup_bias_audit(spark, tables):
+    """Survivor-bias audit of exact dedup — does dropping duplicate
+    copies disproportionately remove one language's data? (Boilerplate
+    concentrates unevenly across languages, so dedup silently reshapes
+    the mix x120 then samples from.) Survivors keep the lowest doc_id
+    per md5(text); per language the report carries docs before/after,
+    removal permille, and the mix share before/after in permille —
+    all-integer. One hash shuffle (the same uniform md5 exchange as
+    x11) plus one small aggregate."""
+    d = tables["documents"]
+    ranked = d.select(
+        "lang", "doc_id",
+        F.row_number().over(
+            Window.partitionBy(F.md5("text")).orderBy("doc_id"))
+        .alias("rn"))
+    per = (ranked.groupBy("lang")
+           .agg(F.count("*").alias("n_before"),
+                F.sum((F.col("rn") == 1).cast("long")).alias("n_after")))
+    tot = per.agg(F.sum("n_before").alias("tb"),
+                  F.sum("n_after").alias("ta"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("lang", "n_before", "n_after",
+                    F.expr("(n_before - n_after) * 1000 div n_before")
+                    .alias("removed_permille"),
+                    F.expr("n_before * 1000 div tb")
+                    .alias("share_before_permille"),
+                    F.expr("n_after * 1000 div ta")
+                    .alias("share_after_permille"))
+            .orderBy("lang"))
+
+
+_DEDUP_BIAS_ORACLE = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), per AS (
+  SELECT lang, COUNT(*) AS n_before,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after
+  FROM ranked GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+         CAST(SUM(n_after) AS BIGINT) AS ta
+  FROM per
+)
+SELECT lang, n_before, n_after,
+       (n_before - n_after) * 1000 // n_before AS removed_permille,
+       n_before * 1000 // tb AS share_before_permille,
+       n_after * 1000 // ta AS share_after_permille
+FROM per CROSS JOIN tot ORDER BY lang
+"""
+
+
+def _x127_shard_balance(spark, tables):
+    """Shard-assignment balance audit: hash documents into 16 shards
+    (portable md5-fold of the doc id, the x39 split family's hash) and
+    report each shard's doc/token load plus its deviation from the
+    perfect-balance mean in permille — the pre-flight check before a
+    16-way bucketed write (sources/bucketing.py), where one hot shard
+    becomes the straggler task of every downstream stage. All-integer;
+    one map-side-combinable aggregate; the single-row total broadcasts
+    back onto 16 rows."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    d = tables["documents"]
+    per = (d.select(
+        F.pmod(portable_hash64(F.col("doc_id").cast("string")),
+               F.lit(16)).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("nt"))
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("tt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("shard", "n_docs", "n_tokens",
+                    F.expr("(n_tokens * 16 - tt) * 1000 div tt")
+                    .alias("dev_permille"))
+            .orderBy("shard"))
+
+
+def _shard_balance_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH per AS (
+  SELECT {h} % 16 AS shard, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM per
+)
+SELECT shard, n_docs, n_tokens,
+       (n_tokens * 16 - tt) * 1000 // tt AS dev_permille
+FROM per CROSS JOIN tot ORDER BY shard
+"""
+
+
 _WEIGHTED_JACCARD_ORACLE = """
 WITH docs AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 250
@@ -2198,6 +2399,9 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x122_quantized_recall": _q(_x122_quantized_recall),
         "x123_weighted_jaccard": _q(_x123_weighted_jaccard),
         "x124_code_switch_audit": _q(_x124_code_switch_audit),
+        "x125_lsh_pair_recall": _q(_x125_lsh_pair_recall),
+        "x126_dedup_bias_audit": _q(_x126_dedup_bias_audit),
+        "x127_shard_balance": _q(_x127_shard_balance),
     }
 
 
@@ -2252,4 +2456,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x122_quantized_recall": _QUANTIZED_RECALL_ORACLE,
         "x123_weighted_jaccard": _WEIGHTED_JACCARD_ORACLE,
         "x124_code_switch_audit": _code_switch_oracle_sql(),
+        "x125_lsh_pair_recall": _lsh_pair_recall_oracle_sql(),
+        "x126_dedup_bias_audit": _DEDUP_BIAS_ORACLE,
+        "x127_shard_balance": _shard_balance_oracle_sql(),
     }

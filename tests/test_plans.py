@@ -400,6 +400,9 @@ _HINT_BUDGETS = {
                                  "duplicated through the self-join, so "
                                  "even the single-row nd stays unhinted"),
     "x124_code_switch_audit": (0, "no joins at all"),
+    "x125_lsh_pair_recall": (0, "truth/candidate joins all shuffle"),
+    "x126_dedup_bias_audit": (1, "single-row totals"),
+    "x127_shard_balance": (1, "single-row total"),
 }
 
 
