@@ -2114,6 +2114,50 @@ def _x126_dedup_bias_audit(spark, tables):
             .orderBy("lang"))
 
 
+def _x128_arrow_doc_stats(spark, tables):
+    """The Arrow batch path itself under the exact hash gate: per-doc
+    token stats computed in a ``mapInPandas`` stage (pandas str ops
+    over Arrow record batches) and hash-matched against plain SQL.
+    Every other Python-side operator in the repo (multimodal decode,
+    NumPy similarity) rides this exact contract — schema'd Arrow
+    batches in, schema'd Arrow batches out, batch boundaries invisible
+    to the result — so the gate here certifies the TRANSPORT, with
+    deliberately SQL-checkable integer payloads (token count, distinct
+    count, longest token). Partition-parallel, no shuffle before the
+    final sort; bounded id space only to keep the oracle's row set
+    small."""
+    import pandas as pd
+    docs = (tables["documents"].filter(F.col("doc_id") < 300)
+            .select("doc_id", "text"))
+
+    def stats(batches):
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ")
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_tokens": toks.map(len),
+                "n_distinct": toks.map(lambda t: len(set(t))),
+                "max_tok_len": toks.map(
+                    lambda t: max(len(w) for w in t) if len(t) else 0),
+            })
+
+    schema = ("doc_id bigint, n_tokens bigint, n_distinct bigint, "
+              "max_tok_len bigint")
+    return docs.mapInPandas(stats, schema).orderBy("doc_id")
+
+
+_ARROW_DOC_STATS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id, len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_distinct,
+       list_max(list_transform(w, t -> strlen(t))) AS max_tok_len
+FROM w ORDER BY doc_id
+"""
+
+
 _DEDUP_BIAS_ORACLE = """
 WITH ranked AS (
   SELECT lang, doc_id,
@@ -2402,6 +2446,7 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x125_lsh_pair_recall": _q(_x125_lsh_pair_recall),
         "x126_dedup_bias_audit": _q(_x126_dedup_bias_audit),
         "x127_shard_balance": _q(_x127_shard_balance),
+        "x128_arrow_doc_stats": _q(_x128_arrow_doc_stats),
     }
 
 
@@ -2459,4 +2504,5 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x125_lsh_pair_recall": _lsh_pair_recall_oracle_sql(),
         "x126_dedup_bias_audit": _DEDUP_BIAS_ORACLE,
         "x127_shard_balance": _shard_balance_oracle_sql(),
+        "x128_arrow_doc_stats": _ARROW_DOC_STATS_ORACLE,
     }

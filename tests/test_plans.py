@@ -403,6 +403,7 @@ _HINT_BUDGETS = {
     "x125_lsh_pair_recall": (0, "truth/candidate joins all shuffle"),
     "x126_dedup_bias_audit": (1, "single-row totals"),
     "x127_shard_balance": (1, "single-row total"),
+    "x128_arrow_doc_stats": (0, "no joins at all"),
 }
 
 
