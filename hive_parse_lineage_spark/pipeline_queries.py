@@ -2400,6 +2400,412 @@ FROM a ORDER BY lang
 """
 
 
+def _x129_source_overlap(spark, tables):
+    """Cross-source contamination matrix: for every source pair, how
+    many DISTINCT 5-gram shingles do the two sources share, and what
+    permille of the smaller source's shingle vocabulary is that? The
+    mixture-weight audit x86/x101 can't see — if two crawl feeds carry
+    the same boilerplate, their combined weight double-counts it.
+
+    Scale shape: the per-(source, shingle) DISTINCT projection runs
+    FIRST, so the shingle self-join's fanout per shingle key is
+    bounded by the number of SOURCES (metadata-bounded), never by how
+    many documents repeat the shingle — corpus growth adds rows to the
+    distinct exchange, not to the pair explosion. The |sources|-row
+    totals join is left unhinted (AQE broadcasts it when small); the
+    output is at most C(|sources|, 2) rows."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    d = tables["documents"]
+    ss = (d.select("source",
+                   F.explode(F.array_distinct(word_shingles("text", 5)))
+                   .alias("g"))
+          .distinct())
+    per = ss.groupBy("source").agg(F.count("*").alias("ns"))
+    a, b = ss.alias("a"), ss.alias("b")
+    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("src_a"),
+                      F.col("b.source").alias("src_b"))
+             .agg(F.count("*").alias("n_shared")))
+    return (pairs
+            .join(per.select(F.col("source").alias("src_a"),
+                             F.col("ns").alias("na")), "src_a")
+            .join(per.select(F.col("source").alias("src_b"),
+                             F.col("ns").alias("nb")), "src_b")
+            .select("src_a", "src_b", "n_shared",
+                    F.expr("n_shared * 1000 div least(na, nb)")
+                    .alias("overlap_permille"))
+            .orderBy("src_a", "src_b"))
+
+
+def _source_overlap_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    return f"""
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS w, text FROM documents
+), s AS (
+  SELECT DISTINCT source, unnest({_shingle_list_sql(5)}) AS g FROM w
+), per AS (
+  SELECT source, COUNT(*) AS ns FROM s GROUP BY source
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_shared,
+       n_shared * 1000 // least(pa.ns, pb.ns) AS overlap_permille
+FROM pairs JOIN per pa ON pairs.src_a = pa.source
+           JOIN per pb ON pairs.src_b = pb.source
+ORDER BY src_a, src_b
+"""
+
+
+def _x130_lexical_concentration(spark, tables):
+    """Per-document Simpson concentration (repeated-token probability
+    mass, sum(c^2)*1000 div n^2 — the collision probability of drawing
+    the same token twice), rolled up per language: mean, max, and the
+    count of degenerate docs (conc >= 250, a "the the the"-style
+    generation-loop artifact x36's SHINGLE repetition ratio undercounts
+    because every repeated unigram instance makes a distinct shingle).
+    All-integer; one token shuffle into the per-(doc, tok) count, then
+    two map-side-combinable aggregates, no joins at all."""
+    d = tables["documents"]
+    tk = d.select("doc_id", "lang",
+                  F.explode(F.split("text", " ")).alias("tok"))
+    c = tk.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("c"))
+    doc = (c.groupBy("doc_id", "lang")
+           .agg(F.sum(F.expr("c * c")).alias("s2"),
+                F.sum("c").alias("n"))
+           .withColumn("conc", F.expr("s2 * 1000 div (n * n)")))
+    return (doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.expr("sum(conc) div count(*)")
+                 .alias("mean_conc_permille"),
+                 F.max("conc").alias("max_conc_permille"),
+                 F.sum((F.col("conc") >= 250).cast("long"))
+                 .alias("n_concentrated"))
+            .orderBy("lang"))
+
+
+_LEXICAL_CONCENTRATION_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2, 3
+), doc AS (
+  SELECT doc_id, lang, CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(SUM(c) AS BIGINT) AS n
+  FROM c GROUP BY 1, 2
+), conc AS (
+  SELECT lang, s2 * 1000 // (n * n) AS conc FROM doc
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(conc) AS BIGINT) // COUNT(*) AS mean_conc_permille,
+       MAX(conc) AS max_conc_permille,
+       CAST(SUM(CASE WHEN conc >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_concentrated
+FROM conc GROUP BY lang ORDER BY lang
+"""
+
+
+def _x131_histogram_quantile_sketch(spark, tables):
+    """Fixed-256-bin equi-width histogram quantile ESTIMATE with exact
+    per-quantile error accounting — the mergeable-sketch family's
+    quantile member next to x104 (Count-Min) and x108 (KMV). The
+    histogram is one map-side-combinable (source, bin) count — the
+    shape that merges across shards/days for free — and each quantile
+    estimate is the upper edge of the first bin whose cumulative count
+    reaches ceil(q*n/1000). The exact value at the same rank (x91's
+    discrete row arithmetic) joins back on, so the report carries the
+    estimate, the truth, and the bias in permille: the 'is 256 bins
+    enough for this column' dial.
+
+    Scale shape: the per-source cumulative window runs over <=256 rows
+    per source; the exact side is the only corpus-ranked window and
+    exists purely to measure the sketch (at 100 TB you'd ship the
+    histogram alone). Hints: single-row min/max, the 3-row quantile
+    literal, and the |sources|x3 target table — all bounded."""
+    d = tables["documents"].select("source", "n_chars", "doc_id")
+    stats = d.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    binned = (d.crossJoin(F.broadcast(stats))
+              .withColumn("width", F.expr("(mx - mn) div 256 + 1"))
+              .withColumn("bin", F.expr("(n_chars - mn) div width")))
+    hist = (binned.groupBy("source", "bin")
+            .agg(F.count("*").alias("c"), F.min("mn").alias("mn"),
+                 F.min("width").alias("width")))
+    wcum = (Window.partitionBy("source").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (hist.withColumn("cum", F.sum("c").over(wcum))
+           .withColumn("n", F.sum("c").over(Window.partitionBy("source"))))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(500), F.lit(900), F.lit(990))).alias("q"))
+    cand = (cum.join(F.broadcast(qs))
+            .withColumn("pos", F.expr("(q * n + 999) div 1000"))
+            .filter(F.col("cum") >= F.col("pos")))
+    est = (cand.groupBy("source", "q")
+           .agg(F.min("bin").alias("qb"), F.min("mn").alias("mn"),
+                F.min("width").alias("width"), F.min("pos").alias("pos"))
+           .select(F.col("source").alias("src"), "q", "pos",
+                   F.expr("mn + (qb + 1) * width - 1").alias("est")))
+    ranked = d.select(
+        "source", "n_chars",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("rn"))
+    return (ranked.join(F.broadcast(est),
+                        (F.col("source") == F.col("src"))
+                        & (F.col("rn") == F.col("pos")))
+            .select("source", "q", "est",
+                    F.col("n_chars").alias("exact_v"),
+                    F.expr("(est - n_chars) * 1000 div greatest(n_chars, 1)")
+                    .alias("err_permille"))
+            .orderBy("source", "q"))
+
+
+_HISTOGRAM_QUANTILE_ORACLE = """
+WITH stats AS (
+  SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+), b AS (
+  SELECT source, n_chars, mn, (mx - mn) // 256 + 1 AS width,
+         (n_chars - mn) // ((mx - mn) // 256 + 1) AS bin
+  FROM documents, stats
+), hist AS (
+  SELECT source, bin, COUNT(*) AS c, MIN(mn) AS mn, MIN(width) AS width
+  FROM b GROUP BY source, bin
+), cum AS (
+  SELECT source, bin, mn, width,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM hist
+), qs AS (
+  SELECT unnest([500, 900, 990]) AS q
+), cand AS (
+  SELECT source, q, bin, mn, width, (q * n + 999) // 1000 AS pos
+  FROM cum CROSS JOIN qs WHERE cum >= (q * n + 999) // 1000
+), est AS (
+  SELECT source, q, MIN(pos) AS pos,
+         MIN(mn) + (MIN(bin) + 1) * MIN(width) - 1 AS est
+  FROM cand GROUP BY source, q
+), ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT r.source, e.q, e.est, r.n_chars AS exact_v,
+       (e.est - r.n_chars) * 1000 // greatest(r.n_chars, 1)
+           AS err_permille
+FROM ranked r JOIN est e ON r.source = e.source AND r.rn = e.pos
+ORDER BY r.source, e.q
+"""
+
+
+def _x132_vocab_growth(spark, tables):
+    """Heaps-law vocabulary growth across ingestion deciles: per
+    id-range bucket (x93's crawl-date stand-in), how many NEVER-SEEN
+    bigram TYPES does the bucket introduce, against its total bigram
+    instances — cumulative types, cumulative instances, and types per
+    million instances. x93 measures repeated INSTANCE mass; this
+    measures the TYPE frontier, which is what sizes a tokenizer vocab
+    and tells a curator when new crawl stops growing the vocabulary.
+
+    Scale shape: bucket is a codegen projection against one broadcast
+    scalar (never ntile); the bigram stream shuffles ONCE into the
+    first-seen-bucket aggregate (map-side combined min); the
+    cumulative window runs over exactly 10 rows."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    d = tables["documents"]
+    mx = d.agg(F.max("doc_id").alias("_mx"))
+    tk = (d.crossJoin(F.broadcast(mx))
+          .select(F.expr("doc_id * 10 div (_mx + 1) + 1").alias("bucket"),
+                  F.explode(word_shingles("text", 2)).alias("g")))
+    newt = (tk.groupBy("g").agg(F.min("bucket").alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("new_types")))
+    toks = tk.groupBy("bucket").agg(F.count("*").alias("n_grams"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (toks.join(newt, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("new_types", F.lit(0)).alias("new_types"),
+                    "n_grams")
+            .withColumn("cum_types", F.sum("new_types").over(w))
+            .withColumn("cum_grams", F.sum("n_grams").over(w))
+            .withColumn("types_per_mgram",
+                        F.expr("cum_types * 1000000 div cum_grams"))
+            .orderBy("bucket"))
+
+
+def _vocab_growth_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    return f"""
+WITH mx AS (
+  SELECT MAX(doc_id) AS mx FROM documents
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text,
+         (doc_id * 10) // (mx.mx + 1) + 1 AS bucket
+  FROM documents, mx
+), g AS (
+  SELECT bucket, unnest({_shingle_list_sql(2)}) AS g FROM w
+), newt AS (
+  SELECT bucket, COUNT(*) AS new_types
+  FROM (SELECT g, MIN(bucket) AS bucket FROM g GROUP BY g)
+  GROUP BY bucket
+), toks AS (
+  SELECT bucket, COUNT(*) AS n_grams FROM g GROUP BY bucket
+), base AS (
+  SELECT t.bucket, COALESCE(n.new_types, 0) AS new_types, t.n_grams
+  FROM toks t LEFT JOIN newt n USING (bucket)
+), c AS (
+  SELECT bucket, new_types, n_grams,
+         CAST(SUM(new_types) OVER (ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_types,
+         CAST(SUM(n_grams) OVER (ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_grams
+  FROM base
+)
+SELECT bucket, new_types, n_grams, cum_types, cum_grams,
+       cum_types * 1000000 // cum_grams AS types_per_mgram
+FROM c ORDER BY bucket
+"""
+
+
+def _x133_winnowing_fingerprints(spark, tables):
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    selection rule): hash every 5-gram, keep a hash only where it is
+    the minimum of its 4-position window — guaranteeing at least one
+    fingerprint per window while storing a small position-robust
+    subset — then count shared fingerprints per document pair. The
+    overlap-detection family's third member: x07 trades recall for
+    bounded candidates (MinHash), x105 is exact on whole sets
+    (PPJoin); winnowing localizes WHERE documents overlap and is the
+    standard plagiarism/code-clone fingerprint.
+
+    Scale shape: the window min is per-doc (partition-local, no global
+    sort); fingerprints with document frequency > 32 are dropped
+    before the pair join (the x72 hot-bucket cap's exact analogue —
+    ubiquitous boilerplate fingerprints carry no pair information and
+    are what makes the join quadratic), so per-key fanout is capped at
+    32 docs. The df filter replays identically in the oracle."""
+    from hive_parse_lineage_spark.functions.text import (portable_hash64,
+                                                         word_shingles)
+    d = tables["documents"]
+    ph = (d.select("doc_id",
+                   F.posexplode(word_shingles("text", 5))
+                   .alias("pos", "g"))
+          .select("doc_id", "pos", portable_hash64(F.col("g")).alias("h")))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fp = (ph.withColumn("wmin", F.min("h").over(w))
+          .filter(F.col("h") == F.col("wmin"))
+          .select("doc_id", "h").distinct())
+    dfc = fp.groupBy("h").agg(F.count("*").alias("dfc"))
+    rare = (fp.join(dfc, "h").filter(F.col("dfc") <= 32)
+            .select("doc_id", "h"))
+    a, b = rare.alias("a"), rare.alias("b")
+    return (a.join(b, (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 2)
+            .orderBy("id_a", "id_b"))
+
+
+def _winnowing_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("s.g")
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+), sh AS (
+  SELECT doc_id, {_shingle_list_sql(5)} AS l FROM w
+), pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l) + 1),
+                i -> struct_pack(pos := i, g := l[i]))) AS s
+  FROM sh
+), ph AS (
+  SELECT doc_id, s.pos AS pos, {h} AS h FROM pos
+), wm AS (
+  SELECT doc_id, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM ph
+), fp AS (
+  SELECT DISTINCT doc_id, h FROM wm WHERE h = wmin
+), dfc AS (
+  SELECT h, COUNT(*) AS dfc FROM fp GROUP BY h
+), rare AS (
+  SELECT fp.doc_id, fp.h FROM fp JOIN dfc USING (h) WHERE dfc <= 32
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared FROM pairs
+WHERE n_shared >= 2 ORDER BY id_a, id_b
+"""
+
+
+def _x134_label_centroid_drift(spark, tables):
+    """Per-label embedding-centroid drift: the L1 distance (in
+    milli-units) between each label's component-wise mean embedding
+    and the corpus-wide mean — x86's token-distribution drift audit
+    transposed into embedding space, where it catches semantic shift a
+    unigram TV-distance can't (same words, different contexts). Means
+    are computed on the floor(v*1000) integer surrogate so the sums
+    are order-free under the hash gate (a float SUM's addition order
+    differs between engines); the integer-milli precision loss is the
+    documented at-scale trade, exactly x111's playbook.
+
+    Scale shape: one posexplode into a map-side-combinable
+    (label, pos) SUM — dim x |labels| rows out of any corpus size; the
+    dim-row global centroid broadcasts back. No corpus pair joins."""
+    e = tables["embeddings"]
+    comp = (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .select("label", "pos",
+                    F.floor(F.col("v").cast("double") * 1000)
+                    .cast("long").alias("iv")))
+    per = comp.groupBy("label", "pos").agg(F.sum("iv").alias("s"),
+                                           F.count("*").alias("n"))
+    glob = comp.groupBy("pos").agg(F.sum("iv").alias("gs"),
+                                   F.count("*").alias("gn"))
+    return (per.join(F.broadcast(glob), "pos")
+            .groupBy("label")
+            .agg(F.max("n").alias("n_vecs"),
+                 F.sum(F.abs(F.expr("s div n - gs div gn")))
+                 .alias("l1_drift_milli"))
+            .orderBy("label"))
+
+
+_LABEL_CENTROID_DRIFT_ORACLE = """
+WITH d AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), comp AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(e) + 1),
+                i -> struct_pack(pos := i,
+                                 iv := CAST(FLOOR(e[i] * 1000) AS BIGINT))))
+             AS s
+  FROM d
+), c AS (
+  SELECT label, s.pos AS pos, s.iv AS iv FROM comp
+), per AS (
+  SELECT label, pos, CAST(SUM(iv) AS BIGINT) AS s, COUNT(*) AS n
+  FROM c GROUP BY label, pos
+), gcent AS (
+  SELECT pos, CAST(SUM(iv) AS BIGINT) AS gs, COUNT(*) AS gn
+  FROM c GROUP BY pos
+)
+SELECT label, MAX(n) AS n_vecs,
+       CAST(SUM(abs(s // n - gs // gn)) AS BIGINT) AS l1_drift_milli
+FROM per JOIN gcent USING (pos) GROUP BY label ORDER BY label
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2447,6 +2853,12 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x126_dedup_bias_audit": _q(_x126_dedup_bias_audit),
         "x127_shard_balance": _q(_x127_shard_balance),
         "x128_arrow_doc_stats": _q(_x128_arrow_doc_stats),
+        "x129_source_overlap": _q(_x129_source_overlap),
+        "x130_lexical_concentration": _q(_x130_lexical_concentration),
+        "x131_histogram_quantiles": _q(_x131_histogram_quantile_sketch),
+        "x132_vocab_growth": _q(_x132_vocab_growth),
+        "x133_winnowing_fingerprints": _q(_x133_winnowing_fingerprints),
+        "x134_label_centroid_drift": _q(_x134_label_centroid_drift),
     }
 
 
@@ -2505,4 +2917,10 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x126_dedup_bias_audit": _DEDUP_BIAS_ORACLE,
         "x127_shard_balance": _shard_balance_oracle_sql(),
         "x128_arrow_doc_stats": _ARROW_DOC_STATS_ORACLE,
+        "x129_source_overlap": _source_overlap_oracle_sql(),
+        "x130_lexical_concentration": _LEXICAL_CONCENTRATION_ORACLE,
+        "x131_histogram_quantiles": _HISTOGRAM_QUANTILE_ORACLE,
+        "x132_vocab_growth": _vocab_growth_oracle_sql(),
+        "x133_winnowing_fingerprints": _winnowing_oracle_sql(),
+        "x134_label_centroid_drift": _LABEL_CENTROID_DRIFT_ORACLE,
     }

@@ -48,8 +48,15 @@ def main() -> None:
 
     from tests.oracle import compare, duckdb_conn
 
+    # SPARK_GRAFT_DRIVER_MEM matters above sf0.1: the harness compare
+    # materializes both result sets, and e.g. q12's 60M-row FULL OUTER
+    # at sf1.0 kills a default-1g driver mid-run (every later entry
+    # then reports ConnectionRefused).
     spark = (SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
              .appName("selfcheck").config("spark.ui.enabled", "false")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.shuffle.partitions", "8").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_conn(sf_dir)

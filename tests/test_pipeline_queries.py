@@ -554,3 +554,125 @@ def test_split_ks_matches_brute_force(spark):
     d_num = max(abs(sum(1 for x in a if x <= v) * len(b)
                     - sum(1 for x in b if x <= v) * len(a)) for v in vals)
     assert out["ks_permille"] == d_num * 1000 // (len(a) * len(b)), out
+
+
+def test_winnowing_matches_python_reference(spark):
+    """x133's window-min selection + df cap + pair counts vs a direct
+    Python transcription of the winnowing rule on a toy corpus with a
+    planted shared passage."""
+    from hive_parse_lineage_spark.pipeline_queries import (
+        _x133_winnowing_fingerprints)
+    import hashlib
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, shared + " one two three"),
+            (2, "x y " + shared),
+            (3, "p q r s t u v w x y z aa bb cc"),
+            (4, "short doc")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in _x133_winnowing_fingerprints(
+               spark, {"documents": docs}).collect()}
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fps(text):
+        t = text.split(" ")
+        sh = ([" ".join(t[i:i + 5]) for i in range(len(t) - 4)]
+              if len(t) >= 5 else [text])
+        hs = [h(s) for s in sh]
+        out = set()
+        for i in range(len(hs)):
+            w = hs[i:i + 4]
+            if hs[i] == min(w):
+                out.add(hs[i])
+        return out
+
+    f = {d: fps(t) for d, t in rows}
+    exp = {}
+    for a in f:
+        for b in f:
+            if a < b:
+                n = len(f[a] & f[b])
+                if n >= 2:
+                    exp[(a, b)] = n
+    assert got == exp, (got, exp)
+
+
+def test_winnowing_window_is_per_doc(spark, tables, sf_dir):
+    """x133's selection window must be partitioned by doc (no global
+    sort of the fingerprint stream) and the pair join an equi-join."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    df = pipeline_queries()["x133_winnowing_fingerprints"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "partitionBy=[doc_id]" in plan.replace(" ", "") or \
+        "hashpartitioning(doc_id" in plan, plan
+
+
+def test_source_overlap_distinct_before_pair_join(spark, tables, sf_dir):
+    """x129's scale contract: the (source, shingle) DISTINCT runs
+    below the self-join, so per-shingle fanout is bounded by the
+    source count — the analyzed plan must aggregate/dedup the shingle
+    stream before any join, and the join is an equi-join."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    df = pipeline_queries()["x129_source_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or \
+        "ShuffledHashJoin" in plan, plan
+    out = pipeline_queries()["x129_source_overlap"](spark, sf_dir).collect()
+    for r in out:
+        assert r["src_a"] < r["src_b"]
+        assert 0 <= r["overlap_permille"] <= 1000
+
+
+def test_histogram_quantile_sketch_bounds(spark, tables, sf_dir):
+    """x131: the estimate is an upper bound on the exact value (bin
+    upper edge), the error is nonnegative, and every (source, q) cell
+    appears exactly once."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    rows = pipeline_queries()["x131_histogram_quantiles"](
+        spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r["est"] >= r["exact_v"], r
+        assert r["err_permille"] >= 0, r
+        key = (r["source"], r["q"])
+        assert key not in seen
+        seen.add(key)
+    assert len({q for _, q in seen}) == 3
+
+
+def test_vocab_growth_cumulative_consistency(spark, tables, sf_dir):
+    """x132: cumulative columns telescope, bucket 1 introduces every
+    type it contains, and the final cum_types equals the corpus-wide
+    distinct bigram count."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    rows = pipeline_queries()["x132_vocab_growth"](spark, sf_dir).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    cum_t = cum_g = 0
+    for r in rows:
+        cum_t += r["new_types"]
+        cum_g += r["n_grams"]
+        assert r["cum_types"] == cum_t and r["cum_grams"] == cum_g
+    d = load_tables(spark, sf_dir)["documents"]
+    total = (d.select(F.explode(word_shingles("text", 2)).alias("g"))
+             .select("g").distinct().count())
+    assert rows[-1]["cum_types"] == total
+
+
+def test_label_centroid_drift_zero_for_global(spark):
+    """x134 sanity: a single-label corpus has zero drift (its centroid
+    IS the global centroid)."""
+    from hive_parse_lineage_spark.pipeline_queries import (
+        _x134_label_centroid_drift)
+    rows = [(i, [0.1 * i, -0.2 * i, 0.3], 7) for i in range(1, 9)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = _x134_label_centroid_drift(spark, {"embeddings": emb}).collect()
+    assert len(out) == 1
+    assert out[0]["label"] == 7 and out[0]["n_vecs"] == 8
+    assert out[0]["l1_drift_milli"] == 0

@@ -404,6 +404,17 @@ _HINT_BUDGETS = {
     "x126_dedup_bias_audit": (1, "single-row totals"),
     "x127_shard_balance": (1, "single-row total"),
     "x128_arrow_doc_stats": (0, "no joins at all"),
+    "x129_source_overlap": (0, "shingle pair join and |sources|-row "
+                               "totals all shuffle; AQE decides"),
+    "x130_lexical_concentration": (0, "no joins at all"),
+    "x131_histogram_quantiles": (3, "single-row min/max + 3-row quantile "
+                                    "literal + |sources|x3 target table"),
+    "x132_vocab_growth": (2, "single-row max id x2 (the bucketed "
+                             "gram stream feeds both aggregate "
+                             "branches; subtree recompute)"),
+    "x133_winnowing_fingerprints": (0, "fingerprint joins shuffle; "
+                                       "df <= 32 cap bounds fanout"),
+    "x134_label_centroid_drift": (1, "dim-row global centroid"),
 }
 
 
