@@ -2806,6 +2806,181 @@ FROM per JOIN gcent USING (pos) GROUP BY label ORDER BY label
 """
 
 
+def _x135_stream_stream_join(spark, tables):
+    """STREAM-STREAM inner join under the exact hash gate — the last
+    streaming join family member (x102 is stream-static): the view
+    stream joins the purchase stream on user with an event-time range
+    (purchase within 1 h of the view), both sides REAL file-source
+    streams processed one file per micro-batch, append-mode memory
+    sink. Inner stream-stream join emits each matching pair exactly
+    once regardless of which micro-batch each side arrives in, so the
+    final sink table equals the batch join by construction — the gate
+    checks the cross-batch state bookkeeping (buffered unmatched rows)
+    that makes that true. Latency is exact integer microseconds
+    (x103's epoch_us spelling). The 365-day watermark keeps every row
+    in state so out-of-order file arrival can never drop a match —
+    the GATE spelling; production uses the real delay bound, and state
+    is then O(rows within the watermark horizon x range span), the
+    documented swap."""
+    import tempfile
+    import uuid
+    e = tables["events"].select("event_id", "ts", "user_id", "event_type")
+    views = e.filter(F.col("event_type") == "view").coalesce(2)
+    buys = e.filter(F.col("event_type") == "purchase").coalesce(2)
+    tv = tempfile.mkdtemp(prefix="x135_v_")
+    tp = tempfile.mkdtemp(prefix="x135_p_")
+    views.write.mode("overwrite").parquet(tv)
+    buys.write.mode("overwrite").parquet(tp)
+    sv = (spark.readStream.schema(views.schema)
+          .option("maxFilesPerTrigger", 1).parquet(tv)
+          .withWatermark("ts", "365 days").alias("v"))
+    sp = (spark.readStream.schema(buys.schema)
+          .option("maxFilesPerTrigger", 1).parquet(tp)
+          .withWatermark("ts", "365 days").alias("p"))
+    joined = (sv.join(
+        sp,
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") < F.col("v.ts") + F.expr("INTERVAL 1 HOUR")))
+        .select(F.col("v.user_id").alias("user_id"),
+                F.col("v.event_id").alias("view_id"),
+                F.col("p.event_id").alias("purchase_id"),
+                (F.unix_micros(F.col("p.ts"))
+                 - F.unix_micros(F.col("v.ts"))).alias("latency_us")))
+    name = f"x135_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("view_id", "purchase_id")
+
+
+_STREAM_STREAM_JOIN_ORACLE = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS latency_us
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND v.user_id = p.user_id
+ AND epoch_us(p.ts) - epoch_us(v.ts) >= 0
+ AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+ORDER BY view_id, purchase_id
+"""
+
+
+#: x136's profiled columns — types whose CAST-to-string is identical
+#: across engines (int/string/date; decimals excluded on purpose,
+#: their rendered scale differs).
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderdate", "o_orderpriority")
+
+
+def _x136_column_profile(spark, tables):
+    """Table profiler — the warehouse ANALYZE/profile surface as one
+    query: per column, null count, exact distinct count, and min/max
+    (cast to string AFTER the typed aggregate, so numeric order is
+    kept and the output schema is uniform). ONE scan builds a single
+    wide aggregate row; the per-column long format is a codegen
+    explode of literal structs, so adding columns never adds scans.
+    Exact COUNT(DISTINCT) per column is the oracle-gate spelling
+    (Spark expands one pass per distinct aggregate); the at-scale swap
+    is approx_count_distinct — single pass, 2% error — documented here
+    like x91's percentile swap."""
+    o = tables["orders"]
+    aggs = [F.count("*").alias("_n")]
+    for c in PROFILE_COLS:
+        aggs += [F.count(c).alias(f"{c}__nn"),
+                 F.countDistinct(c).alias(f"{c}__nd"),
+                 F.min(c).cast("string").alias(f"{c}__mn"),
+                 F.max(c).cast("string").alias(f"{c}__mx")]
+    row = o.agg(*aggs)
+    structs = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 (F.col("_n") - F.col(f"{c}__nn")).alias("n_null"),
+                 F.col(f"{c}__nd").alias("n_distinct"),
+                 F.col(f"{c}__mn").alias("min_s"),
+                 F.col(f"{c}__mx").alias("max_s"))
+        for c in PROFILE_COLS])
+    return (row.select(F.explode(structs).alias("s"))
+            .select("s.*").orderBy("col"))
+
+
+def _column_profile_oracle_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s
+FROM orders"""
+        for c in PROFILE_COLS]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col"
+
+
+def _x137_snapshot_diff(spark, tables):
+    """Snapshot CDC diff — the incremental-ingestion change feed
+    derived from two full snapshots (the thing MERGE consumes,
+    operators/merge.py; here it's the DIFF side): snapshot A drops
+    keys ≡3 (mod 4), snapshot B drops keys ≡1 (mod 4) and rewrites
+    the price of keys ≡0 (mod 5) — so the full-outer join on the key
+    classifies every key as insert (B only), delete (A only), update
+    (both, payload changed) or unchanged. Payload compare is the
+    integer-cents surrogate of the decimal price (exact in both
+    engines). One shuffle on the key — the canonical snapshot-diff
+    shape; output is the 4-row summary with min/max affected key, the
+    report an incremental pipeline logs per day."""
+    o = tables["orders"].select("o_orderkey", "o_totalprice")
+    snap_a = (o.filter(F.expr("o_orderkey % 4 != 3"))
+              .select("o_orderkey",
+                      F.expr("CAST(o_totalprice * 100 AS BIGINT)")
+                      .alias("cents_a")))
+    snap_b = (o.filter(F.expr("o_orderkey % 4 != 1"))
+              .select("o_orderkey",
+                      F.expr("CAST(o_totalprice * 100 AS BIGINT) * "
+                             "CASE WHEN o_orderkey % 5 = 0 "
+                             "THEN 2 ELSE 1 END").alias("cents_b")))
+    j = snap_a.join(snap_b, "o_orderkey", "full_outer")
+    tagged = j.select(
+        "o_orderkey",
+        F.when(F.col("cents_a").isNull(), F.lit("insert"))
+        .when(F.col("cents_b").isNull(), F.lit("delete"))
+        .when(F.col("cents_a") != F.col("cents_b"), F.lit("update"))
+        .otherwise(F.lit("unchanged")).alias("change_type"))
+    return (tagged.groupBy("change_type")
+            .agg(F.count("*").alias("n_keys"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key"))
+            .orderBy("change_type"))
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH snap_a AS (
+  SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS cents_a
+  FROM orders WHERE o_orderkey % 4 != 3
+), snap_b AS (
+  SELECT o_orderkey,
+         CAST(o_totalprice * 100 AS BIGINT)
+             * CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS cents_b
+  FROM orders WHERE o_orderkey % 4 != 1
+), j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.cents_a, b.cents_b
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+), tagged AS (
+  SELECT o_orderkey,
+         CASE WHEN cents_a IS NULL THEN 'insert'
+              WHEN cents_b IS NULL THEN 'delete'
+              WHEN cents_a != cents_b THEN 'update'
+              ELSE 'unchanged' END AS change_type
+  FROM j
+)
+SELECT change_type, COUNT(*) AS n_keys,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM tagged GROUP BY change_type ORDER BY change_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2859,6 +3034,9 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x132_vocab_growth": _q(_x132_vocab_growth),
         "x133_winnowing_fingerprints": _q(_x133_winnowing_fingerprints),
         "x134_label_centroid_drift": _q(_x134_label_centroid_drift),
+        "x135_stream_stream_join": _q(_x135_stream_stream_join),
+        "x136_column_profile": _q(_x136_column_profile),
+        "x137_snapshot_diff": _q(_x137_snapshot_diff),
     }
 
 
@@ -2923,4 +3101,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x132_vocab_growth": _vocab_growth_oracle_sql(),
         "x133_winnowing_fingerprints": _winnowing_oracle_sql(),
         "x134_label_centroid_drift": _LABEL_CENTROID_DRIFT_ORACLE,
+        "x135_stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
+        "x136_column_profile": _column_profile_oracle_sql(),
+        "x137_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
     }

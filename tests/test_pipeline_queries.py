@@ -676,3 +676,55 @@ def test_label_centroid_drift_zero_for_global(spark):
     assert len(out) == 1
     assert out[0]["label"] == 7 and out[0]["n_vecs"] == 8
     assert out[0]["l1_drift_milli"] == 0
+
+
+def test_stream_stream_join_matches_batch_join(spark, tables, sf_dir):
+    """x135: the append-mode stream-stream inner join's final sink
+    equals the batch join over the same two sides."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    got = pipeline_queries()["x135_stream_stream_join"](
+        spark, sf_dir).collect()
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.filter(F.col("event_type") == "view").alias("v")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    exp = (v.join(p, (F.col("v.user_id") == F.col("p.user_id"))
+                  & (F.col("p.ts") >= F.col("v.ts"))
+                  & (F.col("p.ts") < F.col("v.ts")
+                     + F.expr("INTERVAL 1 HOUR")))
+           .select(F.col("v.event_id").alias("view_id"),
+                   F.col("p.event_id").alias("purchase_id"))
+           .collect())
+    assert {(r["view_id"], r["purchase_id"]) for r in got} \
+        == {(r["view_id"], r["purchase_id"]) for r in exp}
+    assert all(0 <= r["latency_us"] < 3_600_000_000 for r in got)
+
+
+def test_column_profile_one_scan_and_sane(spark, tables, sf_dir):
+    """x136: exactly one parquet scan feeds the whole profile, and the
+    key column profiles as null-free with distinct == row count."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    df = pipeline_queries()["x136_column_profile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    rows = {r["col"]: r for r in df.collect()}
+    n = load_tables(spark, sf_dir)["orders"].count()
+    assert rows["o_orderkey"]["n_null"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == n
+    assert rows["o_orderkey"]["min_s"].isdigit()
+
+
+def test_snapshot_diff_partitions_key_universe(spark, tables, sf_dir):
+    """x137: every key in either snapshot lands in exactly one change
+    class, and the class counts reconstruct the snapshot sizes."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    rows = {r["change_type"]: r["n_keys"]
+            for r in pipeline_queries()["x137_snapshot_diff"](
+                spark, sf_dir).collect()}
+    o = load_tables(spark, sf_dir)["orders"]
+    na = o.filter(F.expr("o_orderkey % 4 != 3")).count()
+    nb = o.filter(F.expr("o_orderkey % 4 != 1")).count()
+    assert rows["delete"] + rows["update"] + rows["unchanged"] == na
+    assert rows["insert"] + rows["update"] + rows["unchanged"] == nb

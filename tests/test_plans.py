@@ -415,6 +415,11 @@ _HINT_BUDGETS = {
     "x133_winnowing_fingerprints": (0, "fingerprint joins shuffle; "
                                        "df <= 32 cap bounds fanout"),
     "x134_label_centroid_drift": (1, "dim-row global centroid"),
+    "x135_stream_stream_join": (0, "stream-stream join carries no "
+                                   "hints; state bounded by watermark"),
+    "x136_column_profile": (0, "single wide aggregate, no joins"),
+    "x137_snapshot_diff": (0, "full-outer shuffles both snapshots; "
+                              "neither side is small"),
 }
 
 
