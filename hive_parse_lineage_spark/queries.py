@@ -133,8 +133,18 @@ SELECT o_orderstatus, o_orderpriority, CAST(GROUPING(o_orderstatus) AS INT) AS g
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """,
+    # Integer-cents surrogate, not ROUND(SUM(double), 2): a global
+    # double SUM's addition order differs between engines, and at
+    # sf1.0 (1.5M rows, sum ~3.8e11) the accumulated ulp error
+    # straddles the 2dp boundary (caught by ROBUSTNESS_SF1_r06).
+    # FLOOR per row is engine-identical (CAST double->int is not:
+    # DuckDB rounds, Spark truncates), and the integer SUM is
+    # order-free.
     "q24_agg_global": """
-SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS s FROM orders
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s_cents
+FROM orders
 """,
     # --- window functions ----------------------------------------------
     "q25_window_rank": """
@@ -149,9 +159,16 @@ SELECT o_orderkey, LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_order
        LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt
 FROM orders ORDER BY o_orderkey
 """,
+    # The frame ORDER BY carries l_extendedprice as a tie-break: the
+    # testdata has duplicate (l_orderkey, l_linenumber) pairs, and an
+    # ambiguous tie order makes the double running sum's partials
+    # engine-dependent (caught at sf1.0). Rows tying on BOTH keys
+    # carry equal prices, so any order among them yields identical
+    # partials — the frame is deterministic without a unique key.
     "q27_window_running_sum": """
 SELECT l_orderkey, l_linenumber,
-       ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+       ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_extendedprice
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rt
 FROM lineitem WHERE l_orderkey < 200 ORDER BY l_orderkey, l_linenumber
 """,
