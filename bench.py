@@ -138,7 +138,8 @@ def bench_duckdb(sf_dir: str, queries: dict[str, str], n_passes: int):
 
 SWEEP_QUERIES = ("x41_common_shingles", "x56_training_pipeline",
                  "x89_importance_weights", "x90_segment_dedup_rebuild",
-                 "x93_novelty_curve", "x105_ppjoin_exact")
+                 "x93_novelty_curve", "x105_ppjoin_exact",
+                 "x129_source_overlap", "x133_winnowing_fingerprints")
 
 
 def _x64_proportional(spark, sf_dir: str):
