@@ -2981,6 +2981,180 @@ FROM tagged GROUP BY change_type ORDER BY change_type
 """
 
 
+def _x138_borda_quality_blend(spark, tables):
+    """Rank-normalized quality blend: two cheap signals (token count,
+    distinct-token permille) are each RANKED within the source and the
+    rank sum (Borda count) picks the top-5 per source — the standard
+    way to combine incommensurable quality scores without calibrating
+    either (a rank is scale-free where x37's threshold blend isn't).
+    All-integer; explicit doc_id tie-breaks under every rank.
+
+    Scale shape: both rank windows partition by source — parallel
+    across sources, and the per-source global sort is the documented
+    cost (the at-scale swap is bucketed approximate ranks via x131's
+    histogram, same report shape). Top-5 is a per-source
+    WindowGroupLimit, never a global sort."""
+    d = tables["documents"]
+    base = d.select(
+        "source", "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long").alias("nd"))
+    sig = base.withColumn("dp", F.expr("nd * 1000 div nt"))
+    r1 = Window.partitionBy("source").orderBy(F.desc("nt"), "doc_id")
+    r2 = Window.partitionBy("source").orderBy(F.desc("dp"), "doc_id")
+    ranked = (sig.withColumn("r_len", F.rank().over(r1))
+              .withColumn("r_div", F.rank().over(r2))
+              .withColumn("borda", F.expr("r_len + r_div")))
+    top = Window.partitionBy("source").orderBy("borda", "doc_id")
+    return (ranked.withColumn("rn", F.row_number().over(top))
+            .filter(F.col("rn") <= 5)
+            .select("source", "doc_id", "r_len", "r_div", "borda",
+                    F.col("rn").alias("rank"))
+            .orderBy("source", "rank"))
+
+
+_BORDA_BLEND_ORACLE = """
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS nd
+  FROM documents
+), sig AS (
+  SELECT source, doc_id, nt, nd, nd * 1000 // nt AS dp FROM base
+), ranked AS (
+  SELECT source, doc_id,
+         RANK() OVER (PARTITION BY source
+                      ORDER BY nt DESC, doc_id) AS r_len,
+         RANK() OVER (PARTITION BY source
+                      ORDER BY dp DESC, doc_id) AS r_div
+  FROM sig
+), borda AS (
+  SELECT source, doc_id, r_len, r_div, r_len + r_div AS borda,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY r_len + r_div, doc_id) AS rn
+  FROM ranked
+)
+SELECT source, doc_id, r_len, r_div, borda, rn AS rank
+FROM borda WHERE rn <= 5 ORDER BY source, rank
+"""
+
+
+def _x139_decay_mix_schedule(spark, tables):
+    """Recency-decayed mixing schedule: ingestion deciles (x93's
+    id-range stand-in for crawl date) get half-life weights —
+    weight_permille = 1000 div 2^age, age = 9 - bucket + 1 buckets
+    back from the newest — and the report carries each decile's raw
+    and weighted token mass plus its share of the weighted total: the
+    'how much does old crawl actually contribute' schedule a mixer
+    (x74) consumes. All-integer (powers of two); two aggregates and a
+    single-row total."""
+    d = tables["documents"]
+    mx = d.agg(F.max("doc_id").alias("_mx"))
+    per = (d.crossJoin(F.broadcast(mx))
+           .select(F.expr("doc_id * 10 div (_mx + 1) + 1").alias("bucket"),
+                   F.size(F.split("text", " ")).cast("long").alias("nt"))
+           .groupBy("bucket")
+           .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+           .withColumn("weight_permille",
+                       F.expr("1000 div cast(pow(2, 10 - bucket) as bigint)"))
+           .withColumn("weighted_tokens",
+                       F.expr("n_tokens * weight_permille div 1000")))
+    tot = per.agg(F.sum("weighted_tokens").alias("wt"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_docs", "n_tokens", "weight_permille",
+                    "weighted_tokens",
+                    F.expr("weighted_tokens * 1000 div wt")
+                    .alias("share_permille"))
+            .orderBy("bucket"))
+
+
+_DECAY_MIX_ORACLE = """
+WITH mx AS (
+  SELECT MAX(doc_id) AS mx FROM documents
+), per AS (
+  SELECT (doc_id * 10) // (mx.mx + 1) + 1 AS bucket,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents, mx GROUP BY 1
+), w AS (
+  SELECT bucket, n_docs, n_tokens,
+         1000 // CAST(2 ** (10 - bucket) AS BIGINT) AS weight_permille,
+         n_tokens * (1000 // CAST(2 ** (10 - bucket) AS BIGINT)) // 1000
+             AS weighted_tokens
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(weighted_tokens) AS BIGINT) AS wt FROM w
+)
+SELECT bucket, n_docs, n_tokens, weight_permille, weighted_tokens,
+       weighted_tokens * 1000 // wt AS share_permille
+FROM w CROSS JOIN tot ORDER BY bucket
+"""
+
+
+def _x140_token_burstiness(spark, tables):
+    """Adjacent-repetition (burstiness) audit: the longest same-token
+    RUN per document via the gaps-and-islands trick (new-run flag →
+    running sum → per-run counts), rolled up per language with the
+    count of degenerate docs (a run >= 3 — the "the the the"
+    generation-loop signature x130's GLOBAL concentration can blur
+    when the doc is long). All-integer; the run windows are per-doc
+    partition-local (never a global sort), then two aggregates."""
+    d = tables["documents"]
+    tk = d.select("doc_id", "lang",
+                  F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (tk.withColumn(
+        "brk", F.when(F.col("tok") == F.lag("tok").over(wd), F.lit(0))
+        .otherwise(F.lit(1)))
+        .withColumn("run_id", F.sum("brk").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0))))
+    run_len = (runs.groupBy("doc_id", "lang", "run_id")
+               .agg(F.count("*").alias("rl")))
+    per_doc = (run_len.groupBy("doc_id", "lang")
+               .agg(F.max("rl").alias("max_run")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.max("max_run").alias("longest_run"),
+                 F.sum((F.col("max_run") >= 3).cast("long"))
+                 .alias("n_bursty"))
+            .orderBy("lang"))
+
+
+_BURSTINESS_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, lang, s.pos AS pos, s.tok AS tok
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(w) + 1),
+                      i -> struct_pack(pos := i, tok := w[i]))) AS s
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+              FROM documents))
+), runs AS (
+  SELECT doc_id, lang, pos,
+         CASE WHEN tok = lag(tok) OVER (PARTITION BY doc_id
+                                        ORDER BY pos)
+              THEN 0 ELSE 1 END AS brk
+  FROM tk
+), rid AS (
+  SELECT doc_id, lang,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+), run_len AS (
+  SELECT doc_id, lang, run_id, COUNT(*) AS rl
+  FROM rid GROUP BY doc_id, lang, run_id
+), per_doc AS (
+  SELECT doc_id, lang, MAX(rl) AS max_run
+  FROM run_len GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs, MAX(max_run) AS longest_run,
+       CAST(SUM(CASE WHEN max_run >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bursty
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3037,6 +3211,9 @@ def pipeline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x135_stream_stream_join": _q(_x135_stream_stream_join),
         "x136_column_profile": _q(_x136_column_profile),
         "x137_snapshot_diff": _q(_x137_snapshot_diff),
+        "x138_borda_quality_blend": _q(_x138_borda_quality_blend),
+        "x139_decay_mix_schedule": _q(_x139_decay_mix_schedule),
+        "x140_token_burstiness": _q(_x140_token_burstiness),
     }
 
 
@@ -3104,4 +3281,7 @@ def pipeline_oracle_sql() -> dict[str, str]:
         "x135_stream_stream_join": _STREAM_STREAM_JOIN_ORACLE,
         "x136_column_profile": _column_profile_oracle_sql(),
         "x137_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+        "x138_borda_quality_blend": _BORDA_BLEND_ORACLE,
+        "x139_decay_mix_schedule": _DECAY_MIX_ORACLE,
+        "x140_token_burstiness": _BURSTINESS_ORACLE,
     }

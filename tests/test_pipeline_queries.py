@@ -728,3 +728,57 @@ def test_snapshot_diff_partitions_key_universe(spark, tables, sf_dir):
     nb = o.filter(F.expr("o_orderkey % 4 != 1")).count()
     assert rows["delete"] + rows["update"] + rows["unchanged"] == na
     assert rows["insert"] + rows["update"] + rows["unchanged"] == nb
+
+
+def test_borda_blend_topk_is_window_group_limit(spark, tables, sf_dir):
+    """x138: the top-5-per-source filter must compile to a
+    WindowGroupLimit (rank pushed below the shuffle), never a global
+    sort of the ranked corpus."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    df = pipeline_queries()["x138_borda_quality_blend"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    rows = df.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r["rank"])
+    for src, ranks in per.items():
+        assert ranks == sorted(ranks) and len(ranks) <= 5, (src, ranks)
+
+
+def test_decay_mix_weights_halve(spark, tables, sf_dir):
+    """x139: weights halve per decile of age and shares sum to ~1000."""
+    from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
+    rows = pipeline_queries()["x139_decay_mix_schedule"](
+        spark, sf_dir).collect()
+    w = {r["bucket"]: r["weight_permille"] for r in rows}
+    assert w[10] == 1000 and w[9] == 500 and w[1] == 1
+    total = sum(r["share_permille"] for r in rows)
+    assert 990 <= total <= 1000  # integer-floor undershoot only
+
+
+def test_burstiness_matches_python_reference(spark):
+    """x140's gaps-and-islands run lengths vs a direct scan on a toy
+    corpus with planted runs."""
+    from hive_parse_lineage_spark.pipeline_queries import (
+        _x140_token_burstiness)
+    rows = [(1, "a a a b", "en"), (2, "a b a b", "en"),
+            (3, "x x y y", "de"), (4, "z", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: (r["n_docs"], r["longest_run"], r["n_bursty"])
+           for r in _x140_token_burstiness(spark, {"documents": docs})
+           .collect()}
+
+    def max_run(t):
+        best = cur = 1
+        ts = t.split(" ")
+        for a, b in zip(ts, ts[1:]):
+            cur = cur + 1 if a == b else 1
+            best = max(best, cur)
+        return best
+
+    exp = {}
+    for lang in ("en", "de"):
+        runs = [max_run(t) for _, t, lg in rows if lg == lang]
+        exp[lang] = (len(runs), max(runs), sum(1 for r in runs if r >= 3))
+    assert got == exp, (got, exp)

@@ -420,6 +420,12 @@ _HINT_BUDGETS = {
     "x136_column_profile": (0, "single wide aggregate, no joins"),
     "x137_snapshot_diff": (0, "full-outer shuffles both snapshots; "
                               "neither side is small"),
+    "x138_borda_quality_blend": (0, "windows only, no joins"),
+    "x139_decay_mix_schedule": (3, "single-row max id x2 (the per-"
+                                   "bucket subtree recomputes inside "
+                                   "the total) + single-row total"),
+    "x140_token_burstiness": (0, "per-doc windows + aggregates, "
+                                 "no joins"),
 }
 
 
