@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(pipeline_queries())
     except ImportError:
         pass
+    try:
+        from hive_parse_lineage_spark.analytics_queries import analytics_queries
+        out.update(analytics_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -68,6 +73,11 @@ def oracle_sql() -> dict[str, str]:
     try:
         from hive_parse_lineage_spark.pipeline_queries import pipeline_oracle_sql
         out.update(pipeline_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from hive_parse_lineage_spark.analytics_queries import analytics_oracle_sql
+        out.update(analytics_oracle_sql())
     except ImportError:
         pass
     return out

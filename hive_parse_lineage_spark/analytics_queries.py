@@ -1,0 +1,438 @@
+"""Analytics query surface x141+: entropy-class corpus metrics made
+hash-gate deterministic, language-model surprise scoring, retrieval
+evaluation, rank-list similarity, and an Arrow-batched spectral audit
+over the embedding table.
+
+The new primitive this module introduces is the exact integer
+floor-log2: ``ibits(x) = length(bin(x)) = floor(log2 x) + 1`` for any
+positive BIGINT, and the two engines agree bit-for-bit (Spark ``bin``
+and DuckDB ``bin`` both emit the minimal binary string). That unlocks
+the whole entropy/cross-entropy/perplexity metric family — normally
+libm territory where SUM(double) is partition-order dependent — as
+pure integer arithmetic under the hash gate. The same determinism
+playbook as corpus_queries applies everywhere else: explicit
+tie-breaks under every rank, integer surrogates, and cross-multiplied
+inequalities instead of ratios.
+
+Reference parity: the reference's query surface (see SURVEY.md §2) is
+declarative SQL over scanned tables; these entries extend it with the
+corpus-QA metrics a training-data pipeline needs at 100 TB, each with
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hive_parse_lineage_spark.sources.loader import load_tables
+
+#: query terms for the retrieval-evaluation entry (x143) — reuse the
+#: x88 BM25 terms so the two entries describe the same retrieval run.
+MRR_TERMS = ["spark", "table", "hash", "merge"]
+
+#: RBO depth and the exact integer weight table for p = 1/2 (x144).
+#: W(m) = sum_{d=m..8} 2^(8-d) * (840 / d)  — 840 = lcm(1..8), so
+#: every term is integral; rbo_scaled = sum over docs of W(max rank),
+#: and the perfect-agreement total is 840 * (2^8 - 1) = 214200.
+RBO_DEPTH = 8
+RBO_WEIGHTS = [148969, 41449, 14569, 5609, 2249, 905, 345, 105]
+RBO_MAX = 214200
+
+
+def _q(fn: Callable[[SparkSession, dict], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tables = load_tables(spark, sf_dir)
+        return fn(spark, tables)
+    return run
+
+
+def _ibits(col):
+    """floor(log2(x)) + 1 for positive integers, exact on both engines."""
+    return F.length(F.bin(col))
+
+
+# ---------------------------------------------------------------------------
+# Spark implementations
+# ---------------------------------------------------------------------------
+
+def _x141_entropy_bits(spark, tables):
+    """Per-source token-entropy audit in exact integer floor-bit
+    units: with ibits(x) = floor(log2 x) + 1, the per-token surprise
+    ibits(T) - ibits(c) brackets log2(T/c) within one bit, and the
+    Shannon-entropy proxy sum_t c_t * (ibits(T) - ibits(c_t)) stays
+    integer end-to-end — entropy-class corpus health (is a source
+    degenerate/templated? is its vocabulary collapsing?) without libm
+    and without an order-dependent SUM(double).
+
+    Scale shape: one explode -> one map-side-combinable (source, tok)
+    count -> a per-source window over vocab-sized rows -> one tiny
+    per-source aggregate. No broadcast, no global window; the token
+    shuffle is the only corpus-proportional exchange."""
+    d = tables["documents"]
+    tk = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    t_tok = F.sum("c").over(Window.partitionBy("source"))
+    scored = (c.withColumn("t_tok", t_tok)
+              .withColumn("bits",
+                          F.col("c") * (_ibits(F.col("t_tok"))
+                                        - _ibits(F.col("c")))))
+    return (scored.groupBy("source")
+            .agg(F.max("t_tok").alias("n_tokens"),
+                 F.count("*").alias("n_vocab"),
+                 F.sum("bits").alias("total_bits"),
+                 F.expr("sum(bits) * 1000 div max(t_tok)")
+                 .alias("bits_per_tok_milli"))
+            .orderBy("source"))
+
+
+_ENTROPY_BITS_ORACLE = """
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+), t AS (
+  SELECT source, c,
+         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS t_tok
+  FROM c
+), s AS (
+  SELECT source, c, t_tok,
+         c * (length(bin(t_tok)) - length(bin(c))) AS bits
+  FROM t
+)
+SELECT source, MAX(t_tok) AS n_tokens, COUNT(*) AS n_vocab,
+       CAST(SUM(bits) AS BIGINT) AS total_bits,
+       CAST(SUM(bits) AS BIGINT) * 1000 // MAX(t_tok) AS bits_per_tok_milli
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+def _x142_bigram_surprise(spark, tables):
+    """Bigram language-model surprise scoring: train corpus bigram
+    counts, score every document by its mean conditional surprise
+    ibits(c1(prev)) - ibits(c2(prev, tok)) in floor-bits — the
+    KenLM-style perplexity filter for incoherent / shuffled /
+    machine-mangled text, integer-exact under the hash gate. Top 20
+    most-surprising docs (desc milli-bits, tie doc_id).
+
+    Scale shape: the bigram stream shuffles once to build c2 and once
+    to score (two plain equi-joins on bigram-vocab- and vocab-sized
+    counts — AQE broadcasts them when actually small; forcing it
+    would be the x89-class driver hazard); the per-doc rollup is
+    map-side combinable; top-20 is TakeOrdered, never a global sort."""
+    d = tables["documents"]
+    tk = d.select("doc_id",
+                  F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (tk.withColumn("prev", F.lag("tok").over(wd))
+          .filter(F.col("prev").isNotNull())
+          .select("doc_id", "prev", "tok"))
+    c2 = bg.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("prev").agg(F.count("*").alias("c1"))
+    scored = (bg.join(c2, ["prev", "tok"]).join(c1, "prev")
+              .withColumn("bits", _ibits(F.col("c1")) - _ibits(F.col("c2"))))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.sum("bits").alias("total_bits"),
+                    F.expr("sum(bits) * 1000 div count(*)")
+                    .alias("bits_per_bigram_milli")))
+    return (per_doc
+            .orderBy(F.desc("bits_per_bigram_milli"), "doc_id")
+            .limit(20))
+
+
+_BIGRAM_SURPRISE_ORACLE = """
+WITH tk AS (
+  SELECT doc_id, s.pos AS pos, s.tok AS tok
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(w) + 1),
+                      i -> struct_pack(pos := i, tok := w[i]))) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents))
+), bg AS (
+  SELECT doc_id, prev, tok FROM (
+    SELECT doc_id, tok,
+           lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM tk)
+  WHERE prev IS NOT NULL
+), c2 AS (
+  SELECT prev, tok, COUNT(*) AS c2 FROM bg GROUP BY prev, tok
+), c1 AS (
+  SELECT prev, COUNT(*) AS c1 FROM bg GROUP BY prev
+), scored AS (
+  SELECT bg.doc_id, length(bin(c1.c1)) - length(bin(c2.c2)) AS bits
+  FROM bg JOIN c2 USING (prev, tok) JOIN c1 USING (prev)
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(bits) AS BIGINT) AS total_bits,
+         CAST(SUM(bits) AS BIGINT) * 1000 // COUNT(*)
+             AS bits_per_bigram_milli
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, total_bits, bits_per_bigram_milli
+FROM per_doc
+ORDER BY bits_per_bigram_milli DESC, doc_id
+LIMIT 20
+"""
+
+
+def _x143_retrieval_mrr(spark, tables):
+    """Retrieval evaluation: exact-permille MRR@10 of the x88 BM25
+    ranking, with "relevant" defined deterministically as tf >= 3
+    (the document uses the query term at least three times). Per
+    term: the rank of the first relevant hit in the top-10 (0 = none)
+    and its reciprocal in permille — the eval loop a retrieval-backed
+    data pipeline runs after every index rebuild, exact rational
+    arithmetic so the gate never sees a float.
+
+    Scale shape: inherits x88's plan (filtered explode, df/corpus
+    stats broadcast — both provably bounded by the query-term list);
+    the eval itself is a tiny per-term aggregate over k rows."""
+    from hive_parse_lineage_spark.operators.retrieval import bm25_term_topk
+    bm = bm25_term_topk(tables["documents"], MRR_TERMS, k=10)
+    first = F.min(F.when(F.col("tf") >= 3, F.col("rank")))
+    return (bm.groupBy("term")
+            .agg(F.coalesce(first, F.lit(0)).alias("first_rel_rank"),
+                 F.coalesce(F.expr(
+                     "1000 div min(CASE WHEN tf >= 3 THEN rank END)"),
+                     F.lit(0)).alias("rr_permille"))
+            .orderBy("term"))
+
+
+def _mrr_oracle_sql() -> str:
+    from hive_parse_lineage_spark.operators.retrieval import bm25_oracle_sql
+    bm = bm25_oracle_sql(MRR_TERMS, k=10)
+    return f"""
+SELECT term,
+       COALESCE(MIN(CASE WHEN tf >= 3 THEN rank END), 0) AS first_rel_rank,
+       COALESCE(1000 // MIN(CASE WHEN tf >= 3 THEN rank END), 0)
+           AS rr_permille
+FROM ({bm}) bm
+GROUP BY term ORDER BY term
+"""
+
+
+def _x144_rbo_rank_stability(spark, tables):
+    """Rank-biased overlap (Webber et al.) between two per-source
+    quality rankings — documents by raw chars vs documents by token
+    count — at depth 8 with persistence p = 1/2, as exact integers:
+    a document whose worse rank is m <= 8 contributes the precomputed
+    weight W(m) = sum_{d=m..8} 2^(8-d) * (840/d), so
+    rbo_scaled / 214200 is the textbook truncated RBO. The top-weight
+    sanity metric for "did my cheap quality proxy reorder the corpus?"
+    — rank-list similarity without floats.
+
+    Scale shape: two row_number windows over the SAME (source)
+    partitioning — one shuffle, both ranks computed in one pass —
+    then a per-source aggregate over the depth-8 survivors."""
+    from hive_parse_lineage_spark.functions.text import token_count
+    d = tables["documents"]
+    base = d.select("source", "doc_id", "n_chars",
+                    token_count("text").cast("long").alias("n_tok"))
+    wa = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    wb = Window.partitionBy("source").orderBy(F.desc("n_tok"), "doc_id")
+    ranked = (base.withColumn("ra", F.row_number().over(wa))
+              .withColumn("rb", F.row_number().over(wb))
+              .withColumn("m", F.greatest("ra", "rb"))
+              .filter(F.col("m") <= RBO_DEPTH))
+    weight = F.element_at(
+        F.array(*[F.lit(w) for w in RBO_WEIGHTS]), F.col("m").cast("int"))
+    return (ranked.withColumn("w", weight)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_overlap_docs"),
+                 F.sum("w").alias("rbo_scaled"),
+                 F.expr(f"sum(w) * 1000 div {RBO_MAX}")
+                 .alias("rbo_permille"))
+            .orderBy("source"))
+
+
+def _rbo_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN {m + 1} THEN {w}" for m, w in enumerate(RBO_WEIGHTS))
+    return f"""
+WITH base AS (
+  SELECT source, doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS ra,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tok DESC, doc_id) AS rb
+  FROM base
+), surv AS (
+  SELECT source, GREATEST(ra, rb) AS m FROM ranked
+  WHERE GREATEST(ra, rb) <= {RBO_DEPTH}
+)
+SELECT source, COUNT(*) AS n_overlap_docs,
+       CAST(SUM(CASE m {cases} END) AS BIGINT) AS rbo_scaled,
+       CAST(SUM(CASE m {cases} END) AS BIGINT) * 1000 // {RBO_MAX}
+           AS rbo_permille
+FROM surv GROUP BY source ORDER BY source
+"""
+
+
+def _x145_principal_direction(spark, tables):
+    """Spectral anisotropy audit of the embedding table: the dominant
+    direction of the (uncentered) second-moment matrix via two
+    integer power-iteration rounds — the "did my embedding space
+    collapse onto one axis?" check run before any cosine-based dedup
+    is trusted. Embeddings quantize to exact milli-units, the 64x64
+    moment matrix accumulates in one Arrow-batched mapInPandas pass
+    (numpy int64 outer products per batch -> 4096-cell partials ->
+    one map-side-combinable SUM), and both normalization steps use
+    sign * (|u| * 1000 // max|u|) so truncation agrees across engines
+    (Spark div truncates toward zero; DuckDB // floors — identical on
+    the non-negatives we feed them).
+
+    Scale shape: the corpus-proportional work is ONE mapInPandas scan
+    emitting fixed-size (4096-row) partials per batch; everything
+    after is a constant-size matrix, so the plan is a single pass +
+    two joins over 64-row vectors. The SQL oracle replays the exact
+    same integer arithmetic via a vec_id self-join."""
+    import pandas as pd
+
+    emb = tables["embeddings"]
+
+    def moment_partials(batches):
+        import numpy as np
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype("float64")
+                * 1000.0).astype("int64")
+            mm = mat.T @ mat  # exact: |milli| <= ~2k, sums fit int64
+            i, j = np.indices(mm.shape)
+            yield pd.DataFrame({"i": i.ravel().astype("int64"),
+                                "j": j.ravel().astype("int64"),
+                                "m": mm.ravel()})
+
+    # The matrix is referenced by both rounds and both normalizers —
+    # localCheckpoint materializes the 4096-row result ONCE so the
+    # corpus-proportional Arrow scan runs exactly once (without it the
+    # subtree recomputes per branch: 6 full corpus passes).
+    m = (emb.select("embedding")
+         .mapInPandas(moment_partials, schema="i long, j long, m long")
+         .groupBy("i", "j").agg(F.sum("m").alias("m"))
+         .localCheckpoint(eager=True))
+
+    def norm_milli(df, col):
+        top = df.agg(F.max(F.abs(F.col(col))).alias("_n"))
+        sign = F.when(F.col(col) < 0, F.lit(-1)).otherwise(F.lit(1))
+        return (df.crossJoin(F.broadcast(top))
+                .select("i", (sign * F.expr(f"abs({col}) * 1000 div _n"))
+                        .alias("v")))
+
+    # round 1: u1 = M . ones  (row sums), then milli-normalize
+    u1 = m.groupBy("i").agg(F.sum("m").alias("u"))
+    v1 = norm_milli(u1, "u")
+    # round 2: u2 = M . v1, then milli-normalize
+    u2 = (m.join(v1.select(F.col("i").alias("j"), "v"), "j")
+          .groupBy("i").agg(F.sum(F.col("m") * F.col("v")).alias("u")))
+    v2 = norm_milli(u2, "u")
+    return (v2.select(F.col("i").alias("dim_i"),
+                      F.col("v").alias("v2_milli"))
+            .orderBy("dim_i"))
+
+
+_PRINCIPAL_DIRECTION_ORACLE = """
+WITH e AS (
+  SELECT vec_id, s.i AS i, s.v AS v
+  FROM (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      k -> struct_pack(
+                          i := k - 1,
+                          v := CAST(FLOOR(CAST(embedding[k] AS DOUBLE)
+                                          * 1000.0) AS BIGINT)))) AS s
+        FROM embeddings)
+), m AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS m
+  FROM e a JOIN e b USING (vec_id)
+  GROUP BY a.i, b.i
+), u1 AS (
+  SELECT i, CAST(SUM(m) AS BIGINT) AS u FROM m GROUP BY i
+), n1 AS (
+  SELECT MAX(ABS(u)) AS n FROM u1
+), v1 AS (
+  SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             * (ABS(u) * 1000 // (SELECT n FROM n1)) AS v
+  FROM u1
+), u2 AS (
+  SELECT m.i AS i, CAST(SUM(m.m * v1.v) AS BIGINT) AS u
+  FROM m JOIN v1 ON m.j = v1.i
+  GROUP BY m.i
+), n2 AS (
+  SELECT MAX(ABS(u)) AS n FROM u2
+)
+SELECT i AS dim_i,
+       (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+           * (ABS(u) * 1000 // (SELECT n FROM n2)) AS v2_milli
+FROM u2 ORDER BY dim_i
+"""
+
+
+def _x146_hapax_audit(spark, tables):
+    """Vocabulary-health audit: hapax (count = 1) and dis (count = 2)
+    legomena per source, as counts and permille of the vocabulary —
+    the fast proxy for "is this source natural text or templated
+    boilerplate?" (natural corpora sit near ~50% hapax by Zipf;
+    generated/templated text collapses far below). Complements x98's
+    frequency spectrum (global) and x132's vocabulary growth (by
+    volume) with the per-source health row.
+
+    Scale shape: one explode, one map-side-combinable (source, tok)
+    count, one per-source aggregate. Nothing global, no broadcast."""
+    d = tables["documents"]
+    tk = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    return (c.groupBy("source")
+            .agg(F.count("*").alias("n_vocab"),
+                 F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+                 F.sum((F.col("c") == 2).cast("long")).alias("n_dis"),
+                 F.expr("sum(CAST(c = 1 AS LONG)) * 1000 div count(*)")
+                 .alias("hapax_permille"))
+            .orderBy("source"))
+
+
+_HAPAX_ORACLE = """
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+)
+SELECT source, COUNT(*) AS n_vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+           // COUNT(*) AS hapax_permille
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "x141_entropy_bits": _q(_x141_entropy_bits),
+        "x142_bigram_surprise": _q(_x142_bigram_surprise),
+        "x143_retrieval_mrr": _q(_x143_retrieval_mrr),
+        "x144_rbo_rank_stability": _q(_x144_rbo_rank_stability),
+        "x145_principal_direction": _q(_x145_principal_direction),
+        "x146_hapax_audit": _q(_x146_hapax_audit),
+    }
+
+
+def analytics_oracle_sql() -> dict[str, str]:
+    return {
+        "x141_entropy_bits": _ENTROPY_BITS_ORACLE,
+        "x142_bigram_surprise": _BIGRAM_SURPRISE_ORACLE,
+        "x143_retrieval_mrr": _mrr_oracle_sql(),
+        "x144_rbo_rank_stability": _rbo_oracle_sql(),
+        "x145_principal_direction": _PRINCIPAL_DIRECTION_ORACLE,
+        "x146_hapax_audit": _HAPAX_ORACLE,
+    }

@@ -40,6 +40,10 @@ INVARIANCE_QUERIES = [
     "x108_kmv_distinct",        # k-th smallest hash per source (WindowGroupLimit)
     "x110_quality_auc",         # doubled ranks over the score histogram
     "x113_split_ks_drift",      # hash-split routing + running CDF gap
+    "x141_entropy_bits",        # window totals over a shuffled count
+    "x142_bigram_surprise",     # TakeOrdered top-20 with integer ties
+    "x144_rbo_rank_stability",  # two rank windows with tie-breaks
+    "x145_principal_direction",  # Arrow-batch partials summed across splits
 ]
 
 

@@ -426,6 +426,20 @@ _HINT_BUDGETS = {
                                    "the total) + single-row total"),
     "x140_token_burstiness": (0, "per-doc windows + aggregates, "
                                  "no joins"),
+    "x141_entropy_bits": (0, "per-source window + aggregate, no joins"),
+    "x142_bigram_surprise": (0, "bigram/unigram count joins must "
+                                "shuffle (vocab-sized); AQE decides"),
+    "x143_retrieval_mrr": (2, "|terms|-row df + single-row stats "
+                              "(inherited from the x88 BM25 plan)"),
+    "x144_rbo_rank_stability": (0, "two windows over one partitioning, "
+                                   "no joins"),
+    "x145_principal_direction": (3, "single-row max-norm x2 — round-1's "
+                                    "hint double-counts because the u2 "
+                                    "subtree recomputes inside its own "
+                                    "normalizer (matrix side is a "
+                                    "checkpointed 4096-row RDD, "
+                                    "never hinted)"),
+    "x146_hapax_audit": (0, "one count + one rollup, no joins"),
 }
 
 
