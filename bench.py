@@ -406,17 +406,20 @@ def lineage_bench() -> None:
 def _bench_corpus(spark, sf_dir: str):
     """Full LLM-corpus x-surface (x01 onward, minus the streaming gate):
     Spark wall per query, one warm + one timed pass each."""
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
     from hive_parse_lineage_spark.corpus_queries import corpus_queries
     from hive_parse_lineage_spark.extra_queries import extra_queries
     from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
     ctimes: dict[str, float] = {}
-    allq = {**extra_queries(), **corpus_queries(), **pipeline_queries()}
+    allq = {**extra_queries(), **corpus_queries(), **pipeline_queries(),
+            **analytics_queries()}
     # x102 drives a real Structured Streaming query (per-micro-batch
     # checkpointing dominates its wall): it's a correctness gate, not a
     # throughput query — benching it would only measure stream startup
     for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
                      "x112_stream_dedup_admission",
-                     "x118_stream_session_windows"):
+                     "x118_stream_session_windows",
+                     "x135_stream_stream_join"):
         allq.pop(stream_q, None)
     for name, fn in sorted(allq.items()):
         fn(spark, sf_dir).collect()                          # warm-up
@@ -435,6 +438,7 @@ def _bench_corpus_duckdb(sf_dir: str):
     than label propagation."""
     import duckdb
 
+    from hive_parse_lineage_spark.analytics_queries import analytics_oracle_sql
     from hive_parse_lineage_spark.corpus_queries import corpus_oracle_sql
     from hive_parse_lineage_spark.extra_queries import extra_oracle_sql
     from hive_parse_lineage_spark.pipeline_queries import pipeline_oracle_sql
@@ -445,10 +449,11 @@ def _bench_corpus_duckdb(sf_dir: str):
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     dtimes: dict[str, float] = {}
     allsql = {**extra_oracle_sql(), **corpus_oracle_sql(),
-              **pipeline_oracle_sql()}
+              **pipeline_oracle_sql(), **analytics_oracle_sql()}
     for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
                      "x112_stream_dedup_admission",
-                     "x118_stream_session_windows"):   # mirrors _bench_corpus
+                     "x118_stream_session_windows",
+                     "x135_stream_stream_join"):       # mirrors _bench_corpus
         allsql.pop(stream_q, None)
     for name, sql in sorted(allsql.items()):
         con.execute(sql).fetchdf()                           # warm-up

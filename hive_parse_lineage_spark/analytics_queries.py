@@ -412,6 +412,151 @@ FROM c GROUP BY source ORDER BY source
 """
 
 
+def _x147_bag_dedup_lift(spark, tables):
+    """Normalization-sensitivity audit for exact dedup: how many MORE
+    documents become duplicates when the hash key is the SORTED token
+    bag (order-insensitive — catches templated text with reshuffled
+    clauses) instead of the raw text. Per source: exact-dup docs,
+    bag-dup docs, and the lift in permille of the source — the number
+    a curator checks before deciding which key production dedup runs
+    on.
+
+    Scale shape: two hash-key windows (raw md5, bag md5) — each one
+    uniform-key shuffle, the same exchange class as x11's exact dedup
+    — then one per-source rollup. No broadcast, no global window."""
+    d = tables["documents"]
+    bag = F.md5(F.concat_ws(" ", F.sort_array(F.split("text", " "))))
+    keyed = d.select("doc_id", "source",
+                     F.md5(F.col("text")).alias("raw_h"), bag.alias("bag_h"))
+    n_raw = F.count("*").over(Window.partitionBy("raw_h"))
+    n_bag = F.count("*").over(Window.partitionBy("bag_h"))
+    flagged = (keyed.withColumn("is_raw_dup", (n_raw > 1).cast("long"))
+               .withColumn("is_bag_dup", (n_bag > 1).cast("long")))
+    return (flagged.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("is_raw_dup").alias("n_raw_dup"),
+                 F.sum("is_bag_dup").alias("n_bag_dup"),
+                 F.expr("(sum(is_bag_dup) - sum(is_raw_dup)) * 1000 "
+                        "div count(*)").alias("lift_permille"))
+            .orderBy("source"))
+
+
+_BAG_DEDUP_LIFT_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, md5(text) AS raw_h,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+             AS bag_h
+  FROM documents
+), flagged AS (
+  SELECT source,
+         CASE WHEN COUNT(*) OVER (PARTITION BY raw_h) > 1
+              THEN 1 ELSE 0 END AS is_raw_dup,
+         CASE WHEN COUNT(*) OVER (PARTITION BY bag_h) > 1
+              THEN 1 ELSE 0 END AS is_bag_dup
+  FROM keyed
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(is_raw_dup) AS BIGINT) AS n_raw_dup,
+       CAST(SUM(is_bag_dup) AS BIGINT) AS n_bag_dup,
+       (CAST(SUM(is_bag_dup) AS BIGINT) - CAST(SUM(is_raw_dup) AS BIGINT))
+           * 1000 // COUNT(*) AS lift_permille
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+def _x148_length_octaves(spark, tables):
+    """Per-source document-length spectrum in octaves: bucket every
+    document by ibits(n_chars) = floor(log2) + 1 and report count +
+    permille per (source, octave) — the log-histogram a pipeline
+    plots to spot truncation spikes and runaway-document tails that
+    linear quantiles (x91/x131) smooth over. Integer-exact via the
+    same bin() primitive as x141.
+
+    Scale shape: one narrow projection, one map-side-combinable
+    count, one per-source window over the ~60-row aggregate."""
+    d = tables["documents"]
+    octv = (d.filter(F.col("n_chars") >= 1)
+            .select("source", _ibits(F.col("n_chars")).alias("octave")))
+    per = octv.groupBy("source", "octave").agg(F.count("*").alias("n_docs"))
+    tot = F.sum("n_docs").over(Window.partitionBy("source"))
+    return (per.withColumn("_t", tot)
+            .select("source", "octave", "n_docs",
+                    F.expr("n_docs * 1000 div _t").alias("permille"))
+            .orderBy("source", "octave"))
+
+
+_LENGTH_OCTAVES_ORACLE = """
+WITH octv AS (
+  SELECT source, length(bin(n_chars)) AS octave
+  FROM documents WHERE n_chars >= 1
+), per AS (
+  SELECT source, octave, COUNT(*) AS n_docs
+  FROM octv GROUP BY source, octave
+)
+SELECT source, octave, n_docs,
+       n_docs * 1000
+           // CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
+           AS permille
+FROM per ORDER BY source, octave
+"""
+
+
+def _x149_dup_graph_triangles(spark, tables):
+    """Triangle census of the near-dup graph (x46's LSH edges): edge,
+    wedge, and triangle counts plus the global clustering coefficient
+    in permille — boilerplate families form near-cliques (high
+    closure) while chance LSH collisions form stars (low closure), so
+    this one number says whether the dup graph is real duplication or
+    banding noise. Oriented-edge counting (a < b < c) so every
+    triangle is produced exactly once; all-integer.
+
+    Scale shape: triangle closure is two shuffle equi-joins over the
+    (capped-in-production) edge list — edge-proportional, never
+    touching documents again; degrees/wedges are one symmetrized
+    count. Joins carry no hints (edge lists are corpus-proportional)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+    deg = (edges.select(F.col("id_a").alias("v"))
+           .unionAll(edges.select(F.col("id_b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    wedges = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w"))
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(F.count("*").alias("t"))
+    n_e = edges.agg(F.count("*").alias("e"))
+    return (n_e.crossJoin(wedges).crossJoin(tri)
+            .select(F.col("e").alias("n_edges"),
+                    F.col("w").alias("n_wedges"),
+                    F.col("t").alias("n_triangles"),
+                    F.expr("CASE WHEN w > 0 THEN 3 * t * 1000 div w "
+                           "ELSE 0 END").alias("global_cc_permille")))
+
+
+def _dup_triangles_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _cc_edges_sql
+    return f"""
+WITH {_cc_edges_sql()},
+deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+wedges AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS w FROM deg),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM mh e1
+  JOIN mh e2 ON e2.id_a = e1.id_b
+  JOIN mh e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM mh)
+SELECT ne.e AS n_edges, wedges.w AS n_wedges, tri.t AS n_triangles,
+       CASE WHEN wedges.w > 0 THEN 3 * tri.t * 1000 // wedges.w
+            ELSE 0 END AS global_cc_permille
+FROM ne, wedges, tri
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -424,6 +569,9 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x144_rbo_rank_stability": _q(_x144_rbo_rank_stability),
         "x145_principal_direction": _q(_x145_principal_direction),
         "x146_hapax_audit": _q(_x146_hapax_audit),
+        "x147_bag_dedup_lift": _q(_x147_bag_dedup_lift),
+        "x148_length_octaves": _q(_x148_length_octaves),
+        "x149_dup_graph_triangles": _q(_x149_dup_graph_triangles),
     }
 
 
@@ -435,4 +583,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x144_rbo_rank_stability": _rbo_oracle_sql(),
         "x145_principal_direction": _PRINCIPAL_DIRECTION_ORACLE,
         "x146_hapax_audit": _HAPAX_ORACLE,
+        "x147_bag_dedup_lift": _BAG_DEDUP_LIFT_ORACLE,
+        "x148_length_octaves": _LENGTH_OCTAVES_ORACLE,
+        "x149_dup_graph_triangles": _dup_triangles_oracle_sql(),
     }

@@ -154,6 +154,60 @@ def test_hapax_counts_partition_vocab(spark, tables, sf_dir):
         assert r["hapax_permille"] == r["n_hapax"] * 1000 // r["n_vocab"]
 
 
+def test_bag_dedup_lift_detects_reordered_doc(spark):
+    """A token-reordered doc is invisible to raw-md5 dedup but caught
+    by the sorted-bag key; an exact dup is caught by both; a distinct
+    doc by neither."""
+    rows = [(1, "a b c d", "s"), (2, "d c b a", "s"),
+            (3, "a b c d", "s"), (4, "x y z w", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from hive_parse_lineage_spark.analytics_queries import _x147_bag_dedup_lift
+    out = _x147_bag_dedup_lift(spark, {"documents": docs}).collect()
+    assert len(out) == 1
+    r = out[0]
+    # docs 1+3 are raw dups; 1+2+3 are bag dups; 4 is neither
+    assert (r["n_docs"], r["n_raw_dup"], r["n_bag_dup"]) == (4, 2, 3)
+    assert r["lift_permille"] == (3 - 2) * 1000 // 4
+
+
+def test_length_octaves_cover_each_source(spark, tables, sf_dir):
+    """Octave == bit_length(n_chars); per-source permilles sum to
+    ~1000 (floored)."""
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
+    rows = analytics_queries()["x148_length_octaves"](spark, sf_dir).collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        assert 1 <= r["octave"] <= 63
+        per_source[r["source"]] = per_source.get(r["source"], 0) + r["permille"]
+    for s, p in per_source.items():
+        assert 900 <= p <= 1000, (s, p)
+
+
+def test_triangle_census_on_a_known_clique(spark):
+    """Three identical docs form a 3-clique in the near-dup graph:
+    3 edges, 3 wedges, exactly 1 triangle, closure 1000."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta", "s")
+            for i in range(3)] + [(7, "q w e r t z u i o p", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x149_dup_graph_triangles)
+    out = _x149_dup_graph_triangles(spark, {"documents": docs}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (3, 3, 1)
+    assert r["global_cc_permille"] == 1000
+
+
+def test_triangle_closure_is_bounded(spark, tables, sf_dir):
+    """Every triangle contains exactly 3 wedges, so 3t <= w and the
+    permille can never exceed 1000."""
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
+    r = analytics_queries()["x149_dup_graph_triangles"](
+        spark, sf_dir).collect()[0]
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert 0 <= r["global_cc_permille"] <= 1000
+
+
 # ---------------------------------------------------------------------------
 # plan posture
 # ---------------------------------------------------------------------------

@@ -44,6 +44,8 @@ INVARIANCE_QUERIES = [
     "x142_bigram_surprise",     # TakeOrdered top-20 with integer ties
     "x144_rbo_rank_stability",  # two rank windows with tie-breaks
     "x145_principal_direction",  # Arrow-batch partials summed across splits
+    "x147_bag_dedup_lift",      # md5 group windows across arbitrary splits
+    "x149_dup_graph_triangles",  # LSH banding + oriented-edge closure
 ]
 
 

@@ -440,6 +440,11 @@ _HINT_BUDGETS = {
                                     "checkpointed 4096-row RDD, "
                                     "never hinted)"),
     "x146_hapax_audit": (0, "one count + one rollup, no joins"),
+    "x147_bag_dedup_lift": (0, "two hash-key windows, no joins"),
+    "x148_length_octaves": (0, "count + per-source window, no joins"),
+    "x149_dup_graph_triangles": (0, "edge-closure joins are edge-"
+                                    "proportional and must shuffle; "
+                                    "1-row census crossjoins unhinted"),
 }
 
 
