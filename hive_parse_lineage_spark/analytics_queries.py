@@ -557,6 +557,80 @@ FROM ne, wedges, tri
 """
 
 
+def _x150_kendall_quality(spark, tables):
+    """Kendall tau-a concordance between two document quality signals
+    (raw chars vs token count) over a bounded per-source pair census:
+    the first 32 docs of each source (by id — at scale swap in
+    cap_per_group's hash order for an unbiased sample) give <= 496
+    pairs per source, so the quadratic stays constant-bounded no
+    matter the corpus size. All-integer: concordant/discordant via
+    the sign of the cross product, tau in floored permille — do two
+    quality proxies actually agree before one replaces the other in
+    the filter stack?
+
+    Scale shape: one per-source window (top-32), one within-source
+    self-join whose side is <= 32 rows per key, one rollup. The pair
+    join shuffles on source; no broadcast hints."""
+    from hive_parse_lineage_spark.functions.text import token_count
+    d = tables["documents"]
+    w = Window.partitionBy("source").orderBy("doc_id")
+    top = (d.select("source", "doc_id", "n_chars",
+                    token_count("text").cast("long").alias("n_tok"))
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= 32)
+           .drop("_rn"))
+    lhs = top.select("source", F.col("doc_id").alias("id1"),
+                     F.col("n_chars").alias("a1"), F.col("n_tok").alias("b1"))
+    rhs = top.select("source", F.col("doc_id").alias("id2"),
+                     F.col("n_chars").alias("a2"), F.col("n_tok").alias("b2"))
+    pairs = (lhs.join(rhs, "source")
+             .filter(F.col("id1") < F.col("id2"))
+             .withColumn("prod", (F.col("a1") - F.col("a2"))
+                         * (F.col("b1") - F.col("b2"))))
+    return (pairs.groupBy("source")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum((F.col("prod") > 0).cast("long")).alias("n_concordant"),
+                 F.sum((F.col("prod") < 0).cast("long")).alias("n_discordant"),
+                 # sign * (abs * 1000 div n): tau can be negative, and
+                 # Spark div truncates toward zero while DuckDB //
+                 # floors — identical only on non-negative operands
+                 F.expr("CASE WHEN sum(CAST(prod > 0 AS LONG)) "
+                        "< sum(CAST(prod < 0 AS LONG)) THEN -1 ELSE 1 END "
+                        "* (abs(sum(CAST(prod > 0 AS LONG)) "
+                        "- sum(CAST(prod < 0 AS LONG))) * 1000 div count(*))")
+                 .alias("tau_permille"))
+            .orderBy("source"))
+
+
+_KENDALL_ORACLE = """
+WITH top AS (
+  SELECT source, doc_id, n_chars, len(string_split(text, ' ')) AS n_tok
+  FROM (SELECT source, doc_id, n_chars, text,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY doc_id) AS rn
+        FROM documents)
+  WHERE rn <= 32
+), pairs AS (
+  SELECT l.source,
+         (l.n_chars - r.n_chars) * (l.n_tok - r.n_tok) AS prod
+  FROM top l JOIN top r
+    ON l.source = r.source AND l.doc_id < r.doc_id
+)
+SELECT source, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_concordant,
+       CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_discordant,
+       (CASE WHEN SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END)
+                  < SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)
+             THEN -1 ELSE 1 END)
+           * (ABS(CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  - CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT))
+              * 1000 // COUNT(*)) AS tau_permille
+FROM pairs GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -572,6 +646,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x147_bag_dedup_lift": _q(_x147_bag_dedup_lift),
         "x148_length_octaves": _q(_x148_length_octaves),
         "x149_dup_graph_triangles": _q(_x149_dup_graph_triangles),
+        "x150_kendall_quality": _q(_x150_kendall_quality),
     }
 
 
@@ -586,4 +661,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x147_bag_dedup_lift": _BAG_DEDUP_LIFT_ORACLE,
         "x148_length_octaves": _LENGTH_OCTAVES_ORACLE,
         "x149_dup_graph_triangles": _dup_triangles_oracle_sql(),
+        "x150_kendall_quality": _KENDALL_ORACLE,
     }

@@ -208,6 +208,26 @@ def test_triangle_closure_is_bounded(spark, tables, sf_dir):
     assert 0 <= r["global_cc_permille"] <= 1000
 
 
+def test_kendall_tau_extremes(spark):
+    """Perfectly concordant signals score +1000; perfectly discordant
+    (anti-correlated) score -1000; the census never exceeds 32*31/2
+    pairs per source."""
+    up = [(i, " ".join(f"t{j}" for j in range(i + 1)), "up", 10 * (i + 1))
+          for i in range(10)]
+    down = [(100 + i, " ".join(f"t{j}" for j in range(i + 1)), "down",
+             10 * (30 - i)) for i in range(10)]
+    docs = spark.createDataFrame(
+        up + down, "doc_id long, text string, source string, n_chars long")
+    from hive_parse_lineage_spark.analytics_queries import _x150_kendall_quality
+    out = {r["source"]: r.asDict()
+           for r in _x150_kendall_quality(spark, {"documents": docs}).collect()}
+    assert out["up"]["tau_permille"] == 1000
+    assert out["down"]["tau_permille"] == -1000
+    for r in out.values():
+        assert r["n_pairs"] == 45
+        assert r["n_concordant"] + r["n_discordant"] <= r["n_pairs"]
+
+
 # ---------------------------------------------------------------------------
 # plan posture
 # ---------------------------------------------------------------------------

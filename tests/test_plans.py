@@ -445,6 +445,8 @@ _HINT_BUDGETS = {
     "x149_dup_graph_triangles": (0, "edge-closure joins are edge-"
                                     "proportional and must shuffle; "
                                     "1-row census crossjoins unhinted"),
+    "x150_kendall_quality": (0, "within-source pair join bounded to "
+                                "32 rows per key; no hints"),
 }
 
 
