@@ -139,7 +139,8 @@ def bench_duckdb(sf_dir: str, queries: dict[str, str], n_passes: int):
 SWEEP_QUERIES = ("x41_common_shingles", "x56_training_pipeline",
                  "x89_importance_weights", "x90_segment_dedup_rebuild",
                  "x93_novelty_curve", "x105_ppjoin_exact",
-                 "x129_source_overlap", "x133_winnowing_fingerprints")
+                 "x129_source_overlap", "x133_winnowing_fingerprints",
+                 "x142_bigram_surprise")
 
 
 def _x64_proportional(spark, sf_dir: str):
@@ -161,6 +162,36 @@ def _x64_proportional(spark, sf_dir: str):
         F.max("doc_id").alias("m")).first()["m"]
     return _x64_incremental_dedup(spark, tables,
                                   cutoff=int(max_id * 0.8))
+
+
+def _x149_capped(spark, sf_dir: str):
+    """x149's PRODUCTION posture for the sweep: the same oriented-edge
+    triangle census, but over hot-bucket-capped LSH edges with the
+    default xxhash64 hasher (the registry entry runs the uncapped
+    portable-hash spelling so DuckDB can replay it — same split as
+    x46/x46_capped). What the sweep must catch: triangle closure is
+    TWO chained joins over the edge list, so a superlinear edge stage
+    would compound quadratically here."""
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    from hive_parse_lineage_spark.sources.loader import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, max_bucket_size=1000)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+    deg = (edges.select(F.col("id_a").alias("v"))
+           .unionAll(edges.select(F.col("id_b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    wedges = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w"))
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(F.count("*").alias("t"))
+    n_e = edges.agg(F.count("*").alias("e"))
+    return (n_e.crossJoin(wedges).crossJoin(tri)
+            .select("e", "w", "t"))
 
 
 def _x46_capped(spark, sf_dir: str):
@@ -224,11 +255,13 @@ def scale_sweep() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
     from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
-    pool = {**corpus_queries(), **pipeline_queries()}
+    pool = {**corpus_queries(), **pipeline_queries(), **analytics_queries()}
     qs = {k: v for k, v in pool.items() if k in SWEEP_QUERIES}
     qs["x46_dup_clusters_capped"] = _x46_capped
     qs["x64_incremental_dedup_prop"] = _x64_proportional
+    qs["x149_triangles_capped"] = _x149_capped
     root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
     sf_dirs = sorted((d for d in glob.glob(os.path.join(root, "sf*"))
                       if infer_sf(d) > 0), key=infer_sf)
