@@ -2,7 +2,9 @@
 """Benchmark harness — runs the declared query surface and prints ONE JSON line.
 
 Usage: python bench.py                  declared + corpus surface, one JSON line
-       python bench.py --scale-sweep    x41/x46/x56 at every SF: rows/s scaling
+       python bench.py --scale-sweep    heavy corpus operators (SWEEP_QUERIES
+                                        + capped x46/x64/x149 variants) at
+                                        every SF: rows/s scaling
        python bench.py --lineage        lineage stmts/s on the BASELINE corpus
 Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS    (default all cores)

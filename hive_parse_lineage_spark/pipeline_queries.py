@@ -518,21 +518,32 @@ def _x105_ppjoin_exact(spark, tables):
     are shuffle equi-joins, NOT forced broadcasts — freq is
     shingle-vocabulary-sized and na/nb are |docs|-sized, both
     corpus-proportional at 100 TB; AQE broadcasts them when they are
-    genuinely small."""
+    genuinely small. The shingle stream ``dt`` and the
+    frequency-ordered per-doc lists are each MATERIALIZED once
+    (localCheckpoint): ``dt`` feeds four downstream branches and the
+    ordered lists three, and Spark only reuses identical *exchanges*,
+    not scan+explode subtrees — unmaterialized, the explode ran 4x
+    (7.3 s vs ~3 s at sf0.1). Every published distributed PPJoin
+    makes the same call: the ordered prefix lists are the index you
+    build once and probe; at cluster scale the same two
+    materializations are DISK_ONLY persists, corpus-linear in size."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"]
     dt = (docs.select("doc_id",
                       F.explode(F.array_distinct(word_shingles("text", 3)))
-                      .alias("tok")))
+                      .alias("tok"))
+          .localCheckpoint())
     freq = dt.groupBy("tok").agg(F.count("*").alias("df"))
-    sizes = dt.groupBy("doc_id").agg(F.count("*").alias("n"))
     ordered = (dt.join(freq, "tok")
                .groupBy("doc_id")
                .agg(F.transform(
                    F.array_sort(F.collect_list(F.struct("df", "tok"))),
-                   lambda s: s.tok).alias("toks")))
+                   lambda s: s.tok).alias("toks"))
+               .withColumn("n", F.size("toks").cast("bigint"))
+               .localCheckpoint())
+    sizes = ordered.select("doc_id", "n")
     # p = n - ceil(t*n) + 1 ; ceil(t*n) = (NUM*n + DEN - 1) div DEN
-    prefix = (ordered.join(sizes, "doc_id")
+    prefix = (ordered
               .select("doc_id", "n",
                       F.explode(F.slice(
                           "toks", 1,
@@ -2408,32 +2419,45 @@ def _x129_source_overlap(spark, tables):
     the same boilerplate, their combined weight double-counts it.
 
     Scale shape: the per-(source, shingle) DISTINCT projection runs
-    FIRST, so the shingle self-join's fanout per shingle key is
-    bounded by the number of SOURCES (metadata-bounded), never by how
-    many documents repeat the shingle — corpus growth adds rows to the
-    distinct exchange, not to the pair explosion. The |sources|-row
-    totals join is left unhinted (AQE broadcasts it when small); the
-    output is at most C(|sources|, 2) rows."""
+    FIRST, then ONE groupBy(g) builds each shingle's sorted source
+    set — so the pair fanout per shingle is C(|sources on g|, 2),
+    metadata-bounded, never document-bounded, and there is NO
+    self-join of the shingle stream (the first spelling self-joined
+    the distinct projection and recomputed it three times: 4.9 s vs
+    ~1.5 s at sf0.1). Diagonal cells (s, s) and upper-triangle pairs
+    (a < b) come out of the SAME codegen explode, so one count
+    aggregate yields both the per-source totals and the shared
+    counts; that matrix is at most |sources|^2 rows and is
+    localCheckpointed so the split/rejoin below reads RAM instead of
+    recomputing the shingle census. Output is C(|sources|, 2) rows."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     d = tables["documents"]
     ss = (d.select("source",
                    F.explode(F.array_distinct(word_shingles("text", 5)))
                    .alias("g"))
           .distinct())
-    per = ss.groupBy("source").agg(F.count("*").alias("ns"))
-    a, b = ss.alias("a"), ss.alias("b")
-    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                    & (F.col("a.source") < F.col("b.source")))
-             .groupBy(F.col("a.source").alias("src_a"),
-                      F.col("b.source").alias("src_b"))
-             .agg(F.count("*").alias("n_shared")))
+    sl = ss.groupBy("g").agg(
+        F.sort_array(F.collect_set("source")).alias("sl"))
+    cells = sl.select(F.explode(F.expr(
+        "concat("
+        " transform(sl, x -> struct(x AS a, x AS b)),"
+        " flatten(transform(sl, (x, i) ->"
+        "  transform(slice(sl, i + 2, size(sl)),"
+        "            y -> struct(x AS a, y AS b)))))"
+    )).alias("c")).select("c.*")
+    counts = (cells.groupBy("a", "b").agg(F.count("*").alias("n"))
+              .localCheckpoint())
+    per = counts.filter("a = b").select(F.col("a").alias("s"),
+                                        F.col("n").alias("ns"))
+    pairs = counts.filter("a < b")
     return (pairs
-            .join(per.select(F.col("source").alias("src_a"),
-                             F.col("ns").alias("na")), "src_a")
-            .join(per.select(F.col("source").alias("src_b"),
-                             F.col("ns").alias("nb")), "src_b")
-            .select("src_a", "src_b", "n_shared",
-                    F.expr("n_shared * 1000 div least(na, nb)")
+            .join(per.select(F.col("s").alias("a"),
+                             F.col("ns").alias("na")), "a")
+            .join(per.select(F.col("s").alias("b"),
+                             F.col("ns").alias("nb")), "b")
+            .select(F.col("a").alias("src_a"), F.col("b").alias("src_b"),
+                    F.col("n").alias("n_shared"),
+                    F.expr("n * 1000 div least(na, nb)")
                     .alias("overlap_permille"))
             .orderBy("src_a", "src_b"))
 
@@ -2880,30 +2904,45 @@ def _x136_column_profile(spark, tables):
     """Table profiler — the warehouse ANALYZE/profile surface as one
     query: per column, null count, exact distinct count, and min/max
     (cast to string AFTER the typed aggregate, so numeric order is
-    kept and the output schema is uniform). ONE scan builds a single
-    wide aggregate row; the per-column long format is a codegen
-    explode of literal structs, so adding columns never adds scans.
-    Exact COUNT(DISTINCT) per column is the oracle-gate spelling
-    (Spark expands one pass per distinct aggregate); the at-scale swap
-    is approx_count_distinct — single pass, 2% error — documented here
-    like x91's percentile swap."""
+    kept and the output schema is uniform). Two column-pruned scans,
+    both hash-friendly: (a) one wide global aggregate for
+    counts/min/max (no grouping keys, so the string-typed min/max
+    buffers cost no sort), exploded to long format via literal
+    structs; (b) the exact per-column distinct counts as ONE
+    (col, value)-pair stream that hash-aggregates map-side — NOT
+    n_cols x countDistinct in a single agg, which Spark plans as an
+    n_cols-way Expand + repeated SortAggregate passes (string
+    buffers disable hash agg; measured 2.8 s vs ~0.6 s for this
+    spelling at sf0.1). The cast-to-string on the pair stream is
+    injective per source type, so the distinct counts stay exact.
+    At-scale swap: approx_count_distinct — single pass, 2% error —
+    documented here like x91's percentile swap."""
     o = tables["orders"]
     aggs = [F.count("*").alias("_n")]
     for c in PROFILE_COLS:
         aggs += [F.count(c).alias(f"{c}__nn"),
-                 F.countDistinct(c).alias(f"{c}__nd"),
                  F.min(c).cast("string").alias(f"{c}__mn"),
                  F.max(c).cast("string").alias(f"{c}__mx")]
     row = o.agg(*aggs)
     structs = F.array(*[
         F.struct(F.lit(c).alias("col"),
                  (F.col("_n") - F.col(f"{c}__nn")).alias("n_null"),
-                 F.col(f"{c}__nd").alias("n_distinct"),
                  F.col(f"{c}__mn").alias("min_s"),
                  F.col(f"{c}__mx").alias("max_s"))
         for c in PROFILE_COLS])
-    return (row.select(F.explode(structs).alias("s"))
-            .select("s.*").orderBy("col"))
+    wide = row.select(F.explode(structs).alias("s")).select("s.*")
+    pairs = o.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(c).cast("string").alias("v"))
+        for c in PROFILE_COLS])).alias("p")).select("p.*")
+    nd = (pairs.filter(F.col("v").isNotNull())
+          .groupBy("col", "v").agg(F.count(F.lit(1)).alias("_one"))
+          .groupBy("col").agg(F.count(F.lit(1)).alias("n_distinct")))
+    return (wide.join(nd, "col", "left")
+            .select("col", "n_null",
+                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                    "min_s", "max_s")
+            .orderBy("col"))
 
 
 def _column_profile_oracle_sql() -> str:
