@@ -173,27 +173,19 @@ def _x149_capped(spark, sf_dir: str):
     portable-hash spelling so DuckDB can replay it — same split as
     x46/x46_capped). What the sweep must catch: triangle closure is
     TWO chained joins over the edge list, so a superlinear edge stage
-    would compound quadratically here."""
-    from pyspark.sql import functions as F
-
+    would compound quadratically here. The census body is the SAME
+    code as the registry entry (operators.graph.triangle_census) —
+    only the edge builder differs, so the sweep can never silently
+    measure a different census than the gate."""
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    from hive_parse_lineage_spark.operators.graph import triangle_census
     from hive_parse_lineage_spark.sources.loader import load_tables
 
     docs = load_tables(spark, sf_dir)["documents"]
     edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
                                shingle_k=2, max_bucket_size=1000)
              .select("id_a", "id_b").localCheckpoint(eager=True))
-    deg = (edges.select(F.col("id_a").alias("v"))
-           .unionAll(edges.select(F.col("id_b").alias("v")))
-           .groupBy("v").agg(F.count("*").alias("deg")))
-    wedges = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w"))
-    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(F.count("*").alias("t"))
-    n_e = edges.agg(F.count("*").alias("e"))
-    return (n_e.crossJoin(wedges).crossJoin(tri)
-            .select("e", "w", "t"))
+    return triangle_census(edges)
 
 
 def _x46_capped(spark, sf_dir: str):

@@ -510,27 +510,19 @@ def _x149_dup_graph_triangles(spark, tables):
     banding noise. Oriented-edge counting (a < b < c) so every
     triangle is produced exactly once; all-integer.
 
-    Scale shape: triangle closure is two shuffle equi-joins over the
-    (capped-in-production) edge list — edge-proportional, never
-    touching documents again; degrees/wedges are one symmetrized
-    count. Joins carry no hints (edge lists are corpus-proportional)."""
+    Scale shape: see :func:`operators.graph.triangle_census` — the
+    census body is shared with bench.py's capped sweep variant so the
+    two measurements can never drift; only the edge builder differs
+    (uncapped portable hash here, capped xxhash64 in the sweep)."""
     from hive_parse_lineage_spark.functions.text import portable_hash64
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    from hive_parse_lineage_spark.operators.graph import triangle_census
     docs = tables["documents"]
     edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
                                shingle_k=2, hasher=portable_hash64,
                                max_bucket_size=None)
              .select("id_a", "id_b").localCheckpoint(eager=True))
-    deg = (edges.select(F.col("id_a").alias("v"))
-           .unionAll(edges.select(F.col("id_b").alias("v")))
-           .groupBy("v").agg(F.count("*").alias("deg")))
-    wedges = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w"))
-    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(F.count("*").alias("t"))
-    n_e = edges.agg(F.count("*").alias("e"))
-    return (n_e.crossJoin(wedges).crossJoin(tri)
+    return (triangle_census(edges)
             .select(F.col("e").alias("n_edges"),
                     F.col("w").alias("n_wedges"),
                     F.col("t").alias("n_triangles"),

@@ -57,3 +57,36 @@ def pagerank_fixed_point(edges: DataFrame, vertices: DataFrame,
                                 f"coalesce(s, 0L)) div {SCALE}L")
                          .alias("rank_ppm")))
     return ranks
+
+
+def triangle_census(edges: DataFrame,
+                    src_col: str = "id_a",
+                    dst_col: str = "id_b") -> DataFrame:
+    """Edge/wedge/triangle census of an oriented edge list (every edge
+    stored once with ``src < dst``): returns a single row ``(e, w, t)``
+    — edge count, wedge count (sum over vertices of C(deg, 2)), and
+    triangle count via the canonical oriented two-join closure
+    (a < b < c, so each triangle is produced exactly once).
+
+    Shared by the registry entry (x149, uncapped portable-hash edges so
+    DuckDB can replay) and the bench sweep's capped production variant
+    — one census body, two edge builders, so the two measurements can
+    never silently drift apart.
+
+    Scale shape: degrees/wedges are one symmetrized count; closure is
+    two shuffle equi-joins over the (capped-in-production) edge list —
+    edge-proportional, never touching the documents again. No hints:
+    edge lists are corpus-proportional.
+    """
+    e = edges.select(F.col(src_col).alias("id_a"),
+                     F.col(dst_col).alias("id_b"))
+    deg = (e.select(F.col("id_a").alias("v"))
+           .unionAll(e.select(F.col("id_b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("deg")))
+    wedges = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w"))
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(F.count("*").alias("t"))
+    n_e = e.agg(F.count("*").alias("e"))
+    return n_e.crossJoin(wedges).crossJoin(tri).select("e", "w", "t")

@@ -2846,38 +2846,46 @@ def _x135_stream_stream_join(spark, tables):
     the GATE spelling; production uses the real delay bound, and state
     is then O(rows within the watermark horizon x range span), the
     documented swap."""
+    import shutil
     import tempfile
     import uuid
     e = tables["events"].select("event_id", "ts", "user_id", "event_type")
     views = e.filter(F.col("event_type") == "view").coalesce(2)
     buys = e.filter(F.col("event_type") == "purchase").coalesce(2)
+    # Staged source files are deleted once the query stops — the memory
+    # sink holds the result, and leaking full events-table copies per
+    # replay accumulates multi-GB orphans in /tmp at sf1.0.
     tv = tempfile.mkdtemp(prefix="x135_v_")
     tp = tempfile.mkdtemp(prefix="x135_p_")
-    views.write.mode("overwrite").parquet(tv)
-    buys.write.mode("overwrite").parquet(tp)
-    sv = (spark.readStream.schema(views.schema)
-          .option("maxFilesPerTrigger", 1).parquet(tv)
-          .withWatermark("ts", "365 days").alias("v"))
-    sp = (spark.readStream.schema(buys.schema)
-          .option("maxFilesPerTrigger", 1).parquet(tp)
-          .withWatermark("ts", "365 days").alias("p"))
-    joined = (sv.join(
-        sp,
-        (F.col("v.user_id") == F.col("p.user_id"))
-        & (F.col("p.ts") >= F.col("v.ts"))
-        & (F.col("p.ts") < F.col("v.ts") + F.expr("INTERVAL 1 HOUR")))
-        .select(F.col("v.user_id").alias("user_id"),
-                F.col("v.event_id").alias("view_id"),
-                F.col("p.event_id").alias("purchase_id"),
-                (F.unix_micros(F.col("p.ts"))
-                 - F.unix_micros(F.col("v.ts"))).alias("latency_us")))
-    name = f"x135_{uuid.uuid4().hex[:8]}"
-    q = (joined.writeStream.outputMode("append")
-         .format("memory").queryName(name).start())
     try:
-        q.processAllAvailable()
+        views.write.mode("overwrite").parquet(tv)
+        buys.write.mode("overwrite").parquet(tp)
+        sv = (spark.readStream.schema(views.schema)
+              .option("maxFilesPerTrigger", 1).parquet(tv)
+              .withWatermark("ts", "365 days").alias("v"))
+        sp = (spark.readStream.schema(buys.schema)
+              .option("maxFilesPerTrigger", 1).parquet(tp)
+              .withWatermark("ts", "365 days").alias("p"))
+        joined = (sv.join(
+            sp,
+            (F.col("v.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("v.ts"))
+            & (F.col("p.ts") < F.col("v.ts") + F.expr("INTERVAL 1 HOUR")))
+            .select(F.col("v.user_id").alias("user_id"),
+                    F.col("v.event_id").alias("view_id"),
+                    F.col("p.event_id").alias("purchase_id"),
+                    (F.unix_micros(F.col("p.ts"))
+                     - F.unix_micros(F.col("v.ts"))).alias("latency_us")))
+        name = f"x135_{uuid.uuid4().hex[:8]}"
+        q = (joined.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        shutil.rmtree(tv, ignore_errors=True)
+        shutil.rmtree(tp, ignore_errors=True)
     return spark.table(name).orderBy("view_id", "purchase_id")
 
 
@@ -2965,18 +2973,20 @@ def _x137_snapshot_diff(spark, tables):
     the price of keys ≡0 (mod 5) — so the full-outer join on the key
     classifies every key as insert (B only), delete (A only), update
     (both, payload changed) or unchanged. Payload compare is the
-    integer-cents surrogate of the decimal price (exact in both
-    engines). One shuffle on the key — the canonical snapshot-diff
+    FLOOR-then-cast integer-cents surrogate of the double price —
+    the q24/x111 convention (plain CAST(double AS BIGINT) ROUNDS in
+    DuckDB but TRUNCATES in Spark, so the halves must floor first to
+    agree cross-engine). One shuffle on the key — the canonical snapshot-diff
     shape; output is the 4-row summary with min/max affected key, the
     report an incremental pipeline logs per day."""
     o = tables["orders"].select("o_orderkey", "o_totalprice")
     snap_a = (o.filter(F.expr("o_orderkey % 4 != 3"))
               .select("o_orderkey",
-                      F.expr("CAST(o_totalprice * 100 AS BIGINT)")
+                      F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
                       .alias("cents_a")))
     snap_b = (o.filter(F.expr("o_orderkey % 4 != 1"))
               .select("o_orderkey",
-                      F.expr("CAST(o_totalprice * 100 AS BIGINT) * "
+                      F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT) * "
                              "CASE WHEN o_orderkey % 5 = 0 "
                              "THEN 2 ELSE 1 END").alias("cents_b")))
     j = snap_a.join(snap_b, "o_orderkey", "full_outer")
@@ -2995,11 +3005,11 @@ def _x137_snapshot_diff(spark, tables):
 
 _SNAPSHOT_DIFF_ORACLE = """
 WITH snap_a AS (
-  SELECT o_orderkey, CAST(o_totalprice * 100 AS BIGINT) AS cents_a
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents_a
   FROM orders WHERE o_orderkey % 4 != 3
 ), snap_b AS (
   SELECT o_orderkey,
-         CAST(o_totalprice * 100 AS BIGINT)
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT)
              * CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END AS cents_b
   FROM orders WHERE o_orderkey % 4 != 1
 ), j AS (

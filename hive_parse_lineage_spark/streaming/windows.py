@@ -124,19 +124,25 @@ def run_stream_to_files(spark, batch_df: DataFrame, transform,
     protocol). Append mode — the 100 TB landing-zone pattern; the
     checkpoint makes restarts resume, not reprocess. Returns the
     sink read back as a batch DataFrame."""
+    import shutil
     import tempfile
 
+    # Staged source copy is deleted once the query stops (the result
+    # lives in out_dir) — replays must not leak parquet copies in /tmp.
     tmp = tempfile.mkdtemp(prefix="stream_src_")
-    batch_df.write.mode("overwrite").parquet(tmp)
-    src = (spark.readStream.schema(batch_df.schema)
-           .option("maxFilesPerTrigger", 1).parquet(tmp))
-    q = (transform(src).writeStream.outputMode("append")
-         .format("parquet").option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir).start())
     try:
-        q.processAllAvailable()
+        batch_df.write.mode("overwrite").parquet(tmp)
+        src = (spark.readStream.schema(batch_df.schema)
+               .option("maxFilesPerTrigger", 1).parquet(tmp))
+        q = (transform(src).writeStream.outputMode("append")
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", checkpoint_dir).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(out_dir)
 
 
@@ -147,18 +153,22 @@ def run_stream_foreach_batch(spark, batch_df: DataFrame, transform,
     native streaming writer (JDBC upsert, MERGE into a warehouse
     table). ``batch_fn`` must be idempotent on ``epoch_id`` because a
     batch can be replayed after failure."""
+    import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="stream_src_")
-    batch_df.write.mode("overwrite").parquet(tmp)
-    src = (spark.readStream.schema(batch_df.schema)
-           .option("maxFilesPerTrigger", 1).parquet(tmp))
-    q = (transform(src).writeStream.outputMode("update")
-         .foreachBatch(batch_fn).start())
     try:
-        q.processAllAvailable()
+        batch_df.write.mode("overwrite").parquet(tmp)
+        src = (spark.readStream.schema(batch_df.schema)
+               .option("maxFilesPerTrigger", 1).parquet(tmp))
+        q = (transform(src).writeStream.outputMode("update")
+             .foreachBatch(batch_fn).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_stream_over_batch(spark, batch_df: DataFrame, transform,
@@ -170,18 +180,24 @@ def run_stream_over_batch(spark, batch_df: DataFrame, transform,
     Test utility: proves the transformation is streaming-legal and lets
     batch-vs-stream equivalence tests compare final results.
     """
+    import shutil
     import tempfile
 
+    # The memory sink holds the result rows driver-side, so the staged
+    # source copy can be deleted as soon as the query stops.
     tmp = tempfile.mkdtemp(prefix="stream_src_")
-    batch_df.write.mode("overwrite").parquet(tmp)
-    src = (spark.readStream.schema(batch_df.schema)
-           .option("maxFilesPerTrigger", 1).parquet(tmp))
-    q = (transform(src).writeStream.outputMode(output_mode)
-         .format("memory").queryName(query_name).start())
     try:
-        q.processAllAvailable()
+        batch_df.write.mode("overwrite").parquet(tmp)
+        src = (spark.readStream.schema(batch_df.schema)
+               .option("maxFilesPerTrigger", 1).parquet(tmp))
+        q = (transform(src).writeStream.outputMode(output_mode)
+             .format("memory").queryName(query_name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.table(query_name)
 
 
@@ -274,20 +290,25 @@ def run_two_streams_over_batch(spark, left_df: DataFrame,
     stream-stream joins: both batch frames become file streams,
     ``transform2(left_stream, right_stream)`` builds the joined
     stream, results land in a memory sink."""
+    import shutil
     import tempfile
 
     ltmp = tempfile.mkdtemp(prefix="stream_l_")
     rtmp = tempfile.mkdtemp(prefix="stream_r_")
-    left_df.write.mode("overwrite").parquet(ltmp)
-    right_df.write.mode("overwrite").parquet(rtmp)
-    lsrc = (spark.readStream.schema(left_df.schema)
-            .option("maxFilesPerTrigger", 1).parquet(ltmp))
-    rsrc = (spark.readStream.schema(right_df.schema)
-            .option("maxFilesPerTrigger", 1).parquet(rtmp))
-    q = (transform2(lsrc, rsrc).writeStream.outputMode(output_mode)
-         .format("memory").queryName(query_name).start())
     try:
-        q.processAllAvailable()
+        left_df.write.mode("overwrite").parquet(ltmp)
+        right_df.write.mode("overwrite").parquet(rtmp)
+        lsrc = (spark.readStream.schema(left_df.schema)
+                .option("maxFilesPerTrigger", 1).parquet(ltmp))
+        rsrc = (spark.readStream.schema(right_df.schema)
+                .option("maxFilesPerTrigger", 1).parquet(rtmp))
+        q = (transform2(lsrc, rsrc).writeStream.outputMode(output_mode)
+             .format("memory").queryName(query_name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        shutil.rmtree(ltmp, ignore_errors=True)
+        shutil.rmtree(rtmp, ignore_errors=True)
     return spark.table(query_name)

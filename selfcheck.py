@@ -91,9 +91,20 @@ def main() -> None:
         if not entry_timeout:
             return fn()
         timed_out = threading.Event()
+        done = threading.Event()
+        gate = threading.Lock()
 
         def _cancel():
-            timed_out.set()
+            # The Timer can fire in the window between fn() returning
+            # and t.cancel(); without this gate the stray callback
+            # would mark a FINISHED entry TIMEOUT and interrupt the
+            # NEXT entry's DuckDB query mid-sweep. `done` is set under
+            # the same lock before the callback may act, so a
+            # post-success firing is a no-op.
+            with gate:
+                if done.is_set():
+                    return
+                timed_out.set()
             try:
                 for q in spark.streams.active:
                     q.stop()
@@ -118,6 +129,8 @@ def main() -> None:
                     "cancelled (uncapped gate spelling at this SF)")
             raise
         finally:
+            with gate:
+                done.set()
             t.cancel()
         # A cancelled STREAMING entry returns cleanly with a partial
         # memory sink (q.stop() makes processAllAvailable() return, not

@@ -700,14 +700,21 @@ def test_stream_stream_join_matches_batch_join(spark, tables, sf_dir):
     assert all(0 <= r["latency_us"] < 3_600_000_000 for r in got)
 
 
-def test_column_profile_one_scan_and_sane(spark, tables, sf_dir):
-    """x136: exactly one parquet scan feeds the whole profile, and the
-    key column profiles as null-free with distinct == row count."""
+def test_column_profile_two_scan_hash_agg_and_sane(spark, tables, sf_dir):
+    """x136's two-scan contract: exactly two column-pruned parquet
+    scans (one wide global agg for counts/min/max, one (col,value)
+    pair stream for exact distincts), the pair-stream distincts as
+    HASH aggregates (4: partial+final for the two groupBys), and
+    SortAggregate confined to the global string min/max agg (2) —
+    never on the corpus-proportional pair stream. Plus: the key
+    column profiles null-free with distinct == row count."""
     from hive_parse_lineage_spark.pipeline_queries import pipeline_queries
     from hive_parse_lineage_spark.sources.loader import load_tables
     df = pipeline_queries()["x136_column_profile"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan") == 1, plan
+    assert plan.count("FileScan") == 2, plan
+    assert plan.count("HashAggregate") == 4, plan
+    assert plan.count("SortAggregate") == 2, plan
     rows = {r["col"]: r for r in df.collect()}
     n = load_tables(spark, sf_dir)["orders"].count()
     assert rows["o_orderkey"]["n_null"] == 0
