@@ -511,10 +511,21 @@ def _x105_ppjoin_exact(spark, tables):
     PPJoin-style prefix filtering — the no-false-negative counterpart
     to MinHash-LSH (x07): candidates must share an element among each
     document's RAREST p = n - ceil(t*n) + 1 distinct shingles
-    (global-frequency order, tie-broken by shingle text — portable),
-    then exact verification by all-integer cross-multiplication
-    (DEN*|∩| >= NUM*(n_a + n_b - |∩|)). Where LSH trades recall for
-    speed, prefix filtering is exact: every qualifying pair survives.
+    (global-frequency order, tie-broken by hashed-shingle value —
+    portable), then exact verification by all-integer
+    cross-multiplication (DEN*|∩| >= NUM*(n_a + n_b - |∩|)). Where LSH
+    trades recall for speed, prefix filtering is exact: every
+    qualifying pair survives.
+
+    Shingles are folded to 60-bit ``portable_hash64`` BIGINTs at the
+    explode (the oracle replays the same fold): every downstream
+    stage — the df groupBy, the frequency-order sort, the prefix
+    equi-join, and the array_intersect verify — then compares 8-byte
+    ints instead of ~25-byte shingle strings, which halved the sf0.1
+    wall (6.2 s -> ~3.2 s). Set semantics are over hashed shingles
+    (a within-doc 60-bit collision could merge two shingles; at
+    n~10^4 distinct shingles/doc the probability is ~1e-10, and the
+    oracle sees the identical sets either way).
 
     Scale shape: the join key is prefix shingles only — rare by
     construction, so candidate fanout stays bounded where a full
@@ -526,18 +537,26 @@ def _x105_ppjoin_exact(spark, tables):
     corpus-proportional at 100 TB; AQE broadcasts them when they are
     genuinely small. The shingle stream ``dt`` and the
     frequency-ordered per-doc lists are each MATERIALIZED once
-    (localCheckpoint): ``dt`` feeds four downstream branches and the
-    ordered lists three, and Spark only reuses identical *exchanges*,
+    (localCheckpoint): ``dt`` feeds the frequency table and the
+    ordered lists, the ordered lists feed prefix generation and both
+    verification probes, and Spark only reuses identical *exchanges*,
     not scan+explode subtrees — unmaterialized, the explode ran 4x
     (7.3 s vs ~3 s at sf0.1). Every published distributed PPJoin
     makes the same call: the ordered prefix lists are the index you
     build once and probe; at cluster scale the same two
     materializations are DISK_ONLY persists, corpus-linear in size."""
-    from hive_parse_lineage_spark.functions.text import word_shingles
-    docs = tables["documents"]
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, word_shingles)
+    # The sf* documents parquet is a single small file — without the
+    # repartition the explode/checkpoint runs on 1 core (the scan's
+    # one split); at 100 TB the scan is already thousands of splits
+    # and the repartition is a no-op cost-wise.
+    docs = tables["documents"].repartition(
+        spark.sparkContext.defaultParallelism)
     dt = (docs.select("doc_id",
-                      F.explode(F.array_distinct(word_shingles("text", 3)))
-                      .alias("tok"))
+                      F.explode(F.array_distinct(F.transform(
+                          word_shingles("text", 3),
+                          lambda s: portable_hash64(s)))).alias("tok"))
           .localCheckpoint())
     freq = dt.groupBy("tok").agg(F.count("*").alias("df"))
     ordered = (dt.join(freq, "tok")
@@ -547,7 +566,6 @@ def _x105_ppjoin_exact(spark, tables):
                    lambda s: s.tok).alias("toks"))
                .withColumn("n", F.size("toks").cast("bigint"))
                .localCheckpoint())
-    sizes = ordered.select("doc_id", "n")
     # p = n - ceil(t*n) + 1 ; ceil(t*n) = (NUM*n + DEN - 1) div DEN
     prefix = (ordered
               .select("doc_id", "n",
@@ -568,14 +586,25 @@ def _x105_ppjoin_exact(spark, tables):
             .select(F.col("a.doc_id").alias("id_a"),
                     F.col("b.doc_id").alias("id_b"))
             .distinct())
-    inter = (cand.join(dt.select(F.col("doc_id").alias("id_a"),
-                                 F.col("tok")), "id_a")
-             .join(dt.select(F.col("doc_id").alias("id_b"),
-                             F.col("tok")), ["id_b", "tok"])
-             .groupBy("id_a", "id_b").agg(F.count("*").alias("i")))
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
-    return (inter.join(na, "id_a").join(nb, "id_b")
+    # Verification: |∩| as array_intersect on the per-doc DISTINCT
+    # shingle arrays — two doc-keyed equi-joins of the (small)
+    # candidate set against the already-materialized ordered lists,
+    # instead of re-shuffling the whole token stream twice and
+    # count-aggregating it (the r6 spelling's residual cost: three
+    # chained shingle-stream shuffles, 6.97 s at sf0.1; this one is
+    # candidate-proportional and runs ~2x faster). AQE broadcasts the
+    # candidate side when it is genuinely small; per-pair cost is
+    # O(n_a + n_b) inside codegen.
+    verified = (cand
+                .join(ordered.select(F.col("doc_id").alias("id_a"),
+                                     F.col("toks").alias("toks_a"),
+                                     F.col("n").alias("n_a")), "id_a")
+                .join(ordered.select(F.col("doc_id").alias("id_b"),
+                                     F.col("toks").alias("toks_b"),
+                                     F.col("n").alias("n_b")), "id_b")
+                .withColumn("i", F.size(F.array_intersect(
+                    "toks_a", "toks_b")).cast("bigint")))
+    return (verified
             .filter(F.expr(f"{PP_T_DEN} * i >= {PP_T_NUM} * (n_a + n_b - i)"))
             .withColumn("jaccard_permille",
                         F.expr("i * 1000 div (n_a + n_b - i)"))
@@ -1322,11 +1351,15 @@ FROM base CROSS JOIN pe
 
 def _ppjoin_oracle_sql() -> str:
     from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("s")
     return f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
 ), dt AS (
-  SELECT DISTINCT doc_id, unnest({_shingle_list_sql(3)}) AS tok FROM w
+  SELECT DISTINCT doc_id,
+         unnest(list_transform({_shingle_list_sql(3)}, s -> {h})) AS tok
+  FROM w
 ), freq AS (
   SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
 ), sizes AS (
