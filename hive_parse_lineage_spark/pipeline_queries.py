@@ -2949,47 +2949,16 @@ PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
 
 def _x136_column_profile(spark, tables):
     """Table profiler — the warehouse ANALYZE/profile surface as one
-    query: per column, null count, exact distinct count, and min/max
-    (cast to string AFTER the typed aggregate, so numeric order is
-    kept and the output schema is uniform). Two column-pruned scans,
-    both hash-friendly: (a) one wide global aggregate for
-    counts/min/max (no grouping keys, so the string-typed min/max
-    buffers cost no sort), exploded to long format via literal
-    structs; (b) the exact per-column distinct counts as ONE
-    (col, value)-pair stream that hash-aggregates map-side — NOT
-    n_cols x countDistinct in a single agg, which Spark plans as an
-    n_cols-way Expand + repeated SortAggregate passes (string
-    buffers disable hash agg; measured 2.8 s vs ~0.6 s for this
-    spelling at sf0.1). The cast-to-string on the pair stream is
-    injective per source type, so the distinct counts stay exact.
-    At-scale swap: approx_count_distinct — single pass, 2% error —
-    documented here like x91's percentile swap."""
-    o = tables["orders"]
-    aggs = [F.count("*").alias("_n")]
-    for c in PROFILE_COLS:
-        aggs += [F.count(c).alias(f"{c}__nn"),
-                 F.min(c).cast("string").alias(f"{c}__mn"),
-                 F.max(c).cast("string").alias(f"{c}__mx")]
-    row = o.agg(*aggs)
-    structs = F.array(*[
-        F.struct(F.lit(c).alias("col"),
-                 (F.col("_n") - F.col(f"{c}__nn")).alias("n_null"),
-                 F.col(f"{c}__mn").alias("min_s"),
-                 F.col(f"{c}__mx").alias("max_s"))
-        for c in PROFILE_COLS])
-    wide = row.select(F.explode(structs).alias("s")).select("s.*")
-    pairs = o.select(F.explode(F.array(*[
-        F.struct(F.lit(c).alias("col"),
-                 F.col(c).cast("string").alias("v"))
-        for c in PROFILE_COLS])).alias("p")).select("p.*")
-    nd = (pairs.filter(F.col("v").isNotNull())
-          .groupBy("col", "v").agg(F.count(F.lit(1)).alias("_one"))
-          .groupBy("col").agg(F.count(F.lit(1)).alias("n_distinct")))
-    return (wide.join(nd, "col", "left")
-            .select("col", "n_null",
-                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-                    "min_s", "max_s")
-            .orderBy("col"))
+    query: per column, null count, exact distinct count, and min/max.
+    The body lives in :func:`operators.profile.column_profile` (exact
+    two-scan spelling; its docstring carries the plan rationale), and
+    is SHARED with bench.py's scale-sweep exact/approx variants so the
+    gate entry and the sweep measurements can never drift. At-scale
+    swap: ``approx=True`` folds the distincts into the single wide
+    aggregate via approx_count_distinct (~2% error, one scan) —
+    measured against this exact spelling by the sweep."""
+    from hive_parse_lineage_spark.operators.profile import column_profile
+    return column_profile(tables["orders"], PROFILE_COLS, approx=False)
 
 
 def _column_profile_oracle_sql() -> str:

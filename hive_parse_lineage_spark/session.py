@@ -31,6 +31,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for pandas_udf / applyInPandas / mapInPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # toPandas builds the pandas frame column-by-column while FREEING
+    # each consumed Arrow batch instead of holding both copies alive;
+    # measured 2x on wide result fetches (q12's 60M-row FULL OUTER at
+    # sf1.0: 51 s -> 26 s, vs 9.6 s pure compute) — the fetch path,
+    # not the plan, was that query's wall.
+    "spark.sql.execution.arrow.pyspark.selfDestruct.enabled": "true",
 }
 
 
