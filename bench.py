@@ -6,6 +6,9 @@ Usage: python bench.py                  declared + corpus surface, one JSON line
                                         + capped x46/x64/x149 variants) at
                                         every SF: rows/s scaling
        python bench.py --lineage        lineage stmts/s on the BASELINE corpus
+       python bench.py --sf1-corpus     the 20 heaviest corpus entries +
+                                        DuckDB twins at SPARK_GRAFT_SF_DIR
+                                        (default /tmp/sf1.0): per-entry ratios
 Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS    (default all cores)
        BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
@@ -490,6 +493,112 @@ def lineage_bench() -> None:
     }))
 
 
+# The 20 heaviest corpus entries by r6 sf0.1 Spark wall
+# (BENCH_DETAIL_r06.json) — the subset --sf1-corpus measures at sf1.0,
+# where per-query scheduling floor finally amortizes against real work.
+SF1_CORPUS_QUERIES = (
+    "x105_ppjoin_exact", "x100_dup_pagerank", "x119_minhash_calibration",
+    "x87_cluster_size_histogram", "x78_semdedup", "x46_dup_clusters",
+    "x59_dedup_keep_one", "x07_minhash_near_dup",
+    "x149_dup_graph_triangles", "x64_incremental_dedup",
+    "x08_simhash_near_dup", "x72_capped_lsh", "x36_repetition",
+    "x93_novelty_curve", "x133_winnowing_fingerprints",
+    "x129_source_overlap", "x104_cms_heavy_hitters",
+    "x05_token_jaccard_pairs", "x125_lsh_pair_recall",
+    "x60_ngram_containment",
+)
+
+
+def sf1_corpus_bench() -> None:
+    """``bench.py --sf1-corpus``: the corpus surface's first measurement
+    above sf0.1 (r6 judge ask #8) — the 20 heaviest x-entries and their
+    DuckDB twins at SPARK_GRAFT_SF_DIR (default /tmp/sf1.0, built by
+    make_sfN.py), per-entry ratios in the detail file. Registry gate
+    spellings throughout: every one of them completed the r6 sf1.0
+    robustness replay inside the 300 s watchdog, so no capped
+    substitutions are needed (the capped/approx production postures are
+    the --scale-sweep's job)."""
+    import duckdb
+
+    from pyspark.sql import SparkSession
+
+    from hive_parse_lineage_spark.analytics_queries import (
+        analytics_oracle_sql, analytics_queries)
+    from hive_parse_lineage_spark.corpus_queries import (
+        corpus_oracle_sql, corpus_queries)
+    from hive_parse_lineage_spark.extra_queries import (
+        extra_oracle_sql, extra_queries)
+    from hive_parse_lineage_spark.pipeline_queries import (
+        pipeline_oracle_sql, pipeline_queries)
+    from hive_parse_lineage_spark.session import RUNTIME_CONFS
+    from hive_parse_lineage_spark.sources.loader import TABLES, load_tables
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/sf1.0")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
+        os.cpu_count() or 4, 16)
+    builder = (SparkSession.builder.master(f"local[{cpus}]")
+               .appName("sf1-corpus")
+               .config("spark.sql.shuffle.partitions", str(cpus))
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+               .config("spark.ui.enabled", "false")
+               .config("spark.ui.showConsoleProgress", "false"))
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, sf_dir)
+
+    allq = {**extra_queries(), **corpus_queries(), **pipeline_queries(),
+            **analytics_queries()}
+    allsql = {**extra_oracle_sql(), **corpus_oracle_sql(),
+              **pipeline_oracle_sql(), **analytics_oracle_sql()}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    # SF1_ONLY=name1,name2 restricts the pass (long runs chunk across
+    # driver invocations); SF1_MERGE_INTO=file.json merges into a
+    # previous chunk's detail file instead of starting fresh.
+    names = SF1_CORPUS_QUERIES
+    if os.environ.get("SF1_ONLY"):
+        keep = set(os.environ["SF1_ONLY"].split(","))
+        names = tuple(n for n in SF1_CORPUS_QUERIES if n in keep)
+    detail: dict[str, dict] = {}
+    merge_from = os.environ.get("SF1_MERGE_INTO")
+    if merge_from and os.path.exists(merge_from):
+        with open(merge_from) as fh:
+            detail = json.load(fh).get("queries", {})
+    for name in names:
+        fn = allq[name]
+        fn(spark, sf_dir).collect()                          # warm-up
+        t0 = time.perf_counter()
+        rows = len(fn(spark, sf_dir).collect())
+        sw = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        con.execute(allsql[name]).fetchdf()
+        dw = round(time.perf_counter() - t0, 3)
+        detail[name] = {"spark": sw, "duckdb": dw, "rows": rows,
+                        "ratio": round(sw / dw, 2) if dw > 0 else None}
+        print("sf1-entry " + json.dumps({name: detail[name]}),
+              file=sys.stderr, flush=True)
+    stot = round(sum(v["spark"] for v in detail.values()), 2)
+    dtot = round(sum(v["duckdb"] for v in detail.values()), 2)
+    out = {"metric": "sf1_corpus_wall", "unit": "sec",
+           "sf": infer_sf(sf_dir), "n_queries": len(detail),
+           "value": stot, "duckdb_total_wall": dtot,
+           "ratio": round(stot / dtot, 2) if dtot > 0 else None}
+    path = os.environ.get(
+        "BENCH_SF1_CORPUS_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SF1_CORPUS_r07.json"))
+    with open(path, "w") as fh:
+        json.dump({**out, "queries": detail}, fh, indent=1, sort_keys=True)
+    out["detail_file"] = os.path.basename(path)
+    print(json.dumps(out))
+
+
 def _bench_corpus(spark, sf_dir: str):
     """Full LLM-corpus x-surface (x01 onward, minus the streaming gate):
     Spark wall per query, one warm + one timed pass each."""
@@ -579,6 +688,9 @@ def main() -> None:
         return
     if "--lineage" in sys.argv:
         lineage_bench()
+        return
+    if "--sf1-corpus" in sys.argv:
+        sf1_corpus_bench()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -623,6 +623,360 @@ FROM pairs GROUP BY source ORDER BY source
 """
 
 
+def _x151_split_contamination(spark, tables):
+    """Cross-split contamination audit — the QA gate a training
+    pipeline runs after splitting: near-dup pairs (x07's MinHash-LSH,
+    threshold 0.5) whose two documents land in DIFFERENT splits of
+    x39's deterministic hash split (salt 'v1', 80/10/10). A test doc
+    near-duplicating a train doc silently inflates eval scores; this
+    reports the pair census by unordered split pair (least/greatest
+    normalization, so train-test and test-train are one row).
+
+    Scale shape: the split map is a pure projection (no shuffle); the
+    LSH pair stream is bucketed/capped in production (uncapped
+    portable-hash spelling here so DuckDB replays it row-for-row);
+    the two split lookups are doc-keyed equi-joins of the
+    edge-proportional pair list. No hints — all sides corpus-sized."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    pairs = (minhash_near_dups(docs, threshold=0.5, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b"))
+    h = portable_hash64(F.concat(F.lit("v1"), F.col("doc_id").cast("string")))
+    split = docs.select(
+        "doc_id",
+        F.when(h % 100 < 80, F.lit("train"))
+        .when(h % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"))
+    sa = split.select(F.col("doc_id").alias("id_a"),
+                      F.col("split").alias("sa"))
+    sb = split.select(F.col("doc_id").alias("id_b"),
+                      F.col("split").alias("sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("sa", "sb").alias("split_a"),
+                    F.greatest("sa", "sb").alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias("n_pairs"))
+            .orderBy("split_a", "split_b"))
+
+
+def _x152_qq_alignment(spark, tables):
+    """QQ-plot alignment table: per source, the exact decile values of
+    n_chars (value-at-row, x91's all-integer discrete quantile) next
+    to the GLOBAL decile values, with the signed gap — does any
+    source's length distribution diverge from the corpus before it
+    skews a mixed batch? Tie-broken by doc_id under both sorts.
+
+    Scale shape: one global sort and one per-source sort (both
+    value-at-row extractions, 9 conditional aggregates each), then a
+    9-row broadcast-sized join on decile. At 100 TB both sorts swap
+    to approx_percentile (x91's documented swap)."""
+    docs = tables["documents"]
+    def deciles(df, part_cols):
+        w = (Window.partitionBy(*part_cols).orderBy("n_chars", "doc_id")
+             if part_cols else Window.orderBy("n_chars", "doc_id"))
+        wn = (Window.partitionBy(*part_cols) if part_cols
+              else Window.partitionBy())
+        ranked = df.select(*part_cols, "n_chars", "doc_id",
+                           F.row_number().over(w).alias("rn"),
+                           F.count("*").over(wn).alias("n"))
+        aggs = [F.max(F.when(F.expr(f"rn = ({d} * n + 9) div 10"),
+                             F.col("n_chars"))).alias(f"d{d}")
+                for d in range(1, 10)]
+        return ranked.groupBy(*part_cols).agg(*aggs)
+    gl = deciles(docs, [])
+    gl_long = gl.select(F.explode(F.array(*[
+        F.struct(F.lit(d).alias("decile"), F.col(f"d{d}").alias("global_v"))
+        for d in range(1, 10)])).alias("s")).select("s.*")
+    src = deciles(docs, ["source"])
+    src_long = src.select("source", F.explode(F.array(*[
+        F.struct(F.lit(d).alias("decile"), F.col(f"d{d}").alias("src_v"))
+        for d in range(1, 10)])).alias("s")).select("source", "s.*")
+    return (src_long.join(gl_long, "decile")
+            .select("source", "decile", "src_v", "global_v",
+                    (F.col("src_v") - F.col("global_v")).alias("gap"))
+            .orderBy("source", "decile"))
+
+
+def _x153_null_safe_join(spark, tables):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the SQL
+    surface's remaining join-predicate family member: two aggregated
+    key histograms whose key is NULLIF-punched, joined null-safely so
+    the NULL bucket matches the NULL bucket (a plain ``=`` silently
+    drops it — the classic missing-rows bug this operator exists to
+    avoid). Output is the matched histogram with NULLS FIRST pinned.
+
+    Scale shape: both sides pre-aggregate to the key cardinality
+    before the join (the join is over tiny aggregates, never rows);
+    a null-safe condition hash-partitions like any equi-join — NULL
+    is just one more key value."""
+    o = tables["orders"]
+    li = tables["lineitem"]
+    a = (o.select(F.expr("NULLIF(o_orderkey % 10, 5)").alias("k"))
+         .groupBy("k").agg(F.count("*").alias("n_a")))
+    b = (li.select(F.expr("NULLIF(l_orderkey % 10, 5)").alias("k"))
+         .groupBy("k").agg(F.count("*").alias("n_b")))
+    return (a.join(b, a["k"].eqNullSafe(b["k"]))
+            .select(a["k"].alias("k"), "n_a", "n_b")
+            .orderBy(F.col("k").asc_nulls_first()))
+
+
+def _x154_rank_distributions(spark, tables):
+    """percent_rank / cume_dist — the two normalized-rank window
+    builtins (x25 covers the integer ranks): per customer over the
+    first 2000 orders, ROUND(...,4). Deterministic across engines
+    because both compute the same two small-integer divisions
+    ((rank-1)/(n-1), peer_rank/n) — single IEEE divides of identical
+    operands are exactly rounded, so the doubles agree bit-for-bit
+    (the x92 fixed-tree rule; no accumulation involved)."""
+    o = tables["orders"].filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (o.select("o_orderkey", "o_custkey",
+                     F.round(F.percent_rank().over(w), 4).alias("pr"),
+                     F.round(F.cume_dist().over(w), 4).alias("cd"))
+            .orderBy("o_orderkey"))
+
+
+def _x155_gaps_islands(spark, tables):
+    """Gaps-and-islands over the open-order key space: maximal runs of
+    CONSECUTIVE o_orderkey values among status-'O' orders, reported as
+    a run-length histogram (how fragmented is the open-order keyspace
+    — the classic sequence-audit SQL pattern, e.g. for detecting
+    allocation gaps). Island id is the engine-free ``key - dense
+    row_number`` constant; all-integer.
+
+    Scale shape: one global sort (the pattern's inherent cost; at
+    100 TB it range-partitions — consecutive keys co-locate by
+    construction, so per-range islands + boundary merge is the
+    documented swap) and two tiny aggregates."""
+    o = tables["orders"].filter(F.col("o_orderstatus") == "O")
+    w = Window.orderBy("o_orderkey")
+    runs = (o.select("o_orderkey",
+                     (F.col("o_orderkey")
+                      - F.row_number().over(w)).alias("grp"))
+            .groupBy("grp").agg(F.count("*").alias("island_len")))
+    return (runs.groupBy("island_len")
+            .agg(F.count("*").alias("n_islands"))
+            .orderBy("island_len"))
+
+
+def _x156_mad_outliers(spark, tables):
+    """Robust per-source outlier census via MAD (median absolute
+    deviation): exact median of n_chars (value-at-row), exact median
+    of |n_chars - median|, then the count of docs with deviation
+    > 3x MAD — the quality-filter stage that survives heavy tails
+    where x22's stddev does not. All-integer; both medians tie-broken
+    by doc_id.
+
+    Scale shape: two per-source sorts (the exact gate spelling) + one
+    count join-back; the 100 TB swap is approx_percentile for both
+    medians (x91 pattern), which removes both sorts."""
+    docs = tables["documents"]
+    w1 = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    med = (docs.select("source", "n_chars", "doc_id",
+                       F.row_number().over(w1).alias("rn"),
+                       F.count("*").over(wn).alias("n"))
+           .groupBy("source")
+           .agg(F.max(F.when(F.expr("rn = (n + 1) div 2"),
+                             F.col("n_chars"))).alias("med"),
+                F.max("n").alias("n_docs")))
+    dev = (docs.join(med, "source")
+           .select("source", "doc_id", "n_docs", "med",
+                   F.abs(F.col("n_chars") - F.col("med")).alias("dev")))
+    w2 = Window.partitionBy("source").orderBy("dev", "doc_id")
+    mad = (dev.select("source", "dev", "doc_id",
+                      F.row_number().over(w2).alias("rn"),
+                      F.col("n_docs"))
+           .groupBy("source")
+           .agg(F.max(F.when(F.expr("rn = (n_docs + 1) div 2"),
+                             F.col("dev"))).alias("mad")))
+    return (dev.join(mad, "source")
+            .groupBy("source", "n_docs", "med", "mad")
+            .agg(F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
+                 .alias("n_outliers"))
+            .orderBy("source"))
+
+
+def _x157_chi2_independence(spark, tables):
+    """Chi-square independence audit of the lang x source contingency
+    table — is language distribution uniform across sources, or does
+    one source skew the mix? All-integer in scaled units so the sum
+    is order-independent under the hash gate: E_milli = R*C*1000 div
+    N, d_milli = O*1000 - E_milli, per-cell term = d_milli^2 div
+    E_milli (= 1000*(O-E)^2/E), chi2_milli = SUM(term). Intermediate
+    bound: d_milli^2 <= (1000*N)^2 needs N <= 3e6 docs per... no —
+    d_milli <= 1000*max(O, E) <= 1000*N, so d_milli^2 fits int64 up
+    to N ~ 3e9 docs; beyond that drop to the x92 double-tree.
+
+    Scale shape: one (lang, source) aggregate (tiny output), then
+    row/column margins as two window sums over that tiny table —
+    nothing corpus-sized is shuffled twice."""
+    docs = tables["documents"]
+    cell = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wg = Window.partitionBy()
+    t = (cell.withColumn("r", F.sum("o").over(wl))
+         .withColumn("c", F.sum("o").over(ws))
+         .withColumn("n", F.sum("o").over(wg))
+         .withColumn("e_milli", F.expr("r * c * 1000 div n"))
+         .withColumn("term", F.expr(
+             "(o * 1000 - e_milli) * (o * 1000 - e_milli) div e_milli")))
+    return (t.agg(F.count("*").alias("n_cells"),
+                  F.max("n").alias("n_docs"),
+                  F.sum("term").alias("chi2_milli")))
+
+
+def _split_contamination_oracle_sql() -> str:
+    from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    mh = _minhash_oracle_sql(n_hashes=64, bands=16, shingle_k=2,
+                             threshold=0.5)
+    h = portable_hash64_sql("'v1' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH mh AS (
+{mh}
+), split AS (
+  SELECT doc_id,
+         CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT LEAST(sa.split, sb.split) AS split_a,
+       GREATEST(sa.split, sb.split) AS split_b,
+       COUNT(*) AS n_pairs
+FROM mh JOIN split sa ON sa.doc_id = mh.id_a
+        JOIN split sb ON sb.doc_id = mh.id_b
+GROUP BY 1, 2 ORDER BY split_a, split_b
+"""
+
+
+_QQ_ALIGNMENT_ORACLE = """
+WITH g AS (
+  SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+), gd AS (
+  SELECT d.d AS decile,
+         MAX(CASE WHEN rn = (d.d * n + 9) // 10 THEN n_chars END) AS global_v
+  FROM g, (SELECT unnest(range(1, 10)) AS d) d
+  GROUP BY d.d
+), s AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), sd AS (
+  SELECT source, d.d AS decile,
+         MAX(CASE WHEN rn = (d.d * n + 9) // 10 THEN n_chars END) AS src_v
+  FROM s, (SELECT unnest(range(1, 10)) AS d) d
+  GROUP BY source, d.d
+)
+SELECT sd.source, sd.decile, sd.src_v, gd.global_v,
+       sd.src_v - gd.global_v AS gap
+FROM sd JOIN gd USING (decile)
+ORDER BY source, decile
+"""
+
+
+_NULL_SAFE_JOIN_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(o_orderkey % 10, 5) AS k, COUNT(*) AS n_a
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT NULLIF(l_orderkey % 10, 5) AS k, COUNT(*) AS n_b
+  FROM lineitem GROUP BY 1
+)
+SELECT a.k, a.n_a, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY a.k NULLS FIRST
+"""
+
+
+_RANK_DISTRIBUTIONS_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey), 4) AS pr,
+       ROUND(CUME_DIST() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderkey), 4) AS cd
+FROM orders WHERE o_orderkey <= 2000
+ORDER BY o_orderkey
+"""
+
+
+_GAPS_ISLANDS_ORACLE = """
+WITH runs AS (
+  SELECT o_orderkey - ROW_NUMBER() OVER (ORDER BY o_orderkey) AS grp
+  FROM orders WHERE o_orderstatus = 'O'
+), islands AS (
+  SELECT grp, COUNT(*) AS island_len FROM runs GROUP BY grp
+)
+SELECT island_len, COUNT(*) AS n_islands
+FROM islands GROUP BY island_len ORDER BY island_len
+"""
+
+
+_MAD_OUTLIERS_ORACLE = """
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), med AS (
+  SELECT source,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med,
+         MAX(n) AS n_docs
+  FROM ranked GROUP BY source
+), dev AS (
+  SELECT d.source, d.doc_id, m.n_docs, m.med,
+         ABS(d.n_chars - m.med) AS dev
+  FROM documents d JOIN med m USING (source)
+), dranked AS (
+  SELECT source, dev, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY dev, doc_id) AS rn
+  FROM dev
+), mad AS (
+  SELECT source,
+         MAX(CASE WHEN rn = (n_docs + 1) // 2 THEN dev END) AS mad
+  FROM dranked GROUP BY source
+)
+SELECT d.source, d.n_docs, d.med, m.mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad m USING (source)
+GROUP BY d.source, d.n_docs, d.med, m.mad
+ORDER BY d.source
+"""
+
+
+_CHI2_ORACLE = """
+WITH cell AS (
+  SELECT lang, source, COUNT(*) AS o
+  FROM documents GROUP BY lang, source
+), t AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY lang) AS r,
+         SUM(o) OVER (PARTITION BY source) AS c,
+         SUM(o) OVER () AS n
+  FROM cell
+), terms AS (
+  SELECT o, n, (r * c * 1000) // n AS e_milli FROM t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST(SUM((o * 1000 - e_milli) * (o * 1000 - e_milli) // e_milli)
+            AS BIGINT) AS chi2_milli
+FROM terms
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -639,6 +993,13 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x148_length_octaves": _q(_x148_length_octaves),
         "x149_dup_graph_triangles": _q(_x149_dup_graph_triangles),
         "x150_kendall_quality": _q(_x150_kendall_quality),
+        "x151_split_contamination": _q(_x151_split_contamination),
+        "x152_qq_alignment": _q(_x152_qq_alignment),
+        "x153_null_safe_join": _q(_x153_null_safe_join),
+        "x154_rank_distributions": _q(_x154_rank_distributions),
+        "x155_gaps_islands": _q(_x155_gaps_islands),
+        "x156_mad_outliers": _q(_x156_mad_outliers),
+        "x157_chi2_independence": _q(_x157_chi2_independence),
     }
 
 
@@ -654,4 +1015,11 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x148_length_octaves": _LENGTH_OCTAVES_ORACLE,
         "x149_dup_graph_triangles": _dup_triangles_oracle_sql(),
         "x150_kendall_quality": _KENDALL_ORACLE,
+        "x151_split_contamination": _split_contamination_oracle_sql(),
+        "x152_qq_alignment": _QQ_ALIGNMENT_ORACLE,
+        "x153_null_safe_join": _NULL_SAFE_JOIN_ORACLE,
+        "x154_rank_distributions": _RANK_DISTRIBUTIONS_ORACLE,
+        "x155_gaps_islands": _GAPS_ISLANDS_ORACLE,
+        "x156_mad_outliers": _MAD_OUTLIERS_ORACLE,
+        "x157_chi2_independence": _CHI2_ORACLE,
     }

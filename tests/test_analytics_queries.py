@@ -260,3 +260,121 @@ def test_principal_direction_is_one_arrow_pass(spark, tables, sf_dir):
     assert "MapInPandas" not in plan, plan      # pre-materialized
     assert "embeddings.parquet" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_split_contamination_partitions_pair_universe(spark, tables, sf_dir):
+    """x151: every LSH pair lands in exactly one unordered split-pair
+    bucket, labels are the x39 split names, and the bucket sum equals
+    the total threshold-0.5 pair count."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x151_split_contamination)
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    t = load_tables(spark, sf_dir)
+    rows = _x151_split_contamination(spark, t).collect()
+    names = {"train", "val", "test"}
+    assert all(r["split_a"] in names and r["split_b"] in names for r in rows)
+    assert all(r["split_a"] <= r["split_b"] for r in rows)
+    total = minhash_near_dups(
+        t["documents"], threshold=0.5, n_hashes=64, bands=16, shingle_k=2,
+        hasher=portable_hash64, max_bucket_size=None).count()
+    assert sum(r["n_pairs"] for r in rows) == total
+
+
+def test_qq_alignment_gap_identity_and_monotone(spark, tables, sf_dir):
+    """x152: gap == src_v - global_v, every source carries deciles
+    1..9, and decile values are non-decreasing within a source."""
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
+    rows = analytics_queries()["x152_qq_alignment"](spark, sf_dir).collect()
+    per: dict[str, list] = {}
+    for r in rows:
+        assert r["gap"] == r["src_v"] - r["global_v"]
+        per.setdefault(r["source"], []).append((r["decile"], r["src_v"]))
+    for src, ds in per.items():
+        ds.sort()
+        assert [d for d, _ in ds] == list(range(1, 10)), src
+        vals = [v for _, v in ds]
+        assert vals == sorted(vals), (src, vals)
+
+
+def test_null_safe_join_keeps_the_null_bucket(spark, tables, sf_dir):
+    """x153: the NULL key bucket matches NULL (the row a plain ``=``
+    join silently drops); all ten key classes appear exactly once."""
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
+    rows = analytics_queries()["x153_null_safe_join"](spark, sf_dir).collect()
+    keys = [r["k"] for r in rows]
+    assert keys[0] is None                        # NULLS FIRST pinned
+    assert sorted(k for k in keys if k is not None) == [0, 1, 2, 3, 4,
+                                                       6, 7, 8, 9]
+    assert all(r["n_a"] > 0 and r["n_b"] > 0 for r in rows)
+
+
+def test_rank_distributions_toy_values(spark):
+    """x154: percent_rank/cume_dist on a known fixture — 4-row
+    partition gives pr = 0, 1/3, 2/3, 1 and cd = k/4; a single-row
+    partition gives pr = 0.0, cd = 1.0 in both engines."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x154_rank_distributions)
+    rows = [(1, 10), (2, 10), (3, 10), (4, 10), (5, 20)]
+    o = spark.createDataFrame(
+        [(k, c, "O") for k, c in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string")
+    got = {r["o_orderkey"]: (r["pr"], r["cd"])
+           for r in _x154_rank_distributions(spark, {"orders": o}).collect()}
+    assert got[1] == (0.0, 0.25)
+    assert got[2] == (round(1 / 3, 4), 0.5)
+    assert got[3] == (round(2 / 3, 4), 0.75)
+    assert got[4] == (1.0, 1.0)
+    assert got[5] == (0.0, 1.0)
+
+
+def test_gaps_islands_histogram_reconstructs_rowcount(spark, tables, sf_dir):
+    """x155: sum(island_len * n_islands) == the number of 'O' orders —
+    the histogram is a partition of the filtered keyspace."""
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    rows = analytics_queries()["x155_gaps_islands"](spark, sf_dir).collect()
+    n = (load_tables(spark, sf_dir)["orders"]
+         .filter(F.col("o_orderstatus") == "O").count())
+    assert sum(r["island_len"] * r["n_islands"] for r in rows) == n
+    assert all(r["island_len"] >= 1 for r in rows)
+
+
+def test_mad_outliers_toy_fixture(spark):
+    """x156: constant source with one extreme value -> MAD 0 and
+    exactly one outlier; a symmetric source gets the exact median/MAD
+    and no 3-MAD outliers."""
+    from hive_parse_lineage_spark.analytics_queries import _x156_mad_outliers
+    rows = ([(i, "t", "flat", 10) for i in range(4)] + [(9, "t", "flat", 1000)]
+            + [(20 + i, "t", "sym", v)
+               for i, v in enumerate([1, 2, 3, 4, 5])])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    got = {r["source"]: r for r in
+           _x156_mad_outliers(spark, {"documents": docs}).collect()}
+    assert (got["flat"]["med"], got["flat"]["mad"],
+            got["flat"]["n_outliers"]) == (10, 0, 1)
+    assert (got["sym"]["med"], got["sym"]["mad"],
+            got["sym"]["n_outliers"]) == (3, 1, 0)
+
+
+def test_chi2_zero_under_exact_independence(spark):
+    """x157: a contingency table with identical lang mix in every
+    source has chi2_milli == 0; skewing one cell makes it positive."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x157_chi2_independence)
+    indep = [(i, "t", l, s, 1) for i, (l, s) in enumerate(
+        [(l, s) for l in ("en", "de") for s in ("a", "b") for _ in range(2)])]
+    docs = spark.createDataFrame(
+        [(i, "t", l, s) for i, (_, _, l, s, _) in enumerate(indep)],
+        "doc_id long, text string, lang string, source string")
+    r = _x157_chi2_independence(spark, {"documents": docs}).collect()[0]
+    assert r["chi2_milli"] == 0 and r["n_cells"] == 4
+    skew = [(i, "t", "en", "a") for i in range(6)] + [
+        (10, "t", "de", "a"), (11, "t", "en", "b"),
+        (12, "t", "de", "b"), (13, "t", "de", "b")]
+    docs2 = spark.createDataFrame(
+        skew, "doc_id long, text string, lang string, source string")
+    r2 = _x157_chi2_independence(spark, {"documents": docs2}).collect()[0]
+    assert r2["chi2_milli"] > 0

@@ -447,6 +447,21 @@ _HINT_BUDGETS = {
                                     "1-row census crossjoins unhinted"),
     "x150_kendall_quality": (0, "within-source pair join bounded to "
                                 "32 rows per key; no hints"),
+    "x151_split_contamination": (0, "LSH pair stream and split map "
+                                    "both corpus-proportional; all "
+                                    "joins shuffle, AQE decides"),
+    "x152_qq_alignment": (0, "9-row decile join left to AQE; both "
+                             "sort sides corpus-proportional"),
+    "x153_null_safe_join": (0, "both sides pre-aggregated to key "
+                               "cardinality; AQE decides"),
+    "x154_rank_distributions": (0, "windows only, no joins"),
+    "x155_gaps_islands": (0, "global-sort window + two aggregates, "
+                             "no joins"),
+    "x156_mad_outliers": (0, "med/mad tables are |sources|-row but "
+                             "join back into corpus-sized dev stream; "
+                             "AQE decides"),
+    "x157_chi2_independence": (0, "window sums over the tiny "
+                                  "contingency table, no joins"),
 }
 
 
