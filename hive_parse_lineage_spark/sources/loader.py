@@ -29,6 +29,53 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: tables whose per-row payload is compute-heavy (text tokenization /
+#: shingling, vector math, JSON parsing) — the ones where a
+#: parallelism-starved scan serializes real work, not just IO.
+_HEAVY_PAYLOAD_TABLES = frozenset({"documents", "embeddings", "events"})
+
+#: partitioning key per heavy table (unique → uniform hash spread;
+#: hash repartition is deterministic, unlike round-robin).
+_HEAVY_PAYLOAD_KEY = {"documents": "doc_id", "embeddings": "vec_id",
+                      "events": "event_id"}
+
+
+def _scan_parallelism_guard(spark: SparkSession, path: str,
+                            name: str, df: DataFrame) -> DataFrame:
+    """Repartition a heavy-payload table whose file cannot split.
+
+    A parquet row group is Spark's atomic scan unit: a file with fewer
+    row groups than cores pins the whole scan stage — and, under
+    whole-stage codegen, every fused per-row expression (shingling,
+    ``array_distinct``, JSON extraction, vector arithmetic) — to that
+    many tasks. Upstream writers produce such files routinely (DuckDB's
+    default row group is 122 880 rows, so any export under that is ONE
+    group; pandas/pyarrow default even larger). Measured here: x36's
+    3-shingle repetition scan over 50k docs in a 1-row-group file ran
+    26 s single-threaded vs ~2 s spread over 16 cores.
+
+    Guard rule: for documents/embeddings/events only (per-row compute
+    dominates; dims and facts do light work per row and parallelize at
+    their first shuffle anyway), when the footer shows fewer row groups
+    than ``defaultParallelism`` AND at least 64 rows per core, insert a
+    deterministic hash repartition on the table's unique key. The
+    exchange moves only the table's raw bytes once (2.3 MB at sf0.1)
+    and buys back full-width codegen stages. At 100 TB the same guard
+    is the standard defensive spread after a selective filter or a
+    consolidated upstream export; well-laid-out multi-file data skips
+    it (row groups >= cores short-circuits).
+    """
+    try:
+        import pyarrow.parquet as pq
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if meta.num_row_groups < par and meta.num_rows >= 64 * par:
+        return df.repartition(par, F.col(_HEAVY_PAYLOAD_KEY[name]))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing types where needed.
 
@@ -44,7 +91,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       TIMESTAMP (values unchanged — the session zone is UTC).
     """
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name in _HEAVY_PAYLOAD_TABLES:
+        df = _scan_parallelism_guard(spark, path, name, df)
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

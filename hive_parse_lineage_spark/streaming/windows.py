@@ -289,15 +289,28 @@ def run_two_streams_over_batch(spark, left_df: DataFrame,
     """Two-source variant of :func:`run_stream_over_batch` for
     stream-stream joins: both batch frames become file streams,
     ``transform2(left_stream, right_stream)`` builds the joined
-    stream, results land in a memory sink."""
+    stream, results land in a memory sink.
+
+    Each side is staged as ONE file. A watermarked stream-stream join
+    only reproduces the batch join when input arrives in event-time
+    order: with ``maxFilesPerTrigger=1`` and a hash-partitioned
+    multi-file staging (which the loader's scan-parallelism guard now
+    produces for ``events``), files replay in arbitrary time order and
+    the watermark correctly drops the "late" rows — correct streaming
+    semantics, but not the equivalence contract these harness runs
+    exist to check. One file per side = one micro-batch per side = no
+    cross-batch watermark drops. ``repartition(1)`` (not ``coalesce``)
+    so the upstream transform keeps its parallelism; only the final
+    write is single-task.
+    """
     import shutil
     import tempfile
 
     ltmp = tempfile.mkdtemp(prefix="stream_l_")
     rtmp = tempfile.mkdtemp(prefix="stream_r_")
     try:
-        left_df.write.mode("overwrite").parquet(ltmp)
-        right_df.write.mode("overwrite").parquet(rtmp)
+        left_df.repartition(1).write.mode("overwrite").parquet(ltmp)
+        right_df.repartition(1).write.mode("overwrite").parquet(rtmp)
         lsrc = (spark.readStream.schema(left_df.schema)
                 .option("maxFilesPerTrigger", 1).parquet(ltmp))
         rsrc = (spark.readStream.schema(right_df.schema)

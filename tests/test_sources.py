@@ -373,3 +373,45 @@ def test_orc_round_trip_with_pushdown_and_pruning(spark, tables, tmp_path):
     assert "PartitionFilters" in plan
     exp = orders.filter("o_totalprice > 50000 AND o_orderstatus = 'F'")
     assert df.count() == exp.count()
+
+
+def test_scan_parallelism_guard_spreads_single_row_group(spark, tmp_path):
+    """A single-row-group parquet pins the whole scan stage — and every
+    codegen-fused per-row expression — to ONE task regardless of cores
+    (measured: x36's shingle scan, 26 s on 1 task vs ~2 s spread).
+    The loader guard must insert a deterministic hash repartition for
+    heavy-payload tables in that layout, and must short-circuit when
+    the file is already splittable or too small to matter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hive_parse_lineage_spark.sources.loader import (
+        _scan_parallelism_guard)
+
+    par = spark.sparkContext.defaultParallelism
+    n = 64 * par + 10
+
+    # one row group, enough rows -> guard repartitions to `par`
+    one = str(tmp_path / "one.parquet")
+    pq.write_table(pa.table({"doc_id": list(range(n))}), one,
+                   row_group_size=n)
+    df = spark.read.parquet(one)
+    guarded = _scan_parallelism_guard(spark, one, "documents", df)
+    assert "RepartitionByExpression" in guarded._jdf.queryExecution() \
+        .logical().toString()
+    assert guarded.rdd.getNumPartitions() == par
+    assert guarded.count() == n
+
+    # already-splittable layout (row groups >= cores) -> untouched
+    many = str(tmp_path / "many.parquet")
+    pq.write_table(pa.table({"doc_id": list(range(n))}), many,
+                   row_group_size=max(1, n // (par * 2)))
+    df2 = spark.read.parquet(many)
+    assert _scan_parallelism_guard(spark, many, "documents", df2) is df2
+
+    # tiny table (under 64 rows/core) -> not worth an exchange
+    tiny = str(tmp_path / "tiny.parquet")
+    pq.write_table(pa.table({"doc_id": list(range(63 * par))}), tiny,
+                   row_group_size=63 * par)
+    df3 = spark.read.parquet(tiny)
+    assert _scan_parallelism_guard(spark, tiny, "documents", df3) is df3
