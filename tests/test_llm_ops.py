@@ -627,3 +627,17 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semdedup_arrow_and_sql_paths_agree(spark, tables):
+    """The BLAS gram-matrix pair stage (use_arrow, default) and the
+    per-cell SQL equi-join must produce identical (cell, kept) for
+    every vector — same float64 cosine contract, two spellings."""
+    from hive_parse_lineage_spark.operators.dedup import semdedup
+    e = tables["embeddings"].filter(F.col("vec_id") < 300)
+    seeds = (e.filter(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("seed_id"), "embedding"))
+    ar = sorted(tuple(r) for r in semdedup(e, seeds, threshold=0.25).collect())
+    sq = sorted(tuple(r) for r in
+                semdedup(e, seeds, threshold=0.25, use_arrow=False).collect())
+    assert ar == sq and len(ar) > 0
