@@ -830,6 +830,94 @@ def _x157_chi2_independence(spark, tables):
                   F.sum("term").alias("chi2_milli")))
 
 
+#: x158's shingle width. Production decontamination uses 13-gram
+#: collisions (the GPT-3 convention); the fixture corpus averages ~20
+#: tokens/doc, so 13-grams would make nearly every doc a single
+#: shingle and the audit degenerate — 8 keeps multiple shingles per
+#: doc at every SF while exercising the identical plan.
+DECONTAM_K = 8
+
+#: a doc is "contaminated" when >= 20% of its distinct shingles occur
+#: in some benchmark doc.
+DECONTAM_PERMILLE = 200
+
+
+def _x158_benchmark_decontamination(spark, tables):
+    """Benchmark decontamination — the pre-training QA gate that keeps
+    eval answers out of the training set: flag every corpus doc whose
+    distinct 8-gram shingles overlap a held-out benchmark set by >=
+    20%, reported per source. The benchmark stand-in is the
+    deterministic 1/97 slice ``doc_id % 97 = 0`` (in production it is
+    an external eval-suite table); flagged fraction and the aggregate
+    shingle hit rate are integer permille, so the hash gate is exact.
+
+    Distinct from x151: that audit finds NEAR-dup pairs crossing a
+    random split; this one finds verbatim n-gram CONTAINMENT of a
+    fixed benchmark, the decontamination contract evals actually
+    state.
+
+    Scale shape: shingle explode -> one equi-join on the shingle
+    string -> per-doc hash agg -> per-source hash agg. The benchmark
+    side here is corpus-proportional (1/97), so it is a plain shuffle
+    join under the broadcast policy; a real eval suite is bounded
+    (~1e4 docs) and swaps to ``F.broadcast`` making the whole audit a
+    map-side pass over the corpus — the at-scale posture."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    docs = tables["documents"]
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(word_shingles("text", DECONTAM_K)))
+        .alias("gram"))
+    bench_grams = (grams.filter(F.col("doc_id") % 97 == 0)
+                   .select("gram").distinct()
+                   .withColumn("hit", F.lit(1)))
+    per_doc = (grams.filter(F.col("doc_id") % 97 != 0)
+               .join(bench_grams, "gram", "left")
+               .groupBy("doc_id", "source")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits")))
+    contaminated = (F.col("n_hits") * 1000
+                    >= F.lit(DECONTAM_PERMILLE) * F.col("n_grams"))
+    return (per_doc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(contaminated, 1).otherwise(0))
+                 .alias("n_contaminated"),
+                 F.expr("CAST(SUM(n_hits) * 1000 DIV SUM(n_grams) "
+                        "AS BIGINT)").alias("hit_permille"))
+            .orderBy("source"))
+
+
+def _x159_token_gini(spark, tables):
+    """Token-concentration (Gini) audit per source: how unevenly are
+    a source's tokens spread over its documents? A source whose token
+    mass concentrates in a few giant docs behaves very differently
+    under doc-level sampling than its doc count suggests. Exact
+    integer Gini via the rank formula over docs sorted ascending by
+    token count (tie-broken by doc_id):
+    ``gini_permille = (2*SUM(rn*tok) - (n+1)*SUM(tok)) * 1000
+    div (n * SUM(tok))``  — every term integral, so the hash gate is
+    exact on both engines.
+
+    Scale shape: one projection, one per-source sort (window
+    row_number — Spark sorts within hash partitions of ``source``),
+    one hash agg. Nothing quadratic; the sort is the cost and is the
+    same work an exact percentile needs. At 100 TB swap the exact
+    ranks for a fixed-width histogram Lorenz approximation (x131's
+    sketch)."""
+    from hive_parse_lineage_spark.functions.text import token_count
+    docs = tables["documents"].select(
+        "doc_id", "source", token_count("text").alias("tok"))
+    w = Window.partitionBy("source").orderBy("tok", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("tok").alias("total_tokens"),
+                 F.expr("CAST((2 * SUM(rn * tok) - (COUNT(*) + 1) "
+                        "* SUM(tok)) * 1000 DIV (COUNT(*) * SUM(tok)) "
+                        "AS BIGINT)").alias("gini_permille"))
+            .orderBy("source"))
+
+
 def _split_contamination_oracle_sql() -> str:
     from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
     from hive_parse_lineage_spark.functions.text import portable_hash64_sql
@@ -977,6 +1065,46 @@ FROM terms
 """
 
 
+def _decontamination_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    return f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w, text
+           FROM documents),
+g AS (SELECT doc_id, source,
+             unnest(list_distinct({_shingle_list_sql(DECONTAM_K)})) AS gram
+      FROM w),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+cd AS (SELECT g.doc_id, g.source, COUNT(*) AS n_grams,
+              SUM(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       FROM g LEFT JOIN bg ON g.gram = bg.gram
+       WHERE g.doc_id % 97 != 0
+       GROUP BY g.doc_id, g.source)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_hits * 1000 >= {DECONTAM_PERMILLE} * n_grams
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(n_hits) * 1000 // SUM(n_grams) AS BIGINT) AS hit_permille
+FROM cd GROUP BY source ORDER BY source
+"""
+
+
+_TOKEN_GINI_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS tok
+  FROM documents
+), ranked AS (
+  SELECT source, tok,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY tok, doc_id) AS rn
+  FROM d
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST((2 * SUM(rn * tok) - (COUNT(*) + 1) * SUM(tok)) * 1000
+            // (COUNT(*) * SUM(tok)) AS BIGINT) AS gini_permille
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1000,6 +1128,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x155_gaps_islands": _q(_x155_gaps_islands),
         "x156_mad_outliers": _q(_x156_mad_outliers),
         "x157_chi2_independence": _q(_x157_chi2_independence),
+        "x158_benchmark_decontamination": _q(_x158_benchmark_decontamination),
+        "x159_token_gini": _q(_x159_token_gini),
     }
 
 
@@ -1022,4 +1152,6 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x155_gaps_islands": _GAPS_ISLANDS_ORACLE,
         "x156_mad_outliers": _MAD_OUTLIERS_ORACLE,
         "x157_chi2_independence": _CHI2_ORACLE,
+        "x158_benchmark_decontamination": _decontamination_oracle_sql(),
+        "x159_token_gini": _TOKEN_GINI_ORACLE,
     }

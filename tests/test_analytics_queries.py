@@ -378,3 +378,41 @@ def test_chi2_zero_under_exact_independence(spark):
         skew, "doc_id long, text string, lang string, source string")
     r2 = _x157_chi2_independence(spark, {"documents": docs2}).collect()[0]
     assert r2["chi2_milli"] > 0
+
+
+def test_decontamination_flags_verbatim_copy(spark):
+    """x158: a corpus doc that verbatim-copies a benchmark doc (>= 8
+    shared tokens) is flagged; an unrelated doc is not; benchmark
+    members themselves are excluded from the audited population."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x158_benchmark_decontamination)
+    bench_text = "a b c d e f g h i j k l"
+    rows = [
+        (0, bench_text, "s1"),            # benchmark member (0 % 97 == 0)
+        (1, bench_text + " tail", "s1"),  # contains every benchmark 8-gram
+        (2, "z y x w v u t s r q p o", "s1"),  # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in
+           _x158_benchmark_decontamination(spark, {"documents": docs}).collect()}
+    r = got["s1"]
+    assert r["n_docs"] == 2          # doc 0 excluded
+    assert r["n_contaminated"] == 1  # doc 1 only
+    assert 0 < r["hit_permille"] < 1000
+
+
+def test_token_gini_extremes(spark):
+    """x159: equal-length docs -> gini 0; all tokens in one doc of n
+    -> gini approaches (n-1)/n (integer permille, exact rank formula)."""
+    from hive_parse_lineage_spark.analytics_queries import _x159_token_gini
+    rows = ([(i, "w w w w", "flat") for i in range(4)]
+            + [(10 + i, "w", "skew") for i in range(4)]
+            + [(20, " ".join(["w"] * 96), "skew")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in
+           _x159_token_gini(spark, {"documents": docs}).collect()}
+    assert got["flat"]["gini_permille"] == 0
+    assert got["flat"]["total_tokens"] == 16
+    # skew: tok = [1,1,1,1,96], n=5, sum=100, sum(rn*tok)=1+2+3+4+480=490
+    # (2*490 - 6*100)*1000 // (5*100) = 380*1000 // 500 = 760
+    assert got["skew"]["gini_permille"] == 760
