@@ -255,12 +255,15 @@ def duplicate_span_stats(docs: DataFrame, n: int = 10, min_docs: int = 2,
 
     1. positional shingles: ``posexplode(word_shingles(n))`` — pure
        codegen, |tokens| rows;
-    2. the duplicated-shingle set: one shuffle on the shingle (the
-       COUNT(DISTINCT doc) is an expand+2-level agg, map-side partials
-       apply);
-    3. occurrences semi-join the dup set on the shingle (second
-       shuffle; the dup set is usually small but unbounded, so this is
-       a shuffle join, not a broadcast — AQE converts it when it fits);
+    2. duplicated-occurrence marking: for the default ``min_docs=2``
+       the test "shingle occurs in >= 2 documents" is exactly
+       ``min(doc) != max(doc)`` over the shingle's occurrence group, so
+       ONE window over a single shuffle on the shingle replaces the
+       older count-distinct-aggregate + self-semi-join spelling — the
+       shingle stream (the |tokens|-row posexplode, the expensive part)
+       is derived once instead of twice, and the join disappears.
+       For ``min_docs > 2`` the general count-distinct + semi-join path
+       is kept (second shuffle; shuffle join, AQE converts when small);
     4. covered positions by INTERVAL UNION (gaps-and-islands over the
        [pos, pos+n-1] spans, one shuffle on the doc id): running-max
        end over a pos-ordered window marks island starts, a cumulative
@@ -278,18 +281,33 @@ def duplicate_span_stats(docs: DataFrame, n: int = 10, min_docs: int = 2,
 
     from hive_parse_lineage_spark.functions.text import token_count
 
+    # The shingle is a purely internal grouping key (never output,
+    # never oracle-compared), so fold the ~n-token strings to 8-byte
+    # xxhash64 ints AT the explode — the shingle shuffle then moves
+    # fixed-width ints instead of long strings (the same fold x105
+    # applies; a cross-shingle collision would need ~2^32 distinct
+    # shingles per 50% chance — corpus vocabularies sit orders below).
     occ = (spread_for_compute(docs)
            .select(F.col(id_col), token_count(text_col).alias("n_tokens"),
-                   F.posexplode(word_shingles(text_col, n))
+                   F.posexplode(F.transform(word_shingles(text_col, n),
+                                            lambda s: F.xxhash64(s)))
                     .alias("pos", "shingle")))
-    dup = (occ.groupBy("shingle")
-           .agg(F.countDistinct(id_col).alias("nd"))
-           .filter(F.col("nd") >= min_docs)
-           .select("shingle"))
     span_end = (F.when(F.col("n_tokens") >= n, F.col("pos") + n - 1)
                 .otherwise(F.col("n_tokens") - 1))
-    spans = (occ.join(dup, "shingle")
-             .select(id_col, "pos", span_end.alias("end")))
+    if min_docs == 2:
+        w_sh = Window.partitionBy("shingle")
+        spans = (occ
+                 .withColumn("_dup", F.min(id_col).over(w_sh)
+                             != F.max(id_col).over(w_sh))
+                 .filter(F.col("_dup"))
+                 .select(id_col, "pos", span_end.alias("end")))
+    else:
+        dup = (occ.groupBy("shingle")
+               .agg(F.countDistinct(id_col).alias("nd"))
+               .filter(F.col("nd") >= min_docs)
+               .select("shingle"))
+        spans = (occ.join(dup, "shingle")
+                 .select(id_col, "pos", span_end.alias("end")))
     w_prev = (Window.partitionBy(id_col).orderBy("pos")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_cum = (Window.partitionBy(id_col).orderBy("pos")

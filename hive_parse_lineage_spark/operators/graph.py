@@ -17,6 +17,7 @@ every few rounds exactly as connected_components does.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Window as SqlWindow
 
 SCALE = 1_000_000          # 1.0 rank == 1e6 ppm
 DAMP_PPM = 850_000         # 0.85 damping
@@ -26,7 +27,8 @@ BASE_PPM = SCALE - DAMP_PPM
 def pagerank_fixed_point(edges: DataFrame, vertices: DataFrame,
                          rounds: int = 2,
                          src_col: str = "id_a", dst_col: str = "id_b",
-                         vertex_col: str = "vertex") -> DataFrame:
+                         vertex_col: str = "vertex",
+                         checkpoint: bool = True) -> DataFrame:
     """PageRank with integer fixed-point arithmetic over an UNDIRECTED
     pair list (each pair contributes both directions).
 
@@ -36,13 +38,34 @@ def pagerank_fixed_point(edges: DataFrame, vertices: DataFrame,
     engine-exact). Isolated vertices settle at BASE_PPM. Returns
     (vertex, rank_ppm) after ``rounds`` synchronous rounds from a
     uniform 1.0 start.
+
+    ``checkpoint`` (default on) localCheckpoints the degree-annotated
+    adjacency before iterating. Without it the EDGES subtree is pasted
+    into the plan once per reference — twice per unrolled round plus
+    the degree aggregate — so an expensive edge derivation (x100 feeds
+    the full MinHash-LSH pipeline in here) executes ~2*rounds times;
+    with it the derivation runs exactly once and every round joins the
+    materialized adjacency. Same contract either way.
     """
-    adj = (edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("u"))
-           .unionByName(
-               edges.select(F.col(dst_col).alias("v"),
-                            F.col(src_col).alias("u"))))
-    deg = adj.groupBy("v").agg(F.count("*").alias("deg"))
-    adj_deg = adj.join(deg, "v")
+    # Symmetrize with ONE explode pass, not a self-union: a union
+    # pastes the (possibly expensive) edges subtree into the plan
+    # twice, so e.g. x100's LSH edge derivation would execute twice
+    # even under the checkpoint below.
+    adj = (edges
+           .select(F.explode(F.array(
+               F.struct(F.col(src_col).alias("v"),
+                        F.col(dst_col).alias("u")),
+               F.struct(F.col(dst_col).alias("v"),
+                        F.col(src_col).alias("u")))).alias("e"))
+           .select("e.v", "e.u"))
+    # Degree-annotate with a count window over the same shuffle a
+    # groupBy+join-back would need — but referencing adj (and through
+    # it the edges subtree) exactly ONCE, so the whole edge derivation
+    # executes once when the checkpoint below materializes.
+    adj_deg = adj.withColumn(
+        "deg", F.count("*").over(SqlWindow.partitionBy("v")))
+    if checkpoint:
+        adj_deg = adj_deg.localCheckpoint(eager=True)
     ranks = vertices.select(F.col(vertex_col),
                             F.lit(SCALE).cast("long").alias("rank_ppm"))
     for _ in range(rounds):

@@ -276,9 +276,10 @@ def test_rolling_zscore_single_window_shuffle(spark, tables, sf_dir):
 
 
 def test_dup_span_no_cartesian_and_pruned_scan(spark, tables, sf_dir):
-    """x73 joins occurrences to the duplicated-shingle set on the
-    shingle key — a hash join, never a cartesian; and the documents
-    scan must prune to (doc_id, text) only."""
+    """x73 marks duplicated occurrences with one min!=max window over
+    the shingle shuffle (no occurrence/dup-set join at min_docs=2, and
+    never a cartesian); the documents scan must prune to
+    (doc_id, text) only."""
     from hive_parse_lineage_spark.corpus_queries import corpus_queries
     df = corpus_queries()["x73_dup_span_fraction"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
