@@ -918,6 +918,314 @@ def _x159_token_gini(spark, tables):
             .orderBy("source"))
 
 
+def _x160_fuzzy_linkage(spark, tables):
+    """Blocked fuzzy record linkage (entity resolution) over the part
+    catalog: candidate pairs share a block key — (noun, brand, size) —
+    and are verified by exact Levenshtein distance over the full
+    descriptor ``p_name || ' ' || p_type``; per noun the census reports
+    pair volume, linked pairs (distance <= 4), and the distance range.
+    This is the entity-dedup primitive every ingestion pipeline needs
+    before exact/near-dup text passes (two records of the SAME product
+    are not "near-duplicate documents", they are the same entity).
+
+    Determinism: Spark ``levenshtein`` and DuckDB ``levenshtein`` both
+    compute the unit-cost insert/delete/substitute edit distance, so
+    the counts hash-match exactly.
+
+    Scale shape: the self-join is a plain hash equi-join on the block
+    key (never hinted — both sides are the corpus), and the block key
+    includes the exact size so block populations stay O(catalog /
+    #blocks); the quadratic verify is per-block bounded the same way
+    LSH bands bound MinHash. Skewed blocks are x127's pre-flight
+    diagnosis; the fix (split the block key further) is local."""
+    p = tables["part"].select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(1).alias("noun"),
+        "p_brand", "p_size",
+        F.concat(F.col("p_name"), F.lit(" "), F.col("p_type")).alias("s"))
+    a, b = p.alias("a"), p.alias("b")
+    pairs = (a.join(b, (F.col("a.noun") == F.col("b.noun"))
+                    & (F.col("a.p_brand") == F.col("b.p_brand"))
+                    & (F.col("a.p_size") == F.col("b.p_size"))
+                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+             .select(F.col("a.noun").alias("noun"),
+                     F.levenshtein(F.col("a.s"), F.col("b.s"))
+                     .cast("long").alias("lev")))
+    return (pairs.groupBy("noun")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum((F.col("lev") <= 4).cast("long")).alias("n_linked"),
+                 F.min("lev").alias("min_lev"),
+                 F.max("lev").alias("max_lev"))
+            .orderBy("noun"))
+
+
+_FUZZY_LINKAGE_ORACLE = """
+WITH p AS (
+  SELECT p_partkey, string_split(p_name, ' ')[2] AS noun, p_brand, p_size,
+         p_name || ' ' || p_type AS s
+  FROM part
+), pairs AS (
+  SELECT a.noun AS noun, levenshtein(a.s, b.s) AS lev
+  FROM p a JOIN p b
+    ON a.noun = b.noun AND a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+)
+SELECT noun, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN lev <= 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_linked,
+       MIN(lev) AS min_lev, MAX(lev) AS max_lev
+FROM pairs GROUP BY noun ORDER BY noun
+"""
+
+
+def _x161_kcore_peel(spark, tables):
+    """Bounded k-core peeling (k = 2, 3 rounds) of the near-dup graph:
+    iteratively delete vertices of degree < 2 and the edges they carry,
+    reporting (surviving vertices, surviving edges) after each round.
+    Peeling separates incidental pairwise near-dups (degree-1 fringe —
+    harmless) from the dense boilerplate CORE that survives every
+    round — the thing a curator must actually fix. Complements x46
+    (who is connected to whom) and x100 (who radiates rank) with HOW
+    DENSE the duplication is.
+
+    Bounded rounds keep the iteration SQL-unrollable, the same
+    contract as connected_components/pagerank; all arithmetic is
+    counting, so the gate is exact.
+
+    Scale shape: edges come from the banded LSH pipeline (never
+    all-pairs) and are localCheckpointed ONCE — each peel round is
+    then one degree count + two semi-join filters over the
+    edge-proportional survivor set, never touching documents again.
+    The round summaries are single-row aggregates crossed into a
+    3-row result."""
+    from functools import reduce
+
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    e = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                           shingle_k=2, hasher=portable_hash64,
+                           max_bucket_size=None)
+         .select("id_a", "id_b").localCheckpoint(eager=True))
+    out = []
+    for r in (1, 2, 3):
+        adj = (e.select(F.explode(F.array(
+                   F.col("id_a"), F.col("id_b"))).alias("v")))
+        kept = (adj.groupBy("v").agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= 2).select("v"))
+        e = (e.join(kept.select(F.col("v").alias("id_a")), "id_a")
+             .join(kept.select(F.col("v").alias("id_b")), "id_b")
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+        out.append(kept.agg(F.count("*").alias("n_vertices"))
+                   .crossJoin(e.agg(F.count("*").alias("n_edges")))
+                   .select(F.lit(r).alias("peel_round"),
+                           "n_vertices", "n_edges"))
+    return reduce(lambda x, y: x.unionByName(y), out).orderBy("peel_round")
+
+
+def _kcore_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _cc_edges_sql
+    rounds = []
+    prev = "e0"
+    for r in (1, 2, 3):
+        rounds.append(f"""
+a{r} AS (SELECT id_a AS v FROM {prev} UNION ALL SELECT id_b FROM {prev}),
+d{r} AS (SELECT v, COUNT(*) AS deg FROM a{r} GROUP BY v),
+k{r} AS (SELECT v FROM d{r} WHERE deg >= 2),
+e{r} AS (SELECT {prev}.id_a, {prev}.id_b FROM {prev}
+         JOIN k{r} ka ON {prev}.id_a = ka.v
+         JOIN k{r} kb ON {prev}.id_b = kb.v)""")
+        prev = f"e{r}"
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS peel_round, "
+        f"(SELECT COUNT(*) FROM k{r}) AS n_vertices, "
+        f"(SELECT COUNT(*) FROM e{r}) AS n_edges" for r in (1, 2, 3))
+    return f"""
+WITH {_cc_edges_sql()},
+e0 AS (SELECT id_a, id_b FROM mh),{",".join(rounds)}
+{selects} ORDER BY peel_round
+"""
+
+
+def _x162_curriculum_schedule(spark, tables):
+    """Deterministic curriculum construction: documents are split into
+    4 global difficulty quartiles (token count ascending — the
+    easy-to-hard axis; exact NTILE over the tie-broken total order),
+    and within each quartile the sources are interleaved round-robin
+    (position ordered by per-source rank, then source) so no source
+    floods any contiguous stretch of the schedule. The output manifest
+    — per (quartile, source): document count and the first/last
+    schedule position — is what a training loader needs to seek its
+    shard of the curriculum.
+
+    Scale shape: the global quartile is ONE total-order ntile — the
+    same single-partition sort an exact global percentile costs; at
+    100 TB swap it for approx-quantile boundaries (the documented
+    x91/x131 swap) and the rest of the plan is per-quartile windows
+    (4-way parallel) + one rollup. No joins anywhere."""
+    from hive_parse_lineage_spark.functions.text import token_count
+    d = tables["documents"].select(
+        "doc_id", "source", token_count("text").alias("n_tok"))
+    qd = d.withColumn(
+        "quartile",
+        F.ntile(4).over(Window.orderBy("n_tok", "doc_id")).cast("long"))
+    r = qd.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("quartile", "source")
+            .orderBy("n_tok", "doc_id")))
+    p = r.withColumn(
+        "pos", F.row_number().over(
+            Window.partitionBy("quartile")
+            .orderBy("rn", "source", "doc_id")).cast("long"))
+    return (p.groupBy("quartile", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("pos").alias("first_pos"),
+                 F.max("pos").alias("last_pos"))
+            .orderBy("quartile", "source"))
+
+
+_CURRICULUM_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), qd AS (
+  SELECT doc_id, source, n_tok,
+         NTILE(4) OVER (ORDER BY n_tok, doc_id) AS quartile
+  FROM d
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY quartile, source
+                               ORDER BY n_tok, doc_id) AS rn
+  FROM qd
+), p AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY quartile
+                               ORDER BY rn, source, doc_id) AS pos
+  FROM r
+)
+SELECT quartile, source, COUNT(*) AS n_docs,
+       MIN(pos) AS first_pos, MAX(pos) AS last_pos
+FROM p GROUP BY quartile, source ORDER BY quartile, source
+"""
+
+
+def _x163_kmeans_milli(spark, tables):
+    """Two Lloyd rounds of k-means over the embedding table, made
+    hash-gate exact: vectors quantize to integer milli units
+    (``CAST(FLOOR(x * 1000) AS BIGINT)`` per dim — the x145
+    quantization), distances are integer squared-L2, assignment ties
+    break to the lowest centroid id, and centroid updates use the
+    sign-reconciled truncating division (the x150 spelling, since
+    Spark ``div`` truncates while DuckDB ``//`` floors). Output per
+    seed centroid: members after round 1, members and integer inertia
+    after round 2 — the clustering primitive under x78's SemDeDup and
+    x79's IVF, here as a first-class auditable operator.
+
+    Scale shape: the centroid table is PROVABLY bounded (<= 100 rows
+    by the ``vec_id < 2500`` seed predicate at any corpus size), so
+    broadcasting it is the legitimate-broadcast class (x104); each
+    round is one broadcast pass over the corpus + a (k x dim)-row
+    update aggregate. The quantized vector stream and the round-1
+    assignment are localCheckpointed — each feeds two consumers. The
+    oracle unrolls the identical two rounds relationally (per-dim
+    long form)."""
+    vq = (tables["embeddings"]
+          .select("vec_id",
+                  F.expr("transform(embedding, x -> CAST(FLOOR("
+                         "CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+                  .alias("q"))
+          .localCheckpoint(eager=True))
+    seeds0 = (vq.filter((F.col("vec_id") % 25 == 0)
+                        & (F.col("vec_id") < 2500))
+              .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+
+    def assign(cents):
+        dist = F.aggregate(
+            F.zip_with("q", "cq", lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return (vq.crossJoin(F.broadcast(cents))
+                .select("vec_id", "cid", dist.alias("d"))
+                .groupBy("vec_id")
+                .agg(F.min(F.struct("d", "cid")).alias("m"))
+                .select("vec_id", F.col("m.cid").alias("cid"),
+                        F.col("m.d").alias("d")))
+
+    a1 = assign(seeds0).localCheckpoint(eager=True)
+    c1 = (a1.join(vq, "vec_id")
+          .select("cid", F.posexplode("q").alias("k", "qv"))
+          .groupBy("cid", "k")
+          .agg(F.expr("CASE WHEN SUM(qv) >= 0 THEN SUM(qv) div COUNT(*) "
+                      "ELSE -((-SUM(qv)) div COUNT(*)) END").alias("qm"))
+          .groupBy("cid")
+          .agg(F.expr("transform(array_sort(collect_list(struct(k, qm))),"
+                      " s -> s.qm)").alias("cq")))
+    a2 = assign(c1)
+    n1 = a1.groupBy("cid").agg(F.count("*").alias("c1n"))
+    n2 = (a2.groupBy("cid")
+          .agg(F.count("*").alias("c2n"), F.sum("d").alias("i2")))
+    return (seeds0.select("cid")
+            .join(n1, "cid", "left").join(n2, "cid", "left")
+            .select("cid",
+                    F.coalesce("c1n", F.lit(0)).alias("n1"),
+                    F.coalesce("c2n", F.lit(0)).alias("n2"),
+                    F.coalesce("i2", F.lit(0)).alias("inertia2"))
+            .orderBy("cid"))
+
+
+_KMEANS_MILLI_ORACLE = """
+WITH vq AS (
+  SELECT vec_id, s.k AS k, s.q AS q
+  FROM (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(
+                          k := i - 1,
+                          q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                          * 1000.0) AS BIGINT)))) AS s
+        FROM embeddings)
+), c0 AS (
+  SELECT vec_id AS cid, k, q FROM vq
+  WHERE vec_id % 25 = 0 AND vec_id < 2500
+), d1 AS (
+  SELECT vq.vec_id, c0.cid,
+         CAST(SUM((vq.q - c0.q) * (vq.q - c0.q)) AS BIGINT) AS d
+  FROM vq JOIN c0 USING (k)
+  GROUP BY vq.vec_id, c0.cid
+), a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d1) WHERE rn = 1
+), c1 AS (
+  SELECT a1.cid AS cid, vq.k AS k,
+         CASE WHEN SUM(vq.q) >= 0
+              THEN CAST(SUM(vq.q) AS BIGINT) // COUNT(*)
+              ELSE -(CAST(-SUM(vq.q) AS BIGINT) // COUNT(*)) END AS q
+  FROM a1 JOIN vq USING (vec_id)
+  GROUP BY a1.cid, vq.k
+), d2 AS (
+  SELECT vq.vec_id, c1.cid,
+         CAST(SUM((vq.q - c1.q) * (vq.q - c1.q)) AS BIGINT) AS d
+  FROM vq JOIN c1 USING (k)
+  GROUP BY vq.vec_id, c1.cid
+), a2 AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM d2) WHERE rn = 1
+), n1 AS (
+  SELECT cid, COUNT(*) AS n1 FROM a1 GROUP BY cid
+), n2 AS (
+  SELECT cid, COUNT(*) AS n2, CAST(SUM(d) AS BIGINT) AS inertia2
+  FROM a2 GROUP BY cid
+)
+SELECT s.cid AS cid,
+       COALESCE(n1.n1, 0) AS n1,
+       COALESCE(n2.n2, 0) AS n2,
+       COALESCE(n2.inertia2, 0) AS inertia2
+FROM (SELECT DISTINCT cid FROM c0) s
+LEFT JOIN n1 USING (cid) LEFT JOIN n2 USING (cid)
+ORDER BY cid
+"""
+
+
 def _split_contamination_oracle_sql() -> str:
     from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
     from hive_parse_lineage_spark.functions.text import portable_hash64_sql
@@ -1130,6 +1438,10 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x157_chi2_independence": _q(_x157_chi2_independence),
         "x158_benchmark_decontamination": _q(_x158_benchmark_decontamination),
         "x159_token_gini": _q(_x159_token_gini),
+        "x160_fuzzy_linkage": _q(_x160_fuzzy_linkage),
+        "x161_kcore_peel": _q(_x161_kcore_peel),
+        "x162_curriculum_schedule": _q(_x162_curriculum_schedule),
+        "x163_kmeans_milli": _q(_x163_kmeans_milli),
     }
 
 
@@ -1154,4 +1466,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x157_chi2_independence": _CHI2_ORACLE,
         "x158_benchmark_decontamination": _decontamination_oracle_sql(),
         "x159_token_gini": _TOKEN_GINI_ORACLE,
+        "x160_fuzzy_linkage": _FUZZY_LINKAGE_ORACLE,
+        "x161_kcore_peel": _kcore_oracle_sql(),
+        "x162_curriculum_schedule": _CURRICULUM_ORACLE,
+        "x163_kmeans_milli": _KMEANS_MILLI_ORACLE,
     }

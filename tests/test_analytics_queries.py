@@ -416,3 +416,85 @@ def test_token_gini_extremes(spark):
     # skew: tok = [1,1,1,1,96], n=5, sum=100, sum(rn*tok)=1+2+3+4+480=490
     # (2*490 - 6*100)*1000 // (5*100) = 380*1000 // 500 = 760
     assert got["skew"]["gini_permille"] == 760
+
+
+def test_fuzzy_linkage_toy_blocks(spark):
+    """x160: same-block near-identical descriptors link (lev <= 4);
+    a different p_size breaks the block so no pair forms."""
+    from hive_parse_lineage_spark.analytics_queries import _x160_fuzzy_linkage
+    parts = [
+        (1, "red widget", "B1", "small", 5),
+        (2, "ted widget", "B1", "small", 5),    # lev 1 from part 1
+        (3, "red widget", "B1", "small", 9),    # other block: no pair
+        (4, "blue bolt", "B1", "tiny", 5),
+        (5, "blue bolt", "B1", "huge plated", 5),  # lev > 4 from part 4
+    ]
+    p = spark.createDataFrame(
+        parts, "p_partkey long, p_name string, p_brand string, "
+               "p_type string, p_size int")
+    got = {r["noun"]: r for r in
+           _x160_fuzzy_linkage(spark, {"part": p}).collect()}
+    assert got["widget"]["n_pairs"] == 1
+    assert got["widget"]["n_linked"] == 1
+    assert got["widget"]["min_lev"] == 1
+    assert got["bolt"]["n_pairs"] == 1
+    assert got["bolt"]["n_linked"] == 0   # "tiny" -> "huge plated" is far
+
+
+def test_kcore_peel_monotone(spark, tables, sf_dir):
+    """x161: peeling only removes — vertices and edges are
+    non-increasing across rounds, and a surviving edge set can never
+    exceed what C(n_vertices, 2) allows."""
+    rows = (analytics_queries()["x161_kcore_peel"](spark, sf_dir)
+            .orderBy("peel_round").collect())
+    assert [r["peel_round"] for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_vertices"] <= a["n_vertices"]
+        assert b["n_edges"] <= a["n_edges"]
+    for r in rows:
+        n = r["n_vertices"]
+        assert r["n_edges"] <= n * (n - 1) // 2
+
+
+def test_curriculum_schedule_positions_partition_quartiles(
+        spark, tables, sf_dir):
+    """x162: within each quartile the interleave positions are exactly
+    1..n (first positions start at 1, last positions end at the
+    quartile size), and global quartile sizes differ by <= 1."""
+    rows = (analytics_queries()["x162_curriculum_schedule"]
+            (spark, sf_dir).collect())
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["quartile"], []).append(r)
+    sizes = []
+    for q, rs in by_q.items():
+        n = sum(r["n_docs"] for r in rs)
+        sizes.append(n)
+        assert min(r["first_pos"] for r in rs) == 1
+        assert max(r["last_pos"] for r in rs) == n
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_kmeans_milli_toy_clusters_and_tie_break(spark):
+    """x163: two tight clusters around the two seeds keep their
+    members through both rounds; an exactly equidistant vector breaks
+    its assignment tie toward the LOWER centroid id."""
+    from hive_parse_lineage_spark.analytics_queries import _x163_kmeans_milli
+    vecs = [
+        (0,  [0.0, 0.0]),      # seed -> cid 0
+        (25, [2.0, 2.0]),      # seed -> cid 25
+        (1,  [0.1, 0.0]),      # cluster 0
+        (2,  [0.0, 0.1]),      # cluster 0
+        (26, [2.1, 2.0]),      # cluster 25
+        (30, [1.0, 1.0]),      # exact tie -> cid 0
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["cid"]: r for r in
+           _x163_kmeans_milli(spark, {"embeddings": e}).collect()}
+    assert set(got) == {0, 25}
+    assert got[0]["n1"] == 4          # 0, 1, 2 and the tie vector 30
+    assert got[25]["n1"] == 2
+    # after the centroid update the tie vector flips to the far-from-0
+    # updated centroid only if means moved it; memberships stay sane
+    assert got[0]["n2"] + got[25]["n2"] == 6
+    assert got[0]["inertia2"] >= 0 and got[25]["inertia2"] >= 0

@@ -463,6 +463,15 @@ _HINT_BUDGETS = {
                              "AQE decides"),
     "x157_chi2_independence": (0, "window sums over the tiny "
                                   "contingency table, no joins"),
+    "x160_fuzzy_linkage": (0, "block-key self-join must shuffle; "
+                              "both sides are the catalog"),
+    "x161_kcore_peel": (0, "edge-set filters all shuffle; summary "
+                           "crossjoins are 1-row x 1-row, unhinted"),
+    "x162_curriculum_schedule": (0, "windows only, no joins"),
+    "x163_kmeans_milli": (1, "<= 100-row centroid table (bounded by "
+                             "the vec_id < 2500 seed predicate); "
+                             "round-1's hint is inside the a1 "
+                             "checkpoint"),
 }
 
 
