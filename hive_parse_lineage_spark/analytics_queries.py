@@ -1226,6 +1226,193 @@ ORDER BY cid
 """
 
 
+def _x164_lsh_precision(spark, tables):
+    """The LSH candidate generator's PRECISION curve — the complement
+    of x125's recall audit: per estimated-Jaccard decile of the x07
+    pipeline's emitted pairs (threshold 0.3, k = 2 shingles), how many
+    pairs are TRUE near-dups by exact distinct-shingle Jaccard
+    (>= 300 permille)? Recall says what banding misses; this says how
+    much of what it emits is real — the number that decides whether a
+    verify stage is needed before deleting documents.
+
+    All-integer: the signature-match count m is recovered exactly from
+    est_jaccard (m = round(est * 64)), buckets are ``m*10 div 64``,
+    and exact Jaccard is the x125 integer-permille spelling.
+
+    Scale shape: exact verification joins the PAIR stream to the
+    per-doc shingle sets — work is sum of pair-side shingle counts,
+    bounded by LSH fanout, never all-pairs. The pair stream and the
+    distinct-shingle stream are each localCheckpointed (both feed two
+    consumers; Spark reuses exchanges, not scan+explode subtrees)."""
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, word_shingles)
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    pairs = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b",
+                     F.expr("CAST(ROUND(est_jaccard * 64) AS BIGINT)")
+                     .alias("m"))
+             .localCheckpoint(eager=True))
+    ds = (docs.select("doc_id",
+                      F.explode(F.array_distinct(word_shingles("text", 2)))
+                      .alias("sh"))
+          .localCheckpoint(eager=True))
+    na = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (pairs.select("id_a", "id_b")
+             .join(ds.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+             .join(ds.select(F.col("doc_id").alias("id_b"), "sh"),
+                   ["id_b", "sh"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("ni")))
+    j = (pairs
+         .join(inter, ["id_a", "id_b"], "left")
+         .join(na.select(F.col("doc_id").alias("id_a"),
+                         F.col("n").alias("na")), "id_a")
+         .join(na.select(F.col("doc_id").alias("id_b"),
+                         F.col("n").alias("nb")), "id_b")
+         .select(F.expr("m * 10 div 64").alias("bucket"),
+                 F.expr("coalesce(ni, 0L) * 1000 div "
+                        "(na + nb - coalesce(ni, 0L))").alias("jp")))
+    return (j.groupBy("bucket")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.sum((F.col("jp") >= 300).cast("long")).alias("n_true"),
+                 F.expr("CAST(SUM(CAST(jp >= 300 AS BIGINT)) * 1000 "
+                        "DIV COUNT(*) AS BIGINT)")
+                 .alias("precision_permille"),
+                 F.expr("CAST(SUM(jp) DIV COUNT(*) AS BIGINT)")
+                 .alias("mean_jp"))
+            .orderBy("bucket"))
+
+
+def _lsh_precision_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import _shingle_list_sql
+    from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
+    mh = _minhash_oracle_sql(n_hashes=64, bands=16, shingle_k=2,
+                             threshold=0.3)
+    return f"""
+WITH mh AS (
+{mh}
+), p AS (
+  SELECT id_a, id_b, CAST(ROUND(est_jaccard * 64) AS BIGINT) AS m FROM mh
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_shingle_list_sql(2)}) AS sh FROM w
+), na AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS ni
+  FROM p JOIN sh a ON a.doc_id = p.id_a
+         JOIN sh b ON b.doc_id = p.id_b AND b.sh = a.sh
+  GROUP BY p.id_a, p.id_b
+), j AS (
+  SELECT (p.m * 10) // 64 AS bucket,
+         COALESCE(i.ni, 0) * 1000
+             // (wa.n + wb.n - COALESCE(i.ni, 0)) AS jp
+  FROM p LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+       JOIN na wa ON wa.doc_id = p.id_a
+       JOIN na wb ON wb.doc_id = p.id_b
+)
+SELECT bucket, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN jp >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true,
+       CAST(SUM(CASE WHEN jp >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000 // COUNT(*) AS precision_permille,
+       CAST(SUM(jp) AS BIGINT) // COUNT(*) AS mean_jp
+FROM j GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _x165_stratified_sample(spark, tables):
+    """Range-Neyman stratified sampling design + its exact realization:
+    each source (stratum) gets a share of the 1000-document budget
+    proportional to ``N_h * R_h`` (population size x token-count
+    range — the all-integer stand-in for Neyman's N_h * S_h, which
+    needs a sqrt both engines would round differently), and the sample
+    itself is the n_h docs with the SMALLEST portable hash (tie-broken
+    by doc_id) — exact counts, not Bernoulli approximations. Output
+    per source: population, range, allocation, realized take, and the
+    realized sample's token mass. The design table is what a curator
+    reviews; the hash-rank rule is what makes the sample reproducible
+    and incrementally stable (a new doc displaces at most one).
+
+    Scale shape: one stats pass (map-side combinable), one |sources|-
+    row design table joined back (AQE decides), one per-source
+    hash-rank window. Allocations sum to <= 1000, so a STATIC
+    ``rk <= 1000`` pre-filter sits directly on the window — that
+    constant bound is what lets Spark push a WindowGroupLimit
+    (map-side per-group top-k merge) below the exchange; the exact
+    data-dependent ``rk <= n_alloc`` cut happens after the join. No
+    global sort, no broadcast hints."""
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, token_count)
+    docs = tables["documents"].select(
+        "doc_id", "source", token_count("text").cast("long").alias("tok"),
+        portable_hash64(F.concat(F.lit("smp"),
+                                 F.col("doc_id").cast("string")))
+        .alias("h"))
+    stats = (docs.groupBy("source")
+             .agg(F.count("*").alias("n_pop"),
+                  (F.max("tok") - F.min("tok")).alias("rng")))
+    tot = stats.agg(F.sum(F.expr("n_pop * rng")).alias("t"))
+    design = (stats.crossJoin(tot)
+              .select("source", "n_pop", "rng",
+                      F.expr("1000 * (n_pop * rng) div t").alias("n_alloc")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (docs.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= 1000))
+    taken = (ranked.join(design.select("source", "n_alloc"), "source")
+             .filter(F.col("rk") <= F.col("n_alloc"))
+             .groupBy("source")
+             .agg(F.count("*").alias("n_taken"),
+                  F.sum("tok").alias("sample_tokens")))
+    return (design.join(taken, "source", "left")
+            .select("source", "n_pop", "rng", "n_alloc",
+                    F.coalesce("n_taken", F.lit(0)).alias("n_taken"),
+                    F.coalesce("sample_tokens", F.lit(0))
+                    .alias("sample_tokens"))
+            .orderBy("source"))
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("'smp' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         {h} AS h
+  FROM documents
+), stats AS (
+  SELECT source, COUNT(*) AS n_pop,
+         CAST(MAX(tok) - MIN(tok) AS BIGINT) AS rng
+  FROM d GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_pop * rng) AS BIGINT) AS t FROM stats
+), design AS (
+  SELECT source, n_pop, rng,
+         1000 * (n_pop * rng) // t AS n_alloc
+  FROM stats, tot
+), ranked AS (
+  SELECT source, tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+  FROM d
+), taken AS (
+  SELECT r.source, COUNT(*) AS n_taken,
+         CAST(SUM(r.tok) AS BIGINT) AS sample_tokens
+  FROM ranked r JOIN design g ON g.source = r.source
+  WHERE r.rk <= g.n_alloc
+  GROUP BY r.source
+)
+SELECT design.source, n_pop, rng, n_alloc,
+       COALESCE(n_taken, 0) AS n_taken,
+       COALESCE(sample_tokens, 0) AS sample_tokens
+FROM design LEFT JOIN taken ON taken.source = design.source
+ORDER BY design.source
+"""
+
+
 def _split_contamination_oracle_sql() -> str:
     from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
     from hive_parse_lineage_spark.functions.text import portable_hash64_sql
@@ -1442,6 +1629,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x161_kcore_peel": _q(_x161_kcore_peel),
         "x162_curriculum_schedule": _q(_x162_curriculum_schedule),
         "x163_kmeans_milli": _q(_x163_kmeans_milli),
+        "x164_lsh_precision": _q(_x164_lsh_precision),
+        "x165_stratified_sample": _q(_x165_stratified_sample),
     }
 
 
@@ -1470,4 +1659,6 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x161_kcore_peel": _kcore_oracle_sql(),
         "x162_curriculum_schedule": _CURRICULUM_ORACLE,
         "x163_kmeans_milli": _KMEANS_MILLI_ORACLE,
+        "x164_lsh_precision": _lsh_precision_oracle_sql(),
+        "x165_stratified_sample": _stratified_sample_oracle_sql(),
     }

@@ -498,3 +498,33 @@ def test_kmeans_milli_toy_clusters_and_tie_break(spark):
     # updated centroid only if means moved it; memberships stay sane
     assert got[0]["n2"] + got[25]["n2"] == 6
     assert got[0]["inertia2"] >= 0 and got[25]["inertia2"] >= 0
+
+
+def test_lsh_precision_invariants(spark, tables, sf_dir):
+    """x164: buckets start at the 0.3 threshold decile, counts are
+    consistent (n_true <= n_pairs, precision recomputable), and exact
+    mean Jaccard stays in permille range."""
+    rows = analytics_queries()["x164_lsh_precision"](spark, sf_dir).collect()
+    assert rows, "LSH emits pairs at sf0.01"
+    for r in rows:
+        assert 3 <= r["bucket"] <= 10          # est >= 0.3 -> m >= 20
+        assert 0 <= r["n_true"] <= r["n_pairs"]
+        assert r["precision_permille"] == r["n_true"] * 1000 // r["n_pairs"]
+        assert 0 <= r["mean_jp"] <= 1000
+
+
+def test_stratified_sample_realizes_allocation(spark, tables, sf_dir):
+    """x165: the realized take per source is exactly
+    min(allocation, population), the total stays within the 1000-doc
+    budget, and the window carries the static WindowGroupLimit bound."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x165_stratified_sample)
+    df = analytics_queries()["x165_stratified_sample"](spark, sf_dir)
+    rows = df.collect()
+    assert sum(r["n_taken"] for r in rows) <= 1000
+    for r in rows:
+        assert r["n_taken"] == min(r["n_alloc"], r["n_pop"])
+        if r["n_taken"] > 0:
+            assert r["sample_tokens"] > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

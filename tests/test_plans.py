@@ -472,6 +472,10 @@ _HINT_BUDGETS = {
                              "the vec_id < 2500 seed predicate); "
                              "round-1's hint is inside the a1 "
                              "checkpoint"),
+    "x164_lsh_precision": (0, "pair/shingle joins all shuffle; LSH "
+                              "internals are behind the checkpoints"),
+    "x165_stratified_sample": (0, "design table joins left to AQE; "
+                                  "1-row total crossjoin unhinted"),
 }
 
 
