@@ -53,12 +53,18 @@ def _x41_common_shingles(spark, tables):
 def _x42_decontaminate(spark, tables):
     """Per-document decontamination verdict against the x41 flagged
     set (keep iff <= 5% of the doc's distinct shingles are flagged).
-    Flagged set broadcasts; the corpus side never reshuffles."""
+    Flagged set broadcasts; the corpus side never reshuffles. The
+    (doc, shingle) stream is shingled ONCE and localCheckpointed —
+    both the flagged-set aggregate and the per-doc verdict read the
+    materialized stream instead of re-tokenizing the corpus (Catalyst
+    does not share subtrees across the two plan branches)."""
     from hive_parse_lineage_spark.operators.corpus import (
-        common_shingles, contamination_score)
+        common_shingles, contamination_score, doc_shingles)
     docs = tables["documents"]
-    flagged = common_shingles(docs, n=5, min_docs=3)
-    return (contamination_score(docs, flagged, n=5, max_flagged_pct=5)
+    pairs = doc_shingles(docs, n=5).localCheckpoint(eager=True)
+    flagged = common_shingles(docs, n=5, min_docs=3, pairs=pairs)
+    return (contamination_score(docs, flagged, n=5, max_flagged_pct=5,
+                                pairs=pairs)
             .orderBy("doc_id"))
 
 
@@ -256,10 +262,15 @@ def _x56_training_pipeline(spark, tables):
     exact-dup survivor selection -> deterministic train/val/test split.
     Composes the x37/x42/x11/x39 operators; Catalyst fuses the filters
     and the only shuffles are the shingle count, the dup groupBy and
-    the broadcast-backed joins."""
+    the broadcast-backed joins. The corpus is shingled ONCE
+    (localCheckpoint) — the boilerplate aggregate and the per-doc
+    contamination verdict both read the materialized (doc, shingle)
+    stream; the verdict is computed per doc independently, so scoring
+    every doc and intersecting with the quality-pass set afterwards is
+    semantically identical to scoring only the quality survivors."""
     from hive_parse_lineage_spark.functions import text as T
     from hive_parse_lineage_spark.operators.corpus import (
-        common_shingles, contamination_score)
+        common_shingles, contamination_score, doc_shingles)
     from hive_parse_lineage_spark.operators.dedup import exact_dedup
     from hive_parse_lineage_spark.operators.sampling import hash_split
     docs = tables["documents"]
@@ -270,8 +281,10 @@ def _x56_training_pipeline(spark, tables):
               & (total >= 2 * n) & (total <= 12 * n)
               & (nd * 10 >= 3 * n))
     q = docs.filter(keep_q)
-    flagged = common_shingles(docs, n=5, min_docs=3)
-    clean_ids = (contamination_score(q, flagged, n=5, max_flagged_pct=5)
+    pairs = doc_shingles(docs, n=5).localCheckpoint(eager=True)
+    flagged = common_shingles(docs, n=5, min_docs=3, pairs=pairs)
+    clean_ids = (contamination_score(docs, flagged, n=5,
+                                     max_flagged_pct=5, pairs=pairs)
                  .filter("keep").select("doc_id"))
     # clean_ids / keep_ids are survivor-id sets — corpus-proportional,
     # so plain shuffle joins (a forced broadcast would materialize the
@@ -777,14 +790,23 @@ def _x84_split_leakage(spark, tables):
     (near-dups straddling the split boundary silently leak eval data
     into training). One shuffle on the shingle key; the test-side
     shingle set is distinct-reduced first, and AQE broadcasts it when
-    it fits. Output: leaking train docs with their shared-gram count."""
-    from hive_parse_lineage_spark.operators.corpus import doc_shingles
+    it fits. Output: leaking train docs with their shared-gram count.
+    The corpus is shingled ONCE with the split label carried through
+    (localCheckpoint); train and test pair streams are filters over
+    the one materialized stream — one scan + one distinct shuffle
+    instead of a scan/explode/distinct per side."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
     from hive_parse_lineage_spark.operators.sampling import hash_split
+    from hive_parse_lineage_spark.operators.util import spread_for_compute
     split = hash_split(tables["documents"], salt="v1")
-    train = split.filter(F.col("split") == "train")
-    test = split.filter(F.col("split") == "test")
-    tr = doc_shingles(train, n=8)
-    te = doc_shingles(test, n=8).select("shingle").distinct()
+    pairs = (spread_for_compute(split)
+             .select("doc_id", "split",
+                     F.explode(F.array_distinct(word_shingles("text", 8)))
+                     .alias("shingle"))
+             .localCheckpoint(eager=True))
+    tr = pairs.filter(F.col("split") == "train").select("doc_id", "shingle")
+    te = (pairs.filter(F.col("split") == "test")
+          .select("shingle").distinct())
     return (tr.join(te, "shingle")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_shared_grams"))

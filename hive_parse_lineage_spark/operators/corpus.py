@@ -34,22 +34,35 @@ from hive_parse_lineage_spark.operators.util import spread_for_compute
 def doc_shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Distinct (id, shingle) pairs — the unit for document-frequency
-    statistics. Distinct-before-count keeps the exchange payload at one
-    row per (doc, shingle) regardless of in-doc repetition."""
+    statistics. Per-document distinctness is computed LOCALLY with
+    ``array_distinct`` before the explode (a codegen array op), not
+    with ``DataFrame.distinct()`` after it — the pair stream is keyed
+    by (doc, shingle) whose duplicates only ever occur within one row's
+    array, so a cluster-wide dedup exchange would shuffle the whole
+    stream to remove doc-local repeats. Zero shuffles here; consumers
+    pay exactly one exchange, on whatever key they aggregate."""
     return (spread_for_compute(docs)
-            .select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
-            .distinct())
+            .select(id_col,
+                    F.explode(F.array_distinct(word_shingles(text_col, n)))
+                    .alias("shingle")))
 
 
 def common_shingles(docs: DataFrame, n: int = 5, min_docs: int = 3,
-                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                    text_col: str = "text", id_col: str = "doc_id",
+                    pairs: DataFrame | None = None) -> DataFrame:
     """Shingles appearing in >= min_docs distinct documents: boilerplate
     (nav bars, license headers) and benchmark-contamination candidates.
 
     One shuffle on the shingle; COUNT over pre-distinct pairs is a
     plain count, so partial aggregation applies (COUNT(DISTINCT) inside
-    one pass would force an expand)."""
-    return (doc_shingles(docs, n, text_col, id_col)
+    one pass would force an expand). Pass ``pairs`` (a precomputed
+    :func:`doc_shingles` stream, typically localCheckpointed) when a
+    caller also consumes the same stream elsewhere — Catalyst does not
+    share subtrees across plan branches, so without it the corpus is
+    tokenized and shingled once per consumer."""
+    if pairs is None:
+        pairs = doc_shingles(docs, n, text_col, id_col)
+    return (pairs
             .groupBy("shingle")
             .agg(F.count(id_col).alias("n_docs"))
             .filter(F.col("n_docs") >= min_docs))
@@ -57,7 +70,8 @@ def common_shingles(docs: DataFrame, n: int = 5, min_docs: int = 3,
 
 def contamination_score(docs: DataFrame, flagged: DataFrame, n: int = 5,
                         max_flagged_pct: int = 5, text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        pairs: DataFrame | None = None) -> DataFrame:
     """Per-document decontamination verdict against a flagged-shingle set.
 
     Emits (id, n_shingles, n_flagged, keep) where keep means at most
@@ -65,8 +79,10 @@ def contamination_score(docs: DataFrame, flagged: DataFrame, n: int = 5,
     flagged. Integer arithmetic only (``n_flagged * 100 <= pct * n``) so
     differential oracles are exact. ``flagged`` is broadcast — at any
     corpus scale the boilerplate list stays small, so the document side
-    never shuffles."""
-    per_doc = doc_shingles(docs, n, text_col, id_col)
+    never shuffles. ``pairs`` short-circuits the shingling as in
+    :func:`common_shingles` (shared-stream callers)."""
+    per_doc = pairs if pairs is not None else doc_shingles(
+        docs, n, text_col, id_col)
     joined = (per_doc
               .join(F.broadcast(flagged.select("shingle")
                                 .withColumn("_hit", F.lit(1))),

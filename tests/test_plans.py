@@ -195,8 +195,11 @@ def test_training_pipeline_plan_shape(spark, tables, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    # the flagged-set subtree appears twice (clean_ids recompute); any
-    # third hint would be a reintroduced survivor-id-set broadcast
+    # ONE logical hint (the flagged set, broadcast once inside
+    # contamination_score over the checkpointed shingle stream) printed
+    # twice: the `clean` subtree carrying it feeds both the survivors
+    # join and the exact_dedup keep_ids recompute. A third occurrence
+    # would be a reintroduced survivor-id-set broadcast.
     assert analyzed.count("ResolvedHint") == 2, analyzed
 
 
@@ -366,9 +369,11 @@ _HINT_BUDGETS = {
     # query name -> (max ResolvedHint count, what the allowed hints are)
     "x44_tfidf_topk": (1, "single-row n_docs"),
     "x46_dup_clusters": (0, "no hints: edges/components all shuffle"),
-    "x56_training_pipeline": (2, "flagged boilerplate-shingle set x2 "
-                                 "(subtree recompute); survivor-id sets "
-                                 "must NOT be hinted"),
+    "x56_training_pipeline": (2, "one flagged boilerplate-shingle hint "
+                                 "(over the checkpointed shingle stream) "
+                                 "printed x2 via the clean-subtree "
+                                 "recompute; survivor-id sets must NOT "
+                                 "be hinted"),
     "x59_dedup_keep_one": (0, "loser set must NOT be hinted"),
     "x64_incremental_dedup": (2, "batch md5 set + hit set (<= batch); "
                                  "the corpus hash set must NOT be hinted"),
