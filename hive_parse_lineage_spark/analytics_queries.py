@@ -1600,6 +1600,382 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+def _x166_embedding_isotropy(spark, tables):
+    """Per-label embedding anisotropy: how much of the cloud's energy
+    sits in its mean direction — ``||mean(v)||^2 / mean(||v||^2)`` in
+    exact integer permille over the floor(v*1000) milli surrogate
+    (x134's order-free playbook). 1000 means every vector is the same
+    point (a collapsed/degenerate label — dedup or re-embed); near 0
+    means an isotropic cloud. The cheap first-moment screen a curation
+    pipeline runs before paying for x145's power iteration: anisotropy
+    IS the Rayleigh quotient of the mean direction, a lower bound on
+    the top eigenvalue share.
+
+    Scale shape: one posexplode into a map-side-combinable
+    (label, pos) aggregate carrying SUM(iv) and SUM(iv*iv) together —
+    dim x |labels| rows out of any corpus size — then a |labels|-row
+    reduce. One shuffle total, no joins, no pair terms anywhere."""
+    e = tables["embeddings"]
+    comp = (e.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .select("label", "pos",
+                    F.floor(F.col("v").cast("double") * 1000)
+                    .cast("long").alias("iv")))
+    per = comp.groupBy("label", "pos").agg(
+        F.sum("iv").alias("s"), F.count("*").alias("n"),
+        F.sum(F.col("iv") * F.col("iv")).alias("sq"))
+    return (per.groupBy("label")
+            .agg(F.max("n").alias("n_vecs"),
+                 F.sum(F.expr("(s div n) * (s div n)"))
+                 .alias("cent_sq_norm"),
+                 F.expr("sum(sq) div max(n)").alias("mean_sq_norm"))
+            .select("label", "n_vecs", "cent_sq_norm", "mean_sq_norm",
+                    F.expr("cent_sq_norm * 1000 div mean_sq_norm")
+                    .alias("anisotropy_permille"))
+            .orderBy("label"))
+
+
+_EMBEDDING_ISOTROPY_ORACLE = """
+WITH d AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), comp AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(e) + 1),
+                i -> struct_pack(pos := i,
+                                 iv := CAST(FLOOR(e[i] * 1000) AS BIGINT))))
+             AS s
+  FROM d
+), c AS (
+  SELECT label, s.pos AS pos, s.iv AS iv FROM comp
+), per AS (
+  SELECT label, pos, CAST(SUM(iv) AS BIGINT) AS s, COUNT(*) AS n,
+         CAST(SUM(iv * iv) AS BIGINT) AS sq
+  FROM c GROUP BY label, pos
+), agg AS (
+  SELECT label, MAX(n) AS n_vecs,
+         CAST(SUM((s // n) * (s // n)) AS BIGINT) AS cent_sq_norm,
+         CAST(SUM(sq) AS BIGINT) // MAX(n) AS mean_sq_norm
+  FROM per GROUP BY label
+)
+SELECT label, n_vecs, cent_sq_norm, mean_sq_norm,
+       cent_sq_norm * 1000 // mean_sq_norm AS anisotropy_permille
+FROM agg ORDER BY label
+"""
+
+
+def _x167_incremental_rollup(spark, tables):
+    """Incremental materialized-view maintenance: a per-customer
+    order rollup (COUNT + integer-cents SUM) kept current by MERGING a
+    delta aggregate into the stored base aggregate instead of
+    rescanning the fact table — COUNT and SUM are commutative monoids,
+    so ``merged = base (+) delta`` keyed on the group. Base here is
+    orders with ``o_orderkey % 10 != 0`` (standing view), delta the
+    remaining tenth (new arrivals); the entry recomputes the rollup
+    from scratch too and emits a per-row ``matches_full`` proof that
+    the combinator is lossless — the IVM correctness audit itself.
+
+    Scale shape at 100 TB: the base aggregate is READ (a stored
+    |customers|-row table), never recomputed — maintenance cost is
+    delta-sized plus one co-partitioned FULL OUTER merge join; both
+    sides here share the o_custkey partitioning. Cents use
+    CAST(FLOOR(x*100) AS BIGINT) — the q24/x111/x137 determinism
+    convention (plain CAST rounds in DuckDB, truncates in Spark)."""
+    o = tables["orders"]
+    cents = F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+
+    def rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n"), F.sum(cents).alias("c"))
+
+    base_r = rollup(o.filter(F.col("o_orderkey") % 10 != 0))
+    delta_r = (rollup(o.filter(F.col("o_orderkey") % 10 == 0))
+               .select("o_custkey", F.col("n").alias("dn"),
+                       F.col("c").alias("dc")))
+    merged = (base_r.join(delta_r, "o_custkey", "full_outer")
+              .select("o_custkey",
+                      (F.coalesce("n", F.lit(0))
+                       + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+                      (F.coalesce("c", F.lit(0))
+                       + F.coalesce("dc", F.lit(0))).alias("cents_total"),
+                      F.coalesce("dn", F.lit(0)).alias("n_from_delta")))
+    full = (rollup(o)
+            .select("o_custkey", F.col("n").alias("fn"),
+                    F.col("c").alias("fc")))
+    return (merged.join(full, "o_custkey")
+            .select("o_custkey", "n_orders", "cents_total", "n_from_delta",
+                    ((F.col("n_orders") == F.col("fn"))
+                     & (F.col("cents_total") == F.col("fc")))
+                    .alias("matches_full"))
+            .orderBy("o_custkey"))
+
+
+_INCREMENTAL_ROLLUP_ORACLE = """
+WITH base_r AS (
+  SELECT o_custkey, COUNT(*) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 10 != 0 GROUP BY o_custkey
+), delta_r AS (
+  SELECT o_custkey, COUNT(*) AS dn,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS dc
+  FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_custkey
+), merged AS (
+  SELECT COALESCE(base_r.o_custkey, delta_r.o_custkey) AS o_custkey,
+         COALESCE(n, 0) + COALESCE(dn, 0) AS n_orders,
+         COALESCE(c, 0) + COALESCE(dc, 0) AS cents_total,
+         COALESCE(dn, 0) AS n_from_delta
+  FROM base_r FULL OUTER JOIN delta_r USING (o_custkey)
+), full_r AS (
+  SELECT o_custkey, COUNT(*) AS fn,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS fc
+  FROM orders GROUP BY o_custkey
+)
+SELECT merged.o_custkey, n_orders, cents_total, n_from_delta,
+       (n_orders = fn AND cents_total = fc) AS matches_full
+FROM merged JOIN full_r ON full_r.o_custkey = merged.o_custkey
+ORDER BY merged.o_custkey
+"""
+
+
+def _x168_ngram_diversity(spark, tables):
+    """Distinct-n diversity per source — the self-BLEU-adjacent
+    generation/curation metric: of all bigram (and trigram) slots a
+    source emits, how many are DISTINCT grams, in exact permille.
+    Low distinct-2/distinct-3 flags templated, boilerplate-heavy or
+    model-generated sources that per-doc metrics miss (every doc can
+    look fine while the source repeats itself across docs). x36 scores
+    within-doc repetition; this is the cross-doc complement.
+
+    Scale shape: one explode per gram order, unioned with a k tag so
+    both orders ride ONE map-side-combinable (k, source, gram) count,
+    then a |sources| x 2 reduce. Repetition must count, so there is
+    deliberately no array_distinct here — the raw gram stream is the
+    denominator."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
+    d = tables["documents"]
+
+    def grams(k):
+        return d.select("source", F.lit(k).alias("k"),
+                        F.explode(word_shingles("text", k)).alias("g"))
+
+    cnt = (grams(2).unionByName(grams(3))
+           .groupBy("source", "k", "g").agg(F.count("*").alias("c")))
+    return (cnt.groupBy("source", "k")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.count("*").alias("u_grams"))
+            .select("source", "k", "n_grams", "u_grams",
+                    F.expr("u_grams * 1000 div n_grams")
+                    .alias("distinct_permille"))
+            .orderBy("source", "k"))
+
+
+def _ngram_diversity_oracle_sql() -> str:
+    def branch(k):
+        return f"""
+  SELECT source, {k} AS k,
+         unnest(CASE WHEN len(w) >= {k} THEN list_transform(
+                range(1, len(w) - {k - 2}),
+                i -> array_to_string(list_slice(w, i, i + {k - 1}), ' '))
+                ELSE [text] END) AS g
+  FROM w"""
+    return f"""
+WITH w AS (
+  SELECT source, text, string_split(text, ' ') AS w FROM documents
+), g AS ({branch(2)}
+  UNION ALL{branch(3)}
+), cnt AS (
+  SELECT source, k, g, COUNT(*) AS c FROM g GROUP BY source, k, g
+)
+SELECT source, k, CAST(SUM(c) AS BIGINT) AS n_grams,
+       COUNT(*) AS u_grams,
+       COUNT(*) * 1000 // CAST(SUM(c) AS BIGINT) AS distinct_permille
+FROM cnt GROUP BY source, k ORDER BY source, k
+"""
+
+
+def _x169_event_path_trigrams(spark, tables):
+    """Top-20 three-step behavior paths: per user, events ordered by
+    (ts, event_id) yield sliding event-type trigrams via two LEADs
+    over one window; the global count ranks the most common journeys
+    — x106's Markov transitions extended to second-order paths, the
+    sequence-mining primitive behind funnel discovery and
+    session-model training data. Deterministic: ties broken by path
+    string, LEAD ordering tie-broken by event_id.
+
+    Scale shape: ONE shuffle on user_id feeds both LEADs (same window
+    spec), then a map-side-combinable path count and a 20-row
+    TakeOrdered — no joins, no global sort materialization."""
+    e = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path")))
+    return (tri.groupBy("path").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "path").limit(20))
+
+
+_EVENT_PATH_TRIGRAMS_ORACLE = """
+WITH tri AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+"""
+
+
+def _x170_source_cross_entropy(spark, tables):
+    """Pairwise source-to-source cross-entropy matrix in exact integer
+    floor-bits: for every ordered source pair (A, B), the cost of
+    coding A's tokens with B's Laplace-smoothed unigram model —
+    ``sum_t c_A(t) * (ibits(T_B + V) - ibits(c_B(t) + 1))`` — plus the
+    KL excess over A's self-coding cost (the matrix diagonal). This is
+    the domain-affinity matrix data-mixing methods (DSIR/DoReMi-style
+    proxies) rank sources with: low kl_bits means B's distribution
+    predicts A well. x86 measures unigram TV distance (no logs); x141
+    prices one source against itself; this prices every source against
+    every other, exactly, under the hash gate.
+
+    Scale shape: one (source, token) count shuffle; the count stream
+    is then expanded |sources|-fold (a broadcast of the 20-row source
+    list — bounded, not corpus-proportional) and left-joined against
+    itself on (token, source) — vocab x |sources| rows, the documented
+    cost of an exact matrix; per-source totals, the single-row union
+    vocab size and the |sources|-row diagonal are the only other
+    (all bounded) broadcasts. At 100 TB the same plan runs with a
+    capped vocabulary (top-K by corpus frequency), the standard
+    smoothing-dominated tail swap."""
+    d = tables["documents"]
+    tk = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    c = c.localCheckpoint(eager=True)  # feeds 4 branches below
+    tot = c.groupBy("source").agg(F.sum("c").alias("t_tok"))
+    v = c.select("tok").distinct().agg(F.count("*").alias("v"))
+    a = c.select(F.col("source").alias("source_a"), "tok",
+                 F.col("c").alias("ca"))
+    b = c.select(F.col("source").alias("source_b"), "tok",
+                 F.col("c").alias("cb"))
+    grid = a.crossJoin(F.broadcast(tot.select(
+        F.col("source").alias("source_b"), "t_tok")))
+    j = grid.join(b, ["source_b", "tok"], "left").crossJoin(F.broadcast(v))
+    term = (F.col("ca")
+            * (_ibits(F.col("t_tok") + F.col("v"))
+               - _ibits(F.coalesce(F.col("cb"), F.lit(0)) + 1)))
+    # |sources|^2 rows — checkpoint so the vocab-sized matrix
+    # aggregation runs ONCE (the diagonal is a filter over the
+    # materialized matrix, not a recompute of the whole subtree)
+    mat = (j.groupBy("source_a", "source_b")
+           .agg(F.sum(term).alias("cross_bits"))
+           .localCheckpoint(eager=True))
+    diag = (mat.filter(F.col("source_a") == F.col("source_b"))
+            .select("source_a", F.col("cross_bits").alias("self_bits")))
+    return (mat.join(F.broadcast(diag), "source_a")
+            .select("source_a", "source_b", "cross_bits",
+                    (F.col("cross_bits") - F.col("self_bits"))
+                    .alias("kl_bits"))
+            .orderBy("source_a", "source_b"))
+
+
+_SOURCE_CROSS_ENTROPY_ORACLE = """
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS t_tok FROM c GROUP BY source
+), v AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM c
+), grid AS (
+  SELECT a.source AS source_a, a.tok, a.c AS ca,
+         tb.source AS source_b, tb.t_tok
+  FROM c a CROSS JOIN tot tb
+), mat AS (
+  SELECT source_a, source_b,
+         CAST(SUM(ca * (length(bin(t_tok + v.v))
+                        - length(bin(COALESCE(b.c, 0) + 1)))) AS BIGINT)
+             AS cross_bits
+  FROM grid
+  LEFT JOIN c b ON b.source = grid.source_b AND b.tok = grid.tok
+  CROSS JOIN v
+  GROUP BY source_a, source_b
+), diag AS (
+  SELECT source_a, cross_bits AS self_bits FROM mat
+  WHERE source_a = source_b
+)
+SELECT mat.source_a, source_b, cross_bits,
+       cross_bits - self_bits AS kl_bits
+FROM mat JOIN diag ON diag.source_a = mat.source_a
+ORDER BY mat.source_a, source_b
+"""
+
+
+def _x171_mattr(spark, tables):
+    """Moving-Average Type-Token Ratio (MATTR, Covington & McFall) per
+    document: mean distinct-token count over every 50-token sliding
+    window, in exact integer permille — the length-independent lexical
+    diversity score (raw TTR collapses as docs grow, so a fixed-window
+    average is the comparable form). Degenerate/looped generations
+    score low in EVERY window even when whole-doc TTR looks fine;
+    docs shorter than the window fall back to whole-doc TTR over
+    their actual length.
+
+    Scale shape: a pure per-document projection — token array, then
+    ``aggregate(sequence(...))`` folds window distinct-counts inside
+    codegen. ZERO shuffles, no joins, no window functions; work is
+    O(tokens x 50) per doc and embarrassingly parallel at any corpus
+    size."""
+    W = 50
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    slide = F.aggregate(
+        F.sequence(F.lit(0), n - W),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.size(
+            F.array_distinct(F.slice(toks, i + 1, F.lit(W)))))
+    d = tables["documents"].select(
+        "doc_id", n.alias("n_tokens"),
+        F.when(n >= W, n - W + 1).otherwise(F.lit(1)).alias("n_windows"),
+        F.when(n >= W, slide)
+        .otherwise(F.size(F.array_distinct(toks)).cast("long"))
+        .alias("sum_distinct"))
+    denom = (F.when(F.col("n_tokens") >= W,
+                    F.lit(W) * F.col("n_windows"))
+             .otherwise(F.col("n_tokens")))
+    return (d.select("doc_id", "n_tokens", "n_windows",
+                     F.expr(f"sum_distinct * 1000 div "
+                            f"(CASE WHEN n_tokens >= {W} "
+                            f"THEN {W} * n_windows ELSE n_tokens END)")
+                     .alias("mattr_permille"))
+            .orderBy("doc_id"))
+
+
+_MATTR_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS n_tokens,
+         CASE WHEN len(w) >= 50 THEN len(w) - 50 + 1 ELSE 1 END AS n_windows,
+         CASE WHEN len(w) >= 50 THEN
+           CAST(list_sum(list_transform(range(0, len(w) - 50 + 1),
+                i -> len(list_distinct(list_slice(w, i + 1, i + 50)))))
+                AS BIGINT)
+         ELSE CAST(len(list_distinct(w)) AS BIGINT) END AS sum_distinct
+  FROM d
+)
+SELECT doc_id, n_tokens, n_windows,
+       sum_distinct * 1000 //
+       (CASE WHEN n_tokens >= 50 THEN 50 * n_windows
+             ELSE n_tokens END) AS mattr_permille
+FROM m ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1631,6 +2007,12 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x163_kmeans_milli": _q(_x163_kmeans_milli),
         "x164_lsh_precision": _q(_x164_lsh_precision),
         "x165_stratified_sample": _q(_x165_stratified_sample),
+        "x166_embedding_isotropy": _q(_x166_embedding_isotropy),
+        "x167_incremental_rollup": _q(_x167_incremental_rollup),
+        "x168_ngram_diversity": _q(_x168_ngram_diversity),
+        "x169_event_path_trigrams": _q(_x169_event_path_trigrams),
+        "x170_source_cross_entropy": _q(_x170_source_cross_entropy),
+        "x171_mattr": _q(_x171_mattr),
     }
 
 
@@ -1661,4 +2043,10 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x163_kmeans_milli": _KMEANS_MILLI_ORACLE,
         "x164_lsh_precision": _lsh_precision_oracle_sql(),
         "x165_stratified_sample": _stratified_sample_oracle_sql(),
+        "x166_embedding_isotropy": _EMBEDDING_ISOTROPY_ORACLE,
+        "x167_incremental_rollup": _INCREMENTAL_ROLLUP_ORACLE,
+        "x168_ngram_diversity": _ngram_diversity_oracle_sql(),
+        "x169_event_path_trigrams": _EVENT_PATH_TRIGRAMS_ORACLE,
+        "x170_source_cross_entropy": _SOURCE_CROSS_ENTROPY_ORACLE,
+        "x171_mattr": _MATTR_ORACLE,
     }

@@ -528,3 +528,124 @@ def test_stratified_sample_realizes_allocation(spark, tables, sf_dir):
             assert r["sample_tokens"] > 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_embedding_isotropy_extremes(spark):
+    """x166: a label whose vectors are all identical is fully
+    anisotropic (1000 permille — the mean carries ALL the energy); a
+    label of exactly mirrored vectors has a zero mean (0 permille)."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x166_embedding_isotropy)
+    vecs = [
+        (0, [1.0, 2.0], 0), (1, [1.0, 2.0], 0), (2, [1.0, 2.0], 0),
+        (3, [1.0, 0.0], 1), (4, [-1.0, 0.0], 1),
+        (5, [0.0, 1.0], 1), (6, [0.0, -1.0], 1),
+    ]
+    e = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in
+           _x166_embedding_isotropy(spark, {"embeddings": e}).collect()}
+    assert got[0]["anisotropy_permille"] == 1000
+    assert got[0]["n_vecs"] == 3
+    assert got[1]["anisotropy_permille"] == 0
+    assert got[1]["cent_sq_norm"] == 0
+
+
+def test_incremental_rollup_is_lossless(spark, tables, sf_dir):
+    """x167: the monoid merge must equal the full recompute on every
+    row — matches_full is the in-band proof; the delta share must be
+    nonzero (the split actually exercises the merge)."""
+    rows = analytics_queries()["x167_incremental_rollup"](
+        spark, sf_dir).collect()
+    assert rows
+    assert all(r["matches_full"] for r in rows)
+    assert sum(r["n_from_delta"] for r in rows) > 0
+    assert sum(r["n_orders"] for r in rows) == \
+        tables["orders"].count()
+
+
+def test_ngram_diversity_extremes(spark):
+    """x168: an all-unique-bigram source scores 1000 permille; a
+    source repeating one bigram across docs scores near the floor."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x168_ngram_diversity)
+    rows = [(1, "a b c d e", "fresh"),
+            (2, "x y x y x y x y x y", "loop"),
+            (3, "x y x y x y x y x y", "loop")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {(r["source"], r["k"]): r for r in
+           _x168_ngram_diversity(spark, {"documents": docs}).collect()}
+    assert got[("fresh", 2)]["distinct_permille"] == 1000
+    assert got[("fresh", 3)]["distinct_permille"] == 1000
+    # loop: 18 bigram slots, only 2 distinct grams (x y / y x)
+    assert got[("loop", 2)]["n_grams"] == 18
+    assert got[("loop", 2)]["u_grams"] == 2
+    assert got[("loop", 2)]["distinct_permille"] == 2000 // 18
+
+
+def test_event_path_trigrams_toy_sequence(spark):
+    """x169: a single user's a,b,c,d stream yields exactly the two
+    sliding trigrams in order; a second user's repeat raises the
+    count, and ordering ties break on the path string."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x169_event_path_trigrams)
+    rows = [
+        (1, "2024-01-01 00:00:01", 10, "a"),
+        (2, "2024-01-01 00:00:02", 10, "b"),
+        (3, "2024-01-01 00:00:03", 10, "c"),
+        (4, "2024-01-01 00:00:04", 10, "d"),
+        (5, "2024-01-01 00:00:01", 20, "a"),
+        (6, "2024-01-01 00:00:02", 20, "b"),
+        (7, "2024-01-01 00:00:03", 20, "c"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [(r["path"], r["n"]) for r in
+           _x169_event_path_trigrams(spark, {"events": e}).collect()]
+    assert got == [("a>b>c", 2), ("b>c>d", 1)]
+
+
+def test_source_cross_entropy_matrix_properties(spark):
+    """x170: identical-distribution sources price each other exactly
+    like themselves (kl 0 in all four cells); a disjoint-vocab source
+    pays a strictly positive KL against the other; the diagonal is 0
+    by construction."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x170_source_cross_entropy)
+    rows = [(1, "a b a b", "s1"), (2, "a b a b", "s2"),
+            (3, "p q r s", "s3")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           _x170_source_cross_entropy(spark, {"documents": docs}).collect()}
+    assert len(got) == 9
+    for s in ("s1", "s2", "s3"):
+        assert got[(s, s)]["kl_bits"] == 0
+    assert got[("s1", "s2")]["kl_bits"] == 0
+    assert got[("s2", "s1")]["kl_bits"] == 0
+    assert got[("s3", "s1")]["kl_bits"] > 0
+    assert got[("s1", "s3")]["kl_bits"] > 0
+
+
+def test_mattr_extremes_and_zero_shuffle_plan(spark, tables, sf_dir):
+    """x171: a short all-distinct doc scores 1000; a long one-token
+    loop scores 1000/50 = 20 (one distinct per 50-token window); the
+    plan for the unordered projection carries no Exchange at all."""
+    from hive_parse_lineage_spark.analytics_queries import _x171_mattr
+    rows = [(1, "a b c d e f g h i j"),
+            (2, " ".join(["x"] * 120))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           _x171_mattr(spark, {"documents": docs}).collect()}
+    assert got[1]["mattr_permille"] == 1000
+    assert got[1]["n_windows"] == 1
+    assert got[2]["n_windows"] == 120 - 50 + 1
+    assert got[2]["mattr_permille"] == 1000 // 50
+    df = analytics_queries()["x171_mattr"](spark, sf_dir)
+    # the orderBy is presentation-only; the compute subtree must be
+    # exchange-free (pure per-doc projection)
+    import re
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan

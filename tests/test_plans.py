@@ -481,6 +481,21 @@ _HINT_BUDGETS = {
                               "internals are behind the checkpoints"),
     "x165_stratified_sample": (0, "design table joins left to AQE; "
                                   "1-row total crossjoin unhinted"),
+    "x166_embedding_isotropy": (0, "one posexplode + two aggregates, "
+                                   "no joins"),
+    "x167_incremental_rollup": (0, "base/delta/full aggregates all "
+                                   "customer-cardinality; the merge "
+                                   "and audit joins must shuffle"),
+    "x168_ngram_diversity": (0, "one unioned gram count + reduce, "
+                                "no joins"),
+    "x169_event_path_trigrams": (0, "one user window + count, no joins"),
+    "x170_source_cross_entropy": (1, "|sources|-row diagonal over the "
+                                     "checkpointed matrix (the totals-"
+                                     "grid and vocab-size hints sit "
+                                     "behind the checkpoint); the "
+                                     "vocab-sized count stream joins "
+                                     "must shuffle"),
+    "x171_mattr": (0, "pure projection, zero shuffles"),
 }
 
 
