@@ -1976,6 +1976,586 @@ FROM m ORDER BY doc_id
 """
 
 
+def _x172_pair_provenance(spark, tables):
+    """Near-dup pair PROVENANCE: for every x07 LSH pair, the exact
+    distinct-5-gram Jaccard, the number of shared positional 5-gram
+    matches, and the LONGEST CONTIGUOUS shared token run (the diagonal
+    trick: positional shingle matches with equal ``pos_a - pos_b``
+    that are consecutive in ``pos_a`` form one copied span) — then a
+    three-way classification: ``near_full`` (J >= 0.9, drop a copy),
+    ``long_span`` (a >= 24-token verbatim block inside otherwise
+    different docs — quote/boilerplate, span-level dedup territory),
+    ``scattered`` (shared vocabulary only — usually LSH noise). x73
+    aggregates span coverage per DOC; this explains each PAIR, which
+    is what a human reviews before authorizing deletion.
+
+    Scale shape: everything downstream of the LSH pair list is
+    edge-proportional — the positional and distinct shingle streams
+    join THROUGH the (checkpointed) pair list, never all-pairs; run
+    detection is a gaps-and-islands window partitioned by
+    (pair, diagonal), bounded by doc length."""
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, word_shingles)
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    pairs = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+    pos = docs.select(
+        "doc_id", F.posexplode(word_shingles("text", 5)).alias("p", "sh"))
+    ds = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles("text", 5))).alias("sh"))
+    nsh = ds.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    ia = pairs.join(ds.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+    ni = (ia.join(ds.select(F.col("doc_id").alias("id_b"), "sh"),
+                  ["id_b", "sh"])
+          .groupBy("id_a", "id_b").agg(F.count("*").alias("ni")))
+    ma = pairs.join(pos.select(F.col("doc_id").alias("id_a"),
+                               F.col("p").alias("pa"), "sh"), "id_a")
+    m = ma.join(pos.select(F.col("doc_id").alias("id_b"),
+                           F.col("p").alias("pb"), "sh"), ["id_b", "sh"])
+    wd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (m.select("id_a", "id_b", "pa",
+                     (F.col("pa") - F.col("pb")).alias("diag"))
+            .withColumn("isl", F.col("pa") - F.row_number().over(wd))
+            .groupBy("id_a", "id_b", "diag", "isl")
+            .agg(F.count("*").alias("rl")))
+    lr = runs.groupBy("id_a", "id_b").agg(F.max("rl").alias("mr"))
+    j = (pairs
+         .join(ni, ["id_a", "id_b"])
+         .join(nsh.select(F.col("doc_id").alias("id_a"),
+                          F.col("nt").alias("na")), "id_a")
+         .join(nsh.select(F.col("doc_id").alias("id_b"),
+                          F.col("nt").alias("nb")), "id_b")
+         .join(lr, ["id_a", "id_b"], "left")
+         .select("id_a", "id_b",
+                 F.expr("ni * 1000 div (na + nb - ni)").alias("jp"),
+                 F.col("ni").alias("n_shared"),
+                 F.coalesce(F.col("mr") + 4, F.lit(0))
+                 .alias("longest_run_tokens")))
+    cls = (F.when(F.col("jp") >= 900, F.lit("near_full"))
+           .when(F.col("longest_run_tokens") >= 24, F.lit("long_span"))
+           .otherwise(F.lit("scattered")))
+    return (j.withColumn("dup_class", cls)
+            .orderBy("id_a", "id_b"))
+
+
+def _pair_provenance_oracle_sql() -> str:
+    from hive_parse_lineage_spark.extra_queries import _minhash_oracle_sql
+    mh = _minhash_oracle_sql(n_hashes=64, bands=16, shingle_k=2,
+                             threshold=0.3)
+    return f"""
+WITH mh AS (
+{mh}
+), pairs AS (
+  SELECT id_a, id_b FROM mh
+), w5 AS (
+  SELECT doc_id, string_split(text, ' ') AS w, text FROM documents
+), occ0 AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w) - 3),
+                i -> {{'pos': i - 1,
+                      'shingle': array_to_string(list_slice(w, i, i + 4), ' ')}})
+              ELSE [{{'pos': 0, 'shingle': text}}] END AS occs
+  FROM w5
+), pos AS (
+  SELECT doc_id, unnest(occs, recursive := true) FROM occ0
+), ds AS (
+  SELECT DISTINCT doc_id, shingle FROM pos
+), nsh AS (
+  SELECT doc_id, COUNT(*) AS nt FROM ds GROUP BY doc_id
+), ni AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS ni
+  FROM pairs p
+  JOIN ds a ON a.doc_id = p.id_a
+  JOIN ds b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+), m AS (
+  SELECT p.id_a, p.id_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM pairs p
+  JOIN pos a ON a.doc_id = p.id_a
+  JOIN pos b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+), isl AS (
+  SELECT id_a, id_b, diag, pa,
+         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                 ORDER BY pa) AS isl
+  FROM m
+), runs AS (
+  SELECT id_a, id_b, COUNT(*) AS rl
+  FROM isl GROUP BY id_a, id_b, diag, isl
+), lr AS (
+  SELECT id_a, id_b, MAX(rl) AS mr FROM runs GROUP BY id_a, id_b
+), j AS (
+  SELECT p.id_a, p.id_b,
+         ni.ni * 1000 // (na.nt + nb.nt - ni.ni) AS jp,
+         ni.ni AS n_shared,
+         COALESCE(lr.mr + 4, 0) AS longest_run_tokens
+  FROM pairs p
+  JOIN ni ON ni.id_a = p.id_a AND ni.id_b = p.id_b
+  JOIN nsh na ON na.doc_id = p.id_a
+  JOIN nsh nb ON nb.doc_id = p.id_b
+  LEFT JOIN lr ON lr.id_a = p.id_a AND lr.id_b = p.id_b
+)
+SELECT id_a, id_b, jp, n_shared, longest_run_tokens,
+       CASE WHEN jp >= 900 THEN 'near_full'
+            WHEN longest_run_tokens >= 24 THEN 'long_span'
+            ELSE 'scattered' END AS dup_class
+FROM j ORDER BY id_a, id_b
+"""
+
+
+def _x173_dedup_quota(spark, tables):
+    """Budget-capped dedup policy: per source, at most HALF of the
+    near-dup losers (x46's non-representative cluster members) are
+    actually dropped — the shortest (lowest-token, tie doc_id) half —
+    and the rest are PROTECTED. Uncapped dedup can silently erase a
+    small source whose docs happen to cluster with a big one's
+    boilerplate; production curation caps removal per source and
+    reviews the protected remainder. Output is the per-source policy
+    ledger: population, losers, dropped, protected, drop permille.
+
+    Scale shape: the x46 label-propagation labels (bounded rounds),
+    one docs join, one per-source rank window over the LOSER subset
+    only, then a |sources|-row reduce. ``n_dropped = n_losers div 2``
+    exactly (rank*2 <= count spelling), so the cap is replayable."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.components import (
+        connected_components)
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b"))
+    comp = connected_components(
+        edges, vertices=docs.select(F.col("doc_id").alias("vertex")),
+        max_iter=4)
+    base = docs.select("doc_id", "source",
+                       F.size(F.split("text", " ")).alias("n_tokens"))
+    losers = (comp.filter(F.col("vertex") != F.col("component"))
+              .join(base, comp["vertex"] == base["doc_id"])
+              .select("doc_id", "source", "n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    cw = Window.partitionBy("source")
+    marked = (losers
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("nl", F.count("*").over(cw))
+              .withColumn("dropped", (F.col("rk") * 2 <= F.col("nl"))))
+    per_loser = (marked.groupBy("source")
+                 .agg(F.count("*").alias("n_losers"),
+                      F.sum(F.col("dropped").cast("long"))
+                      .alias("n_dropped")))
+    return (base.groupBy("source").agg(F.count("*").alias("n_docs"))
+            .join(per_loser, "source", "left")
+            .select("source", "n_docs",
+                    F.coalesce("n_losers", F.lit(0)).alias("n_losers"),
+                    F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                    (F.coalesce("n_losers", F.lit(0))
+                     - F.coalesce("n_dropped", F.lit(0)))
+                    .alias("n_protected"),
+                    F.expr("coalesce(n_dropped, 0) * 1000 div n_docs")
+                    .alias("drop_permille"))
+            .orderBy("source"))
+
+
+def _dedup_quota_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import (
+        _cc_edges_sql, _cc_round)
+    return f"""
+WITH {_cc_edges_sql()},
+l0 AS (SELECT doc_id AS vertex, doc_id AS component FROM documents),
+{_cc_round('l0', 'l1')},
+{_cc_round('l1', 'l2')},
+{_cc_round('l2', 'l3')},
+{_cc_round('l3', 'l4')},
+base AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), losers AS (
+  SELECT b.doc_id, b.source, b.n_tokens
+  FROM l4 JOIN base b ON b.doc_id = l4.vertex
+  WHERE l4.vertex != l4.component
+), marked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_tokens, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS nl
+  FROM losers
+), per_loser AS (
+  SELECT source, COUNT(*) AS n_losers,
+         CAST(SUM(CASE WHEN rk * 2 <= nl THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+  FROM marked GROUP BY source
+), pop AS (
+  SELECT source, COUNT(*) AS n_docs FROM base GROUP BY source
+)
+SELECT pop.source, n_docs,
+       COALESCE(n_losers, 0) AS n_losers,
+       COALESCE(n_dropped, 0) AS n_dropped,
+       COALESCE(n_losers, 0) - COALESCE(n_dropped, 0) AS n_protected,
+       COALESCE(n_dropped, 0) * 1000 // n_docs AS drop_permille
+FROM pop LEFT JOIN per_loser ON per_loser.source = pop.source
+ORDER BY pop.source
+"""
+
+
+def _x174_pii_density(spark, tables):
+    """Per-source PII density audit with an in-band redaction proof:
+    the corpus is synthetic and PII-free, so a deterministic contact
+    block is injected into every 7th document (both engines build the
+    same fixture in-query, x50's playbook); the report counts
+    PII-bearing docs, email/phone hits per 1000 docs per source — the
+    numbers a release review reads — and ``residual``, the match count
+    REMAINING after redaction, which must be 0 on every row: the
+    operator carries its own completeness proof.
+
+    Scale shape: pure projection (two regexp_counts + two
+    regexp_replaces, all codegen) then one |sources|-row aggregate;
+    zero joins, zero extra scans."""
+    from hive_parse_lineage_spark.corpus_queries import EMAIL_RE, PHONE_RE
+    d = tables["documents"]
+    synth = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" reach u"),
+                 F.col("doc_id").cast("string"), F.lit("@x.org tel 555-"),
+                 F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+    ).otherwise(F.col("text"))
+    ne = F.regexp_count(synth, F.lit(EMAIL_RE))
+    np = F.regexp_count(synth, F.lit(PHONE_RE))
+    red = F.regexp_replace(
+        F.regexp_replace(synth, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    res = (F.regexp_count(red, F.lit(EMAIL_RE))
+           + F.regexp_count(red, F.lit(PHONE_RE)))
+    scored = d.select("source", ne.alias("ne"), np.alias("np"),
+                      res.alias("res"))
+    return (scored.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("ne") + F.col("np") > 0).cast("long"))
+                 .alias("docs_with_pii"),
+                 F.sum("ne").alias("n_emails"),
+                 F.sum("np").alias("n_phones"),
+                 F.sum("res").alias("residual"))
+            .select("source", "n_docs", "docs_with_pii",
+                    F.expr("n_emails * 1000 div n_docs")
+                    .alias("emails_per_kdoc"),
+                    F.expr("n_phones * 1000 div n_docs")
+                    .alias("phones_per_kdoc"),
+                    "residual")
+            .orderBy("source"))
+
+
+def _pii_density_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import EMAIL_RE, PHONE_RE
+    return f"""
+WITH synth AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' reach u' || CAST(doc_id AS VARCHAR)
+                   || '@x.org tel 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+              ELSE text END AS s
+  FROM documents
+), scored AS (
+  SELECT source,
+         len(regexp_extract_all(s, '{EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(s, '{PHONE_RE}')) AS np,
+         len(regexp_extract_all(
+             regexp_replace(regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{PHONE_RE}', '<PHONE>', 'g'),
+             '{EMAIL_RE}'))
+         + len(regexp_extract_all(
+             regexp_replace(regexp_replace(s, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{PHONE_RE}', '<PHONE>', 'g'),
+             '{PHONE_RE}')) AS res
+  FROM synth
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_pii,
+       CAST(SUM(ne) AS BIGINT) * 1000 // COUNT(*) AS emails_per_kdoc,
+       CAST(SUM(np) AS BIGINT) * 1000 // COUNT(*) AS phones_per_kdoc,
+       CAST(SUM(res) AS BIGINT) AS residual
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def _x175_effective_tokens(spark, tables):
+    """Effective (dedup-discounted) token mass per source: each doc's
+    tokens are weighted by 1/|its x46 duplicate cluster| in exact
+    integer milli-tokens, so a doc copied 5 times contributes its
+    token count once across the corpus no matter which copies a
+    survivor rule keeps. ``inflation_permille`` (raw/effective) is the
+    honest epochs-equivalent multiplier: a source at 1400 is 40%
+    self-copies — the number token-budget planning needs BEFORE a
+    survivor set even exists.
+
+    Scale shape: x46's bounded label propagation, one |clusters|-row
+    size aggregate joined back on the label, one |sources|-row
+    reduce. The cluster-size join is label-keyed (cluster count <=
+    doc count), never a pair join."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.components import (
+        connected_components)
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = tables["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b"))
+    comp = connected_components(
+        edges, vertices=docs.select(F.col("doc_id").alias("vertex")),
+        max_iter=4)
+    csize = comp.groupBy("component").agg(F.count("*").alias("cs"))
+    base = docs.select("doc_id", "source",
+                       F.size(F.split("text", " "))
+                       .cast("long").alias("n_tokens"))
+    j = (comp.join(csize, "component")
+         .join(base, comp["vertex"] == base["doc_id"])
+         .select("source", "n_tokens",
+                 F.expr("n_tokens * 1000 div cs").alias("eff_milli")))
+    return (j.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("raw_tokens"),
+                 F.sum("eff_milli").alias("eff_milli_tokens"))
+            .withColumn("inflation_permille",
+                        F.expr("raw_tokens * 1000000 div eff_milli_tokens"))
+            .orderBy("source"))
+
+
+def _effective_tokens_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import (
+        _cc_edges_sql, _cc_round)
+    return f"""
+WITH {_cc_edges_sql()},
+l0 AS (SELECT doc_id AS vertex, doc_id AS component FROM documents),
+{_cc_round('l0', 'l1')},
+{_cc_round('l1', 'l2')},
+{_cc_round('l2', 'l3')},
+{_cc_round('l3', 'l4')},
+csize AS (
+  SELECT component, COUNT(*) AS cs FROM l4 GROUP BY component
+), base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), j AS (
+  SELECT b.source, b.n_tokens, b.n_tokens * 1000 // c.cs AS eff_milli
+  FROM l4 JOIN csize c ON c.component = l4.component
+          JOIN base b ON b.doc_id = l4.vertex
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(SUM(eff_milli) AS BIGINT) AS eff_milli_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) * 1000000
+           // CAST(SUM(eff_milli) AS BIGINT) AS inflation_permille
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+def _x176_rendezvous_sharding(spark, tables):
+    """Rendezvous (highest-random-weight) sharding vs mod-hash, with
+    the shrink-by-one churn measured exactly: HRW assigns each doc to
+    ``argmax_s h(doc, s)`` over 16 shard ids, so removing shard 15
+    moves ONLY the docs that lived there (~1/16 — the consistent-
+    hashing property); ``doc_id % 16 -> % 15`` reshuffles almost
+    everything. One row per scheme: balance extremes at 16 shards and
+    the moved-doc count/permille after the shrink — the numbers that
+    justify rendezvous placement for any 100 TB shard map (resharding
+    IS a full-corpus rewrite under mod placement).
+
+    Scale shape: two pure projections (16 portable hashes + argmax via
+    array_position/array_max — first-index tie rule on both engines)
+    and two tiny aggregates; zero joins, zero corpus shuffles beyond
+    the 16-row load counts."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    d = tables["documents"]
+    hs = F.array(*[
+        portable_hash64(F.concat(F.lit(f"hrw{s}#"),
+                                 F.col("doc_id").cast("string")))
+        for s in range(16)])
+    assigned = d.select(
+        "doc_id", hs.alias("h16"), F.slice(hs, 1, 15).alias("h15"))
+    assigned = assigned.select(
+        "doc_id",
+        (F.array_position(F.col("h16"), F.array_max("h16")) - 1)
+        .alias("s16"),
+        (F.array_position(F.col("h15"), F.array_max("h15")) - 1)
+        .alias("s15"),
+        (F.col("doc_id") % 16).alias("m16"),
+        (F.col("doc_id") % 15).alias("m15"))
+    hrw_loads = assigned.groupBy("s16").agg(F.count("*").alias("n"))
+    hrw = (assigned.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("s16") != F.col("s15")).cast("long"))
+        .alias("n_moved"))
+        .crossJoin(hrw_loads.agg(F.max("n").alias("max_load"),
+                                 F.min("n").alias("min_load")))
+        .select(F.lit("hrw").alias("scheme"), "n_docs", "n_moved",
+                F.expr("n_moved * 1000 div n_docs").alias("moved_permille"),
+                "max_load", "min_load"))
+    mod_loads = assigned.groupBy("m16").agg(F.count("*").alias("n"))
+    mod = (assigned.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("m16") != F.col("m15")).cast("long"))
+        .alias("n_moved"))
+        .crossJoin(mod_loads.agg(F.max("n").alias("max_load"),
+                                 F.min("n").alias("min_load")))
+        .select(F.lit("mod").alias("scheme"), "n_docs", "n_moved",
+                F.expr("n_moved * 1000 div n_docs").alias("moved_permille"),
+                "max_load", "min_load"))
+    return hrw.unionByName(mod).orderBy("scheme")
+
+
+def _rendezvous_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    hs = ", ".join(
+        portable_hash64_sql(f"'hrw{s}#' || CAST(doc_id AS VARCHAR)")
+        for s in range(16))
+    return f"""
+WITH h AS (
+  SELECT doc_id, [{hs}] AS h16 FROM documents
+), a AS (
+  SELECT doc_id,
+         list_indexof(h16, list_max(h16)) - 1 AS s16,
+         list_indexof(h16[1:15], list_max(h16[1:15])) - 1 AS s15,
+         doc_id % 16 AS m16, doc_id % 15 AS m15
+  FROM h
+), hrw_l AS (
+  SELECT MAX(n) AS max_load, MIN(n) AS min_load
+  FROM (SELECT COUNT(*) AS n FROM a GROUP BY s16)
+), mod_l AS (
+  SELECT MAX(n) AS max_load, MIN(n) AS min_load
+  FROM (SELECT COUNT(*) AS n FROM a GROUP BY m16)
+), hrw AS (
+  SELECT 'hrw' AS scheme, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN s16 != s15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved
+  FROM a
+), mod AS (
+  SELECT 'mod' AS scheme, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN m16 != m15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved
+  FROM a
+)
+SELECT scheme, n_docs, n_moved, n_moved * 1000 // n_docs AS moved_permille,
+       max_load, min_load
+FROM (SELECT hrw.*, hrw_l.* FROM hrw, hrw_l
+      UNION ALL SELECT mod.*, mod_l.* FROM mod, mod_l)
+ORDER BY scheme
+"""
+
+
+def _x177_source_minhash(spark, tables):
+    """Source-level MinHash UNION sketch with exact error accounting:
+    each source's 20-hash signature is a plain MIN aggregate over its
+    token stream — MIN is a commutative monoid, so per-shard partial
+    signatures MERGE into the exact source signature at any scale
+    (the sketch-union property that makes source-overlap monitoring
+    O(|sources| x 20) instead of a vocab shuffle). Pairwise estimated
+    token-set Jaccard (matching positions / 20) sits next to the
+    EXACT distinct-token Jaccard, with the absolute error in permille
+    — x129 measures shingle overlap exactly; this is its mergeable
+    streaming-budget twin, certified against ground truth.
+
+    Scale shape: the signature pass is one map-side-combinable
+    aggregate (20 long registers per source); the exact pass is the
+    only vocab shuffle, and at 100 TB it is SAMPLED or dropped while
+    the sketch keeps running — that swap is the point."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import _P, _perm_params
+    d = tables["documents"]
+    tk = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    h = tk.select("source",
+                  F.pmod(portable_hash64(F.col("tok")), F.lit(_P))
+                  .alias("h"))
+    params = _perm_params(20, seed=7)
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P)))
+            .alias(f"m{i}") for i, (a, b) in enumerate(params)]
+    sig = h.groupBy("source").agg(*aggs)
+    sa = sig.select(F.col("source").alias("source_a"),
+                    *[F.col(f"m{i}").alias(f"a{i}") for i in range(20)])
+    sb = sig.select(F.col("source").alias("source_b"),
+                    *[F.col(f"m{i}").alias(f"b{i}") for i in range(20)])
+    match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(20))
+    est = (sa.join(sb, sa["source_a"] < sb["source_b"])
+           .select("source_a", "source_b",
+                   (match * 50).alias("est_permille")))
+    ds = d.select("source", F.explode(F.split("text", " "))
+                  .alias("tok")).distinct()
+    nt = ds.groupBy("source").agg(F.count("*").alias("nt"))
+    inter = (ds.alias("x").join(
+        ds.alias("y"),
+        (F.col("x.tok") == F.col("y.tok"))
+        & (F.col("x.source") < F.col("y.source")))
+        .groupBy(F.col("x.source").alias("source_a"),
+                 F.col("y.source").alias("source_b"))
+        .agg(F.count("*").alias("ni")))
+    exact = (inter
+             .join(nt.select(F.col("source").alias("source_a"),
+                             F.col("nt").alias("na")), "source_a")
+             .join(nt.select(F.col("source").alias("source_b"),
+                             F.col("nt").alias("nb")), "source_b")
+             .select("source_a", "source_b",
+                     F.expr("ni * 1000 div (na + nb - ni)")
+                     .alias("exact_permille")))
+    return (est.join(exact, ["source_a", "source_b"], "left")
+            .select("source_a", "source_b", "est_permille",
+                    F.coalesce("exact_permille", F.lit(0))
+                    .alias("exact_permille"),
+                    F.abs(F.col("est_permille")
+                          - F.coalesce("exact_permille", F.lit(0)))
+                    .alias("abs_err_permille"))
+            .orderBy("source_a", "source_b"))
+
+
+def _source_minhash_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    from hive_parse_lineage_spark.operators.dedup import _P, _perm_params
+    params = _perm_params(20, seed=7)
+    hsql = portable_hash64_sql("tok")
+    mins = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    match = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(20))
+    return f"""
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), h AS (
+  SELECT source, {hsql} % {_P} AS h FROM tk
+), sig AS (
+  SELECT source,
+         {mins}
+  FROM h GROUP BY source
+), est AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         ({match}) * 50 AS est_permille
+  FROM sig a JOIN sig b ON a.source < b.source
+), ds AS (
+  SELECT DISTINCT source, tok FROM tk
+), nt AS (
+  SELECT source, COUNT(*) AS nt FROM ds GROUP BY source
+), inter AS (
+  SELECT x.source AS source_a, y.source AS source_b, COUNT(*) AS ni
+  FROM ds x JOIN ds y ON x.tok = y.tok AND x.source < y.source
+  GROUP BY x.source, y.source
+), exact AS (
+  SELECT source_a, source_b,
+         ni * 1000 // (na.nt + nb.nt - ni) AS exact_permille
+  FROM inter JOIN nt na ON na.source = inter.source_a
+             JOIN nt nb ON nb.source = inter.source_b
+)
+SELECT est.source_a, est.source_b, est_permille,
+       COALESCE(exact_permille, 0) AS exact_permille,
+       abs(est_permille - COALESCE(exact_permille, 0)) AS abs_err_permille
+FROM est LEFT JOIN exact ON exact.source_a = est.source_a
+                        AND exact.source_b = est.source_b
+ORDER BY est.source_a, est.source_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2013,6 +2593,12 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x169_event_path_trigrams": _q(_x169_event_path_trigrams),
         "x170_source_cross_entropy": _q(_x170_source_cross_entropy),
         "x171_mattr": _q(_x171_mattr),
+        "x172_pair_provenance": _q(_x172_pair_provenance),
+        "x173_dedup_quota": _q(_x173_dedup_quota),
+        "x174_pii_density": _q(_x174_pii_density),
+        "x175_effective_tokens": _q(_x175_effective_tokens),
+        "x176_rendezvous_sharding": _q(_x176_rendezvous_sharding),
+        "x177_source_minhash": _q(_x177_source_minhash),
     }
 
 
@@ -2049,4 +2635,10 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x169_event_path_trigrams": _EVENT_PATH_TRIGRAMS_ORACLE,
         "x170_source_cross_entropy": _SOURCE_CROSS_ENTROPY_ORACLE,
         "x171_mattr": _MATTR_ORACLE,
+        "x172_pair_provenance": _pair_provenance_oracle_sql(),
+        "x173_dedup_quota": _dedup_quota_oracle_sql(),
+        "x174_pii_density": _pii_density_oracle_sql(),
+        "x175_effective_tokens": _effective_tokens_oracle_sql(),
+        "x176_rendezvous_sharding": _rendezvous_oracle_sql(),
+        "x177_source_minhash": _source_minhash_oracle_sql(),
     }

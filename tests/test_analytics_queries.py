@@ -649,3 +649,109 @@ def test_mattr_extremes_and_zero_shuffle_plan(spark, tables, sf_dir):
     import re
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan, plan
+
+
+def test_pair_provenance_classes(spark):
+    """x172: verbatim copies classify near_full with jp=1000; a pair
+    sharing one long block inside otherwise-different text classifies
+    long_span with the run length equal to the block size."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x172_pair_provenance)
+    block = " ".join(f"b{i}" for i in range(30))
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "p q r s t " + block + " u v w x y"),
+        (4, "f g h i j " + block + " k l m n o"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           _x172_pair_provenance(spark, {"documents": docs}).collect()}
+    assert got[(1, 2)]["dup_class"] == "near_full"
+    assert got[(1, 2)]["jp"] == 1000
+    # the shared 30-token block is a 26-shingle diagonal run -> 30 tokens
+    assert got[(3, 4)]["longest_run_tokens"] == 30
+    assert got[(3, 4)]["dup_class"] == "long_span"
+    assert got[(3, 4)]["jp"] < 900
+
+
+def test_dedup_quota_caps_at_half(spark):
+    """x173: a source with two 2-clusters has 2 losers, exactly 1
+    dropped (the shorter one) and 1 protected."""
+    from hive_parse_lineage_spark.analytics_queries import _x173_dedup_quota
+    dup_a = "the quick brown fox jumps over the lazy dog again today"
+    dup_b = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+             "do eiusmod tempora incididunt ut labore et dolore magna")
+    rows = [(1, dup_a, "s1"), (2, dup_a, "s1"),
+            (3, dup_b, "s1"), (4, dup_b, "s1"),
+            (5, "entirely unrelated text about completely other things "
+                "with many unique words here", "s2")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in
+           _x173_dedup_quota(spark, {"documents": docs}).collect()}
+    assert got["s1"]["n_losers"] == 2
+    assert got["s1"]["n_dropped"] == 1
+    assert got["s1"]["n_protected"] == 1
+    assert got["s2"]["n_losers"] == 0
+    assert got["s2"]["n_dropped"] == 0
+
+
+def test_pii_density_residual_zero(spark, tables, sf_dir):
+    """x174: redaction is complete (residual 0 on every source) and
+    only the injected docs carry PII."""
+    rows = analytics_queries()["x174_pii_density"](spark, sf_dir).collect()
+    assert rows
+    assert all(r["residual"] == 0 for r in rows)
+    injected = tables["documents"].filter(
+        F.col("doc_id") % 7 == 0).count()
+    assert sum(r["docs_with_pii"] for r in rows) == injected
+
+
+def test_effective_tokens_discounts_copies(spark):
+    """x175: two identical 10-token docs contribute 10 effective
+    tokens total -> inflation 2000 permille; a unique doc stays at
+    1000."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x175_effective_tokens)
+    dup = "a b c d e f g h i j"
+    rows = [(1, dup, "dup_src"), (2, dup, "dup_src"),
+            (3, "k l m n o p q r s t", "uniq_src")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in
+           _x175_effective_tokens(spark, {"documents": docs}).collect()}
+    assert got["dup_src"]["raw_tokens"] == 20
+    assert got["dup_src"]["eff_milli_tokens"] == 10000
+    assert got["dup_src"]["inflation_permille"] == 2000
+    assert got["uniq_src"]["inflation_permille"] == 1000
+
+
+def test_rendezvous_moves_less_than_mod(spark, tables, sf_dir):
+    """x176: the HRW shrink moves ~1/16 of docs; mod moves ~14/15 —
+    the consistent-hashing property, measured."""
+    rows = {r["scheme"]: r for r in
+            analytics_queries()["x176_rendezvous_sharding"](
+                spark, sf_dir).collect()}
+    assert rows["hrw"]["moved_permille"] < 150      # ~62 expected
+    assert rows["mod"]["moved_permille"] > 800      # ~933 expected
+    assert rows["hrw"]["n_docs"] == rows["mod"]["n_docs"]
+    assert rows["hrw"]["max_load"] >= rows["hrw"]["min_load"] > 0
+
+
+def test_source_minhash_identical_sources_agree(spark):
+    """x177: two token-identical sources estimate 1000 with exact
+    1000 and zero error; disjoint sources estimate low."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x177_source_minhash)
+    rows = [(1, "a b c d e f", "s1"), (2, "a b c d e f", "s2"),
+            (3, "u v w x y z", "s3")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r for r in
+           _x177_source_minhash(spark, {"documents": docs}).collect()}
+    assert got[("s1", "s2")]["est_permille"] == 1000
+    assert got[("s1", "s2")]["exact_permille"] == 1000
+    assert got[("s1", "s2")]["abs_err_permille"] == 0
+    assert got[("s1", "s3")]["exact_permille"] == 0
+    assert got[("s2", "s3")]["exact_permille"] == 0

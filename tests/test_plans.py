@@ -496,6 +496,20 @@ _HINT_BUDGETS = {
                                      "vocab-sized count stream joins "
                                      "must shuffle"),
     "x171_mattr": (0, "pure projection, zero shuffles"),
+    "x172_pair_provenance": (0, "everything joins THROUGH the "
+                                "checkpointed LSH pair list — edge-"
+                                "proportional shuffles, never hinted"),
+    "x173_dedup_quota": (0, "loser ranking is a window; the per-"
+                            "source ledger joins shuffle"),
+    "x174_pii_density": (0, "pure projection + one aggregate, "
+                            "no joins"),
+    "x175_effective_tokens": (0, "cluster-size join is label-keyed "
+                                 "and corpus-proportional — must "
+                                 "shuffle"),
+    "x176_rendezvous_sharding": (0, "1-row x 1-row crossjoins "
+                                    "unhinted; zero corpus joins"),
+    "x177_source_minhash": (0, "signature pairs are |sources|-row; "
+                               "the exact vocab join must shuffle"),
 }
 
 
