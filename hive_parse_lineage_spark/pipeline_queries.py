@@ -2040,14 +2040,22 @@ def _x125_lsh_pair_recall(spark, tables):
     candidates are the uncapped portable-hash banding pairs on the
     SAME token sets (shingle_k=1). All-integer permille per decile.
     Expected shape: ~0 below the (1/16)^(1/4) ~ 0.5 knee, ~1000 above
-    — the curve that justifies the threshold choices in x07."""
+    — the curve that justifies the threshold choices in x07.
+
+    One tokenization: the distinct (doc, token) stream is
+    localCheckpointed and feeds all three consumers (posting-join
+    truth, per-doc set sizes, AND the minhash signatures — shingle_k=1
+    shingles ARE tokens, and permutation MINIMA are repeat-insensitive,
+    so the distinct stream yields byte-identical signatures to the
+    raw one minhash_signature_agg would re-tokenize for)."""
     from hive_parse_lineage_spark.functions import text as T
     from hive_parse_lineage_spark.operators.dedup import (
-        lsh_candidate_pairs, minhash_signature_agg)
+        _P, _perm_params, lsh_candidate_pairs)
     docs = tables["documents"].filter(F.col("doc_id") < 250)
-    tk = docs.select(
+    tk = (docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .localCheckpoint(eager=True))
     na = tk.groupBy("doc_id").agg(F.count("*").alias("nt"))
     a, b = tk.alias("a"), tk.alias("b")
     inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
@@ -2063,8 +2071,15 @@ def _x125_lsh_pair_recall(spark, tables):
              .select("id_a", "id_b",
                      F.expr("ni * 1000 div (na + nb - ni)")
                      .alias("jp")))
-    sig = minhash_signature_agg(docs, shingle_k=1,
-                                hasher=T.portable_hash64)
+    hashed = tk.select(
+        "doc_id",
+        F.pmod(T.portable_hash64(F.col("tok")), F.lit(_P)).alias("_h"))
+    aggs = [F.min(F.pmod(F.lit(pa) * F.col("_h") + F.lit(pb), F.lit(_P)))
+            .alias(f"_m{i}")
+            for i, (pa, pb) in enumerate(_perm_params(64, 42))]
+    sig = (hashed.groupBy("doc_id").agg(*aggs)
+           .select("doc_id",
+                   F.array(*[f"_m{i}" for i in range(64)]).alias("minhash")))
     cand = (lsh_candidate_pairs(sig, max_bucket_size=None)
             .select("id_a", "id_b", F.lit(1).alias("hit")))
     j = truth.join(cand, ["id_a", "id_b"], "left")
