@@ -2556,6 +2556,52 @@ ORDER BY est.source_a, est.source_b
 """
 
 
+def _x178_stream_custom_state(spark, tables):
+    """CUSTOM stateful streaming operator under the EXACT hash gate —
+    the sixth real stream in the family and the first through the
+    ARBITRARY-state API the built-in operators can't express:
+    per-event-type running SUM/COUNT held in explicit GroupState
+    across real micro-batches (parquet file source, update-mode memory
+    sink, applyInPandasWithState). Update mode emits one row per
+    (key, touching batch); the FINAL update per key — selected by the
+    strictly-increasing row count — must equal the batch GROUP BY,
+    which proves the cross-batch state arithmetic itself, not just a
+    plan. Integer cents (floor(value*100)) keep the state merge
+    order-free, so the gate is exact whatever file order the source
+    replays in. State is one (total, n) pair per key: O(keys), never
+    O(events). ``running_cents_tws`` (streaming/windows.py) is the
+    same operator on Spark 4's transformWithState successor API —
+    pytest-covered where its protobuf state protocol is available;
+    this gate spelling stays dependency-free so any harness can
+    replay it."""
+    import uuid
+
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, running_cents_state)
+    e = (tables["events"]
+         .select("event_type",
+                 F.expr("CAST(FLOOR(value * 100) AS BIGINT)")
+                 .alias("cents"))
+         .coalesce(4))
+    sink = run_stream_over_batch(
+        spark, e, running_cents_state,
+        query_name=f"x178_{uuid.uuid4().hex[:8]}", output_mode="update")
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (sink.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_type", "total_cents", "n")
+            .orderBy("event_type"))
+
+
+_STREAM_TWS_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2599,6 +2645,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x175_effective_tokens": _q(_x175_effective_tokens),
         "x176_rendezvous_sharding": _q(_x176_rendezvous_sharding),
         "x177_source_minhash": _q(_x177_source_minhash),
+        "x178_stream_custom_state": _q(_x178_stream_custom_state),
     }
 
 
@@ -2641,4 +2688,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x175_effective_tokens": _effective_tokens_oracle_sql(),
         "x176_rendezvous_sharding": _rendezvous_oracle_sql(),
         "x177_source_minhash": _source_minhash_oracle_sql(),
+        "x178_stream_custom_state": _STREAM_TWS_ORACLE,
     }

@@ -253,6 +253,85 @@ def running_stats_tws(events: DataFrame, key: str = "event_type",
                 timeMode="None"))
 
 
+def running_cents_state(events: DataFrame, key: str = "event_type",
+                        cents_col: str = "cents") -> DataFrame:
+    """Custom stateful running SUM/COUNT in integer cents via
+    applyInPandasWithState — the dependency-free custom-state API
+    (protobuf-free, unlike :func:`running_cents_tws` below), and the
+    spelling the x178 exact gate runs: integer addition is order-free,
+    so the final per-key update equals the batch aggregate under any
+    micro-batching. State is one (total, n) pair per key — O(keys) on
+    the executors at any stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        total, n = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            total += int(pdf[cents_col].sum())
+            n += len(pdf)
+        state.update((total, n))
+        yield pd.DataFrame({key: [key_tuple[0]],
+                            "total_cents": [total], "n": [n]})
+
+    return (events.groupBy(F.col(key))
+            .applyInPandasWithState(
+                update,
+                outputStructType=f"{key} string, total_cents long, n long",
+                stateStructType="total_cents long, n long",
+                outputMode="update",
+                timeoutConf="NoTimeout"))
+
+
+def running_cents_tws(events: DataFrame, key: str = "event_type",
+                      cents_col: str = "cents") -> DataFrame:
+    """Integer-cents variant of :func:`running_stats_tws`, built for
+    the EXACT hash gate: per-key running SUM/COUNT in ValueState as
+    BIGINTs — addition of integers is order-free, so the final per-key
+    update equals the batch aggregate no matter how the stream was
+    micro-batched (the double variant above inherits IEEE accumulation
+    order and can only be approximately gated). State is one
+    (total, n) pair per key: O(keys) on the executors at any stream
+    length."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "running_cents_tws needs the 'protobuf' package: Spark's "
+            "transformWithState Python API encodes its state protocol "
+            "with it."
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningCents(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "total_cents bigint, n bigint")
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            total, n = (self._agg.get() if self._agg.exists()
+                        else (0, 0))
+            for pdf in rows:
+                total += int(pdf[cents_col].sum())
+                n += len(pdf)
+            self._agg.update((total, n))
+            yield pd.DataFrame({key: [key_tuple[0]],
+                                "total_cents": [total], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy(F.col(key))
+            .transformWithStateInPandas(
+                statefulProcessor=RunningCents(),
+                outputStructType=f"{key} string, total_cents bigint, "
+                                 "n bigint",
+                outputMode="Update",
+                timeMode="None"))
+
+
 def interval_join_stream(left: DataFrame, right: DataFrame,
                          key="user_id", ts_left: str = "ts",
                          ts_right: str = "ts_r",

@@ -510,6 +510,8 @@ _HINT_BUDGETS = {
                                     "unhinted; zero corpus joins"),
     "x177_source_minhash": (0, "signature pairs are |sources|-row; "
                                "the exact vocab join must shuffle"),
+    "x178_stream_custom_state": (0, "stateful stream + final-update "
+                                    "window, no joins"),
 }
 
 

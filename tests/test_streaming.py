@@ -376,3 +376,62 @@ def test_stream_near_dup_operator_equals_batch_cross_lsh(spark, tables):
     # every verbatim copy is flagged against its source at 1.0
     for i in range(20):
         assert (10_000 + i, i, 1.0) in got
+
+
+def test_running_cents_state_matches_batch_exactly(spark, events):
+    """x178's operator: the final per-key update of the integer-cents
+    GroupState aggregate equals the batch GROUP BY EXACTLY (no
+    tolerance — integer addition is order-free across micro-batches)."""
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, running_cents_state)
+    small = (events.limit(500)
+             .select("event_type",
+                     F.expr("CAST(FLOOR(value * 100) AS BIGINT)")
+                     .alias("cents")))
+    streamed = run_stream_over_batch(
+        spark, small.coalesce(4), running_cents_state,
+        query_name="t_cents_state", output_mode="update")
+    last = {}
+    for r in sorted(streamed.collect(), key=lambda r: r["n"]):
+        last[r["event_type"]] = (r["total_cents"], r["n"])
+    batch = {r["event_type"]: (r["tc"], r["n"])
+             for r in small.groupBy("event_type")
+             .agg(F.sum("cents").alias("tc"), F.count("*").alias("n"))
+             .collect()}
+    assert last == batch
+
+
+def test_running_cents_tws_matches_batch_exactly(spark, events):
+    """transformWithState twin of the x178 operator: same integer-cents
+    state, exact equality (needs protobuf + RocksDB state store, like
+    the running_stats_tws test above)."""
+    pytest.importorskip("google.protobuf.descriptor",
+                        reason="transformWithState needs protobuf")
+    from hive_parse_lineage_spark.streaming.windows import (
+        run_stream_over_batch, running_cents_tws)
+    small = (events.limit(500)
+             .select("event_type",
+                     F.expr("CAST(FLOOR(value * 100) AS BIGINT)")
+                     .alias("cents")))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key,
+                   "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider")
+    try:
+        streamed = run_stream_over_batch(
+            spark, small.coalesce(4), running_cents_tws,
+            query_name="t_cents_tws", output_mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    last = {}
+    for r in sorted(streamed.collect(), key=lambda r: r["n"]):
+        last[r["event_type"]] = (r["total_cents"], r["n"])
+    batch = {r["event_type"]: (r["tc"], r["n"])
+             for r in small.groupBy("event_type")
+             .agg(F.sum("cents").alias("tc"), F.count("*").alias("n"))
+             .collect()}
+    assert last == batch
