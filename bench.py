@@ -615,7 +615,8 @@ def _bench_corpus(spark, sf_dir: str):
     for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
                      "x112_stream_dedup_admission",
                      "x118_stream_session_windows",
-                     "x135_stream_stream_join"):
+                     "x135_stream_stream_join",
+                     "x178_stream_custom_state"):
         allq.pop(stream_q, None)
     for name, fn in sorted(allq.items()):
         fn(spark, sf_dir).collect()                          # warm-up
@@ -649,7 +650,8 @@ def _bench_corpus_duckdb(sf_dir: str):
     for stream_q in ("x102_stream_neardup", "x111_stream_hourly_rollup",
                      "x112_stream_dedup_admission",
                      "x118_stream_session_windows",
-                     "x135_stream_stream_join"):       # mirrors _bench_corpus
+                     "x135_stream_stream_join",
+                     "x178_stream_custom_state"):      # mirrors _bench_corpus
         allsql.pop(stream_q, None)
     for name, sql in sorted(allsql.items()):
         con.execute(sql).fetchdf()                           # warm-up

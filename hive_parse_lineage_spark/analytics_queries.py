@@ -2602,6 +2602,188 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _x179_psi_drift(spark, tables):
+    """Population Stability Index between the corpus's OLD and NEW
+    halves (id-range split standing in for crawl date, x93's
+    convention), in exact integer floor-bits: buckets are the old
+    half's exact length deciles (value-at-row, x152's spelling), and
+    each bucket's term is ``(p_permille - q_permille) *
+    (ibits(p_cnt * Tq) - ibits(q_cnt * Tp))`` — the ibits difference
+    brackets log2(p/q), so the classic sum (p-q)·ln(p/q) becomes pure
+    integer arithmetic under the hash gate. PSI is THE production
+    drift gate (scorecard monitoring's standard): x113's KS answers
+    "did the distribution move anywhere", PSI says WHERE and how much
+    per bucket, which is what triggers re-binning. +1 Laplace on the
+    counts keeps empty buckets finite.
+
+    Scale shape: one stats pass for the decile edges (at 100 TB:
+    approx_percentile, the documented swap), one bucket-assignment
+    projection via a 9-edge broadcast-free CASE, two |buckets|-row
+    aggregates. No corpus joins."""
+    d = tables["documents"].select(
+        "doc_id", F.col("n_chars").cast("long").alias("v"))
+    # id-range halves without a data-dependent literal: tag by the max
+    # id (single-row crossJoin, bounded)
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    tagged = d.crossJoin(F.broadcast(mx)).select(
+        "v", (F.col("doc_id") * 2 <= F.col("mx")).alias("is_old"))
+    old = tagged.filter("is_old")
+    w = Window.orderBy("v")
+    n_old = old.count()
+    edges = (old.select("v", F.row_number().over(w).alias("rn"))
+             .filter(F.expr(f"rn % GREATEST({n_old} div 10, 1) = 0"
+                            f" AND rn div GREATEST({n_old} div 10, 1)"
+                            f" BETWEEN 1 AND 9"))
+             .groupBy(F.expr(f"rn div GREATEST({n_old} div 10, 1)")
+                      .alias("edge_i"))
+             .agg(F.min("v").alias("edge"))
+             .orderBy("edge_i"))
+    es = [r["edge"] for r in edges.collect()]
+    bucket = F.lit(len(es))
+    for i in range(len(es) - 1, -1, -1):
+        bucket = F.when(F.col("v") < F.lit(es[i]), F.lit(i)).otherwise(bucket)
+    counts = (tagged.select("is_old", bucket.alias("b"))
+              .groupBy("b")
+              .agg(F.sum(F.col("is_old").cast("long")).alias("p_raw"),
+                   F.sum((~F.col("is_old")).cast("long")).alias("q_raw"))
+              .select("b", (F.col("p_raw") + 1).alias("p_cnt"),
+                      (F.col("q_raw") + 1).alias("q_cnt"))
+              # |buckets| rows; materialized so the totals crossJoin
+              # doesn't recompute the corpus aggregate a second time
+              .localCheckpoint(eager=True))
+    tot = counts.agg(F.sum("p_cnt").alias("tp"), F.sum("q_cnt").alias("tq"))
+    scored = (counts.crossJoin(F.broadcast(tot))
+              .select("b", "p_cnt", "q_cnt",
+                      F.expr("p_cnt * 1000 div tp").alias("p_permille"),
+                      F.expr("q_cnt * 1000 div tq").alias("q_permille"),
+                      (_ibits(F.col("p_cnt") * F.col("tq"))
+                       - _ibits(F.col("q_cnt") * F.col("tp")))
+                      .alias("log2_ratio_bits")))
+    return (scored.select(
+        "b", "p_cnt", "q_cnt", "p_permille", "q_permille",
+        ((F.col("p_permille") - F.col("q_permille"))
+         * F.col("log2_ratio_bits")).alias("psi_term_millibits"))
+        .orderBy("b"))
+
+
+_PSI_DRIFT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS v FROM documents
+), mx AS (
+  SELECT MAX(doc_id) AS mx FROM d
+), tagged AS (
+  SELECT v, (doc_id * 2 <= mx) AS is_old FROM d, mx
+), old AS (
+  SELECT v FROM tagged WHERE is_old
+), n AS (
+  SELECT COUNT(*) AS n_old FROM old
+), ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM old
+), edges AS (
+  SELECT rn // GREATEST(n_old // 10, 1) AS edge_i, MIN(v) AS edge
+  FROM ranked, n
+  WHERE rn % GREATEST(n_old // 10, 1) = 0
+    AND rn // GREATEST(n_old // 10, 1) BETWEEN 1 AND 9
+  GROUP BY 1
+), b AS (
+  SELECT is_old,
+         (SELECT COUNT(*) FROM edges WHERE edge <= t.v) AS b
+  FROM tagged t
+), counts AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) + 1 AS BIGINT)
+             AS p_cnt,
+         CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) + 1 AS BIGINT)
+             AS q_cnt
+  FROM b GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(p_cnt) AS BIGINT) AS tp,
+         CAST(SUM(q_cnt) AS BIGINT) AS tq
+  FROM counts
+)
+SELECT b, p_cnt, q_cnt,
+       p_cnt * 1000 // tp AS p_permille,
+       q_cnt * 1000 // tq AS q_permille,
+       (p_cnt * 1000 // tp - q_cnt * 1000 // tq)
+       * (length(bin(p_cnt * tq)) - length(bin(q_cnt * tp)))
+           AS psi_term_millibits
+FROM counts, tot ORDER BY b
+"""
+
+
+def _x180_sorted_neighborhood(spark, tables):
+    """Sorted-Neighborhood dedup (Hernandez-Stolfo SNM) — the
+    database-classic blocking alternative to LSH banding: sort the
+    corpus once by a cheap fingerprint key (first 16 chars, tie
+    doc_id), compare each doc only to its w=3 following neighbors, and
+    exact-verify candidates with distinct-token Jaccard >= 0.5. Where
+    LSH's candidate set is probabilistic, SNM's is deterministic in
+    the sort key — near-dups with shared prefixes (the common
+    boilerplate-header case) land adjacent and ARE found; divergent
+    prefixes are the documented miss class (mitigated in production by
+    multi-pass SNM over different keys, exactly like extra LSH bands).
+
+    Scale shape: the global sort rank is ONE window (at 100 TB: range
+    partitioning gives per-range ranks + boundary overlap of w rows —
+    x155's documented posture); neighbor pairing is w self-equi-joins
+    on the MANUFACTURED rank+k key — plain hash joins, never a theta
+    join; verification is per-candidate array_intersect, O(w * n)
+    pairs total."""
+    from hive_parse_lineage_spark.functions.text import tokens
+    d = tables["documents"].select(
+        "doc_id", F.substring("text", 1, 16).alias("k16"),
+        F.array_distinct(tokens("text")).alias("toks"))
+    w = Window.orderBy("k16", "doc_id")
+    ranked = (d.withColumn("rk", F.row_number().over(w))
+              .localCheckpoint(eager=True))
+    pairs = None
+    for k in (1, 2, 3):
+        a = ranked.select(F.col("doc_id").alias("id_a"),
+                          F.col("toks").alias("ta"),
+                          (F.col("rk") + k).alias("rk_b"))
+        b = ranked.select(F.col("doc_id").alias("id_b"),
+                          F.col("toks").alias("tb"),
+                          F.col("rk").alias("rk_b"))
+        p = (a.join(b, "rk_b")
+             .select("id_a", "id_b", F.lit(k).alias("window_dist"),
+                     F.size(F.array_intersect("ta", "tb")).alias("ni"),
+                     F.size("ta").alias("na"), F.size("tb").alias("nb")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (pairs
+            .withColumn("jac_permille",
+                        F.expr("ni * 1000 div (na + nb - ni)"))
+            .filter(F.col("jac_permille") >= 500)
+            .select(F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    "window_dist", "jac_permille")
+            .orderBy("id_a", "id_b", "window_dist"))
+
+
+_SORTED_NEIGHBORHOOD_ORACLE = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 16) AS k16,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+), ranked AS (
+  SELECT doc_id, toks,
+         ROW_NUMBER() OVER (ORDER BY k16, doc_id) AS rk
+  FROM d
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, k.k AS window_dist,
+         len(list_intersect(a.toks, b.toks)) AS ni,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM ranked a
+  JOIN (SELECT unnest([1, 2, 3]) AS k) k ON TRUE
+  JOIN ranked b ON b.rk = a.rk + k.k
+)
+SELECT LEAST(id_a, id_b) AS id_a, GREATEST(id_a, id_b) AS id_b,
+       window_dist, ni * 1000 // (na + nb - ni) AS jac_permille
+FROM pairs
+WHERE ni * 1000 // (na + nb - ni) >= 500
+ORDER BY id_a, id_b, window_dist
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2646,6 +2828,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x176_rendezvous_sharding": _q(_x176_rendezvous_sharding),
         "x177_source_minhash": _q(_x177_source_minhash),
         "x178_stream_custom_state": _q(_x178_stream_custom_state),
+        "x179_psi_drift": _q(_x179_psi_drift),
+        "x180_sorted_neighborhood": _q(_x180_sorted_neighborhood),
     }
 
 
@@ -2689,4 +2873,6 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x176_rendezvous_sharding": _rendezvous_oracle_sql(),
         "x177_source_minhash": _source_minhash_oracle_sql(),
         "x178_stream_custom_state": _STREAM_TWS_ORACLE,
+        "x179_psi_drift": _PSI_DRIFT_ORACLE,
+        "x180_sorted_neighborhood": _SORTED_NEIGHBORHOOD_ORACLE,
     }

@@ -755,3 +755,45 @@ def test_source_minhash_identical_sources_agree(spark):
     assert got[("s1", "s2")]["abs_err_permille"] == 0
     assert got[("s1", "s3")]["exact_permille"] == 0
     assert got[("s2", "s3")]["exact_permille"] == 0
+
+
+def test_psi_drift_identical_halves_score_zero(spark):
+    """x179: when old and new halves draw from identical values, every
+    bucket's p/q permille match and all PSI terms are 0; a shifted new
+    half produces nonzero terms."""
+    from hive_parse_lineage_spark.analytics_queries import _x179_psi_drift
+    same = [(i, 100 + (i % 10)) for i in range(200)]
+    docs = spark.createDataFrame(same, "doc_id long, n_chars long")
+    rows = _x179_psi_drift(spark, {"documents": docs}).collect()
+    assert rows
+    assert all(r["psi_term_millibits"] == 0 for r in rows)
+    # old half spread over 10 values, new half concentrated at the top
+    # -> mass leaves the low buckets, lands in the last one
+    shifted = ([(i, 100 * (i % 10)) for i in range(100)]
+               + [(100 + i, 900) for i in range(100)])
+    docs2 = spark.createDataFrame(shifted, "doc_id long, n_chars long")
+    rows2 = _x179_psi_drift(spark, {"documents": docs2}).collect()
+    assert any(r["psi_term_millibits"] != 0 for r in rows2)
+
+
+def test_sorted_neighborhood_finds_adjacent_dups(spark):
+    """x180: shared-prefix near-dups sort adjacent and are found with
+    the exact Jaccard; a prefix-divergent dup pair is the documented
+    miss class (not emitted)."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x180_sorted_neighborhood)
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "HEADER aaa " + body),
+        (2, "HEADER aaa " + body + " extra"),
+        (3, "zzz completely different prefix " + body),
+        (4, "mmm unrelated text with its own words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           _x180_sorted_neighborhood(spark, {"documents": docs}).collect()}
+    assert (1, 2) in got
+    # doc 3 shares the body but its prefix sorts it away from 1/2 at
+    # window w=3 over 4 docs it may still be within reach; the pair
+    # (3, 4) must NOT appear (genuinely dissimilar)
+    assert (3, 4) not in got and (4, 3) not in got

@@ -512,6 +512,14 @@ _HINT_BUDGETS = {
                                "the exact vocab join must shuffle"),
     "x178_stream_custom_state": (0, "stateful stream + final-update "
                                     "window, no joins"),
+    "x179_psi_drift": (1, "single-row bucket totals over the "
+                          "checkpointed bucket counts (the max-id "
+                          "hint sits behind the checkpoint); bucket "
+                          "assignment is a literal CASE, no corpus "
+                          "joins"),
+    "x180_sorted_neighborhood": (0, "rank+k neighbor joins are plain "
+                                    "hash equi-joins over the "
+                                    "checkpointed rank table"),
 }
 
 
