@@ -1024,15 +1024,22 @@ def _x161_kcore_peel(spark, tables):
 
 
 def _kcore_oracle_sql() -> str:
+    # Every CTE in the peel chain is AS MATERIALIZED: each round
+    # references its predecessor 4x (degree stream x2, edge filter,
+    # scalar counts), so DuckDB's default inlining re-expands the
+    # whole LSH edge pipeline ~4^3 times — at sf1.0 that walked past
+    # 100 GiB and OOM'd the oracle. Materialization evaluates each
+    # level once; results are byte-identical (re-verified at every SF).
     from hive_parse_lineage_spark.corpus_queries import _cc_edges_sql
     rounds = []
     prev = "e0"
     for r in (1, 2, 3):
         rounds.append(f"""
-a{r} AS (SELECT id_a AS v FROM {prev} UNION ALL SELECT id_b FROM {prev}),
+a{r} AS MATERIALIZED (
+  SELECT id_a AS v FROM {prev} UNION ALL SELECT id_b FROM {prev}),
 d{r} AS (SELECT v, COUNT(*) AS deg FROM a{r} GROUP BY v),
-k{r} AS (SELECT v FROM d{r} WHERE deg >= 2),
-e{r} AS (SELECT {prev}.id_a, {prev}.id_b FROM {prev}
+k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= 2),
+e{r} AS MATERIALIZED (SELECT {prev}.id_a, {prev}.id_b FROM {prev}
          JOIN k{r} ka ON {prev}.id_a = ka.v
          JOIN k{r} kb ON {prev}.id_b = kb.v)""")
         prev = f"e{r}"
@@ -1040,9 +1047,10 @@ e{r} AS (SELECT {prev}.id_a, {prev}.id_b FROM {prev}
         f"SELECT {r} AS peel_round, "
         f"(SELECT COUNT(*) FROM k{r}) AS n_vertices, "
         f"(SELECT COUNT(*) FROM e{r}) AS n_edges" for r in (1, 2, 3))
+    edges = _cc_edges_sql().replace("mh AS (", "mh AS MATERIALIZED (", 1)
     return f"""
-WITH {_cc_edges_sql()},
-e0 AS (SELECT id_a, id_b FROM mh),{",".join(rounds)}
+WITH {edges},
+e0 AS MATERIALIZED (SELECT id_a, id_b FROM mh),{",".join(rounds)}
 {selects} ORDER BY peel_round
 """
 
