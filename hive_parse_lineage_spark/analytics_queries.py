@@ -2792,6 +2792,473 @@ ORDER BY id_a, id_b, window_dist
 """
 
 
+def _x181_gopher_rules(spark, tables):
+    """Gopher-style heuristic quality gate (Rae et al. 2021, table A1)
+    adapted to the whitespace-token corpus, reported as a per-source
+    pass-rate scorecard: word-count bounds, mean-word-length band,
+    stopword presence, max identical-token run, and type/token ratio —
+    all in exact integer arithmetic (cross-multiplied thresholds, no
+    ratios), so the gate is reproducible bit-for-bit on any engine.
+    x03/x37 score and filter per-doc; this is the RULE-LEVEL audit that
+    says WHICH rule gates each source, the number a curation run tunes.
+
+    Scale shape: one projection computes four of five signals from
+    array ops (no explode); the max-run signal is the only positional
+    pass — posexplode then a PER-DOC window (partitionBy doc_id, never
+    global), two map-side-combinable aggregates. One shuffle by doc
+    for the run-length join, one by source for the report."""
+    d = tables["documents"]
+    toks = F.split("text", " ")
+    stop = F.array(*[F.lit(s) for s in ("the", "a", "data", "value")])
+    base = d.select(
+        "doc_id", "source",
+        F.size(toks).alias("n_words"),
+        (F.length("text") - F.size(toks) + 1).alias("n_word_chars"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(F.array_intersect(F.array_distinct(toks), stop))
+        .alias("n_stop_types"))
+    pos = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (pos
+            .withColumn("new_run",
+                        F.when(F.lag("tok").over(wd) == F.col("tok"),
+                               F.lit(0)).otherwise(F.lit(1)))
+            .withColumn("run_id", F.sum("new_run").over(wd))
+            .groupBy("doc_id", "run_id").agg(F.count("*").alias("rl"))
+            .groupBy("doc_id").agg(F.max("rl").alias("max_run")))
+    scored = (base.join(runs, "doc_id")
+              .select(
+                  "source",
+                  F.expr("CASE WHEN n_words BETWEEN 20 AND 100000 "
+                         "THEN 1 ELSE 0 END").alias("p_len"),
+                  F.expr("CASE WHEN n_word_chars * 1000 >= 3000 * n_words "
+                         "AND n_word_chars * 1000 <= 10000 * n_words "
+                         "THEN 1 ELSE 0 END").alias("p_mwl"),
+                  F.expr("CASE WHEN n_stop_types >= 2 THEN 1 ELSE 0 END")
+                  .alias("p_stop"),
+                  F.expr("CASE WHEN max_run <= 4 THEN 1 ELSE 0 END")
+                  .alias("p_run"),
+                  F.expr("CASE WHEN n_types * 1000 >= 200 * n_words "
+                         "THEN 1 ELSE 0 END").alias("p_ttr")))
+    return (scored.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("p_len").alias("pass_len"),
+                 F.sum("p_mwl").alias("pass_mwl"),
+                 F.sum("p_stop").alias("pass_stop"),
+                 F.sum("p_run").alias("pass_run"),
+                 F.sum("p_ttr").alias("pass_ttr"),
+                 F.sum(F.expr("p_len * p_mwl * p_stop * p_run * p_ttr"))
+                 .alias("pass_all"))
+            .orderBy("source"))
+
+
+_GOPHER_RULES_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, source,
+         len(toks) AS n_words,
+         length(text) - len(toks) + 1 AS n_word_chars,
+         len(list_distinct(toks)) AS n_types,
+         len(list_intersect(list_distinct(toks),
+                            ['the', 'a', 'data', 'value'])) AS n_stop_types
+  FROM d
+), pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+         unnest(toks) AS tok
+  FROM d
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+              THEN 0 ELSE 1 END AS new_run
+  FROM pos
+), islands AS (
+  SELECT doc_id,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM marked
+), rl AS (
+  SELECT doc_id, run_id, COUNT(*) AS rl FROM islands GROUP BY 1, 2
+), mr AS (
+  SELECT doc_id, MAX(rl) AS max_run FROM rl GROUP BY doc_id
+), scored AS (
+  SELECT b.source,
+         CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS p_len,
+         CASE WHEN n_word_chars * 1000 >= 3000 * n_words
+              AND n_word_chars * 1000 <= 10000 * n_words
+              THEN 1 ELSE 0 END AS p_mwl,
+         CASE WHEN n_stop_types >= 2 THEN 1 ELSE 0 END AS p_stop,
+         CASE WHEN max_run <= 4 THEN 1 ELSE 0 END AS p_run,
+         CASE WHEN n_types * 1000 >= 200 * n_words THEN 1 ELSE 0 END AS p_ttr
+  FROM base b JOIN mr USING (doc_id)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(p_len) AS BIGINT) AS pass_len,
+       CAST(SUM(p_mwl) AS BIGINT) AS pass_mwl,
+       CAST(SUM(p_stop) AS BIGINT) AS pass_stop,
+       CAST(SUM(p_run) AS BIGINT) AS pass_run,
+       CAST(SUM(p_ttr) AS BIGINT) AS pass_ttr,
+       CAST(SUM(p_len * p_mwl * p_stop * p_run * p_ttr) AS BIGINT)
+           AS pass_all
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def _x182_pareto_skyline(spark, tables):
+    """Per-language Pareto skyline over (maximize vocabulary richness,
+    minimize length): the docs no other same-language doc dominates —
+    the classic SKYLINE operator, which neither engine ships natively.
+    For 2-D skylines the O(n^2) dominance anti-join collapses to ONE
+    window: a doc survives iff its quality strictly beats the best
+    quality over all strictly-shorter docs (RANGE frame to 1
+    PRECEDING), it ties the best at its own exact length, and it is
+    the lowest doc_id among those ties — deterministic representative
+    per frontier point. The curation read: the efficient frontier of
+    "most diverse doc per length budget", the exemplar set x83 would
+    sample from.
+
+    Scale shape: zero joins. Three windows, all partitioned by lang
+    (and by (lang, n_chars) / (lang, n_chars, qual) for the tie
+    lanes) — at 100 TB each language sorts independently; the RANGE
+    frame is the documented range-partition + boundary-carry posture
+    (x155/x180)."""
+    d = tables["documents"].select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("qual"))
+    w_short = (Window.partitionBy("lang").orderBy("n_chars")
+               .rangeBetween(Window.unboundedPreceding, -1))
+    w_len = Window.partitionBy("lang", "n_chars")
+    w_tie = Window.partitionBy("lang", "n_chars", "qual")
+    return (d.withColumn("best_shorter", F.max("qual").over(w_short))
+            .withColumn("best_here", F.max("qual").over(w_len))
+            .withColumn("min_id", F.min("doc_id").over(w_tie))
+            .filter((F.col("qual") == F.col("best_here"))
+                    & (F.col("qual")
+                       > F.coalesce(F.col("best_shorter"), F.lit(-1)))
+                    & (F.col("doc_id") == F.col("min_id")))
+            .select("lang", "n_chars", "doc_id", "qual")
+            .orderBy("lang", "n_chars"))
+
+
+_PARETO_SKYLINE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         len(list_distinct(string_split(text, ' '))) AS qual
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, n_chars, qual,
+         MAX(qual) OVER (PARTITION BY lang ORDER BY n_chars
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS best_shorter,
+         MAX(qual) OVER (PARTITION BY lang, n_chars) AS best_here,
+         MIN(doc_id) OVER (PARTITION BY lang, n_chars, qual) AS min_id
+  FROM d
+)
+SELECT lang, n_chars, doc_id, qual
+FROM scored
+WHERE qual = best_here
+  AND qual > COALESCE(best_shorter, -1)
+  AND doc_id = min_id
+ORDER BY lang, n_chars
+"""
+
+
+#: bootstrap replicate count for x183 — fixed so the oracle unrolls it.
+BOOTSTRAP_B = 16
+
+#: integer inverse-CDF thresholds (permille) for Poisson(1): P(X<=k)
+#: cumulative ~ .368/.736/.920/.981/.996, tail mass to 5.
+_POISSON_EDGES = (368, 736, 920, 981, 996)
+
+
+def _x183_poisson_bootstrap(spark, tables):
+    """Per-source mean document length with a DETERMINISTIC Poisson
+    bootstrap standard error — the streaming-friendly bootstrap
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams"): each doc's weight in replicate b is a Poisson(1) draw
+    derived from hash(doc_id:b) through a fixed integer inverse-CDF
+    permille table, so every engine (and every rerun at 100 TB)
+    produces the SAME replicates — no RNG state, no resampling pass
+    over the corpus, and replicate membership is decided map-side row
+    by row. Output per source: point mean plus bootstrap mean/variance
+    of the replicate means, all integer milli.
+
+    Scale shape: one explode by B=16 (map-side, no shuffle), one
+    (source, b)-keyed aggregate, one source-keyed aggregate over
+    B-row groups. At 100 TB the explode is the only corpus
+    multiplier; the replicate dimension never shuffles separately."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    d = tables["documents"].select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("v"))
+    reps = d.select(
+        "source", "doc_id", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))).alias("b"))
+    h = F.pmod(
+        portable_hash64(F.concat_ws(":", F.col("doc_id"), F.col("b"))),
+        F.lit(1000))
+    w = F.lit(len(_POISSON_EDGES))
+    for k in range(len(_POISSON_EDGES) - 1, -1, -1):
+        w = F.when(h < F.lit(_POISSON_EDGES[k]), F.lit(k)).otherwise(w)
+    per_rep = (reps.withColumn("w", w)
+               .groupBy("source", "b")
+               .agg(F.sum("w").alias("sw"),
+                    F.sum(F.col("w") * F.col("v")).alias("swv"))
+               .select("source", "b",
+                       F.expr("CASE WHEN sw = 0 THEN 0 "
+                              "ELSE swv * 1000 div sw END").alias("rm")))
+    boot = (per_rep.groupBy("source")
+            .agg(F.sum("rm").alias("sr"),
+                 F.sum(F.col("rm") * F.col("rm")).alias("sr2")))
+    point = (d.groupBy("source")
+             .agg(F.count("*").alias("n_docs"),
+                  F.expr("SUM(v) * 1000 div COUNT(*)").alias("mean_milli")))
+    b_lit = F.lit(BOOTSTRAP_B)
+    return (point.join(boot, "source")
+            .select("source", "n_docs", "mean_milli",
+                    F.expr(f"sr div {BOOTSTRAP_B}").alias("boot_mean_milli"),
+                    ((b_lit * F.col("sr2") - F.col("sr") * F.col("sr"))
+                     / (b_lit * b_lit)).cast("long")
+                    .alias("boot_var_milli2"))
+            .orderBy("source"))
+
+
+def _poisson_bootstrap_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    b_ = BOOTSTRAP_B
+    h = portable_hash64_sql(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(b AS VARCHAR))")
+    e = _POISSON_EDGES
+    return f"""
+WITH d AS (
+  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents
+), reps AS (
+  SELECT source, doc_id, v, r.range AS b,
+         {h} % 1000 AS h
+  FROM d CROSS JOIN range({b_}) r
+), weighted AS (
+  SELECT source, b, v,
+         CASE WHEN h < {e[0]} THEN 0 WHEN h < {e[1]} THEN 1
+              WHEN h < {e[2]} THEN 2 WHEN h < {e[3]} THEN 3
+              WHEN h < {e[4]} THEN 4 ELSE 5 END AS w
+  FROM reps
+), per_rep AS (
+  SELECT source, b,
+         CASE WHEN SUM(w) = 0 THEN 0
+              ELSE CAST(SUM(w * v) AS BIGINT) * 1000
+                   // CAST(SUM(w) AS BIGINT) END AS rm
+  FROM weighted GROUP BY source, b
+), boot AS (
+  SELECT source, CAST(SUM(rm) AS BIGINT) AS sr,
+         CAST(SUM(rm * rm) AS BIGINT) AS sr2
+  FROM per_rep GROUP BY source
+), point AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(v) AS BIGINT) * 1000 // COUNT(*) AS mean_milli
+  FROM d GROUP BY source
+)
+SELECT p.source, p.n_docs, p.mean_milli,
+       b.sr // {b_} AS boot_mean_milli,
+       ({b_} * b.sr2 - b.sr * b.sr) // ({b_} * {b_}) AS boot_var_milli2
+FROM point p JOIN boot b ON p.source = b.source
+ORDER BY p.source
+"""
+
+
+#: fixed query ids for the x184 ADC scan — bounded at any corpus size.
+PQ_QUERY_IDS = (7, 19, 37, 53)
+
+
+def _x184_pq_adc(spark, tables):
+    """Product-quantization ANN (Jegou et al., PQ/ADC): the 64-dim
+    embedding splits into 8 subspaces of 8 dims; the codebook is the
+    first 16 vectors' subvectors (deterministic seeding, the x163
+    convention); every vector encodes as 8 nearest-code ids (integer
+    milli squared-L2, ties to the lowest code id); queries score the
+    whole corpus ASYMMETRICALLY — a 16-entry distance table per
+    (query, subspace), then adc_dist(v) = sum of 8 table lookups —
+    never touching the original vectors again. This is the memory
+    model IVF-PQ indexes (x79's scale path) use to hold billions of
+    vectors: 8 bytes/vector instead of 256.
+
+    Scale shape: the codebook (16 codes x 8 subspaces, long form
+    1024 rows) and the distance table (|queries| x 128 rows) are
+    PROVABLY bounded, so both broadcasts are the legitimate class
+    (x104/x163). Encoding is one broadcast pass + one
+    (vec, subspace)-keyed argmin; the ADC scan is one broadcast
+    lookup join + an 8-row-per-pair sum. The corpus never self-joins
+    and the original embeddings are read exactly once."""
+    vq = (tables["embeddings"]
+          .select("vec_id",
+                  F.posexplode(F.expr(
+                      "transform(embedding, x -> CAST(FLOOR("
+                      "CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
+                  .alias("k", "q"))
+          .select("vec_id", F.expr("k div 8").alias("s"), "k", "q")
+          .localCheckpoint(eager=True))
+    cb = (vq.filter(F.col("vec_id") < 16)
+          .select(F.col("vec_id").alias("cid"), "k",
+                  F.col("q").alias("cq")))
+    dd = (vq.join(F.broadcast(cb), "k")
+          .groupBy("vec_id", "s", "cid")
+          .agg(F.sum((F.col("q") - F.col("cq"))
+                     * (F.col("q") - F.col("cq"))).alias("d")))
+    enc = (dd.groupBy("vec_id", "s")
+           .agg(F.min(F.struct("d", "cid")).alias("m"))
+           .select("vec_id", "s", F.col("m.cid").alias("cid")))
+    dtab = (dd.filter(F.col("vec_id").isin(*PQ_QUERY_IDS))
+            .select(F.col("vec_id").alias("query_id"), "s", "cid", "d"))
+    adc = (enc.join(F.broadcast(dtab), ["s", "cid"])
+           .groupBy("query_id", "vec_id")
+           .agg(F.sum("d").alias("adc_dist")))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "rank", "vec_id", "adc_dist")
+            .orderBy("query_id", "rank"))
+
+
+def _pq_adc_oracle_sql() -> str:
+    qids = ", ".join(str(q) for q in PQ_QUERY_IDS)
+    return f"""
+WITH vq AS (
+  SELECT vec_id, s.k // 8 AS s, s.k AS k, s.q AS q
+  FROM (SELECT vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(
+                          k := i - 1,
+                          q := CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                          * 1000.0) AS BIGINT)))) AS s
+        FROM embeddings)
+), cb AS (
+  SELECT vec_id AS cid, k, q AS cq FROM vq WHERE vec_id < 16
+), dd AS (
+  SELECT vq.vec_id, vq.s, cb.cid,
+         CAST(SUM((vq.q - cb.cq) * (vq.q - cb.cq)) AS BIGINT) AS d
+  FROM vq JOIN cb USING (k)
+  GROUP BY vq.vec_id, vq.s, cb.cid
+), enc AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+    FROM dd) WHERE rn = 1
+), dtab AS (
+  SELECT vec_id AS query_id, s, cid, d FROM dd
+  WHERE vec_id IN ({qids})
+), adc AS (
+  SELECT dtab.query_id, enc.vec_id,
+         CAST(SUM(dtab.d) AS BIGINT) AS adc_dist
+  FROM enc JOIN dtab ON enc.s = dtab.s AND enc.cid = dtab.cid
+  GROUP BY dtab.query_id, enc.vec_id
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM adc)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+#: multiplicative-weights rounds for x185 — fixed so the oracle unrolls.
+REWEIGHT_ROUNDS = 5
+
+
+def _x185_domain_reweight(spark, tables):
+    """DoReMi-lite domain reweighting (Xie et al. 2023, the
+    multiplicative-weights core): each source's loss proxy is its
+    integer cross-entropy under the corpus unigram model (x170's
+    floor-bit spelling, milli-bits/token); five rounds of w *=
+    (1000 + clamp(loss - weighted_avg_loss, ±500)) / 1000 with
+    permille renormalization upweight the domains the proxy finds
+    hardest — the mixture a second training pass would use instead of
+    token-proportional sampling. Every quantity is a non-negative
+    integer at division time, so truncating div agrees across engines.
+
+    Scale shape: the loss pass is the only corpus-proportional work —
+    one explode, one vocab-keyed shuffle join (never broadcast), one
+    source aggregate; the five MW rounds run on the |sources|-row
+    table (localCheckpointed once) with single-row totals the only
+    broadcast class."""
+    d = tables["documents"]
+    tk = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    ct = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    tt = tk.agg(F.count("*").alias("t"))
+    loss = (tk.join(ct, "tok").crossJoin(F.broadcast(tt))
+            .groupBy("source")
+            .agg(F.expr("CAST(SUM(length(bin(t)) - length(bin(c))) "
+                        "AS BIGINT) * 1000 div COUNT(*)").alias("loss"))
+            .withColumn("w", F.lit(100000).cast("long"))
+            .localCheckpoint(eager=True))
+    cur = loss
+    for _ in range(REWEIGHT_ROUNDS):
+        avg = cur.agg(
+            F.expr("SUM(w * loss) div SUM(w)").alias("avg_loss"))
+        upd = (cur.crossJoin(F.broadcast(avg))
+               .select("source", "loss",
+                       F.expr("w * (1000 + GREATEST(-500, LEAST(500, "
+                              "loss - avg_loss))) div 1000").alias("w")))
+        sw = upd.agg(F.sum("w").alias("sw"))
+        # per-round checkpoint keeps the plan LINEAR: without it each
+        # round's avg/sw aggregates re-derive the whole prior-round
+        # subtree (2x fanout per round -> 4^R recomputes of a 20-row
+        # table) — cheap here, catastrophic at a real sources count
+        cur = (upd.crossJoin(F.broadcast(sw))
+               .select("source", "loss",
+                       F.expr("w * 100000 div sw").alias("w"))
+               .localCheckpoint(eager=True))
+    tot = cur.agg(F.sum("w").alias("tw"))
+    return (cur.crossJoin(F.broadcast(tot))
+            .select("source", F.col("loss").alias("loss_millibits"),
+                    F.col("w").alias("weight"),
+                    F.expr("w * 1000 div tw").alias("weight_permille"))
+            .orderBy("source"))
+
+
+def _domain_reweight_oracle_sql() -> str:
+    parts = ["""
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), ct AS (
+  SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
+), tt AS (
+  SELECT COUNT(*) AS t FROM tk
+), r0 AS (
+  SELECT source,
+         CAST(SUM(length(bin(t)) - length(bin(c))) AS BIGINT) * 1000
+             // COUNT(*) AS loss,
+         CAST(100000 AS BIGINT) AS w
+  FROM tk JOIN ct USING (tok) CROSS JOIN tt
+  GROUP BY source
+)"""]
+    for i in range(REWEIGHT_ROUNDS):
+        parts.append(f""", a{i} AS (
+  SELECT CAST(SUM(w * loss) AS BIGINT) // CAST(SUM(w) AS BIGINT)
+             AS avg_loss
+  FROM r{i}
+), u{i} AS (
+  SELECT source, loss,
+         w * (1000 + GREATEST(-500, LEAST(500, loss - avg_loss))) // 1000
+             AS w
+  FROM r{i}, a{i}
+), s{i} AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS sw FROM u{i}
+), r{i + 1} AS (
+  SELECT source, loss, w * 100000 // sw AS w FROM u{i}, s{i}
+)""")
+    parts.append(f""", tot AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS tw FROM r{REWEIGHT_ROUNDS}
+)
+SELECT source, loss AS loss_millibits, w AS weight,
+       w * 1000 // tw AS weight_permille
+FROM r{REWEIGHT_ROUNDS}, tot
+ORDER BY source""")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2838,6 +3305,11 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x178_stream_custom_state": _q(_x178_stream_custom_state),
         "x179_psi_drift": _q(_x179_psi_drift),
         "x180_sorted_neighborhood": _q(_x180_sorted_neighborhood),
+        "x181_gopher_rules": _q(_x181_gopher_rules),
+        "x182_pareto_skyline": _q(_x182_pareto_skyline),
+        "x183_poisson_bootstrap": _q(_x183_poisson_bootstrap),
+        "x184_pq_adc": _q(_x184_pq_adc),
+        "x185_domain_reweight": _q(_x185_domain_reweight),
     }
 
 
@@ -2883,4 +3355,9 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x178_stream_custom_state": _STREAM_TWS_ORACLE,
         "x179_psi_drift": _PSI_DRIFT_ORACLE,
         "x180_sorted_neighborhood": _SORTED_NEIGHBORHOOD_ORACLE,
+        "x181_gopher_rules": _GOPHER_RULES_ORACLE,
+        "x182_pareto_skyline": _PARETO_SKYLINE_ORACLE,
+        "x183_poisson_bootstrap": _poisson_bootstrap_oracle_sql(),
+        "x184_pq_adc": _pq_adc_oracle_sql(),
+        "x185_domain_reweight": _domain_reweight_oracle_sql(),
     }

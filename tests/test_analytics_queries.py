@@ -797,3 +797,97 @@ def test_sorted_neighborhood_finds_adjacent_dups(spark):
     # window w=3 over 4 docs it may still be within reach; the pair
     # (3, 4) must NOT appear (genuinely dissimilar)
     assert (3, 4) not in got and (4, 3) not in got
+
+
+def test_gopher_rules_toy_scorecard(spark):
+    """x181: a degenerate doc (one repeated 1-char token) fails every
+    rule; a diverse 32-word doc with stopwords passes every rule —
+    replayed by hand against the integer thresholds."""
+    from hive_parse_lineage_spark.analytics_queries import _x181_gopher_rules
+    good = " ".join(f"tok{i}" for i in range(30)) + " the a"
+    rows = [(1, "w w w w w w w w", "s"), (2, good, "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = _x181_gopher_rules(spark, {"documents": docs}).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    # doc 1: 8 words (<20), mwl 1000 (<3000), 0 stop types, run of 8,
+    # ttr 125 (<200) -> fails all five. doc 2: 32 words, word chars
+    # 10*4 + 20*5 + 3 + 1 = 144 -> mwl 4500, stop {the, a}, runs of 1,
+    # ttr 1000 -> passes all five.
+    assert r == {"source": "s", "n_docs": 2, "pass_len": 1, "pass_mwl": 1,
+                 "pass_stop": 1, "pass_run": 1, "pass_ttr": 1, "pass_all": 1}
+
+
+def test_pareto_skyline_dominance(spark):
+    """x182: the returned frontier is exactly the non-dominated set
+    with lowest-id tie representatives, checked against a brute-force
+    dominance replay in Python."""
+    from hive_parse_lineage_spark.analytics_queries import _x182_pareto_skyline
+    # (doc_id, n_chars, n distinct tokens)
+    spec = [(1, 10, 3), (2, 20, 5), (3, 20, 5), (4, 30, 4), (5, 15, 3)]
+    rows = [(i, " ".join(f"t{k}" for k in range(q)), "en", n)
+            for i, n, q in spec]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    got = [(r["doc_id"], r["n_chars"], r["qual"]) for r in
+           _x182_pareto_skyline(spark, {"documents": docs}).collect()]
+    assert got == [(1, 10, 3), (2, 20, 5)]
+
+
+def test_poisson_bootstrap_constant_corpus_has_zero_variance(spark):
+    """x183: with a constant value column every replicate mean equals
+    the point mean exactly (integer milli), so the bootstrap variance
+    is 0 — and the weights are genuinely deterministic across calls."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x183_poisson_bootstrap)
+    rows = [(i, 100, "s") for i in range(64)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long, source string")
+    a = _x183_poisson_bootstrap(spark, {"documents": docs}).collect()
+    b = _x183_poisson_bootstrap(spark, {"documents": docs}).collect()
+    assert a == b
+    r = a[0].asDict()
+    assert r["mean_milli"] == 100000
+    assert r["boot_mean_milli"] == 100000
+    assert r["boot_var_milli2"] == 0
+
+
+def test_pq_adc_codebook_member_retrieves_itself(spark):
+    """x184: a codebook vector encodes to its own code in every
+    subspace (distance 0), so its ADC top-1 is itself at distance 0;
+    every query returns exactly 5 ranked rows with non-decreasing
+    distances."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        PQ_QUERY_IDS, _x184_pq_adc)
+    rows = [(i, [((i * 7 + j) % 13) / 10.0 for j in range(64)])
+            for i in range(60)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _x184_pq_adc(spark, {"embeddings": embs}).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(PQ_QUERY_IDS)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        ds = [r["adc_dist"] for r in rs]
+        assert ds == sorted(ds) and all(d >= 0 for d in ds)
+    # query 7 is a codebook member: self-distance is exactly 0
+    top = by_q[7][0]
+    assert top["vec_id"] == 7 and top["adc_dist"] == 0
+
+
+def test_domain_reweight_upweights_hard_domain(spark):
+    """x185: a degenerate repeated-token source scores low
+    cross-entropy and loses weight; a distinct-vocabulary source
+    scores high and gains — weights stay permille-normalized."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x185_domain_reweight)
+    rows = ([(i, " ".join(["z"] * 10), "dup") for i in range(5)]
+            + [(10 + i, " ".join(f"u{i}_{k}" for k in range(10)), "mix")
+               for i in range(5)])
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict()
+           for r in _x185_domain_reweight(spark, {"documents": docs}).collect()}
+    assert out["mix"]["loss_millibits"] > out["dup"]["loss_millibits"]
+    assert out["mix"]["weight_permille"] > out["dup"]["weight_permille"]
+    total = sum(r["weight_permille"] for r in out.values())
+    assert 998 <= total <= 1000

@@ -520,6 +520,19 @@ _HINT_BUDGETS = {
     "x180_sorted_neighborhood": (0, "rank+k neighbor joins are plain "
                                     "hash equi-joins over the "
                                     "checkpointed rank table"),
+    "x181_gopher_rules": (0, "run-length join is doc-keyed corpus-"
+                             "proportional; AQE decides"),
+    "x182_pareto_skyline": (0, "windows only, no joins"),
+    "x183_poisson_bootstrap": (0, "point/boot join is |sources|-row "
+                                  "both sides; AQE decides"),
+    "x184_pq_adc": (3, "provably bounded codebook (16 codes x 8 "
+                       "subspaces, counted x2 via the dtab subtree "
+                       "recompute over the checkpointed long-form "
+                       "stream) + |queries|x128-row distance table"),
+    "x185_domain_reweight": (1, "single-row final total; the MW "
+                                "rounds' single-row avg/sum hints sit "
+                                "behind per-round checkpoints of the "
+                                "|sources|-row table"),
 }
 
 
