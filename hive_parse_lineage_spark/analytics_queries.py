@@ -3259,6 +3259,325 @@ ORDER BY source""")
     return "".join(parts)
 
 
+def _sdiv(num: str, den: str) -> str:
+    """Sign-reconciled truncating division as a SQL fragment (the x150
+    spelling): Spark ``div`` truncates toward zero while DuckDB ``//``
+    floors, so negative numerators must route through the positive
+    case. ``den`` must be positive."""
+    return (f"CASE WHEN ({num}) >= 0 THEN ({num}) div ({den}) "
+            f"ELSE -((-({num})) div ({den})) END")
+
+
+def _x186_zipf_alpha(spark, tables):
+    """Per-source Zipf power-law exponent fitted in EXACT integer
+    arithmetic: token frequencies ranked (count desc, token), each
+    (rank, count) point mapped to integer floor-bits (x141's ibits),
+    and alpha = -slope of the OLS line through the (ibits(rank),
+    ibits(count)) cloud using x121's integer moment sums with x150's
+    sign-reconciled division. Natural text sits near alpha ~ 1000
+    (milli); a templated source collapses toward 0 (flat spectrum) or
+    blows past ~2000 (one token dominating) — the one-number
+    vocabulary-health fit on top of x98's raw spectrum.
+
+    Scale shape: one (source, token) count, one per-source window
+    rank over vocab-sized rows, one per-source moment aggregate. No
+    joins, no broadcast; degenerate sources (constant x) guard to
+    NULL via the zero-denominator CASE."""
+    d = tables["documents"]
+    tk = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "tok")
+    pts = c.select(
+        "source",
+        _ibits(F.row_number().over(w)).cast("long").alias("x"),
+        _ibits(F.col("c")).cast("long").alias("y"))
+    m = (pts.groupBy("source")
+         .agg(F.count("*").alias("n"),
+              F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy")))
+    slope = _sdiv("(n * sxy - sx * sy) * 1000", "n * sxx - sx * sx")
+    return (m.select(
+        "source", F.col("n").alias("n_types"),
+        F.expr(f"CASE WHEN n * sxx - sx * sx = 0 THEN NULL "
+               f"ELSE -({slope}) END").alias("alpha_milli"),
+        F.expr(f"CASE WHEN n * sxx - sx * sx = 0 THEN NULL "
+               f"ELSE {_sdiv(f'sy * 1000 - ({slope}) * sx', 'n * 1000')} "
+               f"* 1000 END").alias("intercept_millibits"))
+        .orderBy("source"))
+
+
+_ZIPF_ALPHA_ORACLE = """
+WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+), c AS (
+  SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+), pts AS (
+  SELECT source,
+         CAST(length(bin(ROW_NUMBER() OVER (
+             PARTITION BY source ORDER BY c DESC, tok))) AS BIGINT) AS x,
+         CAST(length(bin(c)) AS BIGINT) AS y
+  FROM c
+), m AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY source
+), s AS (
+  SELECT source, n, sx, sy, sxx, sxy,
+         CASE WHEN (n * sxy - sx * sy) * 1000 >= 0
+              THEN (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx)
+              ELSE -((-((n * sxy - sx * sy) * 1000))
+                     // (n * sxx - sx * sx)) END AS slope
+  FROM m WHERE n * sxx - sx * sx != 0
+)
+SELECT m.source, m.n AS n_types,
+       CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN NULL
+            ELSE -s.slope END AS alpha_milli,
+       CASE WHEN m.n * m.sxx - m.sx * m.sx = 0 THEN NULL
+            ELSE (CASE WHEN m.sy * 1000 - s.slope * m.sx >= 0
+                       THEN (m.sy * 1000 - s.slope * m.sx) // (m.n * 1000)
+                       ELSE -((-(m.sy * 1000 - s.slope * m.sx))
+                              // (m.n * 1000)) END) * 1000
+            END AS intercept_millibits
+FROM m LEFT JOIN s ON m.source = s.source
+ORDER BY m.source
+"""
+
+
+#: watermark thresholds audited by x187 (label, microseconds).
+WATERMARK_THRESHOLDS = (("wm_01min", 60_000_000),
+                        ("wm_10min", 600_000_000),
+                        ("wm_60min", 3_600_000_000))
+
+
+def _x187_watermark_lateness(spark, tables):
+    """Watermark-lateness audit over the event stream: replaying
+    events in arrival order (event_id), each event's lateness is
+    running_max(event_time) - event_time in exact integer
+    microseconds — precisely the quantity Structured Streaming's
+    ``withWatermark`` compares against its delay threshold. For three
+    candidate watermarks the report counts the events a real stream
+    (x111/x118/x135) WOULD DROP — the number that picks the
+    delay/state-size trade-off before any streaming job is written.
+
+    Scale shape: one global running-max window in arrival order (at
+    scale: range-partition by event_id, per-range max + one
+    |ranges|-row prefix-max carry — x155's posture), then a 3x
+    threshold explode feeding one map-side-combinable aggregate. No
+    joins."""
+    ev = tables["events"].select(
+        "event_id", F.unix_micros("ts").alias("t"))
+    w = (Window.orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    late = ev.select(
+        (F.max("t").over(w) - F.col("t")).alias("late_us"))
+    thr = F.array(*[
+        F.struct(F.lit(label).alias("wm"), F.lit(us).alias("w_us"))
+        for label, us in WATERMARK_THRESHOLDS])
+    return (late.select("late_us", F.explode(thr).alias("s"))
+            .select("late_us", F.col("s.wm").alias("wm"),
+                    F.col("s.w_us").alias("w_us"))
+            .groupBy("wm", "w_us")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.expr("CASE WHEN late_us > w_us THEN 1 ELSE 0 END"))
+                 .alias("n_dropped"))
+            .select("wm", "w_us", "n_events", "n_dropped",
+                    F.expr("n_dropped * 1000 div n_events")
+                    .alias("dropped_permille"))
+            .orderBy("w_us"))
+
+
+def _watermark_lateness_oracle_sql() -> str:
+    packs = ", ".join(
+        f"struct_pack(wm := '{label}', w_us := CAST({us} AS BIGINT))"
+        for label, us in WATERMARK_THRESHOLDS)
+    return f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS t FROM events
+), late AS (
+  SELECT MAX(t) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) - t AS late_us
+  FROM ev
+), thr AS (
+  SELECT unnest([{packs}]) AS s
+), j AS (
+  SELECT late.late_us, thr.s.wm AS wm, thr.s.w_us AS w_us
+  FROM late CROSS JOIN thr
+)
+SELECT wm, w_us, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_us > w_us THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(SUM(CASE WHEN late_us > w_us THEN 1 ELSE 0 END) AS BIGINT)
+           * 1000 // COUNT(*) AS dropped_permille
+FROM j GROUP BY wm, w_us ORDER BY w_us
+"""
+
+
+def _x188_rfm_segments(spark, tables):
+    """RFM (recency / frequency / monetary) user segmentation — the
+    database-marketing classic as exact SQL: per user the last event
+    time (epoch micros), event count, and integer-cents spend
+    (FLOOR(value*100), the q24 convention); each metric quartiled
+    with NTILE(4) under fully tie-broken orders (metric, user_id); the
+    report is the segment grid with user counts and mean spend. The
+    training-data read: the same grid segments SOURCES by (freshness,
+    volume, token mass) for mix design.
+
+    Scale shape: one user-keyed aggregate, three global NTILE windows
+    over the |users|-row table (at 100 TB: approx_percentile cut
+    points instead of global sorts — the documented x91/x162 swap),
+    one 64-row-max aggregate."""
+    ev = tables["events"].select(
+        "user_id", F.unix_micros("ts").alias("t"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"))
+    per_user = (ev.groupBy("user_id")
+                .agg(F.max("t").alias("recency"),
+                     F.count("*").alias("frequency"),
+                     F.sum("cents").alias("monetary")))
+    q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id"))
+    scored = per_user.select(
+        "user_id", "monetary",
+        q("recency").alias("r_q"), q("frequency").alias("f_q"),
+        q("monetary").alias("m_q"))
+    return (scored.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count("*").alias("n_users"),
+                 F.expr(_sdiv("SUM(monetary)", "COUNT(*)"))
+                 .alias("mean_cents"))
+            .orderBy("r_q", "f_q", "m_q"))
+
+
+_RFM_SEGMENTS_ORACLE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+), per_user AS (
+  SELECT user_id, MAX(t) AS recency, COUNT(*) AS frequency,
+         CAST(SUM(cents) AS BIGINT) AS monetary
+  FROM ev GROUP BY user_id
+), scored AS (
+  SELECT user_id, monetary,
+         NTILE(4) OVER (ORDER BY recency, user_id) AS r_q,
+         NTILE(4) OVER (ORDER BY frequency, user_id) AS f_q,
+         NTILE(4) OVER (ORDER BY monetary, user_id) AS m_q
+  FROM per_user
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+       CASE WHEN CAST(SUM(monetary) AS BIGINT) >= 0
+            THEN CAST(SUM(monetary) AS BIGINT) // COUNT(*)
+            ELSE -((-CAST(SUM(monetary) AS BIGINT)) // COUNT(*)) END
+           AS mean_cents
+FROM scored GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+"""
+
+
+#: seed query terms for the x189 feedback loop (subset of the x88/x143
+#: retrieval vocabulary so the runs describe the same corpus).
+PRF_TERMS = ("spark", "merge")
+
+
+def _x189_prf_expansion(spark, tables):
+    """Pseudo-relevance-feedback retrieval (Rocchio's core loop) made
+    hash-gate exact by running BOTH rounds on the all-integer TF-IDF
+    surrogate (x44's tf * (n_docs div df)): round 1 ranks docs per
+    seed term, the top-5 docs vote expansion terms (top-2 non-seed
+    tokens by summed integer weight, ties alphabetical), and round 2
+    re-ranks the corpus against seed + expansions with an
+    order-free INTEGER score sum — the classic recall lever over x88's
+    single-shot ranking, with zero floating point anywhere.
+
+    Scale shape: the (token, doc) score stream is computed once and
+    localCheckpointed — all three consumers (round-1 seed ranking,
+    feedback voting, round-2 scoring) read the materialized stream;
+    df attaches via a vocab-keyed shuffle join (never broadcast —
+    x89's posture); the expansion table is PROVABLY bounded (top-2
+    per seed) and joins back by token equi-key, left to AQE."""
+    d = tables["documents"]
+    base = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = base.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    sc = (tf.join(df_, "tok").crossJoin(F.broadcast(nd))
+          .select("tok", "doc_id",
+                  F.expr("tf * (n_docs div df)").alias("sc"))
+          .localCheckpoint(eager=True))
+    seeds = list(PRF_TERMS)
+    w1 = Window.partitionBy("tok").orderBy(F.desc("sc"), "doc_id")
+    r1 = (sc.filter(F.col("tok").isin(seeds))
+          .withColumn("rn", F.row_number().over(w1))
+          .filter(F.col("rn") <= 5)
+          .select(F.col("tok").alias("seed"), "doc_id"))
+    w2 = Window.partitionBy("seed").orderBy(F.desc("wt"), "tok")
+    exp = (r1.join(sc, "doc_id")
+           .filter(~F.col("tok").isin(seeds))
+           .groupBy("seed", "tok").agg(F.sum("sc").alias("wt"))
+           .withColumn("rn", F.row_number().over(w2))
+           .filter(F.col("rn") <= 2)
+           .select("seed", "tok"))
+    grp = exp.unionByName(
+        spark.createDataFrame([(s, s) for s in seeds], "seed string, tok string"))
+    w3 = Window.partitionBy("seed").orderBy(F.desc("total"), "doc_id")
+    return (grp.join(sc, "tok")
+            .groupBy("seed", "doc_id").agg(F.sum("sc").alias("total"))
+            .withColumn("rank", F.row_number().over(w3))
+            .filter(F.col("rank") <= 10)
+            .select(F.col("seed").alias("term"), "rank", "doc_id",
+                    F.col("total").alias("score_int"))
+            .orderBy("term", "rank"))
+
+
+def _prf_expansion_oracle_sql() -> str:
+    seed_list = ", ".join(f"'{s}'" for s in PRF_TERMS)
+    seed_rows = " UNION ALL ".join(
+        f"SELECT '{s}' AS seed, '{s}' AS tok" for s in PRF_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), tf AS (
+  SELECT tok, doc_id, COUNT(*) AS tf FROM base GROUP BY tok, doc_id
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), sc AS (
+  SELECT tf.tok, tf.doc_id, tf.tf * (nd.n_docs // df.df) AS sc
+  FROM tf JOIN df USING (tok) CROSS JOIN nd
+), r1 AS (
+  SELECT tok AS seed, doc_id FROM (
+    SELECT tok, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY tok
+                              ORDER BY sc DESC, doc_id) AS rn
+    FROM sc WHERE tok IN ({seed_list})) WHERE rn <= 5
+), votes AS (
+  SELECT r1.seed, sc.tok, CAST(SUM(sc.sc) AS BIGINT) AS wt
+  FROM r1 JOIN sc USING (doc_id)
+  WHERE sc.tok NOT IN ({seed_list})
+  GROUP BY r1.seed, sc.tok
+), exp AS (
+  SELECT seed, tok FROM (
+    SELECT seed, tok,
+           ROW_NUMBER() OVER (PARTITION BY seed
+                              ORDER BY wt DESC, tok) AS rn
+    FROM votes) WHERE rn <= 2
+), grp AS (
+  SELECT seed, tok FROM exp UNION ALL {seed_rows}
+), r2 AS (
+  SELECT grp.seed, sc.doc_id, CAST(SUM(sc.sc) AS BIGINT) AS total
+  FROM grp JOIN sc USING (tok)
+  GROUP BY grp.seed, sc.doc_id
+)
+SELECT seed AS term, rank, doc_id, total AS score_int FROM (
+  SELECT seed, doc_id, total,
+         ROW_NUMBER() OVER (PARTITION BY seed
+                            ORDER BY total DESC, doc_id) AS rank
+  FROM r2) WHERE rank <= 10
+ORDER BY term, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3310,6 +3629,10 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x183_poisson_bootstrap": _q(_x183_poisson_bootstrap),
         "x184_pq_adc": _q(_x184_pq_adc),
         "x185_domain_reweight": _q(_x185_domain_reweight),
+        "x186_zipf_alpha": _q(_x186_zipf_alpha),
+        "x187_watermark_lateness": _q(_x187_watermark_lateness),
+        "x188_rfm_segments": _q(_x188_rfm_segments),
+        "x189_prf_expansion": _q(_x189_prf_expansion),
     }
 
 
@@ -3360,4 +3683,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x183_poisson_bootstrap": _poisson_bootstrap_oracle_sql(),
         "x184_pq_adc": _pq_adc_oracle_sql(),
         "x185_domain_reweight": _domain_reweight_oracle_sql(),
+        "x186_zipf_alpha": _ZIPF_ALPHA_ORACLE,
+        "x187_watermark_lateness": _watermark_lateness_oracle_sql(),
+        "x188_rfm_segments": _RFM_SEGMENTS_ORACLE,
+        "x189_prf_expansion": _prf_expansion_oracle_sql(),
     }

@@ -891,3 +891,105 @@ def test_domain_reweight_upweights_hard_domain(spark):
     assert out["mix"]["weight_permille"] > out["dup"]["weight_permille"]
     total = sum(r["weight_permille"] for r in out.values())
     assert 998 <= total <= 1000
+
+
+def test_zipf_alpha_python_replay(spark):
+    """x186: the integer OLS over (ibits(rank), ibits(count)) points
+    replayed in Python for a hand-built frequency spectrum; a flat
+    source (all counts equal) fits slope 0 -> alpha 0."""
+    from hive_parse_lineage_spark.analytics_queries import _x186_zipf_alpha
+    # steep: a*8 b*4 c*2 d*1; flat: e f g h once each
+    steep = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    flat = "e f g h"
+    docs = spark.createDataFrame(
+        [(1, steep, "steep"), (2, flat, "flat")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r.asDict()
+           for r in _x186_zipf_alpha(spark, {"documents": docs}).collect()}
+
+    def replay(counts):
+        pts = [((i + 1).bit_length(), c.bit_length())
+               for i, c in enumerate(sorted(counts, reverse=True))]
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        den = n * sxx - sx * sx
+        num = (n * sxy - sx * sy) * 1000
+        slope = num // den if num >= 0 else -((-num) // den)
+        return -slope
+
+    assert out["steep"]["alpha_milli"] == replay([8, 4, 2, 1])
+    assert out["flat"]["alpha_milli"] == 0
+
+
+def test_watermark_lateness_counts_out_of_order_events(spark):
+    """x187: lateness is running-max minus own event time in arrival
+    order; a 5-minute-late and a 4-minute-late event are dropped by a
+    1-minute watermark and kept by the 10/60-minute ones."""
+    from datetime import datetime
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x187_watermark_lateness)
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    from datetime import timedelta
+    ts = [base, base + timedelta(minutes=5),
+          base + timedelta(minutes=0),            # 5 min late
+          base + timedelta(minutes=10),
+          base + timedelta(minutes=6)]            # 4 min late
+    rows = [(i + 1, t) for i, t in enumerate(ts)]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["wm"]: r.asDict()
+           for r in _x187_watermark_lateness(spark, {"events": ev}).collect()}
+    assert out["wm_01min"]["n_dropped"] == 2
+    assert out["wm_10min"]["n_dropped"] == 0
+    assert out["wm_60min"]["n_dropped"] == 0
+    assert all(r["n_events"] == 5 for r in out.values())
+
+
+def test_rfm_segments_grid_partitions_all_users(spark):
+    """x188: every user lands in exactly one (r,f,m) quartile cell,
+    the grid covers all users, and reruns are identical (tie-broken
+    NTILEs are deterministic)."""
+    from datetime import datetime, timedelta
+    from hive_parse_lineage_spark.analytics_queries import _x188_rfm_segments
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(8):
+        for k in range(u + 1):          # frequency varies by user
+            eid += 1
+            rows.append((eid, base + timedelta(hours=u * 3 + k),
+                         u, float(10 * u + k)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    a = _x188_rfm_segments(spark, {"events": ev}).collect()
+    b = _x188_rfm_segments(spark, {"events": ev}).collect()
+    assert a == b
+    assert sum(r["n_users"] for r in a) == 8
+    for r in a:
+        assert 1 <= r["r_q"] <= 4 and 1 <= r["f_q"] <= 4 and 1 <= r["m_q"] <= 4
+
+
+def test_prf_expansion_surfaces_cooccurring_doc(spark):
+    """x189: a doc that never contains the seed term but shares the
+    feedback docs' co-occurring vocabulary enters the round-2 ranking
+    — the recall lift PRF exists for."""
+    from hive_parse_lineage_spark.analytics_queries import _x189_prf_expansion
+    rows = [
+        (1, "spark tuning shuffle spark tuning", "s"),
+        (2, "spark tuning partitions", "s"),
+        (3, "spark shuffle tuning", "s"),
+        (4, "tuning shuffle deep dive guide", "s"),   # no 'spark'
+        (5, "unrelated words entirely different topic", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = _x189_prf_expansion(spark, {"documents": docs}).collect()
+    spark_rows = [r for r in out if r["term"] == "spark"]
+    assert spark_rows, "seed term must produce a round-2 ranking"
+    ranked_ids = [r["doc_id"] for r in spark_rows]
+    assert 4 in ranked_ids, "co-occurrence doc must be retrievable via PRF"
+    assert 5 not in ranked_ids, "unrelated doc shares no group term"
+    # ranks are 1..n with integer scores non-increasing
+    assert [r["rank"] for r in spark_rows] == list(range(1, len(spark_rows) + 1))
+    scores = [r["score_int"] for r in spark_rows]
+    assert scores == sorted(scores, reverse=True)

@@ -533,6 +533,15 @@ _HINT_BUDGETS = {
                                 "rounds' single-row avg/sum hints sit "
                                 "behind per-round checkpoints of the "
                                 "|sources|-row table"),
+    "x186_zipf_alpha": (0, "count + per-source window + moment "
+                           "aggregate, no joins"),
+    "x187_watermark_lateness": (0, "one global running-max window + "
+                                   "threshold explode, no joins"),
+    "x188_rfm_segments": (0, "user aggregate + three NTILE windows, "
+                             "no joins"),
+    "x189_prf_expansion": (0, "single-row n_docs hint sits behind the "
+                              "checkpointed score stream; df and "
+                              "expansion joins shuffle, AQE decides"),
 }
 
 
