@@ -616,7 +616,8 @@ def _bench_corpus(spark, sf_dir: str):
                      "x112_stream_dedup_admission",
                      "x118_stream_session_windows",
                      "x135_stream_stream_join",
-                     "x178_stream_custom_state"):
+                     "x178_stream_custom_state",
+                     "x190_stream_watermark_windows"):
         allq.pop(stream_q, None)
     for name, fn in sorted(allq.items()):
         fn(spark, sf_dir).collect()                          # warm-up
@@ -651,7 +652,8 @@ def _bench_corpus_duckdb(sf_dir: str):
                      "x112_stream_dedup_admission",
                      "x118_stream_session_windows",
                      "x135_stream_stream_join",
-                     "x178_stream_custom_state"):      # mirrors _bench_corpus
+                     "x178_stream_custom_state",
+                     "x190_stream_watermark_windows"):  # mirrors _bench_corpus
         allsql.pop(stream_q, None)
     for name, sql in sorted(allsql.items()):
         con.execute(sql).fetchdf()                           # warm-up

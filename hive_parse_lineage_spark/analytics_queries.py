@@ -3578,6 +3578,109 @@ ORDER BY term, rank
 """
 
 
+#: x190 stream shape: micro-batches and the watermark delay (minutes).
+X190_BATCHES = 4
+X190_DELAY_MIN = 31
+
+
+def _x190_stream_watermark_windows(spark, tables):
+    """The one watermark behavior no other streaming entry exercises:
+    LATE-DATA DROP. An append-mode tumbling-window count runs through
+    a REAL Structured Streaming query with a 31-minute watermark over
+    four deterministic micro-batches (batch = event_id % 4, one file per
+    batch, file order pinned by explicit mtimes) — and the oracle
+    replays Spark's committed drop semantics exactly: a batch-k row
+    is kept iff its window end exceeds the FILTER watermark, which is
+    the ms-truncated max event time over batches <= k-2 minus the
+    delay (the filter lags the progress-reported watermark by one
+    batch — pinned empirically, row-for-row, and stable across SFs);
+    a window is emitted iff its end <= the final watermark (the
+    no-data flush batch). x111/x118 gate state MERGING under
+    drop-free watermarks; this entry gates the DROPPING itself — the
+    exactness contract behind every x187-style delay choice.
+
+    Scale shape: one streaming shuffle per micro-batch keyed by
+    (window, event_type); state is O(open windows), evicted as the
+    watermark passes. The 4-way staging split is the gate's
+    deterministic replay harness, not a data path."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    ev = (tables["events"].select("event_id", "ts", "event_type")
+          .withColumn("b", F.expr(f"pmod(event_id, {X190_BATCHES})")))
+    src = tempfile.mkdtemp(prefix="x190_src_")
+    try:
+        for i in range(X190_BATCHES):
+            stage = tempfile.mkdtemp(prefix="x190_stage_")
+            try:
+                (ev.filter(F.col("b") == i).drop("b").coalesce(1)
+                 .write.mode("overwrite").parquet(stage))
+                part = glob.glob(stage + "/part-*.parquet")[0]
+                dst = os.path.join(src, f"b{i}.parquet")
+                shutil.move(part, dst)
+                # file-source order = (mtime, path); explicit mtimes pin
+                # batch order without sleeps
+                os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        schema = ev.drop("b").schema
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .withWatermark("ts", f"{X190_DELAY_MIN} minutes")
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count("*").alias("n"))
+             .select(F.col("w.start").alias("w_start"), "event_type", "n"))
+        name = f"x190_{uuid.uuid4().hex[:8]}"
+        q = (s.writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # memory sink holds the rows driver-side; staging can go
+        out = spark.table(name).orderBy("w_start", "event_type")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+def _stream_watermark_oracle_sql() -> str:
+    b_, d_ = X190_BATCHES, X190_DELAY_MIN
+    return f"""
+WITH ev AS (
+  SELECT event_id, ts, event_type, event_id % {b_} AS b,
+         date_trunc('hour', ts) AS w_start,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS w_end
+  FROM events
+), bm AS (
+  SELECT b, MAX(ts) AS mx FROM ev GROUP BY b
+), wm AS (
+  SELECT b,
+         to_timestamp(epoch_ms(
+             MAX(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 2 PRECEDING)
+             - INTERVAL {d_} MINUTE) / 1000.0) AS wm_lag
+  FROM bm
+), kept AS (
+  SELECT ev.* FROM ev JOIN wm USING (b)
+  WHERE wm.wm_lag IS NULL OR ev.w_end > wm.wm_lag
+), fw AS (
+  SELECT to_timestamp(epoch_ms(MAX(ts) - INTERVAL {d_} MINUTE)
+                      / 1000.0) AS final_wm
+  FROM ev
+), agg AS (
+  SELECT w_start, event_type, COUNT(*) AS n, MAX(w_end) AS w_end
+  FROM kept GROUP BY w_start, event_type
+)
+SELECT w_start, event_type, n
+FROM agg, fw WHERE w_end <= final_wm
+ORDER BY w_start, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3633,6 +3736,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x187_watermark_lateness": _q(_x187_watermark_lateness),
         "x188_rfm_segments": _q(_x188_rfm_segments),
         "x189_prf_expansion": _q(_x189_prf_expansion),
+        "x190_stream_watermark_windows": _q(_x190_stream_watermark_windows),
     }
 
 
@@ -3687,4 +3791,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x187_watermark_lateness": _watermark_lateness_oracle_sql(),
         "x188_rfm_segments": _RFM_SEGMENTS_ORACLE,
         "x189_prf_expansion": _prf_expansion_oracle_sql(),
+        "x190_stream_watermark_windows": _stream_watermark_oracle_sql(),
     }

@@ -993,3 +993,35 @@ def test_prf_expansion_surfaces_cooccurring_doc(spark):
     assert [r["rank"] for r in spark_rows] == list(range(1, len(spark_rows) + 1))
     scores = [r["score_int"] for r in spark_rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_stream_watermark_drops_late_batch_rows(spark):
+    """x190: a row arriving two micro-batches after the stream has
+    advanced past its window is dropped, so the emitted count for that
+    window excludes it — the late-drop semantics the entry gates. Toy
+    stream: batch assignment is event_id % 4; batches 0/1 carry
+    fresh + old data, batch 2 carries a very late row whose window
+    closed long before."""
+    from datetime import datetime, timedelta
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x190_stream_watermark_windows)
+    base = datetime(2024, 1, 1, 0, 30, 0)
+    late = base - timedelta(hours=10)     # long-closed window
+    rows = [
+        (0, base, "a"),                            # batch 0
+        (4, base + timedelta(hours=1), "a"),       # batch 0
+        (1, base, "a"),                            # batch 1
+        (5, base + timedelta(hours=2), "a"),       # batch 1
+        (2, late, "a"),                            # batch 2: LATE -> drop
+        (6, base + timedelta(hours=3), "a"),       # batch 2
+        (3, base + timedelta(hours=4), "a"),       # batch 3 (still open)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {(r["w_start"], r["n"]) for r in
+           _x190_stream_watermark_windows(spark, {"events": ev}).collect()}
+    starts = {s for s, _ in out}
+    # the late row's window must NOT appear (dropped, and its window
+    # was never populated by on-time data)
+    assert late.replace(minute=0) not in starts
+    # the base window holds the two on-time rows from batches 0/1
+    assert (base.replace(minute=0), 2) in out

@@ -542,6 +542,9 @@ _HINT_BUDGETS = {
     "x189_prf_expansion": (0, "single-row n_docs hint sits behind the "
                               "checkpointed score stream; df and "
                               "expansion joins shuffle, AQE decides"),
+    "x190_stream_watermark_windows": (0, "real stream, result surfaced "
+                                         "through a checkpoint; no "
+                                         "joins anywhere"),
 }
 
 
