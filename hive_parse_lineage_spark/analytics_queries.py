@@ -3681,6 +3681,237 @@ ORDER BY w_start, event_type
 """
 
 
+def _x191_scd2_asof_join(spark, tables):
+    """Dimension time-travel: events join the SCD2 customer dimension
+    AS OF their event time — the warehouse-standard temporal lookup
+    that closes the loop x55 opens (x55 BUILDS the versioned
+    dimension; this entry READS it correctly). Versions: every 5th
+    customer re-versions at 2024-01-15, mid-stream, so the event
+    month genuinely straddles the boundary and both versions take
+    traffic. The join is an equi-join on the key plus the validity
+    residual (effective_from <= ts < coalesce(effective_to, inf)) —
+    never a theta join, and per-key fanout is bounded by the version
+    count (<= 2 here; version-count-bounded generally).
+
+    Scale shape: one hash equi-join keyed by custkey (the dimension
+    is |keys x versions| — small vs the fact but NOT hinted; AQE
+    decides), one (key, version) aggregate. Integer cents keep the
+    spend sum order-free."""
+    from hive_parse_lineage_spark.operators.merge import scd2_apply
+    c = tables["customer"]
+    dim = c.select(
+        "c_custkey", "c_acctbal",
+        F.lit("2024-01-01").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"))
+    updates = (c.filter(F.col("c_custkey") % 5 == 0)
+               .select("c_custkey",
+                       (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                       F.lit("2024-01-15").cast("timestamp")
+                       .alias("effective_from")))
+    scd = scd2_apply(dim, updates, "c_custkey")
+    ev = tables["events"].select(
+        F.col("user_id").alias("c_custkey"), "ts",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"))
+    j = (ev.join(scd, "c_custkey")
+         .filter((F.col("ts") >= F.col("effective_from"))
+                 & (F.col("effective_to").isNull()
+                    | (F.col("ts") < F.col("effective_to")))))
+    return (j.groupBy("c_custkey", "effective_from")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum("cents").alias("sum_cents"))
+            .orderBy("c_custkey", "effective_from"))
+
+
+_SCD2_ASOF_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, c_acctbal,
+         CAST('2024-01-01' AS TIMESTAMP) AS effective_from,
+         CAST(NULL AS TIMESTAMP) AS effective_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_acctbal + 100 AS c_acctbal,
+         CAST('2024-01-15' AS TIMESTAMP) AS effective_from,
+         CAST(NULL AS TIMESTAMP) AS effective_to
+  FROM customer WHERE c_custkey % 5 = 0
+), closed AS (
+  SELECT d.c_custkey, d.c_acctbal, d.effective_from,
+         CASE WHEN u.nf IS NOT NULL THEN u.nf
+              ELSE d.effective_to END AS effective_to
+  FROM dim d LEFT JOIN (SELECT c_custkey, effective_from AS nf
+                        FROM upd) u USING (c_custkey)
+), scd AS (
+  SELECT * FROM closed UNION ALL SELECT * FROM upd
+), ev AS (
+  SELECT user_id AS c_custkey, ts,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT ev.c_custkey, scd.effective_from,
+       COUNT(*) AS n_events,
+       CAST(SUM(ev.cents) AS BIGINT) AS sum_cents
+FROM ev JOIN scd USING (c_custkey)
+WHERE ev.ts >= scd.effective_from
+  AND (scd.effective_to IS NULL OR ev.ts < scd.effective_to)
+GROUP BY ev.c_custkey, scd.effective_from
+ORDER BY ev.c_custkey, scd.effective_from
+"""
+
+
+def _x192_wav_roundtrip_stats(spark, tables):
+    """The multimodal plumbing under the ORACLE gate: every document's
+    UTF-8 bytes become a genuine RIFF/WAVE file (8-bit PCM, mono,
+    8 kHz — a deterministic synthesizer both sides can replay), the
+    corpus of WAV blobs decodes through the REAL Arrow-batched
+    ``decode_audio`` path (operators/multimodal.py — binary column in,
+    fmt-chunk walk, PCM out), and per-clip sample statistics come off
+    the decoded PCM with NumPy. Because 8-bit PCM samples ARE the text
+    bytes and the corpus is ASCII, the DuckDB twin computes identical
+    stats from the characters — so the binary schema, the WAV
+    container walk, the mapInPandas batch contract and the decode
+    arithmetic all sit under the exact value-hash gate instead of
+    pytest alone. rms_int uses isqrt(ss div n); at PCM magnitudes
+    (< 255^2) FLOOR(SQRT(double)) is exactly isqrt on both engines.
+
+    Scale shape: two Arrow mapInPandas passes (synthesize, decode) and
+    one stats projection — all partition-local, zero shuffles before
+    the final sort; blobs never leave their partition."""
+    import math
+    import struct
+
+    import pandas as pd
+
+    from hive_parse_lineage_spark.operators.multimodal import decode_audio
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                n = len(body)
+                wav = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+                       + b"fmt " + struct.pack("<I", 16)
+                       + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+                       + b"data" + struct.pack("<I", n) + body)
+                rows.append((doc_id, wav))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    def stats(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for doc_id, n, pcm in zip(pdf["doc_id"], pdf["n_samples"],
+                                      pdf["pcm"]):
+                v = np.frombuffer(bytes(pcm), np.uint8).astype(np.int64)
+                s, ss = int(v.sum()), int((v * v).sum())
+                rows.append((doc_id, int(n), int(v.max()),
+                             s * 1000 // int(n),
+                             math.isqrt(ss // int(n))))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "peak", "mean_milli", "rms_int"])
+
+    wavs = (tables["documents"].select("doc_id", "text")
+            .mapInPandas(synth, schema="doc_id long, content binary"))
+    decoded = decode_audio(wavs, content_col="content", id_col="doc_id")
+    return (decoded.mapInPandas(
+        stats, schema="doc_id long, n_samples long, peak long, "
+                      "mean_milli long, rms_int long")
+        .orderBy("doc_id"))
+
+
+_WAV_ROUNDTRIP_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, ord(unnest(string_split_regex(text, ''))) AS v
+  FROM documents
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_samples, MAX(v) AS peak,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v * v) AS BIGINT) AS ss
+  FROM ch GROUP BY doc_id
+)
+SELECT doc_id, n_samples, CAST(peak AS BIGINT) AS peak,
+       s * 1000 // n_samples AS mean_milli,
+       CAST(FLOOR(SQRT(CAST(ss // n_samples AS DOUBLE))) AS BIGINT)
+           AS rms_int
+FROM agg ORDER BY doc_id
+"""
+
+
+def _x193_cooccurrence_itemsets(spark, tables):
+    """Frequent token-pair mining (the Apriori/market-basket first
+    pass) with the scale cap built in: candidate items are
+    medium-frequency CONTENT tokens (5 <= df and df*5 <= n_docs*4,
+    cross-multiplied — near-universal boilerplate tokens and hapaxes
+    never generate), each doc contributes only its
+    m = 8 rarest such tokens (rank by (df, tok) — deterministic), so
+    per-doc fanout is bounded at C(8,2) = 28 pairs whatever the doc
+    length. Support-filtered (>= 4 docs), top-30 by (support desc,
+    pair) — the co-occurrence signal behind topic discovery and
+    template detection that adjacent-bigram entries (x45/x92)
+    structurally miss.
+
+    Scale shape: one (doc, token) distinct + one vocab-keyed shuffle
+    join for df (never broadcast), one per-doc window over <= |doc
+    vocab| rows, one doc-keyed self-join bounded to 8 rows per key
+    -> <= 28 pairs, one pair count + TakeOrdered(30). The df band
+    plus per-doc rank cap is what keeps candidate volume linear in
+    corpus size — the same production posture as x72's LSH cap."""
+    d = tables["documents"]
+    nd = d.agg(F.count("*").alias("n_docs"))
+    dt = (d.select("doc_id",
+                   F.explode(F.array_distinct(F.split("text", " ")))
+                   .alias("tok")))
+    df_ = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    band = (df_.crossJoin(F.broadcast(nd))
+            .filter((F.col("df") >= 5)
+                    & (F.col("df") * 5 <= F.col("n_docs") * 4))
+            .select("tok", "df"))
+    wd = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (dt.join(band, "tok")
+              .withColumn("rk", F.row_number().over(wd))
+              .filter(F.col("rk") <= 8)
+              .select("doc_id", "tok", "rk")
+              .localCheckpoint(eager=True))
+    a = ranked.select("doc_id", F.col("tok").alias("ta"),
+                      F.col("rk").alias("ra"))
+    b = ranked.select("doc_id", F.col("tok").alias("tb"),
+                      F.col("rk").alias("rb"))
+    pairs = (a.join(b, "doc_id")
+             .filter(F.col("ra") < F.col("rb"))
+             .select(F.least("ta", "tb").alias("t1"),
+                     F.greatest("ta", "tb").alias("t2")))
+    return (pairs.groupBy("t1", "t2").agg(F.count("*").alias("support"))
+            .filter(F.col("support") >= 4)
+            .orderBy(F.desc("support"), "t1", "t2")
+            .limit(30))
+
+
+_COOCCURRENCE_ORACLE = """
+WITH nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), dt AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok
+), band AS (
+  SELECT tok, df FROM df, nd WHERE df >= 5 AND df * 5 <= n_docs * 4
+), ranked AS (
+  SELECT doc_id, tok, rk FROM (
+    SELECT dt.doc_id, dt.tok,
+           ROW_NUMBER() OVER (PARTITION BY dt.doc_id
+                              ORDER BY band.df, dt.tok) AS rk
+    FROM dt JOIN band USING (tok)) WHERE rk <= 8
+), pairs AS (
+  SELECT LEAST(a.tok, b.tok) AS t1, GREATEST(a.tok, b.tok) AS t2
+  FROM ranked a JOIN ranked b
+    ON a.doc_id = b.doc_id AND a.rk < b.rk
+)
+SELECT t1, t2, COUNT(*) AS support
+FROM pairs GROUP BY t1, t2 HAVING COUNT(*) >= 4
+ORDER BY support DESC, t1, t2 LIMIT 30
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3737,6 +3968,9 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x188_rfm_segments": _q(_x188_rfm_segments),
         "x189_prf_expansion": _q(_x189_prf_expansion),
         "x190_stream_watermark_windows": _q(_x190_stream_watermark_windows),
+        "x191_scd2_asof_join": _q(_x191_scd2_asof_join),
+        "x192_wav_roundtrip_stats": _q(_x192_wav_roundtrip_stats),
+        "x193_cooccurrence_itemsets": _q(_x193_cooccurrence_itemsets),
     }
 
 
@@ -3792,4 +4026,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x188_rfm_segments": _RFM_SEGMENTS_ORACLE,
         "x189_prf_expansion": _prf_expansion_oracle_sql(),
         "x190_stream_watermark_windows": _stream_watermark_oracle_sql(),
+        "x191_scd2_asof_join": _SCD2_ASOF_ORACLE,
+        "x192_wav_roundtrip_stats": _WAV_ROUNDTRIP_ORACLE,
+        "x193_cooccurrence_itemsets": _COOCCURRENCE_ORACLE,
     }

@@ -1025,3 +1025,74 @@ def test_stream_watermark_drops_late_batch_rows(spark):
     assert late.replace(minute=0) not in starts
     # the base window holds the two on-time rows from batches 0/1
     assert (base.replace(minute=0), 2) in out
+
+
+def test_scd2_asof_join_routes_events_to_correct_version(spark):
+    """x191: a re-versioned customer's events split across the two
+    versions at the boundary; an un-versioned customer keeps one row
+    covering the whole month."""
+    from datetime import datetime
+    from hive_parse_lineage_spark.analytics_queries import _x191_scd2_asof_join
+    cust = spark.createDataFrame(
+        [(5, 100.0), (7, 200.0)], "c_custkey long, c_acctbal double")
+    ev = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10), 5, 10.0),     # v1 of cust 5
+         (2, datetime(2024, 1, 20), 5, 20.0),     # v2 of cust 5
+         (3, datetime(2024, 1, 15), 5, 30.0),     # boundary -> v2
+         (4, datetime(2024, 1, 20), 7, 40.0)],    # cust 7, single version
+        "event_id long, ts timestamp, user_id long, value double")
+    out = {(r["c_custkey"], str(r["effective_from"])[:10]): r.asDict()
+           for r in _x191_scd2_asof_join(
+               spark, {"customer": cust, "events": ev}).collect()}
+    assert out[(5, "2024-01-01")]["n_events"] == 1
+    assert out[(5, "2024-01-01")]["sum_cents"] == 1000
+    assert out[(5, "2024-01-15")]["n_events"] == 2
+    assert out[(5, "2024-01-15")]["sum_cents"] == 5000
+    assert out[(7, "2024-01-01")]["n_events"] == 1
+
+
+def test_wav_roundtrip_stats_match_byte_math(spark):
+    """x192: the synth->decode->stats loop reproduces stats computed
+    directly from the text bytes — the decode path adds nothing and
+    loses nothing."""
+    import math
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x192_wav_roundtrip_stats)
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "zz  z")], "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in _x192_wav_roundtrip_stats(
+               spark, {"documents": docs}).collect()}
+    for doc_id, text in [(1, "abc"), (2, "zz  z")]:
+        v = list(text.encode())
+        r = out[doc_id]
+        assert r["n_samples"] == len(v)
+        assert r["peak"] == max(v)
+        assert r["mean_milli"] == sum(v) * 1000 // len(v)
+        assert r["rms_int"] == math.isqrt(sum(x * x for x in v) // len(v))
+
+
+def test_cooccurrence_itemsets_caps_and_counts(spark):
+    """x193: near-universal tokens never generate pairs (band cap);
+    a pair present in >= 4 docs surfaces with its exact doc support."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x193_cooccurrence_itemsets)
+    rows = []
+    # 'stop' appears in all 12 docs (df*5 > n_docs*4 -> banned);
+    # 'alpha beta' co-occur in 5 docs; 'alpha gamma' in 2 (below support)
+    for i in range(12):
+        toks = ["stop"]
+        if i < 5:
+            toks += ["alpha", "beta"]
+        if i in (6, 7):
+            toks += ["alpha", "gamma"]
+        if i >= 5:
+            toks += [f"fill{i}"]
+        rows.append((i, " ".join(toks), "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["t1"], r["t2"]): r["support"]
+           for r in _x193_cooccurrence_itemsets(
+               spark, {"documents": docs}).collect()}
+    assert out.get(("alpha", "beta")) == 5
+    assert ("alpha", "gamma") not in out
+    assert not any("stop" in k for pair in out for k in pair)

@@ -545,6 +545,16 @@ _HINT_BUDGETS = {
     "x190_stream_watermark_windows": (0, "real stream, result surfaced "
                                          "through a checkpoint; no "
                                          "joins anywhere"),
+    "x191_scd2_asof_join": (1, "scd2_apply's update-key set "
+                               "(batch-scaled, inherited from the x55 "
+                               "dimension build); the fact join itself "
+                               "is unhinted, AQE decides"),
+    "x192_wav_roundtrip_stats": (0, "two Arrow passes + projection, "
+                                    "no joins"),
+    "x193_cooccurrence_itemsets": (0, "single-row n_docs hint sits "
+                                      "behind the checkpointed ranked "
+                                      "stream; pair self-join is "
+                                      "doc-keyed and rank-capped"),
 }
 
 
