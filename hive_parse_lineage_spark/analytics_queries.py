@@ -3912,6 +3912,287 @@ ORDER BY support DESC, t1, t2 LIMIT 30
 """
 
 
+#: x194 chain horizon: P^(2^4) = 16 steps — deep enough that both
+#: absorbing states capture essentially all mass.
+ATTRIB_SQUARINGS = 4
+
+#: channels whose removal effect x194 reports (the non-converting
+#: event types; 'purchase' is the conversion state itself).
+ATTRIB_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _x194_markov_attribution(spark, tables):
+    """Markov removal-effect attribution (Anderl et al.) — the
+    principled multi-touch alternative to last-click: user journeys
+    (events per user in (ts, event_id) order, truncated at the first
+    purchase) define a first-order chain over {START, channels, CONV,
+    NULL}; conversion probability is the START->CONV entry of P^16
+    (four matrix SQUARINGS, done relationally on the tiny transition
+    table); each channel's removal effect is the conversion drop when
+    transitions into it redirect to NULL. All probabilities are
+    integer permille with truncating products — deterministic on both
+    engines, and the oracle unrolls the identical four squarings.
+
+    Scale shape: the corpus-proportional work is ONE per-user window
+    pass + one (from, to) count — everything after runs on the
+    |states|^2 x |variants| table (<= ~250 rows), each squaring one
+    equi-join + aggregate, localCheckpointed per round so the plan
+    stays linear. The removal variants ride the SAME table as a
+    variant column — 4 squarings total, never 4 per variant."""
+    ev = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    mapped = (ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type")).alias("st")))
+    # journey = rows up to and including the FIRST conversion
+    conv_rk = F.sum(F.when(F.col("st") == "CONV", 1).otherwise(0)).over(w)
+    j = (mapped.withColumn("rk", F.row_number().over(w))
+         .withColumn("cum_conv", conv_rk)
+         .filter((F.col("cum_conv") == 0)
+                 | ((F.col("cum_conv") == 1) & (F.col("st") == "CONV"))))
+    wj = Window.partitionBy("user_id").orderBy("rk")
+    steps = (j.select(
+        "user_id", "st", "rk",
+        F.lag("st").over(wj).alias("prev"),
+        F.lead("st").over(wj).alias("nxt"))
+        .select(
+            F.coalesce("prev", F.lit("START")).alias("from_st"),
+            F.col("st").alias("to_st"), "nxt", "st"))
+    trans = (steps.select("from_st", "to_st")
+             .unionByName(
+                 steps.filter(F.col("nxt").isNull()
+                              & (F.col("st") != "CONV"))
+                 .select(F.col("st").alias("from_st"),
+                         F.lit("NULL").alias("to_st"))))
+    counts = trans.groupBy("from_st", "to_st").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("from_st").agg(F.sum("c").alias("t"))
+    probs = (counts.join(tot, "from_st")
+             .select("from_st", "to_st",
+                     F.expr("c * 1000 div t").alias("p")))
+    absorbing = spark.createDataFrame(
+        [("CONV", "CONV", 1000), ("NULL", "NULL", 1000)],
+        "from_st string, to_st string, p long")
+    base = probs.unionByName(absorbing)
+    variants = [F.lit("base")] + [F.lit(c) for c in ATTRIB_CHANNELS]
+    vd = spark.createDataFrame(
+        [("base",)] + [(c,) for c in ATTRIB_CHANNELS], "variant string")
+    m = (base.crossJoin(F.broadcast(vd))
+         .filter(~((F.col("variant") != "base")
+                   & (F.col("from_st") == F.col("variant"))))
+         .select("variant", "from_st",
+                 F.when((F.col("variant") != "base")
+                        & (F.col("to_st") == F.col("variant")),
+                        F.lit("NULL")).otherwise(F.col("to_st"))
+                 .alias("to_st"), "p")
+         .groupBy("variant", "from_st", "to_st")
+         .agg(F.sum("p").alias("p"))
+         .unionByName(
+             vd.filter(F.col("variant") != "base")
+             .select("variant", F.col("variant").alias("from_st"),
+                     F.lit("NULL").alias("to_st"),
+                     F.lit(1000).cast("long").alias("p")))
+         .localCheckpoint(eager=True))
+    for _ in range(ATTRIB_SQUARINGS):
+        a = m.select("variant", F.col("from_st").alias("i"),
+                     F.col("to_st").alias("k"), F.col("p").alias("pa"))
+        b = m.select("variant", F.col("from_st").alias("k"),
+                     F.col("to_st").alias("j"), F.col("p").alias("pb"))
+        m = (a.join(b, ["variant", "k"])
+             .groupBy("variant", F.col("i").alias("from_st"),
+                      F.col("j").alias("to_st"))
+             .agg(F.expr("SUM(pa * pb) div 1000").alias("p"))
+             .filter(F.col("p") > 0)
+             .localCheckpoint(eager=True))
+    hits = (m.filter((F.col("from_st") == "START")
+                     & (F.col("to_st") == "CONV"))
+            .select("variant", F.col("p").alias("cm")))
+    # a fully-removed channel has NO START->CONV row left — that is
+    # conversion 0, not a missing variant
+    conv = (vd.join(hits, "variant", "left")
+            .select("variant",
+                    F.coalesce("cm", F.lit(0)).alias("conv_milli")))
+    base_row = (conv.filter(F.col("variant") == "base")
+                .select(F.col("conv_milli").alias("base_milli")))
+    return (conv.filter(F.col("variant") != "base")
+            .crossJoin(F.broadcast(base_row))
+            .select(F.col("variant").alias("channel"),
+                    "base_milli", "conv_milli",
+                    (F.col("base_milli") - F.col("conv_milli"))
+                    .alias("removal_effect_milli"))
+            .orderBy("channel"))
+
+
+def _markov_attribution_oracle_sql() -> str:
+    chans = ", ".join(f"('{c}')" for c in ATTRIB_CHANNELS)
+    sq = ["""
+WITH mapped AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'CONV'
+              ELSE event_type END AS st
+  FROM events
+), jr AS (
+  SELECT user_id, st,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk,
+         SUM(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS cum_conv
+  FROM mapped
+), j AS (
+  SELECT user_id, st, rk FROM jr
+  WHERE cum_conv = 0 OR (cum_conv = 1 AND st = 'CONV')
+), steps AS (
+  SELECT COALESCE(LAG(st) OVER (PARTITION BY user_id ORDER BY rk),
+                  'START') AS from_st,
+         st AS to_st,
+         LEAD(st) OVER (PARTITION BY user_id ORDER BY rk) AS nxt, st
+  FROM j
+), trans AS (
+  SELECT from_st, to_st FROM steps
+  UNION ALL
+  SELECT st, 'NULL' FROM steps WHERE nxt IS NULL AND st != 'CONV'
+), counts AS (
+  SELECT from_st, to_st, COUNT(*) AS c FROM trans GROUP BY 1, 2
+), tot AS (
+  SELECT from_st, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY 1
+), probs AS (
+  SELECT counts.from_st, counts.to_st,
+         counts.c * 1000 // tot.t AS p
+  FROM counts JOIN tot USING (from_st)
+  UNION ALL SELECT 'CONV', 'CONV', 1000
+  UNION ALL SELECT 'NULL', 'NULL', 1000
+), vd AS (
+  SELECT 'base' AS variant
+  UNION ALL SELECT col0 FROM (VALUES """ + chans + """) t(col0)
+), m0 AS (
+  SELECT variant, from_st, to_st, CAST(SUM(p) AS BIGINT) AS p FROM (
+    SELECT vd.variant, probs.from_st,
+           CASE WHEN vd.variant != 'base' AND probs.to_st = vd.variant
+                THEN 'NULL' ELSE probs.to_st END AS to_st,
+           probs.p
+    FROM probs CROSS JOIN vd
+    WHERE NOT (vd.variant != 'base' AND probs.from_st = vd.variant)
+  ) GROUP BY 1, 2, 3
+  UNION ALL
+  SELECT variant, variant, 'NULL', 1000 FROM vd WHERE variant != 'base'
+)"""]
+    for i in range(ATTRIB_SQUARINGS):
+        sq.append(f""", m{i + 1} AS (
+  SELECT a.variant, a.from_st, b.to_st,
+         CAST(SUM(a.p * b.p) AS BIGINT) // 1000 AS p
+  FROM m{i} a JOIN m{i} b
+    ON a.variant = b.variant AND a.to_st = b.from_st
+  GROUP BY 1, 2, 3
+  HAVING CAST(SUM(a.p * b.p) AS BIGINT) // 1000 > 0
+)""")
+    n = ATTRIB_SQUARINGS
+    sq.append(f""", hits AS (
+  SELECT variant, p AS cm FROM m{n}
+  WHERE from_st = 'START' AND to_st = 'CONV'
+), conv AS (
+  SELECT vd.variant, COALESCE(hits.cm, 0) AS conv_milli
+  FROM vd LEFT JOIN hits USING (variant)
+)
+SELECT c.variant AS channel, b.conv_milli AS base_milli,
+       c.conv_milli,
+       b.conv_milli - c.conv_milli AS removal_effect_milli
+FROM conv c CROSS JOIN (SELECT conv_milli FROM conv
+                        WHERE variant = 'base') b
+WHERE c.variant != 'base'
+ORDER BY channel""")
+    return "".join(sq)
+
+
+def _x195_dataset_card(spark, tables):
+    """The per-source DATASET CARD: one wide row per source with the
+    numbers a data consumer reads before mixing it in — volume (docs,
+    tokens), vocabulary (exact distinct tokens), duplication (docs
+    minus distinct md5 bodies), quality (the x56 gate's pass count),
+    length (mean milli + exact p50, x91's value-at-row spelling) and
+    language spread. Composes the registry's audit operators into ONE
+    lazy plan per source — the provenance sheet next to x101's
+    manifest.
+
+    Scale shape: three source-keyed aggregates (scalar stats + exact
+    distinct-token count + p50 rank pick) joined at |sources|
+    cardinality; the only corpus-proportional exchanges are the token
+    explode and the doc-count shuffles feeding them."""
+    d = tables["documents"]
+    toks = F.split("text", " ")
+    n_t, nd_t = F.size(toks), F.size(F.array_distinct(toks))
+    total = (F.length("text") - F.size(toks) + 1)
+    keep_q = ((n_t >= 20) & (n_t <= 1000)
+              & (total >= 2 * n_t) & (total <= 12 * n_t)
+              & (nd_t * 10 >= 3 * n_t))
+    base = (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(toks)).alias("n_tokens"),
+                 (F.count("*")
+                  - F.countDistinct(F.md5("text"))).alias("dup_docs"),
+                 F.sum(keep_q.cast("long")).alias("quality_pass"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.expr("SUM(n_chars) * 1000 div COUNT(*)")
+                 .alias("mean_len_milli")))
+    vocab = (d.select("source", F.explode(F.array_distinct(toks))
+                      .alias("tok"))
+             .groupBy("source")
+             .agg(F.countDistinct("tok").alias("n_vocab")))
+    wl = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cnt = Window.partitionBy("source")
+    p50 = (d.select("source", "n_chars", "doc_id")
+           .withColumn("rn", F.row_number().over(wl))
+           .withColumn("n", F.count("*").over(cnt))
+           .filter(F.expr("rn * 2 = n OR rn * 2 = n + 1"))
+           .groupBy("source")
+           .agg(F.min("n_chars").alias("p50_len")))
+    return (base.join(vocab, "source").join(p50, "source")
+            .select("source", "n_docs", "n_tokens", "n_vocab",
+                    "dup_docs", "quality_pass", "n_langs",
+                    "mean_len_milli", "p50_len")
+            .orderBy("source"))
+
+
+_DATASET_CARD_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source, lang, text, CAST(n_chars AS BIGINT) AS n_chars,
+         string_split(text, ' ') AS toks
+  FROM documents
+), base AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+         COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs,
+         CAST(SUM(CASE WHEN len(toks) BETWEEN 20 AND 1000
+                   AND (length(text) - len(toks) + 1) >= 2 * len(toks)
+                   AND (length(text) - len(toks) + 1) <= 12 * len(toks)
+                   AND len(list_distinct(toks)) * 10 >= 3 * len(toks)
+              THEN 1 ELSE 0 END) AS BIGINT) AS quality_pass,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) * 1000 // COUNT(*)
+             AS mean_len_milli
+  FROM d GROUP BY source
+), vocab AS (
+  SELECT source, COUNT(DISTINCT tok) AS n_vocab
+  FROM (SELECT source, unnest(list_distinct(toks)) AS tok FROM d)
+  GROUP BY source
+), ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+), p50 AS (
+  SELECT source, MIN(n_chars) AS p50_len FROM ranked
+  WHERE rn * 2 = n OR rn * 2 = n + 1
+  GROUP BY source
+)
+SELECT base.source, n_docs, n_tokens, n_vocab, dup_docs, quality_pass,
+       n_langs, mean_len_milli, p50_len
+FROM base JOIN vocab USING (source) JOIN p50 USING (source)
+ORDER BY base.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3971,6 +4252,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x191_scd2_asof_join": _q(_x191_scd2_asof_join),
         "x192_wav_roundtrip_stats": _q(_x192_wav_roundtrip_stats),
         "x193_cooccurrence_itemsets": _q(_x193_cooccurrence_itemsets),
+        "x194_markov_attribution": _q(_x194_markov_attribution),
+        "x195_dataset_card": _q(_x195_dataset_card),
     }
 
 
@@ -4029,4 +4312,6 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x191_scd2_asof_join": _SCD2_ASOF_ORACLE,
         "x192_wav_roundtrip_stats": _WAV_ROUNDTRIP_ORACLE,
         "x193_cooccurrence_itemsets": _COOCCURRENCE_ORACLE,
+        "x194_markov_attribution": _markov_attribution_oracle_sql(),
+        "x195_dataset_card": _DATASET_CARD_ORACLE,
     }

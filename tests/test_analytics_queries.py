@@ -1096,3 +1096,49 @@ def test_cooccurrence_itemsets_caps_and_counts(spark):
     assert out.get(("alpha", "beta")) == 5
     assert ("alpha", "gamma") not in out
     assert not any("stop" in k for pair in out for k in pair)
+
+
+def test_markov_attribution_hand_chain(spark):
+    """x194: a two-user toy chain (one converts after click, one
+    stalls) gives conversion 500 permille and the whole removal effect
+    to 'click'; channels absent from the data remove to zero effect."""
+    from datetime import datetime, timedelta
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x194_markov_attribution)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "click", 0.0),
+        (2, base + timedelta(minutes=1), 1, "purchase", 5.0),
+        (3, base, 2, "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    out = {r["channel"]: r.asDict()
+           for r in _x194_markov_attribution(spark, {"events": ev}).collect()}
+    assert out["click"]["base_milli"] == 500
+    assert out["click"]["conv_milli"] == 0
+    assert out["click"]["removal_effect_milli"] == 500
+    for ch in ("error", "signup", "view"):
+        assert out[ch]["removal_effect_milli"] == 0
+
+
+def test_dataset_card_counts_dups_and_quality(spark):
+    """x195: duplicate bodies, the x56 quality gate, vocabulary and
+    the exact median line up with a hand computation."""
+    from hive_parse_lineage_spark.analytics_queries import _x195_dataset_card
+    good = " ".join(f"tok{i}" for i in range(30))
+    rows = [
+        (1, good, "en", "s", 100),
+        (2, good, "en", "s", 100),          # exact dup of doc 1
+        (3, "w w", "de", "s", 3),           # fails quality (2 words)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    r = _x195_dataset_card(spark, {"documents": docs}).collect()[0].asDict()
+    assert r["n_docs"] == 3 and r["dup_docs"] == 1
+    assert r["n_langs"] == 2
+    assert r["n_vocab"] == 31               # 30 toks + 'w'
+    assert r["quality_pass"] == 2           # both dup docs pass the gate
+    assert r["p50_len"] == 100              # lengths 3,100,100 -> median

@@ -555,6 +555,13 @@ _HINT_BUDGETS = {
                                       "behind the checkpointed ranked "
                                       "stream; pair self-join is "
                                       "doc-keyed and rank-capped"),
+    "x194_markov_attribution": (1, "single-row base conversion; the "
+                                   "variant table hint and all chain "
+                                   "squarings sit behind per-round "
+                                   "checkpoints of the <=250-row "
+                                   "matrix"),
+    "x195_dataset_card": (0, "three |sources|-row aggregates joined; "
+                             "AQE decides"),
 }
 
 
