@@ -4193,6 +4193,159 @@ ORDER BY base.source
 """
 
 
+def _x196_dedup_method_census(spark, tables):
+    """Dedup-method AGREEMENT census — the meta-audit that says which
+    blocking strategy finds which near-dups before anyone authorizes a
+    delete: three candidate generators run over the same corpus (exact
+    md5 bodies 'E'; uncapped portable MinHash-LSH banding 'L', x07's
+    spelling; Sorted-Neighborhood w=3 'S', x180's spelling), LSH and
+    SNM candidates exact-verified at distinct-2-shingle Jaccard >=
+    0.5, and every surviving pair is tagged with the sorted set of
+    methods that found it. The report is pair counts per method
+    combination ('E', 'EL', 'ELS', 'LS', ...) — LSH-only mass is what
+    SNM's single sort key misses (divergent prefixes), SNM-only mass
+    is what banding's probabilistic recall dropped, and E outside LS
+    would be an alarm.
+
+    Scale shape: ONE checkpointed distinct-shingle-list table feeds
+    both verifiers; the LSH join is band-bucketed (uncapped here as
+    the gate spelling — the capped production posture is x72), SNM is
+    rank+k hash equi-joins, exact is an md5-keyed self-join; the
+    method union is pair-proportional. No broadcasts anywhere."""
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, word_shingles)
+    from hive_parse_lineage_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signature_agg)
+    docs = tables["documents"].select("doc_id", "text")
+    dsh = (docs.select("doc_id",
+                       F.array_distinct(word_shingles("text", 2))
+                       .alias("shs"),
+                       F.substring("text", 1, 16).alias("k16"),
+                       F.md5("text").alias("h"))
+           .localCheckpoint(eager=True))
+
+    def verify(pairs):
+        a = dsh.select(F.col("doc_id").alias("id_a"),
+                       F.col("shs").alias("sa"))
+        b = dsh.select(F.col("doc_id").alias("id_b"),
+                       F.col("shs").alias("sb"))
+        return (pairs.join(a, "id_a").join(b, "id_b")
+                .select("id_a", "id_b",
+                        F.size(F.array_intersect("sa", "sb")).alias("ni"),
+                        F.size("sa").alias("na"), F.size("sb").alias("nb"))
+                .filter(F.expr("ni * 1000 div (na + nb - ni) >= 500"))
+                .select("id_a", "id_b"))
+
+    sig = minhash_signature_agg(docs, hasher=portable_hash64, shingle_k=2)
+    lsh = verify(lsh_candidate_pairs(sig, max_bucket_size=None)
+                 .select("id_a", "id_b"))
+    wr = Window.orderBy("k16", "doc_id")
+    ranked = (dsh.select("doc_id", "k16")
+              .withColumn("rk", F.row_number().over(wr))
+              .localCheckpoint(eager=True))
+    snm_cand = None
+    for k in (1, 2, 3):
+        a = ranked.select(F.col("doc_id").alias("id_a"),
+                          (F.col("rk") + k).alias("rk_b"))
+        b = ranked.select(F.col("doc_id").alias("id_b"),
+                          F.col("rk").alias("rk_b"))
+        p = (a.join(b, "rk_b")
+             .select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b")))
+        snm_cand = p if snm_cand is None else snm_cand.unionByName(p)
+    snm = verify(snm_cand.dropDuplicates(["id_a", "id_b"]))
+    ea = dsh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha"))
+    eb = dsh.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    exact = (ea.join(eb, (F.col("ha") == F.col("hb"))
+                     & (F.col("id_a") < F.col("id_b")))
+             .select("id_a", "id_b"))
+    tagged = (exact.select("id_a", "id_b", F.lit("E").alias("m"))
+              .unionByName(lsh.select("id_a", "id_b", F.lit("L").alias("m")))
+              .unionByName(snm.select("id_a", "id_b", F.lit("S").alias("m"))))
+    return (tagged.groupBy("id_a", "id_b")
+            .agg(F.concat_ws("", F.array_sort(F.collect_set("m")))
+                 .alias("combo"))
+            .groupBy("combo").agg(F.count("*").alias("n_pairs"))
+            .orderBy("combo"))
+
+
+def _dedup_method_census_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    from hive_parse_lineage_spark.operators.dedup import _P, _perm_params
+    n, bands, k = 64, 16, 2
+    rows = n // bands
+    h = portable_hash64_sql("s")
+    mins = ",\n    ".join(
+        f"list_min(list_transform(hs, x -> ({a}*x + {b}) % {_P}))"
+        for a, b in _perm_params(n, 42))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id, text,
+         CASE WHEN len(t) >= {k}
+              THEN list_transform(range(1, len(t) - {k} + 2),
+                                  i -> array_to_string(
+                                      list_slice(t, i, i + {k} - 1), ' '))
+              ELSE [text] END AS shingles
+  FROM toks
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS shs,
+         substr(text, 1, 16) AS k16, md5(text) AS h
+  FROM sh
+), hashed AS (
+  SELECT doc_id, list_transform(shingles, s -> {h} % {_P}) AS hs FROM sh
+), sigs AS (
+  SELECT doc_id, [{mins}] AS sig FROM hashed
+), bk AS (
+  SELECT doc_id, r.range AS band,
+         list_slice(sig, r.range*{rows} + 1, r.range*{rows} + {rows}) AS bv
+  FROM sigs, range({bands}) r
+), lsh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+), lsh AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.shs, b.shs)) AS ni,
+           len(a.shs) AS na, len(b.shs) AS nb
+    FROM lsh_cand c JOIN dsh a ON c.id_a = a.doc_id
+                    JOIN dsh b ON c.id_b = b.doc_id)
+  WHERE ni * 1000 // (na + nb - ni) >= 500
+), ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k16, doc_id) AS rk FROM dsh
+), snm_cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                  GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM ranked a
+  JOIN (SELECT unnest([1, 2, 3]) AS k) k ON TRUE
+  JOIN ranked b ON b.rk = a.rk + k.k
+), snm AS (
+  SELECT id_a, id_b FROM (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.shs, b.shs)) AS ni,
+           len(a.shs) AS na, len(b.shs) AS nb
+    FROM snm_cand c JOIN dsh a ON c.id_a = a.doc_id
+                    JOIN dsh b ON c.id_b = b.doc_id)
+  WHERE ni * 1000 // (na + nb - ni) >= 500
+), exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM dsh a JOIN dsh b ON a.h = b.h AND a.doc_id < b.doc_id
+), tagged AS (
+  SELECT id_a, id_b, 'E' AS m FROM exact
+  UNION ALL SELECT id_a, id_b, 'L' FROM lsh
+  UNION ALL SELECT id_a, id_b, 'S' FROM snm
+), combos AS (
+  SELECT id_a, id_b,
+         string_agg(DISTINCT m, '' ORDER BY m) AS combo
+  FROM tagged GROUP BY id_a, id_b
+)
+SELECT combo, COUNT(*) AS n_pairs FROM combos
+GROUP BY combo ORDER BY combo
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4254,6 +4407,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x193_cooccurrence_itemsets": _q(_x193_cooccurrence_itemsets),
         "x194_markov_attribution": _q(_x194_markov_attribution),
         "x195_dataset_card": _q(_x195_dataset_card),
+        "x196_dedup_method_census": _q(_x196_dedup_method_census),
     }
 
 
@@ -4314,4 +4468,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x193_cooccurrence_itemsets": _COOCCURRENCE_ORACLE,
         "x194_markov_attribution": _markov_attribution_oracle_sql(),
         "x195_dataset_card": _DATASET_CARD_ORACLE,
+        "x196_dedup_method_census": _dedup_method_census_oracle_sql(),
     }

@@ -1142,3 +1142,24 @@ def test_dataset_card_counts_dups_and_quality(spark):
     assert r["n_vocab"] == 31               # 30 toks + 'w'
     assert r["quality_pass"] == 2           # both dup docs pass the gate
     assert r["p50_len"] == 100              # lengths 3,100,100 -> median
+
+
+def test_dedup_method_census_exact_dup_found_by_all(spark):
+    """x196: an exact duplicate pair is found by every method (combo
+    'ELS'); a shared-prefix near-dup is found by LSH and SNM but not
+    exact ('LS'); a unique doc generates nothing."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x196_dedup_method_census)
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "HEADER one " + body),
+        (2, "HEADER one " + body),                 # exact dup of 1
+        (3, "HEADER one " + body + " tail word"),  # near-dup, shared prefix
+        (4, "totally different content with no overlap at all here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["combo"]: r["n_pairs"] for r in
+           _x196_dedup_method_census(spark, {"documents": docs}).collect()}
+    assert out.get("ELS", 0) >= 1          # the exact pair (1,2)
+    assert sum(out.values()) >= 2          # plus at least one near-dup pair
+    assert "E" not in out                  # exact never escapes L and S here

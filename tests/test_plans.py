@@ -562,6 +562,10 @@ _HINT_BUDGETS = {
                                    "matrix"),
     "x195_dataset_card": (0, "three |sources|-row aggregates joined; "
                              "AQE decides"),
+    "x196_dedup_method_census": (0, "band-bucketed LSH join, rank+k "
+                                    "SNM joins and the md5 self-join "
+                                    "all shuffle off the checkpointed "
+                                    "shingle-list table; no hints"),
 }
 
 
