@@ -3226,7 +3226,7 @@ WITH tk AS (
   SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok
 ), tt AS (
   SELECT COUNT(*) AS t FROM tk
-), r0 AS (
+), r0 AS MATERIALIZED (
   SELECT source,
          CAST(SUM(length(bin(t)) - length(bin(c))) AS BIGINT) * 1000
              // COUNT(*) AS loss,
@@ -3246,7 +3246,7 @@ WITH tk AS (
   FROM r{i}, a{i}
 ), s{i} AS (
   SELECT CAST(SUM(w) AS BIGINT) AS sw FROM u{i}
-), r{i + 1} AS (
+), r{i + 1} AS MATERIALIZED (
   SELECT source, loss, w * 100000 // sw AS w FROM u{i}, s{i}
 )""")
     parts.append(f""", tot AS (
@@ -4065,7 +4065,7 @@ WITH mapped AS (
 ), vd AS (
   SELECT 'base' AS variant
   UNION ALL SELECT col0 FROM (VALUES """ + chans + """) t(col0)
-), m0 AS (
+), m0 AS MATERIALIZED (
   SELECT variant, from_st, to_st, CAST(SUM(p) AS BIGINT) AS p FROM (
     SELECT vd.variant, probs.from_st,
            CASE WHEN vd.variant != 'base' AND probs.to_st = vd.variant
@@ -4078,7 +4078,7 @@ WITH mapped AS (
   SELECT variant, variant, 'NULL', 1000 FROM vd WHERE variant != 'base'
 )"""]
     for i in range(ATTRIB_SQUARINGS):
-        sq.append(f""", m{i + 1} AS (
+        sq.append(f""", m{i + 1} AS MATERIALIZED (
   SELECT a.variant, a.from_st, b.to_st,
          CAST(SUM(a.p * b.p) AS BIGINT) // 1000 AS p
   FROM m{i} a JOIN m{i} b
@@ -4289,7 +4289,7 @@ WITH toks AS (
                                       list_slice(t, i, i + {k} - 1), ' '))
               ELSE [text] END AS shingles
   FROM toks
-), dsh AS (
+), dsh AS MATERIALIZED (
   SELECT doc_id, list_distinct(shingles) AS shs,
          substr(text, 1, 16) AS k16, md5(text) AS h
   FROM sh
@@ -4297,7 +4297,7 @@ WITH toks AS (
   SELECT doc_id, list_transform(shingles, s -> {h} % {_P}) AS hs FROM sh
 ), sigs AS (
   SELECT doc_id, [{mins}] AS sig FROM hashed
-), bk AS (
+), bk AS MATERIALIZED (
   SELECT doc_id, r.range AS band,
          list_slice(sig, r.range*{rows} + 1, r.range*{rows} + {rows}) AS bv
   FROM sigs, range({bands}) r
