@@ -4346,6 +4346,72 @@ GROUP BY combo ORDER BY combo
 """
 
 
+def _x197_time_weighted_avg(spark, tables):
+    """Time-weighted average value per event type — the TWAP/metrics
+    classic for IRREGULARLY-SAMPLED series, where the plain AVG is
+    wrong by construction (a value that held for an hour must weigh
+    3600x one that held a second): each event's value (integer cents)
+    holds until the same user's next event of that type; the last
+    observation is right-censored at the user's final event time and
+    contributes zero duration. Exact integer microsecond weights; the
+    cents*dur_us products and their sums run in DECIMAL(38,0) (exact
+    fixed-point, overflow-safe past 1e38 — a BIGINT sum of us-weighted
+    cents overflows already at sf0.1), with one integral div at the
+    end projecting back to BIGINT outputs. Order-free everywhere;
+    all inputs non-negative so truncating div agrees across engines.
+
+    Scale shape: one per-(user, type) LEAD window + one per-user max
+    (both partition-local at any scale), one map-side-combinable
+    aggregate (decimal sums are still hash-agg + codegen). Zero
+    joins."""
+    ev = tables["events"].select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("t", "cents")
+    wu = Window.partitionBy("user_id")
+    held = (ev.withColumn("t_next", F.lead("t").over(w))
+            .withColumn("t_end", F.max("t").over(wu))
+            .select("event_type", "cents",
+                    (F.coalesce("t_next", "t_end") - F.col("t"))
+                    .alias("dur_us")))
+    dsum = "SUM(CAST(dur_us AS DECIMAL(38,0)))"
+    psum = ("SUM(CAST(cents AS DECIMAL(19,0)) * "
+            "CAST(dur_us AS DECIMAL(19,0)))")
+    return (held.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr(f"CAST({dsum} div 1000000 AS BIGINT)")
+                 .alias("total_s"),
+                 F.expr(f"CASE WHEN {dsum} = 0 THEN NULL "
+                        f"ELSE {psum} div {dsum} END")
+                 .alias("twap_cents"),
+                 F.expr("SUM(cents) div COUNT(*)").alias("naive_cents"))
+            .orderBy("event_type"))
+
+
+_TIME_WEIGHTED_AVG_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+), held AS (
+  SELECT event_type, cents,
+         COALESCE(LEAD(t) OVER (PARTITION BY user_id, event_type
+                                ORDER BY t, cents),
+                  MAX(t) OVER (PARTITION BY user_id)) - t AS dur_us
+  FROM ev
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(dur_us AS HUGEINT)) // 1000000 AS BIGINT) AS total_s,
+       CASE WHEN SUM(CAST(dur_us AS HUGEINT)) = 0 THEN NULL
+            ELSE CAST(SUM(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT))
+                      // SUM(CAST(dur_us AS HUGEINT)) AS BIGINT)
+       END AS twap_cents,
+       CAST(CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS BIGINT) AS naive_cents
+FROM held GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4408,6 +4474,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x194_markov_attribution": _q(_x194_markov_attribution),
         "x195_dataset_card": _q(_x195_dataset_card),
         "x196_dedup_method_census": _q(_x196_dedup_method_census),
+        "x197_time_weighted_avg": _q(_x197_time_weighted_avg),
     }
 
 
@@ -4469,4 +4536,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x194_markov_attribution": _markov_attribution_oracle_sql(),
         "x195_dataset_card": _DATASET_CARD_ORACLE,
         "x196_dedup_method_census": _dedup_method_census_oracle_sql(),
+        "x197_time_weighted_avg": _TIME_WEIGHTED_AVG_ORACLE,
     }

@@ -1163,3 +1163,28 @@ def test_dedup_method_census_exact_dup_found_by_all(spark):
     assert out.get("ELS", 0) >= 1          # the exact pair (1,2)
     assert sum(out.values()) >= 2          # plus at least one near-dup pair
     assert "E" not in out                  # exact never escapes L and S here
+
+
+def test_time_weighted_avg_weighs_by_holding_duration(spark):
+    """x197: a value held for 90% of the observation window dominates
+    the TWAP even when the plain average says otherwise."""
+    from datetime import datetime, timedelta
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x197_time_weighted_avg)
+    base = datetime(2024, 1, 1)
+    rows = [
+        # user 1, type 'a': 1.00 held 90 min, then 100.00 held 10 min
+        (1, base, 1, "a", 1.0),
+        (2, base + timedelta(minutes=90), 1, "a", 100.0),
+        (3, base + timedelta(minutes=100), 1, "a", 100.0),  # censor point
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    r = _x197_time_weighted_avg(spark, {"events": ev}).collect()[0].asDict()
+    # naive avg = (100 + 10000 + 10000) / 3 = 6700 cents
+    assert r["naive_cents"] == 6700
+    # twap = (100*90min + 10000*10min + 10000*0) / 100min = 1090 cents
+    assert r["twap_cents"] == 1090
+    assert r["n_events"] == 3
+    assert r["total_s"] == 100 * 60  # 100 min observed, in whole seconds

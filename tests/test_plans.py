@@ -566,6 +566,8 @@ _HINT_BUDGETS = {
                                     "SNM joins and the md5 self-join "
                                     "all shuffle off the checkpointed "
                                     "shingle-list table; no hints"),
+    "x197_time_weighted_avg": (0, "two partition-local windows + one "
+                                  "aggregate, no joins"),
 }
 
 
