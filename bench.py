@@ -617,7 +617,8 @@ def _bench_corpus(spark, sf_dir: str):
                      "x118_stream_session_windows",
                      "x135_stream_stream_join",
                      "x178_stream_custom_state",
-                     "x190_stream_watermark_windows"):
+                     "x190_stream_watermark_windows",
+                     "x198_stream_static_join"):
         allq.pop(stream_q, None)
     for name, fn in sorted(allq.items()):
         fn(spark, sf_dir).collect()                          # warm-up
@@ -653,7 +654,8 @@ def _bench_corpus_duckdb(sf_dir: str):
                      "x118_stream_session_windows",
                      "x135_stream_stream_join",
                      "x178_stream_custom_state",
-                     "x190_stream_watermark_windows"):  # mirrors _bench_corpus
+                     "x190_stream_watermark_windows",
+                     "x198_stream_static_join"):  # mirrors _bench_corpus
         allsql.pop(stream_q, None)
     for name, sql in sorted(allsql.items()):
         con.execute(sql).fetchdf()                           # warm-up

@@ -4412,6 +4412,80 @@ FROM held GROUP BY event_type ORDER BY event_type
 """
 
 
+X198_BATCHES = 4
+
+
+def _x198_stream_static_join(spark, tables):
+    """Stream-STATIC join under the exact hash gate — the one join
+    execution path no other streaming entry exercises (x135 gates
+    stream-STREAM): each micro-batch of the event stream hash-joins
+    the static customer dimension batch-side (stateless — the static
+    side is re-planned per micro-batch, no join state, no watermark
+    needed), then feeds a stateful per-nation aggregate whose state
+    MERGES across the four micro-batches; complete mode emits the
+    final merged table, which is exactly the batch join+aggregate —
+    so the DuckDB twin is the plain SQL spelling and the per-batch
+    re-plan, the join itself and the cross-batch state merge all sit
+    under the value-hash gate.
+
+    Scale shape: the static dim joins as a normal equi-join each
+    micro-batch (AQE broadcasts it when genuinely small — at 100 TB
+    a large dim stays a shuffle join); aggregate state is O(|nations|).
+    The 4-way staging split is the gate's deterministic replay
+    harness, not a data path."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+    ev = (tables["events"].select("event_id", "user_id", "value")
+          .withColumn("b", F.expr(f"pmod(event_id, {X198_BATCHES})")))
+    dim = tables["customer"].select("c_custkey", "c_nationkey")
+    src = tempfile.mkdtemp(prefix="x198_src_")
+    try:
+        for i in range(X198_BATCHES):
+            stage = tempfile.mkdtemp(prefix="x198_stage_")
+            try:
+                (ev.filter(F.col("b") == i).drop("b").coalesce(1)
+                 .write.mode("overwrite").parquet(stage))
+                part = glob.glob(stage + "/part-*.parquet")[0]
+                dst = os.path.join(src, f"b{i}.parquet")
+                shutil.move(part, dst)
+                os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+            finally:
+                shutil.rmtree(stage, ignore_errors=True)
+        schema = ev.drop("b").schema
+        s = (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)
+             .join(dim, F.col("user_id") == F.col("c_custkey"))
+             .groupBy(F.col("c_nationkey").cast("bigint")
+                      .alias("nationkey"))
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.expr("CAST(FLOOR(value * 100) AS BIGINT)"))
+                  .alias("cents")))
+        name = f"x198_{uuid.uuid4().hex[:8]}"
+        q = (s.writeStream.outputMode("complete")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name).orderBy("nationkey")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
+_STREAM_STATIC_JOIN_ORACLE = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey ORDER BY nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4475,6 +4549,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x195_dataset_card": _q(_x195_dataset_card),
         "x196_dedup_method_census": _q(_x196_dedup_method_census),
         "x197_time_weighted_avg": _q(_x197_time_weighted_avg),
+        "x198_stream_static_join": _q(_x198_stream_static_join),
     }
 
 
@@ -4537,4 +4612,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x195_dataset_card": _DATASET_CARD_ORACLE,
         "x196_dedup_method_census": _dedup_method_census_oracle_sql(),
         "x197_time_weighted_avg": _TIME_WEIGHTED_AVG_ORACLE,
+        "x198_stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
     }

@@ -1188,3 +1188,28 @@ def test_time_weighted_avg_weighs_by_holding_duration(spark):
     assert r["twap_cents"] == 1090
     assert r["n_events"] == 3
     assert r["total_s"] == 100 * 60  # 100 min observed, in whole seconds
+
+
+def test_stream_static_join_merges_state_across_batches(spark):
+    """x198: events for one nation land in DIFFERENT micro-batches
+    (batch = event_id % 4) — the final complete-mode row must merge
+    them, proving cross-batch aggregate state on top of the per-batch
+    stream-static join."""
+    from datetime import datetime
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x198_stream_static_join)
+    ts = datetime(2024, 1, 1)
+    # event_ids 0..3 -> four different micro-batches, all user 7
+    ev = spark.createDataFrame(
+        [(i, ts, 7, "view", 2.5) for i in range(4)] + [(4, ts, 99, "x", 1.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    cust = spark.createDataFrame(
+        [(7, "n", 3, 0.0, "m")],  # user 99 has no dim row -> inner-join drop
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string")
+    rows = _x198_stream_static_join(
+        spark, {"events": ev, "customer": cust}).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r == {"nationkey": 3, "n_events": 4, "cents": 4 * 250}

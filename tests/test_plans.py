@@ -568,6 +568,10 @@ _HINT_BUDGETS = {
                                     "shingle-list table; no hints"),
     "x197_time_weighted_avg": (0, "two partition-local windows + one "
                                   "aggregate, no joins"),
+    "x198_stream_static_join": (0, "static dim joins each micro-batch "
+                                   "as a plain equi-join; AQE decides "
+                                   "— result is a checkpointed memory "
+                                   "table"),
 }
 
 
