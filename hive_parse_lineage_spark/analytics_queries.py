@@ -4486,6 +4486,98 @@ GROUP BY c.c_nationkey ORDER BY nationkey
 """
 
 
+def _x199_bmp_roundtrip_stats(spark, tables):
+    """The IMAGE half of the multimodal certification x192 gives audio:
+    every document's UTF-8 bytes become a genuine 24-bit BMP — 5 px
+    wide, so each 15-byte payload row carries ONE real stride-padding
+    byte; stored BOTTOM-UP in BGR order, the two transforms
+    ``decode_bmp`` must undo — and the corpus decodes through the REAL
+    Arrow-batched ``decode_image`` container walk
+    (operators/multimodal.py). Because decode must flip the rows,
+    swizzle BGR->RGB and strip the stride padding for the decoded
+    top-down RGB stream to equal the original bytes, the gate uses a
+    POSITION-WEIGHTED checksum (sum of (1-based index)*byte) — any
+    row-order, channel-order or stride mistake shifts bytes and
+    breaks the hash, unlike x192's order-free stats. The DuckDB twin
+    computes the same checksum from character positions (corpus is
+    ASCII; trailing pad zeros contribute nothing).
+
+    Scale shape: two Arrow mapInPandas passes (synthesize, decode) and
+    one stats pass — all partition-local, zero shuffles before the
+    final sort; blobs never leave their partition."""
+    import struct
+
+    import pandas as pd
+
+    from hive_parse_lineage_spark.operators.multimodal import decode_image
+
+    W = 5                      # 15 payload bytes/row, stride 16
+
+    def synth(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                body = text.encode("utf-8")
+                n = len(body)
+                if n == 0:
+                    continue
+                h = (n + 3 * W - 1) // (3 * W)
+                pay = np.zeros(h * 3 * W, np.uint8)
+                pay[:n] = np.frombuffer(body, np.uint8)
+                rgb = pay.reshape(h, W, 3)
+                bgr = rgb[:, :, ::-1]          # decode swizzles back
+                stored = bgr[::-1]             # bottom-up rows
+                padded = np.zeros((h, (3 * W + 3) & ~3), np.uint8)
+                padded[:, :3 * W] = stored.reshape(h, 3 * W)
+                px = padded.tobytes()
+                hdr = (b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+                       + struct.pack("<IiiHHIIiiII", 40, W, h, 1, 24,
+                                     0, len(px), 2835, 2835, 0, 0))
+                rows.append((doc_id, hdr + px))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    def stats(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for doc_id, h, pix in zip(pdf["doc_id"], pdf["height"],
+                                      pdf["pixels"]):
+                v = np.frombuffer(bytes(pix), np.uint8).astype(np.int64)
+                idx = np.arange(1, len(v) + 1, dtype=np.int64)
+                rows.append((doc_id, int(h), len(v), int(v.max()),
+                             int((idx * v).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "height", "n_bytes", "peak", "possum"])
+
+    bmps = (tables["documents"].select("doc_id", "text")
+            .filter(F.length("text") > 0)
+            .mapInPandas(synth, schema="doc_id long, content binary"))
+    decoded = decode_image(bmps, content_col="content", id_col="doc_id")
+    return (decoded.mapInPandas(
+        stats, schema="doc_id long, height long, n_bytes long, "
+                      "peak long, possum long")
+        .orderBy("doc_id"))
+
+
+_BMP_ROUNDTRIP_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS v
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+                    1, CAST(length(text) AS BIGINT))) AS i) t
+  WHERE length(text) > 0
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n, MAX(v) AS peak,
+         CAST(SUM(i * v) AS BIGINT) AS possum
+  FROM ch GROUP BY doc_id
+)
+SELECT doc_id, (n + 14) // 15 AS height, ((n + 14) // 15) * 15 AS n_bytes,
+       CAST(peak AS BIGINT) AS peak, possum
+FROM agg ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4550,6 +4642,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x196_dedup_method_census": _q(_x196_dedup_method_census),
         "x197_time_weighted_avg": _q(_x197_time_weighted_avg),
         "x198_stream_static_join": _q(_x198_stream_static_join),
+        "x199_bmp_roundtrip_stats": _q(_x199_bmp_roundtrip_stats),
     }
 
 
@@ -4613,4 +4706,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x196_dedup_method_census": _dedup_method_census_oracle_sql(),
         "x197_time_weighted_avg": _TIME_WEIGHTED_AVG_ORACLE,
         "x198_stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
+        "x199_bmp_roundtrip_stats": _BMP_ROUNDTRIP_ORACLE,
     }

@@ -1213,3 +1213,21 @@ def test_stream_static_join_merges_state_across_batches(spark):
     assert len(rows) == 1
     r = rows[0].asDict()
     assert r == {"nationkey": 3, "n_events": 4, "cents": 4 * 250}
+
+
+def test_bmp_roundtrip_position_checksum(spark):
+    """x199: the decoded RGB stream equals the original bytes in ORDER
+    (bottom-up storage + BGR swizzle + stride padding all undone), so
+    the position-weighted checksum matches a direct computation."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x199_bmp_roundtrip_stats)
+    text = "The quick brown fox! 0123456789"   # 31 bytes -> 3 rows, pad 14
+    docs = spark.createDataFrame([(1, text), (2, "")],
+                                 "doc_id long, text string")
+    rows = _x199_bmp_roundtrip_stats(spark, {"documents": docs}).collect()
+    assert len(rows) == 1                      # empty doc filtered both sides
+    r = rows[0].asDict()
+    b = text.encode()
+    assert r["height"] == 3 and r["n_bytes"] == 45
+    assert r["peak"] == max(b)
+    assert r["possum"] == sum((i + 1) * v for i, v in enumerate(b))

@@ -572,6 +572,8 @@ _HINT_BUDGETS = {
                                    "as a plain equi-join; AQE decides "
                                    "— result is a checkpointed memory "
                                    "table"),
+    "x199_bmp_roundtrip_stats": (0, "three partition-local Arrow "
+                                    "passes, zero joins"),
 }
 
 
