@@ -4578,6 +4578,87 @@ FROM agg ORDER BY doc_id
 """
 
 
+def _x200_quantile_normalize(spark, tables):
+    """Cross-source QUANTILE NORMALIZATION lookup table — the
+    microarray-normalization classic applied to corpus curation: a
+    'long doc' from a tweets source and a 'long doc' from a books
+    source sit at wildly different absolute token counts, so
+    source-uniform absolute thresholds mis-filter; the fix maps each
+    source's score distribution onto the GLOBAL one by rank. Emitted
+    as the 10-row-per-source mapping table a curation pass applies:
+    for each source and decile k, the source's exact value at row
+    ceil(k*m/10) next to the global value at row ceil(k*N/10) (x91's
+    all-integer value-at-row discrete quantile — no interpolation, no
+    float divergence), plus the shift in permille of the global
+    value. Deciles land long-form via an explode of the k in 1..10
+    whose boundary row this is — no join, no broadcast; a row serves
+    every k it bounds (small sources hit the same row repeatedly).
+
+    Scale shape: one per-source window + one global window (the
+    global row_number range-partitions with a prefix-count carry at
+    scale, or swaps to approx_percentile per x91's documented
+    posture), then a 10-row x (10*|sources|)-row equi-join AQE
+    resolves. Corpus scanned twice, column-pruned to (source, n,
+    doc_id)."""
+    d = tables["documents"].select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"))
+    ws = Window.partitionBy("source").orderBy("n", "doc_id")
+    wg = Window.orderBy("n", "doc_id")
+    src_b = (d.select("source", "n",
+                      F.row_number().over(ws).alias("rn"),
+                      F.count("*").over(
+                          Window.partitionBy("source")).alias("m"))
+             .select("source", F.col("n").alias("src_value"),
+                     F.explode(F.expr(
+                         "filter(sequence(1, 10), "
+                         "k -> rn = (k * m + 9) div 10)")).alias("k")))
+    glob_b = (d.select("n", F.row_number().over(wg).alias("rn"),
+                       F.count("*").over(
+                           Window.partitionBy(F.lit(1))).alias("m"))
+              .select(F.col("n").alias("global_value"),
+                      F.explode(F.expr(
+                          "filter(sequence(1, 10), "
+                          "k -> rn = (k * m + 9) div 10)")).alias("k")))
+    return (src_b.join(glob_b, "k")
+            .select("source", F.col("k").alias("decile"),
+                    "src_value", "global_value",
+                    F.expr("(src_value - global_value) * 1000 "
+                           "div global_value").alias("shift_permille"))
+            .orderBy("source", "decile"))
+
+
+_QUANTILE_NORMALIZE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), rs AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS m
+  FROM d
+), src_b AS (
+  SELECT source, n AS src_value, k
+  FROM rs, LATERAL (SELECT unnest(generate_series(1, 10)) AS k) t
+  WHERE rn = (k * m + 9) // 10
+), rg AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, doc_id) AS rn,
+         COUNT(*) OVER () AS m
+  FROM d
+), glob_b AS (
+  SELECT n AS global_value, k
+  FROM rg, LATERAL (SELECT unnest(generate_series(1, 10)) AS k) t
+  WHERE rn = (k * m + 9) // 10
+)
+SELECT s.source, CAST(s.k AS INT) AS decile, s.src_value, g.global_value,
+       (s.src_value - g.global_value) * 1000 // g.global_value
+           AS shift_permille
+FROM src_b s JOIN glob_b g USING (k)
+ORDER BY s.source, decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4643,6 +4724,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x197_time_weighted_avg": _q(_x197_time_weighted_avg),
         "x198_stream_static_join": _q(_x198_stream_static_join),
         "x199_bmp_roundtrip_stats": _q(_x199_bmp_roundtrip_stats),
+        "x200_quantile_normalize": _q(_x200_quantile_normalize),
     }
 
 
@@ -4707,4 +4789,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x197_time_weighted_avg": _TIME_WEIGHTED_AVG_ORACLE,
         "x198_stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
         "x199_bmp_roundtrip_stats": _BMP_ROUNDTRIP_ORACLE,
+        "x200_quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
     }

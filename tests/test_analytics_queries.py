@@ -1231,3 +1231,26 @@ def test_bmp_roundtrip_position_checksum(spark):
     assert r["height"] == 3 and r["n_bytes"] == 45
     assert r["peak"] == max(b)
     assert r["possum"] == sum((i + 1) * v for i, v in enumerate(b))
+
+
+def test_quantile_normalize_maps_source_rank_to_global_value(spark):
+    """x200: a source whose docs are uniformly short must map its
+    median onto the global median value, exposing the shift."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x200_quantile_normalize)
+    rows = ([(i, "short", "a b") for i in range(10)]           # n=2
+            + [(100 + i, "long", " ".join(["w"] * 10)) for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+    out = _x200_quantile_normalize(spark, {"documents": docs})
+    m = {(r["source"], r["decile"]): r for r in out.collect()}
+    assert len(m) == 20                      # 10 deciles x 2 sources
+    # global median (rank 10 of 20, tie-broken) = 2; 'short' median = 2
+    assert m[("short", 5)]["src_value"] == 2
+    assert m[("short", 5)]["global_value"] == 2
+    # 'long' decile 10 = 10 vs global decile 10 = 10 -> shift 0
+    assert m[("long", 10)]["src_value"] == 10
+    assert m[("long", 10)]["global_value"] == 10
+    assert m[("long", 10)]["shift_permille"] == 0
+    # 'long' decile 5 = 10 vs global 2 -> shift (10-2)*1000 div 2 = 4000
+    assert m[("long", 5)]["shift_permille"] == 4000

@@ -574,6 +574,9 @@ _HINT_BUDGETS = {
                                    "table"),
     "x199_bmp_roundtrip_stats": (0, "three partition-local Arrow "
                                     "passes, zero joins"),
+    "x200_quantile_normalize": (0, "decile boundary tables are 10 and "
+                                   "10*|sources| rows; their equi-join "
+                                   "is AQE's call, no hints"),
 }
 
 
