@@ -4659,6 +4659,82 @@ ORDER BY s.source, decile
 """
 
 
+def _x201_cluster_safe_split(spark, tables):
+    """LEAKAGE-SAFE train/val/test split — the composition x39 + x46
+    exist for: a plain per-doc hash split (x39) puts ~19% of every
+    near-dup cluster's mass in val/test, silently leaking training
+    content into eval (the x84 audit measures exactly this damage);
+    the fix assigns the split by hash of each doc's DUP-CLUSTER label
+    (x46's bounded min-label propagation over MinHash-LSH edges), so
+    a whole near-dup family lands in ONE split by construction. The
+    output is the audit a pipeline gates on: per split, doc and
+    cluster counts, plus ``straddling_clusters`` — clusters seen in
+    more than one split — which this construction forces to 0 (the
+    operator ships its own leakage proof, x174-style).
+
+    Scale shape: x46's edge generation (banded LSH, never all-pairs)
+    + 4 bounded label-prop rounds (one equi-join + map-side MIN per
+    round), then one hash projection and two small aggregates; the
+    1-row straddle count cross-joins the 3-row summary (nested-loop
+    on singletons, no hint)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.components import (
+        connected_components)
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    from hive_parse_lineage_spark.operators.sampling import hash_split
+    docs = tables["documents"]
+    edges = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                               shingle_k=2, hasher=portable_hash64,
+                               max_bucket_size=None)
+             .select("id_a", "id_b"))
+    vertices = docs.select(F.col("doc_id").alias("vertex"))
+    comp = connected_components(edges, vertices=vertices, max_iter=4)
+    labeled = hash_split(comp, id_col="component", salt="v1")
+    per_split = (labeled.groupBy("split")
+                 .agg(F.count("*").alias("n_docs"),
+                      F.countDistinct("component").alias("n_clusters")))
+    straddle = (labeled.groupBy("component")
+                .agg(F.countDistinct("split").alias("ns"))
+                .filter(F.col("ns") > 1)
+                .agg(F.count("*").alias("straddling_clusters")))
+    return (per_split.crossJoin(straddle)
+            .select("split", "n_docs", "n_clusters", "straddling_clusters")
+            .orderBy("split"))
+
+
+def _cluster_safe_split_oracle_sql() -> str:
+    from hive_parse_lineage_spark.corpus_queries import (
+        _cc_edges_sql, _cc_round)
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    h = portable_hash64_sql("'v1' || CAST(component AS VARCHAR)")
+    return f"""
+WITH {_cc_edges_sql()},
+l0 AS (SELECT doc_id AS vertex, doc_id AS component FROM documents),
+{_cc_round('l0', 'l1')},
+{_cc_round('l1', 'l2')},
+{_cc_round('l2', 'l3')},
+{_cc_round('l3', 'l4')},
+lab AS (
+  SELECT vertex, component, {h} % 100 AS bucket FROM l4
+), s AS MATERIALIZED (
+  SELECT vertex, component,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+  FROM lab
+), per AS (
+  SELECT split, COUNT(*) AS n_docs,
+         COUNT(DISTINCT component) AS n_clusters
+  FROM s GROUP BY split
+), st AS (
+  SELECT COUNT(*) AS straddling_clusters FROM (
+    SELECT component FROM s GROUP BY component
+    HAVING COUNT(DISTINCT split) > 1)
+)
+SELECT split, n_docs, n_clusters, straddling_clusters
+FROM per, st ORDER BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4725,6 +4801,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x198_stream_static_join": _q(_x198_stream_static_join),
         "x199_bmp_roundtrip_stats": _q(_x199_bmp_roundtrip_stats),
         "x200_quantile_normalize": _q(_x200_quantile_normalize),
+        "x201_cluster_safe_split": _q(_x201_cluster_safe_split),
     }
 
 
@@ -4790,4 +4867,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x198_stream_static_join": _STREAM_STATIC_JOIN_ORACLE,
         "x199_bmp_roundtrip_stats": _BMP_ROUNDTRIP_ORACLE,
         "x200_quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
+        "x201_cluster_safe_split": _cluster_safe_split_oracle_sql(),
     }

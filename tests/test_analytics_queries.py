@@ -1254,3 +1254,22 @@ def test_quantile_normalize_maps_source_rank_to_global_value(spark):
     assert m[("long", 10)]["shift_permille"] == 0
     # 'long' decile 5 = 10 vs global 2 -> shift (10-2)*1000 div 2 = 4000
     assert m[("long", 5)]["shift_permille"] == 4000
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """x201: near-identical docs must land in the SAME split, and the
+    straddle audit column is 0; totals cover the whole corpus."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x201_cluster_safe_split)
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    rows = [(i, base + f" unique{i}", "s") for i in range(20)]
+    # 3 exact near-dups of doc 0 -> one cluster of >= 4
+    rows += [(100 + j, base + " unique0", "s") for j in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    out = _x201_cluster_safe_split(spark, {"documents": docs}).collect()
+    assert sum(r["n_docs"] for r in out) == 23
+    assert all(r["straddling_clusters"] == 0 for r in out)
+    # fewer clusters than docs -> the dup family genuinely merged
+    assert sum(r["n_clusters"] for r in out) < 23

@@ -577,6 +577,10 @@ _HINT_BUDGETS = {
     "x200_quantile_normalize": (0, "decile boundary tables are 10 and "
                                    "10*|sources| rows; their equi-join "
                                    "is AQE's call, no hints"),
+    "x201_cluster_safe_split": (0, "x46's LSH + label-prop joins all "
+                                   "plain shuffles; the 1-row straddle "
+                                   "count nested-loops onto the 3-row "
+                                   "summary unhinted"),
 }
 
 
