@@ -4735,6 +4735,120 @@ FROM per, st ORDER BY split
 """
 
 
+def _x202_dq_constraints(spark, tables):
+    """Declarative data-quality constraint suite (the Deequ / dbt-test
+    shape): one report row per constraint with checked and violation
+    counts — completeness (NOT NULL), uniqueness (primary keys),
+    referential integrity (foreign keys, as anti-join orphan
+    censuses), domain membership and numeric range — over the
+    warehouse tables a pipeline actually gates on. The report is what
+    a nightly run diffs before promoting a snapshot; x136 profiles
+    what IS in a column, this asserts what MUST be.
+
+    Scale shape: completeness/domain/range are single-scan map-side
+    aggregates; uniqueness is one groupBy on the key; each FK check
+    is a plain left-anti equi-join (never broadcast-forced — at
+    100 TB both sides are corpus-proportional; AQE decides). Each
+    constraint touches only its own columns (column-pruned scans),
+    and the union of 1-row results is negligible."""
+    o, c, li = tables["orders"], tables["customer"], tables["lineitem"]
+
+    def row(name, checked_df, viol_col):
+        return (checked_df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(viol_col.cast("long")).alias("n_violations"))
+            .select(F.lit(name).alias("check_name"),
+                    "n_checked", "n_violations"))
+
+    complete = row("orders.o_custkey NOT NULL", o,
+                   F.col("o_custkey").isNull())
+    uniq_o = row("orders.o_orderkey UNIQUE",
+                 o.groupBy("o_orderkey").agg(F.count("*").alias("n")),
+                 F.col("n") > 1)
+    uniq_li = row("lineitem.(l_orderkey,l_linenumber) UNIQUE",
+                  li.groupBy("l_orderkey", "l_linenumber")
+                  .agg(F.count("*").alias("n")),
+                  F.col("n") > 1)
+    # FK orphan censuses: left-anti count over the referenced key
+    fk_oc = (o.select("o_custkey")
+             .join(c.select(F.col("c_custkey")),
+                   F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+             .agg(F.count("*").alias("n_violations"))
+             .crossJoin(o.agg(F.count("*").alias("n_checked")))
+             .select(F.lit("orders.o_custkey -> customer FK")
+                     .alias("check_name"), "n_checked", "n_violations"))
+    fk_lo = (li.select("l_orderkey")
+             .join(o.select(F.col("o_orderkey")),
+                   F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+             .agg(F.count("*").alias("n_violations"))
+             .crossJoin(li.agg(F.count("*").alias("n_checked")))
+             .select(F.lit("lineitem.l_orderkey -> orders FK")
+                     .alias("check_name"), "n_checked", "n_violations"))
+    domain = row("orders.o_orderstatus IN (F,O,P)", o,
+                 ~F.col("o_orderstatus").isin("F", "O", "P"))
+    rng = row("lineitem.l_quantity IN [1,50]", li,
+              (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+    disc = row("lineitem.l_discount IN [0,0.1]", li,
+               (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))
+    out = (complete.unionAll(uniq_o).unionAll(uniq_li).unionAll(fk_oc)
+           .unionAll(fk_lo).unionAll(domain).unionAll(rng)
+           .unionAll(disc))
+    return (out.withColumn(
+        "violation_permille",
+        F.expr("n_violations * 1000 div n_checked"))
+        .orderBy("check_name"))
+
+
+_DQ_CONSTRAINTS_ORACLE = """
+WITH r AS (
+  SELECT 'orders.o_custkey NOT NULL' AS check_name,
+         COUNT(*) AS n_checked,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders.o_orderkey UNIQUE', COUNT(*),
+         CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'lineitem.(l_orderkey,l_linenumber) UNIQUE', COUNT(*),
+         CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+        FROM lineitem GROUP BY l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer FK',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.l_orderkey -> orders FK',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'orders.o_orderstatus IN (F,O,P)', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_quantity IN [1,50]', COUNT(*),
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_discount IN [0,0.1]', COUNT(*),
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+)
+SELECT check_name, n_checked, n_violations,
+       n_violations * 1000 // n_checked AS violation_permille
+FROM r ORDER BY check_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4802,6 +4916,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x199_bmp_roundtrip_stats": _q(_x199_bmp_roundtrip_stats),
         "x200_quantile_normalize": _q(_x200_quantile_normalize),
         "x201_cluster_safe_split": _q(_x201_cluster_safe_split),
+        "x202_dq_constraints": _q(_x202_dq_constraints),
     }
 
 
@@ -4868,4 +4983,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x199_bmp_roundtrip_stats": _BMP_ROUNDTRIP_ORACLE,
         "x200_quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
         "x201_cluster_safe_split": _cluster_safe_split_oracle_sql(),
+        "x202_dq_constraints": _DQ_CONSTRAINTS_ORACLE,
     }

@@ -1273,3 +1273,34 @@ def test_cluster_safe_split_never_straddles(spark):
     assert all(r["straddling_clusters"] == 0 for r in out)
     # fewer clusters than docs -> the dup family genuinely merged
     assert sum(r["n_clusters"] for r in out) < 23
+
+
+def test_dq_constraints_counts_planted_violations(spark):
+    """x202: planted orphan FK row, duplicate PK and out-of-range value
+    each show up in exactly their constraint's row."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x202_dq_constraints)
+    o = spark.createDataFrame(
+        [(1, 10, "F", 5.0), (1, 10, "O", 6.0),      # dup o_orderkey
+         (2, 99, "P", 7.0),                          # orphan custkey
+         (3, 10, "X", 8.0)],                         # bad status
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double")
+    c = spark.createDataFrame([(10, "a", 1, 0.0, "m")],
+                              "c_custkey long, c_name string, "
+                              "c_nationkey int, c_acctbal double, "
+                              "c_mktsegment string")
+    li = spark.createDataFrame(
+        [(1, 1, 5.0, 0.05), (1, 1, 60.0, 0.5), (7, 2, 3.0, 0.02)],
+        "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_discount double")
+    out = {r["check_name"]: r for r in _x202_dq_constraints(
+        spark, {"orders": o, "customer": c, "lineitem": li}).collect()}
+    assert out["orders.o_orderkey UNIQUE"]["n_violations"] == 1
+    assert out["orders.o_custkey -> customer FK"]["n_violations"] == 1
+    assert out["orders.o_orderstatus IN (F,O,P)"]["n_violations"] == 1
+    assert out["lineitem.(l_orderkey,l_linenumber) UNIQUE"]["n_violations"] == 1
+    assert out["lineitem.l_orderkey -> orders FK"]["n_violations"] == 1
+    assert out["lineitem.l_quantity IN [1,50]"]["n_violations"] == 1
+    assert out["lineitem.l_discount IN [0,0.1]"]["n_violations"] == 1
+    assert out["orders.o_custkey NOT NULL"]["n_violations"] == 0

@@ -581,6 +581,9 @@ _HINT_BUDGETS = {
                                    "plain shuffles; the 1-row straddle "
                                    "count nested-loops onto the 3-row "
                                    "summary unhinted"),
+    "x202_dq_constraints": (0, "FK anti-joins are table-proportional "
+                               "both sides, plain shuffles; all other "
+                               "checks single-scan aggregates"),
 }
 
 
