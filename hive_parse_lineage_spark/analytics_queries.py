@@ -1115,6 +1115,48 @@ FROM p GROUP BY quartile, source ORDER BY quartile, source
 """
 
 
+def _kmeans_milli_round1(tables):
+    """Shared round-1 of the x163 integer Lloyd iteration: quantized
+    vectors, seed centroids, the broadcast assign() closure, the
+    round-1 assignment and the round-1 updated centroids — one
+    spelling feeding both x163 (the clustering itself) and x203 (the
+    assignment-margin audit), so the two can never drift."""
+    vq = (tables["embeddings"]
+          .select("vec_id",
+                  F.expr("transform(embedding, x -> CAST(FLOOR("
+                         "CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+                  .alias("q"))
+          .localCheckpoint(eager=True))
+    seeds0 = (vq.filter((F.col("vec_id") % 25 == 0)
+                        & (F.col("vec_id") < 2500))
+              .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
+
+    def dist_stream(cents):
+        dist = F.aggregate(
+            F.zip_with("q", "cq", lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        return (vq.crossJoin(F.broadcast(cents))
+                .select("vec_id", "cid", dist.alias("d")))
+
+    def assign(cents):
+        return (dist_stream(cents)
+                .groupBy("vec_id")
+                .agg(F.min(F.struct("d", "cid")).alias("m"))
+                .select("vec_id", F.col("m.cid").alias("cid"),
+                        F.col("m.d").alias("d")))
+
+    a1 = assign(seeds0).localCheckpoint(eager=True)
+    c1 = (a1.join(vq, "vec_id")
+          .select("cid", F.posexplode("q").alias("k", "qv"))
+          .groupBy("cid", "k")
+          .agg(F.expr("CASE WHEN SUM(qv) >= 0 THEN SUM(qv) div COUNT(*) "
+                      "ELSE -((-SUM(qv)) div COUNT(*)) END").alias("qm"))
+          .groupBy("cid")
+          .agg(F.expr("transform(array_sort(collect_list(struct(k, qm))),"
+                      " s -> s.qm)").alias("cq")))
+    return vq, seeds0, dist_stream, assign, a1, c1
+
+
 def _x163_kmeans_milli(spark, tables):
     """Two Lloyd rounds of k-means over the embedding table, made
     hash-gate exact: vectors quantize to integer milli units
@@ -1135,36 +1177,7 @@ def _x163_kmeans_milli(spark, tables):
     assignment are localCheckpointed — each feeds two consumers. The
     oracle unrolls the identical two rounds relationally (per-dim
     long form)."""
-    vq = (tables["embeddings"]
-          .select("vec_id",
-                  F.expr("transform(embedding, x -> CAST(FLOOR("
-                         "CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-                  .alias("q"))
-          .localCheckpoint(eager=True))
-    seeds0 = (vq.filter((F.col("vec_id") % 25 == 0)
-                        & (F.col("vec_id") < 2500))
-              .select(F.col("vec_id").alias("cid"), F.col("q").alias("cq")))
-
-    def assign(cents):
-        dist = F.aggregate(
-            F.zip_with("q", "cq", lambda x, c: (x - c) * (x - c)),
-            F.lit(0).cast("long"), lambda acc, v: acc + v)
-        return (vq.crossJoin(F.broadcast(cents))
-                .select("vec_id", "cid", dist.alias("d"))
-                .groupBy("vec_id")
-                .agg(F.min(F.struct("d", "cid")).alias("m"))
-                .select("vec_id", F.col("m.cid").alias("cid"),
-                        F.col("m.d").alias("d")))
-
-    a1 = assign(seeds0).localCheckpoint(eager=True)
-    c1 = (a1.join(vq, "vec_id")
-          .select("cid", F.posexplode("q").alias("k", "qv"))
-          .groupBy("cid", "k")
-          .agg(F.expr("CASE WHEN SUM(qv) >= 0 THEN SUM(qv) div COUNT(*) "
-                      "ELSE -((-SUM(qv)) div COUNT(*)) END").alias("qm"))
-          .groupBy("cid")
-          .agg(F.expr("transform(array_sort(collect_list(struct(k, qm))),"
-                      " s -> s.qm)").alias("cq")))
+    vq, seeds0, _dist, assign, a1, c1 = _kmeans_milli_round1(tables)
     a2 = assign(c1)
     n1 = a1.groupBy("cid").agg(F.count("*").alias("c1n"))
     n2 = (a2.groupBy("cid")
@@ -1178,7 +1191,9 @@ def _x163_kmeans_milli(spark, tables):
             .orderBy("cid"))
 
 
-_KMEANS_MILLI_ORACLE = """
+# Shared CTE prefix for x163/x203: quantized vectors, seeds, round-1
+# assignment, round-1 centroids, and the round-2 distance stream d2.
+_KMEANS_PREFIX_SQL = """
 WITH vq AS (
   SELECT vec_id, s.k AS k, s.q AS q
   FROM (SELECT vec_id,
@@ -1213,7 +1228,10 @@ WITH vq AS (
          CAST(SUM((vq.q - c1.q) * (vq.q - c1.q)) AS BIGINT) AS d
   FROM vq JOIN c1 USING (k)
   GROUP BY vq.vec_id, c1.cid
-), a2 AS (
+)"""
+
+
+_KMEANS_MILLI_ORACLE = f"""{_KMEANS_PREFIX_SQL}, a2 AS (
   SELECT vec_id, cid, d FROM (
     SELECT vec_id, cid, d,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -4849,6 +4867,62 @@ FROM r ORDER BY check_name
 """
 
 
+def _x203_cluster_margin(spark, tables):
+    """Clustering-quality audit for x163's integer k-means — the
+    silhouette-style ASSIGNMENT-MARGIN report: for every vector, the
+    squared-L2 gap between its second-best and best round-1 centroid
+    (margin 0 = sits on a cluster boundary), aggregated per cluster
+    as mean gap and the permille of AMBIGUOUS members (second-best
+    within 10%: 10*d2nd <= 11*d1st, cross-multiplied integer). The
+    dial that says which x163/x78/x79 clusters are real structure and
+    which are arbitrary Voronoi cuts — exactly what SemDeDup-style
+    dedup must know before trusting within-cluster pruning.
+
+    Scale shape: one broadcast pass of the provably-bounded (<= 100
+    row) centroid table over the quantized corpus, then rn <= 2 over
+    a per-vector window — which compiles to WindowGroupLimit (the
+    x108 pattern), so each map task ships at most 2 of the 100
+    distances per vector; final aggregate is |clusters|-sized.
+    Reuses x163's checkpointed round-1 via the shared helper, so the
+    audit can never drift from the clustering it audits."""
+    vq, seeds0, dist_stream, assign, a1, c1 = _kmeans_milli_round1(tables)
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    top2 = (dist_stream(c1)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2))
+    piv = (top2.groupBy("vec_id")
+           .agg(F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cid"),
+                F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+                F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"))
+           .withColumn("d2", F.coalesce("d2", "d1")))
+    return (piv.groupBy("cid")
+            .agg(F.count("*").alias("n_members"),
+                 F.expr("SUM(d2 - d1) div COUNT(*)").alias("mean_gap"),
+                 F.expr("SUM(CAST(10 * d2 <= 11 * d1 AS BIGINT)) * 1000 "
+                        "div COUNT(*)").alias("ambiguous_permille"))
+            .orderBy("cid"))
+
+
+_CLUSTER_MARGIN_ORACLE = f"""{_KMEANS_PREFIX_SQL}, top2 AS (
+  SELECT vec_id, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM d2
+), piv AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+         MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+         COALESCE(MAX(CASE WHEN rn = 2 THEN d END),
+                  MAX(CASE WHEN rn = 1 THEN d END)) AS d2
+  FROM top2 WHERE rn <= 2 GROUP BY vec_id
+)
+SELECT cid, COUNT(*) AS n_members,
+       CAST(SUM(d2 - d1) AS BIGINT) // COUNT(*) AS mean_gap,
+       CAST(SUM(CASE WHEN 10 * d2 <= 11 * d1 THEN 1 ELSE 0 END) * 1000
+            AS BIGINT) // COUNT(*) AS ambiguous_permille
+FROM piv GROUP BY cid ORDER BY cid
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4917,6 +4991,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x200_quantile_normalize": _q(_x200_quantile_normalize),
         "x201_cluster_safe_split": _q(_x201_cluster_safe_split),
         "x202_dq_constraints": _q(_x202_dq_constraints),
+        "x203_cluster_margin": _q(_x203_cluster_margin),
     }
 
 
@@ -4984,4 +5059,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x200_quantile_normalize": _QUANTILE_NORMALIZE_ORACLE,
         "x201_cluster_safe_split": _cluster_safe_split_oracle_sql(),
         "x202_dq_constraints": _DQ_CONSTRAINTS_ORACLE,
+        "x203_cluster_margin": _CLUSTER_MARGIN_ORACLE,
     }

@@ -1304,3 +1304,49 @@ def test_dq_constraints_counts_planted_violations(spark):
     assert out["lineitem.l_quantity IN [1,50]"]["n_violations"] == 1
     assert out["lineitem.l_discount IN [0,0.1]"]["n_violations"] == 1
     assert out["orders.o_custkey NOT NULL"]["n_violations"] == 0
+
+
+def test_cluster_margin_matches_numpy_reference(spark):
+    """x203 against a 20-line NumPy replication of the exact integer
+    semantics (milli quantization, tie-to-lowest-cid, sign-reconciled
+    truncating centroid mean, top-2 margins)."""
+    import numpy as np
+    from hive_parse_lineage_spark.analytics_queries import _x203_cluster_margin
+    rng = [(i, [((i * 7 + d * 3) % 11) / 3.0 - 1.0 for d in range(4)])
+           for i in list(range(8)) + [25, 26, 50, 51]]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    out = {r["cid"]: r for r in _x203_cluster_margin(
+        spark, {"embeddings": emb}).collect()}
+
+    ids = np.array([i for i, _ in rng])
+    q = np.array([[int(np.floor(v * 1000.0)) for v in vec]
+                  for _, vec in rng], dtype=np.int64)
+    seed_ids = [i for i in ids if i % 25 == 0 and i < 2500]
+    seeds = {i: q[list(ids).index(i)] for i in seed_ids}
+    d0 = {i: ((q - c) ** 2).sum(axis=1) for i, c in seeds.items()}
+    cids = sorted(seeds)
+    dmat = np.stack([d0[i] for i in cids], axis=1)
+    a1 = np.array([cids[j] for j in dmat.argmin(axis=1)])  # argmin = lowest tie
+    c1 = {}
+    for cid in set(a1):
+        m = q[a1 == cid]
+        s, n = m.sum(axis=0), len(m)
+        c1[cid] = np.where(s >= 0, s // n, -((-s) // n))
+    c1ids = sorted(c1)
+    dm = np.stack([((q - c1[i]) ** 2).sum(axis=1) for i in c1ids], axis=1)
+    best = dm.argmin(axis=1)
+    d1v = dm[np.arange(len(q)), best]
+    dm2 = dm.copy(); dm2[np.arange(len(q)), best] = np.iinfo(np.int64).max
+    d2v = dm2.min(axis=1) if dm.shape[1] > 1 else d1v
+    exp = {}
+    for k, cid in enumerate(c1ids):
+        sel = best == k
+        n = int(sel.sum())
+        if not n:
+            continue
+        gap = int((d2v[sel] - d1v[sel]).sum()) // n
+        amb = int(((10 * d2v[sel]) <= (11 * d1v[sel])).sum()) * 1000 // n
+        exp[cid] = (n, gap, amb)
+    got = {cid: (r["n_members"], r["mean_gap"], r["ambiguous_permille"])
+           for cid, r in out.items()}
+    assert got == exp and len(exp) >= 2

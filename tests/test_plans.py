@@ -584,6 +584,10 @@ _HINT_BUDGETS = {
     "x202_dq_constraints": (0, "FK anti-joins are table-proportional "
                                "both sides, plain shuffles; all other "
                                "checks single-scan aggregates"),
+    "x203_cluster_margin": (1, "<= 100-row round-1 centroid table "
+                               "(bounded by the seed predicate at any "
+                               "corpus size) broadcasts once; round-1 "
+                               "assignment sits behind its checkpoint"),
 }
 
 
