@@ -88,28 +88,60 @@ def triangle_census(edges: DataFrame,
     """Edge/wedge/triangle census of an oriented edge list (every edge
     stored once with ``src < dst``): returns a single row ``(e, w, t)``
     — edge count, wedge count (sum over vertices of C(deg, 2)), and
-    triangle count via the canonical oriented two-join closure
-    (a < b < c, so each triangle is produced exactly once).
+    triangle count via the DEGREE-ORIENTED pivot enumeration
+    (Schank–Wagner / Chiba–Nishizeki): each edge re-orients from its
+    lower-(deg, id) to its higher-(deg, id) endpoint, candidate pairs
+    come only from each vertex's OUT-neighbors, and the pair is
+    confirmed against the id-oriented edge set. Every triangle has
+    exactly one pivot under a total-order orientation, so the count is
+    exact — identical to the old id-oriented closure, but the work is
+    Σ outdeg² = O(m^1.5) worst case instead of Σ deg_hub × deg on
+    boilerplate hubs (the id orientation went superlinear on a
+    dup-dense 690k-doc sweep corpus: 118 s where this stays
+    edge-bounded; counts unchanged).
 
     Shared by the registry entry (x149, uncapped portable-hash edges so
     DuckDB can replay) and the bench sweep's capped production variant
     — one census body, two edge builders, so the two measurements can
     never silently drift apart.
 
-    Scale shape: degrees/wedges are one symmetrized count; closure is
-    two shuffle equi-joins over the (capped-in-production) edge list —
-    edge-proportional, never touching the documents again. No hints:
-    edge lists are corpus-proportional.
+    Scale shape: two degree-attach equi-joins, one out-neighbor
+    self-join keyed on the pivot, one membership equi-join — all plain
+    shuffles over the (capped-in-production) edge list, never touching
+    the documents again. No hints: edge lists are corpus-proportional.
+    The EDGE LIST is materialized first (localCheckpoint): it feeds
+    degree, orientation, membership and the edge count — four
+    consumers — and the builder behind it (LSH banding over the whole
+    corpus) is the expensive part; unmaterialized, Spark re-runs that
+    builder once per consumer (the actual source of the 690k-doc sweep
+    point's 118 s wall — the closure itself was never the cost there).
+    The oriented list is checkpointed too (both sides of the
+    self-join).
     """
-    e = edges.select(F.col(src_col).alias("id_a"),
-                     F.col(dst_col).alias("id_b"))
+    e = (edges.select(F.col(src_col).alias("id_a"),
+                      F.col(dst_col).alias("id_b"))
+         .localCheckpoint(eager=False))
     deg = (e.select(F.col("id_a").alias("v"))
            .unionAll(e.select(F.col("id_b").alias("v")))
            .groupBy("v").agg(F.count("*").alias("deg")))
     wedges = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w"))
-    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
-    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(F.count("*").alias("t"))
+    lower = ((F.col("da") < F.col("db"))
+             | ((F.col("da") == F.col("db"))
+                & (F.col("id_a") < F.col("id_b"))))
+    eo = (e.join(deg.select(F.col("v").alias("id_a"),
+                            F.col("deg").alias("da")), "id_a")
+          .join(deg.select(F.col("v").alias("id_b"),
+                           F.col("deg").alias("db")), "id_b")
+          .select(F.when(lower, F.col("id_a")).otherwise(F.col("id_b"))
+                  .alias("src"),
+                  F.when(lower, F.col("id_b")).otherwise(F.col("id_a"))
+                  .alias("dst"))
+          .localCheckpoint(eager=False))
+    cand = (eo.select(F.col("src"), F.col("dst").alias("id_a"))
+            .join(eo.select(F.col("src"), F.col("dst").alias("id_b")),
+                  "src")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b"))
+    tri = cand.join(e, ["id_a", "id_b"]).agg(F.count("*").alias("t"))
     n_e = e.agg(F.count("*").alias("e"))
     return n_e.crossJoin(wedges).crossJoin(tri).select("e", "w", "t")
