@@ -4923,6 +4923,143 @@ FROM piv GROUP BY cid ORDER BY cid
 """
 
 
+def _x205_user_predictability(spark, tables):
+    """Per-user BEHAVIORAL PREDICTABILITY: the entropy of each user's
+    next-event-type distribution, in the exact integer floor-log2
+    surrogate the x141 family established — sum over the user's
+    next-event counts c of c*(ibits(T_u) - ibits(c)), normalized to
+    milli-bits-per-transition. A bot or scripted account shows near-0
+    entropy (one dominant transition); an organic user sits near the
+    type-count ceiling — the per-user dial x106's corpus-wide Markov
+    matrix cannot give, and the feature a session-model or
+    abuse-filter trains on. Ships with the user's dominant next type
+    and its permille share for interpretability.
+
+    Scale shape: one per-user LEAD window (partition-local at any
+    scale), one (user, to_type) count, one per-user aggregate. Zero
+    joins."""
+    e = tables["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (e.select("user_id", "ts", "event_id", "event_type")
+           .withColumn("to_type", F.lead("event_type").over(w))
+           .filter(F.col("to_type").isNotNull()))
+    c = (nxt.groupBy("user_id", "to_type")
+         .agg(F.count("*").alias("c")))
+    ct = (c.withColumn("t", F.sum("c").over(
+               Window.partitionBy("user_id")))
+          .withColumn("bits",
+                      F.expr("c * (length(bin(t)) - length(bin(c)))")))
+    return (ct.groupBy("user_id")
+            .agg(F.max("t").alias("n_transitions"),
+                 F.count("*").alias("n_types"),
+                 F.expr("SUM(bits) * 1000 div MAX(t)")
+                 .alias("entropy_millibits"),
+                 F.max(F.struct("c", "to_type")).alias("m"))
+            .select("user_id", "n_transitions", "n_types",
+                    "entropy_millibits",
+                    F.col("m.to_type").alias("top_type"),
+                    F.expr("m.c * 1000 div n_transitions")
+                    .alias("top_share_permille"))
+            .orderBy("user_id"))
+
+
+_USER_PREDICTABILITY_ORACLE = """
+WITH nxt AS (
+  SELECT user_id,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), c AS (
+  SELECT user_id, to_type, COUNT(*) AS c
+  FROM nxt WHERE to_type IS NOT NULL GROUP BY user_id, to_type
+), ct AS (
+  SELECT user_id, to_type, c,
+         CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, to_type DESC) AS rn
+  FROM c
+), b AS (
+  SELECT user_id, to_type, c, t, rn,
+         c * (length(bin(t)) - length(bin(c))) AS bits
+  FROM ct
+)
+SELECT user_id, MAX(t) AS n_transitions, COUNT(*) AS n_types,
+       CAST(SUM(bits) * 1000 AS BIGINT) // MAX(t) AS entropy_millibits,
+       MAX(CASE WHEN rn = 1 THEN to_type END) AS top_type,
+       CAST(MAX(CASE WHEN rn = 1 THEN c END) * 1000 AS BIGINT)
+           // MAX(t) AS top_share_permille
+FROM b GROUP BY user_id ORDER BY user_id
+"""
+
+
+_BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def _x204_benford_audit(spark, tables):
+    """Benford first-digit audit of the money column — the forensic
+    data-QA classic: naturally-arising multiplicative amounts follow
+    P(d) = log10(1 + 1/d), and a synthetic, capped, or fat-fingered
+    column shows up as per-digit deviation long before any range check
+    fires. Digits come from integer cents (no float formatting
+    divergence), observed shares are integer permille, expected shares
+    are the hard-coded floor(log10(1+1/d)*1000) table both engines
+    carry verbatim, and the report adds |obs - exp| plus a chi-square
+    integer surrogate (dev^2 * 1000 div exp) per digit — the same
+    all-integer posture as every x141-family entry.
+
+    Scale shape: one column-pruned scan + one 9-group aggregate; the
+    permille normalization is a window over the 9-row result. Zero
+    joins."""
+    exp_arr = "array({})".format(
+        ", ".join(str(v) for v in _BENFORD_PERMILLE))
+    o = (tables["orders"]
+         .select(F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents"))
+         .filter(F.col("cents") > 0)
+         .select(F.expr("CAST(substring(CAST(cents AS STRING), 1, 1) "
+                        "AS INT)").alias("digit")))
+    counts = o.groupBy("digit").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy(F.lit(1))
+    return (counts
+            .withColumn("_t", F.sum("n").over(wall))
+            .select("digit", "n",
+                    F.expr("n * 1000 div _t").alias("obs_permille"),
+                    F.expr(f"CAST(element_at({exp_arr}, digit) AS BIGINT)")
+                    .alias("benford_permille"))
+            .withColumn("dev_permille",
+                        F.expr("abs(obs_permille - benford_permille)"))
+            .withColumn("chi2_milli",
+                        F.expr("dev_permille * dev_permille * 1000 "
+                               "div benford_permille"))
+            .orderBy("digit"))
+
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders)
+  WHERE cents > 0
+), c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), e(digit, benford_permille) AS (
+  VALUES {", ".join(f"({i + 1}, CAST({v} AS BIGINT))"
+                    for i, v in enumerate(_BENFORD_PERMILLE))}
+), j AS (
+  SELECT c.digit, c.n,
+         c.n * 1000 // SUM(c.n) OVER () AS obs_permille,
+         e.benford_permille
+  FROM c JOIN e USING (digit)
+)
+SELECT digit, n, obs_permille, benford_permille,
+       abs(obs_permille - benford_permille) AS dev_permille,
+       abs(obs_permille - benford_permille)
+           * abs(obs_permille - benford_permille) * 1000
+           // benford_permille AS chi2_milli
+FROM j ORDER BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4992,6 +5129,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x201_cluster_safe_split": _q(_x201_cluster_safe_split),
         "x202_dq_constraints": _q(_x202_dq_constraints),
         "x203_cluster_margin": _q(_x203_cluster_margin),
+        "x204_benford_audit": _q(_x204_benford_audit),
+        "x205_user_predictability": _q(_x205_user_predictability),
     }
 
 
@@ -5060,4 +5199,6 @@ def analytics_oracle_sql() -> dict[str, str]:
         "x201_cluster_safe_split": _cluster_safe_split_oracle_sql(),
         "x202_dq_constraints": _DQ_CONSTRAINTS_ORACLE,
         "x203_cluster_margin": _CLUSTER_MARGIN_ORACLE,
+        "x204_benford_audit": _BENFORD_ORACLE,
+        "x205_user_predictability": _USER_PREDICTABILITY_ORACLE,
     }

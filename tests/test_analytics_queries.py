@@ -1350,3 +1350,51 @@ def test_cluster_margin_matches_numpy_reference(spark):
     got = {cid: (r["n_members"], r["mean_gap"], r["ambiguous_permille"])
            for cid, r in out.items()}
     assert got == exp and len(exp) >= 2
+
+
+def test_benford_audit_exact_shares(spark):
+    """x204: hand-checkable digit distribution — 1000.00 x2, 2xx x1,
+    9xx x1 -> digits {1:2, 2:1, 9:1}; zero/negative amounts excluded."""
+    from hive_parse_lineage_spark.analytics_queries import _x204_benford_audit
+    o = spark.createDataFrame(
+        [(1, 1000.0), (2, 1500.0), (3, 250.0), (4, 990.0), (5, 0.0)],
+        "o_orderkey long, o_totalprice double")
+    out = {r["digit"]: r for r in _x204_benford_audit(
+        spark, {"orders": o}).collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["n"] == 2 and out[1]["obs_permille"] == 500
+    assert out[1]["benford_permille"] == 301
+    assert out[1]["dev_permille"] == 199
+    assert out[1]["chi2_milli"] == 199 * 199 * 1000 // 301
+    assert out[2]["n"] == 1 and out[2]["obs_permille"] == 250
+    assert out[9]["benford_permille"] == 46
+
+
+def test_user_predictability_bot_vs_organic(spark):
+    """x205: a scripted user (one repeated transition) scores 0
+    entropy; a user alternating over distinct types scores high."""
+    from datetime import datetime, timedelta
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x205_user_predictability)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # bot: view view view view -> 3 transitions, all view->view
+    for i in range(4):
+        rows.append((i, t0 + timedelta(minutes=i), 1, "view", 0.0))
+    # organic: a b c d e -> 4 transitions, 4 distinct next types
+    for i, ty in enumerate(["a", "b", "c", "d", "e"]):
+        rows.append((100 + i, t0 + timedelta(minutes=i), 2, ty, 0.0))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "user_id long, event_type string, "
+                                     "value double")
+    out = {r["user_id"]: r for r in _x205_user_predictability(
+        spark, {"events": ev}).collect()}
+    bot, org = out[1], out[2]
+    assert bot["n_transitions"] == 3 and bot["n_types"] == 1
+    assert bot["entropy_millibits"] == 0          # ibits(3)-ibits(3) = 0
+    assert bot["top_type"] == "view"
+    assert bot["top_share_permille"] == 1000
+    assert org["n_transitions"] == 4 and org["n_types"] == 4
+    # each c=1: bits = 1*(ibits(4)-ibits(1)) = 2 per transition -> 2000
+    assert org["entropy_millibits"] == 2000
+    assert org["top_share_permille"] == 250

@@ -588,6 +588,11 @@ _HINT_BUDGETS = {
                                "(bounded by the seed predicate at any "
                                "corpus size) broadcasts once; round-1 "
                                "assignment sits behind its checkpoint"),
+    "x204_benford_audit": (0, "one scan, one 9-group aggregate, "
+                              "no joins"),
+    "x205_user_predictability": (0, "one per-user window + two "
+                                    "partition-local aggregates, "
+                                    "no joins"),
 }
 
 
