@@ -3031,12 +3031,15 @@ def _x183_poisson_bootstrap(spark, tables):
     point = (d.groupBy("source")
              .agg(F.count("*").alias("n_docs"),
                   F.expr("SUM(v) * 1000 div COUNT(*)").alias("mean_milli")))
-    b_lit = F.lit(BOOTSTRAP_B)
     return (point.join(boot, "source")
             .select("source", "n_docs", "mean_milli",
                     F.expr(f"sr div {BOOTSTRAP_B}").alias("boot_mean_milli"),
-                    ((b_lit * F.col("sr2") - F.col("sr") * F.col("sr"))
-                     / (b_lit * b_lit)).cast("long")
+                    # integer div end-to-end: the numerator is
+                    # non-negative (Cauchy-Schwarz), so truncating div
+                    # matches the oracle's exact // — routing through a
+                    # double here would lose bits above 2^53
+                    F.expr(f"({BOOTSTRAP_B} * sr2 - sr * sr) div "
+                           f"{BOOTSTRAP_B * BOOTSTRAP_B}")
                     .alias("boot_var_milli2"))
             .orderBy("source"))
 
@@ -3279,9 +3282,12 @@ ORDER BY source""")
 
 def _sdiv(num: str, den: str) -> str:
     """Sign-reconciled truncating division as a SQL fragment (the x150
-    spelling): Spark ``div`` truncates toward zero while DuckDB ``//``
-    floors, so negative numerators must route through the positive
-    case. ``den`` must be positive."""
+    spelling): it PINS truncate-toward-zero semantics regardless of
+    whether the twin engine floors or truncates integer division, by
+    routing negative numerators through the positive case. (The
+    installed DuckDB 1.x truncates toward zero, -9 // 4 = -2, same as
+    Spark ``div`` — but flooring engines exist, and this spelling is
+    correct on both.) ``den`` must be positive."""
     return (f"CASE WHEN ({num}) >= 0 THEN ({num}) div ({den}) "
             f"ELSE -((-({num})) div ({den})) END")
 
@@ -3599,6 +3605,16 @@ ORDER BY term, rank
 #: x190 stream shape: micro-batches and the watermark delay (minutes).
 X190_BATCHES = 4
 X190_DELAY_MIN = 31
+#: Micro-batches by which the LATE-DATA FILTER watermark lags the
+#: progress watermark in the oracle's replay (the `ROWS BETWEEN
+#: UNBOUNDED PRECEDING AND {lag} PRECEDING` frame): Spark applies the
+#: watermark computed at the END of batch i to filter batch i+1's
+#: input, so the filter applied to batch b sees max event time through
+#: batch b-2 (one batch of propagation delay + the current batch
+#: excluded). Empirically pinned against Spark 4.1.2 (file source
+#: ordered by explicit mtime); a minor-version change to watermark
+#: propagation breaks x190 ALONE — start the bisect at this constant.
+X190_FILTER_LAG_BATCHES = 2
 
 
 def _x190_stream_watermark_windows(spark, tables):
@@ -3657,16 +3673,19 @@ def _x190_stream_watermark_windows(spark, tables):
             q.processAllAvailable()
         finally:
             q.stop()
-        # memory sink holds the rows driver-side; staging can go
+        # memory sink holds the rows driver-side; once checkpointed,
+        # drop the uuid-named view so repeated sweeps in one session
+        # don't accumulate collected row sets
         out = spark.table(name).orderBy("w_start", "event_type")
         out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return out
 
 
 def _stream_watermark_oracle_sql() -> str:
-    b_, d_ = X190_BATCHES, X190_DELAY_MIN
+    b_, d_, lag_ = X190_BATCHES, X190_DELAY_MIN, X190_FILTER_LAG_BATCHES
     return f"""
 WITH ev AS (
   SELECT event_id, ts, event_type, event_id % {b_} AS b,
@@ -3679,7 +3698,7 @@ WITH ev AS (
   SELECT b,
          to_timestamp(epoch_ms(
              MAX(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 2 PRECEDING)
+                           AND {lag_} PRECEDING)
              - INTERVAL {d_} MINUTE) / 1000.0) AS wm_lag
   FROM bm
 ), kept AS (
@@ -4490,6 +4509,7 @@ def _x198_stream_static_join(spark, tables):
             q.stop()
         out = spark.table(name).orderBy("nationkey")
         out = out.localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return out

@@ -2959,7 +2959,10 @@ def _x135_stream_stream_join(spark, tables):
     finally:
         shutil.rmtree(tv, ignore_errors=True)
         shutil.rmtree(tp, ignore_errors=True)
-    return spark.table(name).orderBy("view_id", "purchase_id")
+    out = (spark.table(name).orderBy("view_id", "purchase_id")
+           .localCheckpoint(eager=True))
+    spark.catalog.dropTempView(name)
+    return out
 
 
 _STREAM_STREAM_JOIN_ORACLE = """

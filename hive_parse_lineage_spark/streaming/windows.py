@@ -198,7 +198,12 @@ def run_stream_over_batch(spark, batch_df: DataFrame, transform,
             q.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.table(query_name)
+    # Pin the sink rows, then drop the view: uuid-named sinks from
+    # repeated gate/robustness sweeps would otherwise accumulate their
+    # collected row sets driver-side for the life of the session.
+    out = spark.table(query_name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(query_name)
+    return out
 
 
 def running_stats_tws(events: DataFrame, key: str = "event_type",
@@ -403,4 +408,6 @@ def run_two_streams_over_batch(spark, left_df: DataFrame,
     finally:
         shutil.rmtree(ltmp, ignore_errors=True)
         shutil.rmtree(rtmp, ignore_errors=True)
-    return spark.table(query_name)
+    out = spark.table(query_name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(query_name)
+    return out
