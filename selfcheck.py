@@ -29,6 +29,72 @@ import re
 import sys
 
 
+class EntryGuard:
+    """Per-entry wall-clock watchdog with a race-free outcome contract:
+    every ``run(fn)`` decides EXACTLY ONE of {success, timeout} under a
+    lock, so a Timer that fires in the window between ``fn()``
+    returning and the cancel can never mark a finished entry TIMEOUT
+    *silently* — if the cancel hooks did fire, ``run`` reports
+    TimeoutError (honest: jobs were really cancelled); if ``run``
+    returns a value, the hooks are guaranteed to never fire, before or
+    after. Each ``run`` owns its own Timer and state, so a slow entry's
+    stray callback cannot leak into the next entry's run.
+
+    ``cancel_hooks`` is a list of zero-arg callables fired on timeout
+    (stop streams, cancel Spark jobs, interrupt DuckDB); exceptions
+    from hooks are swallowed — cancellation is best-effort.
+    ``timeout_s == 0`` disables the guard entirely.
+    """
+
+    def __init__(self, timeout_s: float, cancel_hooks):
+        self.timeout_s = timeout_s
+        self.cancel_hooks = list(cancel_hooks)
+
+    def run(self, fn):
+        if not self.timeout_s:
+            return fn()
+        import threading
+        gate = threading.Lock()
+        state = {"done": False, "timed_out": False}
+
+        def _cancel():
+            with gate:
+                if state["done"]:
+                    return
+                state["timed_out"] = True
+            for hook in self.cancel_hooks:
+                try:
+                    hook()
+                except Exception:
+                    pass
+
+        t = threading.Timer(self.timeout_s, _cancel)
+        t.start()
+        try:
+            out = fn()
+        except Exception:
+            with gate:
+                state["done"] = True
+            if state["timed_out"]:
+                raise TimeoutError(
+                    f"entry exceeded {self.timeout_s}s; Spark jobs "
+                    "cancelled (uncapped gate spelling at this SF)")
+            raise
+        finally:
+            t.cancel()
+        # A cancelled STREAMING entry returns cleanly with a partial
+        # memory sink (q.stop() makes processAllAvailable() return, not
+        # raise) — surface it as the TIMEOUT it is, never as a 0-row
+        # "mismatch". This block is the atomic success/timeout decision.
+        with gate:
+            if state["timed_out"]:
+                raise TimeoutError(
+                    f"entry exceeded {self.timeout_s}s; streaming query "
+                    "stopped mid-input (uncapped gate spelling at this SF)")
+            state["done"] = True
+        return out
+
+
 def _next_round() -> int:
     rounds = [int(m.group(1))
               for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
@@ -84,63 +150,24 @@ def main() -> None:
     # an honest TIMEOUT row instead of stalling the whole replay —
     # their at-scale posture is measured separately by the capped
     # variants in bench.py --scale-sweep.
-    import threading
     entry_timeout = int(os.environ.get("SPARK_GRAFT_ENTRY_TIMEOUT", "0"))
 
-    def _guarded(fn):
-        if not entry_timeout:
-            return fn()
-        timed_out = threading.Event()
-        done = threading.Event()
-        gate = threading.Lock()
+    # `holder` so the hooks and the compare always use the CURRENT
+    # connection: after a timeout the interrupted connection may carry
+    # a pending-interrupt flag into the next query, so the main loop
+    # reconnects (de-poisons) before sweeping on.
+    holder = {"con": con}
 
-        def _cancel():
-            # The Timer can fire in the window between fn() returning
-            # and t.cancel(); without this gate the stray callback
-            # would mark a FINISHED entry TIMEOUT and interrupt the
-            # NEXT entry's DuckDB query mid-sweep. `done` is set under
-            # the same lock before the callback may act, so a
-            # post-success firing is a no-op.
-            with gate:
-                if done.is_set():
-                    return
-                timed_out.set()
-            try:
-                for q in spark.streams.active:
-                    q.stop()
-            except Exception:
-                pass
-            try:
-                spark.sparkContext.cancelAllJobs()
-            except Exception:
-                pass
-            try:
-                con.interrupt()
-            except Exception:
-                pass
-        t = threading.Timer(entry_timeout, _cancel)
-        t.start()
-        try:
-            out = fn()
-        except Exception:
-            if timed_out.is_set():
-                raise TimeoutError(
-                    f"entry exceeded {entry_timeout}s; Spark jobs "
-                    "cancelled (uncapped gate spelling at this SF)")
-            raise
-        finally:
-            with gate:
-                done.set()
-            t.cancel()
-        # A cancelled STREAMING entry returns cleanly with a partial
-        # memory sink (q.stop() makes processAllAvailable() return, not
-        # raise) — surface it as the TIMEOUT it is, never as a 0-row
-        # "mismatch".
-        if timed_out.is_set():
-            raise TimeoutError(
-                f"entry exceeded {entry_timeout}s; streaming query "
-                "stopped mid-input (uncapped gate spelling at this SF)")
-        return out
+    def _stop_streams():
+        for q in spark.streams.active:
+            q.stop()
+
+    guard = EntryGuard(entry_timeout, [
+        _stop_streams,
+        lambda: spark.sparkContext.cancelAllJobs(),
+        lambda: holder["con"].interrupt(),
+    ])
+    _guarded = guard.run
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
@@ -154,7 +181,8 @@ def main() -> None:
         try:
             if name in oracles:
                 res = _guarded(lambda: compare(
-                    queries[name](spark, sf_dir), oracles[name], con))
+                    queries[name](spark, sf_dir), oracles[name],
+                    holder["con"]))
                 report[name] = {
                     "rows_match": res["rows_match"],
                     "schema_match": res["cols_match"],
@@ -175,6 +203,14 @@ def main() -> None:
                             "hash_match": False, "spark_rows": None,
                             "oracle_rows": None,
                             "err": f"{type(exc).__name__}: {exc}"}
+            if isinstance(exc, TimeoutError):
+                # the interrupted connection may hold a pending
+                # interrupt — reconnect so the NEXT entry starts clean
+                try:
+                    holder["con"].close()
+                except Exception:
+                    pass
+                holder["con"] = duckdb_conn(sf_dir)
         ok = report[name].get("hash_match", report[name]["err"] is None)
         print(f"{'ok ' if ok else 'FAIL'} {name}", file=sys.stderr)
 
