@@ -4245,60 +4245,68 @@ def _x196_dedup_method_census(spark, tables):
     would be an alarm.
 
     Scale shape: ONE checkpointed distinct-shingle-list table feeds
-    both verifiers; the LSH join is band-bucketed (uncapped here as
-    the gate spelling — the capped production posture is x72), SNM is
-    rank+k hash equi-joins, exact is an md5-keyed self-join; the
-    method union is pair-proportional. No broadcasts anywhere."""
+    the MinHash signatures AND both verifiers (x125's one-tokenization
+    rule — MIN is idempotent over duplicates, so the distinct arrays
+    give identical signatures to the raw shingle stream); the LSH join
+    is band-bucketed (uncapped here as the gate spelling — the capped
+    production posture is x72), SNM's global rank is range-partitioned
+    (operators/ranks.py — per-range parallel sorts + bounded offsets,
+    never a single-partition window) feeding rank+k hash equi-joins,
+    exact is an md5-keyed self-join; the method union is
+    pair-proportional. The only broadcast is the num_ranges-row rank
+    offset table."""
     from hive_parse_lineage_spark.functions.text import (
         portable_hash64, word_shingles)
     from hive_parse_lineage_spark.operators.dedup import (
-        lsh_candidate_pairs, minhash_signature_agg)
+        lsh_candidate_pairs, minhash_signature_from_shingles)
+    from hive_parse_lineage_spark.operators.ranks import (
+        range_partitioned_row_number)
     docs = tables["documents"].select("doc_id", "text")
+    # lazy checkpoint: the rank operator's bounded counts collect is
+    # the first action and pins dsh AND the range split in ONE job;
+    # the final action reuses both block sets
     dsh = (docs.select("doc_id",
                        F.array_distinct(word_shingles("text", 2))
                        .alias("shs"),
                        F.substring("text", 1, 16).alias("k16"),
                        F.md5("text").alias("h"))
-           .localCheckpoint(eager=True))
-
-    def verify(pairs):
-        a = dsh.select(F.col("doc_id").alias("id_a"),
-                       F.col("shs").alias("sa"))
-        b = dsh.select(F.col("doc_id").alias("id_b"),
-                       F.col("shs").alias("sb"))
-        return (pairs.join(a, "id_a").join(b, "id_b")
-                .select("id_a", "id_b",
+           .localCheckpoint(eager=False))
+    sig = minhash_signature_from_shingles(dsh.select("doc_id", "shs"),
+                                          hasher=portable_hash64)
+    lsh_cand = (lsh_candidate_pairs(sig, max_bucket_size=None)
+                .select("id_a", "id_b", F.lit("L").alias("m")))
+    ranked = range_partitioned_row_number(
+        dsh.select("doc_id", "k16"), ["k16", "doc_id"], "rk")
+    # one exploded neighbor join replaces three rank+k self-joins; the
+    # rank is unique per doc, so each pair arises at exactly one k and
+    # needs no dedup shuffle
+    a = ranked.select(F.col("doc_id").alias("id_a"),
+                      F.explode(F.array(*[F.col("rk") + k
+                                          for k in (1, 2, 3)]))
+                      .alias("rk_b"))
+    b = ranked.select(F.col("doc_id").alias("id_b"),
+                      F.col("rk").alias("rk_b"))
+    snm_cand = (a.join(b, "rk_b")
+                .select(F.least("id_a", "id_b").alias("id_a"),
+                        F.greatest("id_a", "id_b").alias("id_b"),
+                        F.lit("S").alias("m")))
+    # ONE verify pass over the union, carrying the method tag — the
+    # heavy shs-payload joins against dsh happen once, not per method
+    cand = lsh_cand.unionByName(snm_cand)
+    va = dsh.select(F.col("doc_id").alias("id_a"), F.col("shs").alias("sa"))
+    vb = dsh.select(F.col("doc_id").alias("id_b"), F.col("shs").alias("sb"))
+    verified = (cand.join(va, "id_a").join(vb, "id_b")
+                .select("id_a", "id_b", "m",
                         F.size(F.array_intersect("sa", "sb")).alias("ni"),
                         F.size("sa").alias("na"), F.size("sb").alias("nb"))
                 .filter(F.expr("ni * 1000 div (na + nb - ni) >= 500"))
-                .select("id_a", "id_b"))
-
-    sig = minhash_signature_agg(docs, hasher=portable_hash64, shingle_k=2)
-    lsh = verify(lsh_candidate_pairs(sig, max_bucket_size=None)
-                 .select("id_a", "id_b"))
-    wr = Window.orderBy("k16", "doc_id")
-    ranked = (dsh.select("doc_id", "k16")
-              .withColumn("rk", F.row_number().over(wr))
-              .localCheckpoint(eager=True))
-    snm_cand = None
-    for k in (1, 2, 3):
-        a = ranked.select(F.col("doc_id").alias("id_a"),
-                          (F.col("rk") + k).alias("rk_b"))
-        b = ranked.select(F.col("doc_id").alias("id_b"),
-                          F.col("rk").alias("rk_b"))
-        p = (a.join(b, "rk_b")
-             .select(F.least("id_a", "id_b").alias("id_a"),
-                     F.greatest("id_a", "id_b").alias("id_b")))
-        snm_cand = p if snm_cand is None else snm_cand.unionByName(p)
-    snm = verify(snm_cand.dropDuplicates(["id_a", "id_b"]))
+                .select("id_a", "id_b", "m"))
     ea = dsh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha"))
     eb = dsh.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
     exact = (ea.join(eb, (F.col("ha") == F.col("hb"))
                      & (F.col("id_a") < F.col("id_b")))
-             .select("id_a", "id_b"))
-    tagged = (exact.select("id_a", "id_b", F.lit("E").alias("m"))
-              .unionByName(lsh.select("id_a", "id_b", F.lit("L").alias("m")))
-              .unionByName(snm.select("id_a", "id_b", F.lit("S").alias("m"))))
+             .select("id_a", "id_b", F.lit("E").alias("m")))
+    tagged = exact.unionByName(verified)
     return (tagged.groupBy("id_a", "id_b")
             .agg(F.concat_ws("", F.array_sort(F.collect_set("m")))
                  .alias("combo"))

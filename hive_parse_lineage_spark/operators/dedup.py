@@ -127,6 +127,36 @@ def minhash_signature_agg(df: DataFrame, text_col: str = "text",
                     .alias("minhash")))
 
 
+def minhash_signature_from_shingles(df: DataFrame,
+                                    shingles_col: str = "shs",
+                                    id_col: str = "doc_id",
+                                    n_hashes: int = 64, seed: int = 42,
+                                    hasher=None) -> DataFrame:
+    """(id, minhash) signatures from a PRE-COMPUTED shingle array
+    column — the one-tokenization path for pipelines that already
+    materialize shingle sets for exact verification (x125's rule:
+    never tokenize the corpus twice in one job).
+
+    Values are IDENTICAL to :func:`minhash_signature_agg` over the
+    source text: MIN is idempotent over duplicate elements, so a
+    distinct-ed shingle array (the usual verification-side shape)
+    yields the same permutation minima as the raw shingle stream.
+    Physical shape is the same explode + n_hashes MIN aggregate
+    registers; the upstream scan is whatever produced the shingle
+    table — typically a localCheckpoint shared with the verifier, so
+    the corpus text is read and split exactly once."""
+    params = _perm_params(n_hashes, seed)
+    base = hasher if hasher is not None else F.xxhash64
+    exploded = (df.select(id_col, F.explode(shingles_col).alias("_sh"))
+                .select(id_col,
+                        F.pmod(base(F.col("_sh")), F.lit(_P)).alias("_h")))
+    aggs = [F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P)))
+            .alias(f"_m{i}") for i, (a, b) in enumerate(params)]
+    return (exploded.groupBy(id_col).agg(*aggs)
+            .select(id_col, F.array(*[f"_m{i}" for i in range(n_hashes)])
+                    .alias("minhash")))
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
                         n_hashes: int = 64, bands: int = 16,
                         max_bucket_size: int | None = 1000,

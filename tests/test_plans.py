@@ -562,10 +562,15 @@ _HINT_BUDGETS = {
                                    "matrix"),
     "x195_dataset_card": (0, "three |sources|-row aggregates joined; "
                              "AQE decides"),
-    "x196_dedup_method_census": (0, "band-bucketed LSH join, rank+k "
-                                    "SNM joins and the md5 self-join "
-                                    "all shuffle off the checkpointed "
-                                    "shingle-list table; no hints"),
+    "x196_dedup_method_census": (2, "band-bucketed LSH join, exploded "
+                                    "SNM neighbor join and the md5 "
+                                    "self-join all shuffle off the "
+                                    "checkpointed shingle-list table; "
+                                    "the ONLY hinted table is the "
+                                    "range-rank offset map (num_ranges "
+                                    "rows, never data-proportional), "
+                                    "seen twice because both SNM join "
+                                    "sides derive from ranked"),
     "x197_time_weighted_avg": (0, "two partition-local windows + one "
                                   "aggregate, no joins"),
     "x198_stream_static_join": (0, "static dim joins each micro-batch "
