@@ -1115,13 +1115,32 @@ FROM p GROUP BY quartile, source ORDER BY quartile, source
 """
 
 
+#: Session-scoped memo for _kmeans_milli_round1, keyed by
+#: (applicationId, input files): x163 and x203 both start from the
+#: same round-1, and without the memo the second entry re-runs the
+#: full 100-centroid distance pass the first one just checkpointed.
+#: localCheckpoint blocks die with the session, so the applicationId
+#: in the key makes stale reuse impossible.
+_KMEANS_ROUND1_CACHE: dict = {}
+
+
 def _kmeans_milli_round1(tables):
     """Shared round-1 of the x163 integer Lloyd iteration: quantized
     vectors, seed centroids, the broadcast assign() closure, the
     round-1 assignment and the round-1 updated centroids — one
     spelling feeding both x163 (the clustering itself) and x203 (the
-    assignment-margin audit), so the two can never drift."""
-    vq = (tables["embeddings"]
+    assignment-margin audit), so the two can never drift. Memoized per
+    (session, input files): the two entries SPLIT one distance pass
+    instead of each paying it."""
+    emb = tables["embeddings"]
+    try:
+        key = (emb.sparkSession.sparkContext.applicationId,
+               tuple(sorted(emb.inputFiles())))
+    except Exception:
+        key = None
+    if key is not None and key in _KMEANS_ROUND1_CACHE:
+        return _KMEANS_ROUND1_CACHE[key]
+    vq = (emb
           .select("vec_id",
                   F.expr("transform(embedding, x -> CAST(FLOOR("
                          "CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
@@ -1153,8 +1172,14 @@ def _kmeans_milli_round1(tables):
                       "ELSE -((-SUM(qv)) div COUNT(*)) END").alias("qm"))
           .groupBy("cid")
           .agg(F.expr("transform(array_sort(collect_list(struct(k, qm))),"
-                      " s -> s.qm)").alias("cq")))
-    return vq, seeds0, dist_stream, assign, a1, c1
+                      " s -> s.qm)").alias("cq"))
+          # <= 100 rows; pin so neither consumer re-runs the centroid
+          # update aggregate before its own round-2 pass
+          .localCheckpoint(eager=True))
+    out = (vq, seeds0, dist_stream, assign, a1, c1)
+    if key is not None:
+        _KMEANS_ROUND1_CACHE[key] = out
+    return out
 
 
 def _x163_kmeans_milli(spark, tables):
