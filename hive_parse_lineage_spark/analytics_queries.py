@@ -2653,6 +2653,39 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+#: Sketch accuracy for the flag-on approx-decile path: rank error is
+#: bounded by n/accuracy rows (percentile_approx's contract), i.e.
+#: 0.01% of the population at 10_000 — tests/test_ranks.py asserts
+#: this bound holds against the exact value-at-row spelling.
+X179_APPROX_ACCURACY = 10_000
+
+
+def _decile_edges(df, value_col: str) -> list:
+    """The 9 interior decile edges of ``df[value_col]`` — exact
+    value-at-row by default (the gate spelling: global row_number,
+    min value at each rank multiple), or ONE ``percentile_approx``
+    aggregate when ``SPARK_GRAFT_APPROX_QUANTILES=1`` (the 100-TB
+    path: map-side-combinable sketch, no global sort, rank error
+    <= n/X179_APPROX_ACCURACY)."""
+    import os
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        row = df.agg(F.percentile_approx(
+            value_col, [i / 10 for i in range(1, 10)],
+            F.lit(X179_APPROX_ACCURACY)).alias("es")).first()
+        return list(row["es"])
+    w = Window.orderBy(value_col)
+    n = df.count()
+    edges = (df.select(value_col, F.row_number().over(w).alias("rn"))
+             .filter(F.expr(f"rn % GREATEST({n} div 10, 1) = 0"
+                            f" AND rn div GREATEST({n} div 10, 1)"
+                            f" BETWEEN 1 AND 9"))
+             .groupBy(F.expr(f"rn div GREATEST({n} div 10, 1)")
+                      .alias("edge_i"))
+             .agg(F.min(value_col).alias("edge"))
+             .orderBy("edge_i"))
+    return [r["edge"] for r in edges.collect()]
+
+
 def _x179_psi_drift(spark, tables):
     """Population Stability Index between the corpus's OLD and NEW
     halves (id-range split standing in for crawl date, x93's
@@ -2667,10 +2700,16 @@ def _x179_psi_drift(spark, tables):
     per bucket, which is what triggers re-binning. +1 Laplace on the
     counts keeps empty buckets finite.
 
-    Scale shape: one stats pass for the decile edges (at 100 TB:
-    approx_percentile, the documented swap), one bucket-assignment
-    projection via a 9-edge broadcast-free CASE, two |buckets|-row
-    aggregates. No corpus joins."""
+    Scale shape: one stats pass for the decile edges — the AT-SCALE
+    path is real code, not prose: ``SPARK_GRAFT_APPROX_QUANTILES=1``
+    swaps the exact value-at-row global window for one
+    ``percentile_approx`` aggregate (KLL-style sketch, rank error
+    <= n/accuracy, accuracy=X179_APPROX_ACCURACY; map-side
+    combinable, NO single-partition sort — tests/test_ranks.py pins
+    the rank-error bound against the exact spelling). Then one
+    bucket-assignment projection via a 9-edge broadcast-free CASE and
+    two |buckets|-row aggregates. No corpus joins. The flag is off
+    for the gate because the DuckDB twin replays exact deciles."""
     d = tables["documents"].select(
         "doc_id", F.col("n_chars").cast("long").alias("v"))
     # id-range halves without a data-dependent literal: tag by the max
@@ -2679,17 +2718,7 @@ def _x179_psi_drift(spark, tables):
     tagged = d.crossJoin(F.broadcast(mx)).select(
         "v", (F.col("doc_id") * 2 <= F.col("mx")).alias("is_old"))
     old = tagged.filter("is_old")
-    w = Window.orderBy("v")
-    n_old = old.count()
-    edges = (old.select("v", F.row_number().over(w).alias("rn"))
-             .filter(F.expr(f"rn % GREATEST({n_old} div 10, 1) = 0"
-                            f" AND rn div GREATEST({n_old} div 10, 1)"
-                            f" BETWEEN 1 AND 9"))
-             .groupBy(F.expr(f"rn div GREATEST({n_old} div 10, 1)")
-                      .alias("edge_i"))
-             .agg(F.min("v").alias("edge"))
-             .orderBy("edge_i"))
-    es = [r["edge"] for r in edges.collect()]
+    es = _decile_edges(old, "v")
     bucket = F.lit(len(es))
     for i in range(len(es) - 1, -1, -1):
         bucket = F.when(F.col("v") < F.lit(es[i]), F.lit(i)).otherwise(bucket)

@@ -66,3 +66,51 @@ def test_from_shingles_signature_matches_agg(spark, sf_dir):
                       F.col("b.minhash").alias("mb")))
     assert joined.count() == 300
     assert joined.filter(F.col("ma") != F.col("mb")).count() == 0
+
+
+def test_x179_approx_decile_flag_rank_error_bound(spark, sf_dir,
+                                                  monkeypatch):
+    """The flag-on percentile_approx path honors its documented
+    contract against the exact spelling: each approx edge's RANK in
+    the population is within n/X179_APPROX_ACCURACY rows of the exact
+    decile rank — and the flag-on x179 still returns a structurally
+    valid PSI report (10 buckets, permilles summing to ~1000 per
+    side)."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        X179_APPROX_ACCURACY, _decile_edges, _x179_psi_drift)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+
+    tables = load_tables(spark, sf_dir)
+    d = tables["documents"].select(
+        "doc_id", F.col("n_chars").cast("long").alias("v"))
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    old = (d.crossJoin(F.broadcast(mx))
+           .select("v", (F.col("doc_id") * 2 <= F.col("mx"))
+                   .alias("is_old"))
+           .filter("is_old"))
+    n = old.count()
+
+    monkeypatch.delenv("SPARK_GRAFT_APPROX_QUANTILES", raising=False)
+    exact = _decile_edges(old, "v")
+    monkeypatch.setenv("SPARK_GRAFT_APPROX_QUANTILES", "1")
+    approx = _decile_edges(old, "v")
+    assert len(exact) == len(approx) == 9
+
+    # rank(x) = #rows with v < x; the sketch's promise is on ranks,
+    # not values (heavy ties make value distance meaningless)
+    tol = max(1, n // X179_APPROX_ACCURACY) + 1
+    for i, (ev, av) in enumerate(zip(exact, approx), start=1):
+        target = i * (n // 10)
+        rk = old.filter(F.col("v") < int(av)).count()
+        rk_hi = old.filter(F.col("v") <= int(av)).count()
+        # av's rank interval [rk, rk_hi] must approach the target
+        assert rk - tol <= target <= rk_hi + tol, (
+            f"edge {i}: exact={ev} approx={av} rank=[{rk},{rk_hi}] "
+            f"target={target} tol={tol}")
+
+    # flag-on end-to-end x179 stays a sane PSI report
+    out = _x179_psi_drift(spark, tables).collect()
+    assert len(out) == 10
+    p_sum = sum(r["p_permille"] for r in out)
+    q_sum = sum(r["q_permille"] for r in out)
+    assert abs(p_sum - 1000) <= 10 and abs(q_sum - 1000) <= 10
