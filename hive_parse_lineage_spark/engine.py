@@ -29,7 +29,14 @@ class Engine:
 
     # -- execution -------------------------------------------------------
     def run(self, sql: str) -> DataFrame:
-        """Execute one SQL statement (Spark SQL; Catalyst plans/optimizes)."""
+        """Execute one SQL statement (Spark SQL; Catalyst plans/optimizes).
+
+        Hive-only syntax the engine deliberately does not implement
+        (UNIQUEJOIN — SURVEY §2a row 15) raises its documented
+        diagnostic instead of a generic parse error."""
+        from hive_parse_lineage_spark.plans.lineage import (
+            check_supported_syntax)
+        check_supported_syntax(sql)
         return self.spark.sql(sql)
 
     def run_script(self, sql_text: str) -> DataFrame | None:
@@ -37,10 +44,12 @@ class Engine:
         split — the same splitter lineage uses) and return the LAST
         statement's DataFrame (None for an empty script). DDL/DML
         statements execute eagerly; a trailing SELECT stays lazy."""
-        from hive_parse_lineage_spark.plans.lineage import split_statements
+        from hive_parse_lineage_spark.plans.lineage import (
+            check_supported_syntax, split_statements)
         df = None
         stmts = split_statements(sql_text)
         for i, stmt in enumerate(stmts):
+            check_supported_syntax(stmt)
             df = self.spark.sql(stmt)
             if i < len(stmts) - 1:
                 # non-final statements run for their effects; Spark SQL

@@ -176,6 +176,81 @@ def split_statements(sql_text: str) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# documented-unsupported Hive syntax (SURVEY §2a row 15)
+# ---------------------------------------------------------------------------
+
+class UniqueJoinUnsupportedError(Exception):
+    """Hive ``UNIQUEJOIN`` reached the engine.
+
+    The reference's AST walker handles ``TOK_UNIQUEJOIN`` for lineage
+    (LineParser.java:281-293 push, 243-251 pop), but Spark SQL has no
+    UNIQUE JOIN analogue, so this engine cannot parse or execute it —
+    non-implementation is correct, and this diagnostic exists so a
+    Hive user migrating a UNIQUEJOIN script gets the documented
+    unsupported-feature message instead of a generic parse error."""
+
+
+_UNIQUEJOIN_MSG = (
+    "UNIQUEJOIN is not supported: Spark SQL has no UNIQUE JOIN "
+    "analogue (Hive-only syntax; the reference walks TOK_UNIQUEJOIN "
+    "for lineage at LineParser.java:281-293). Rewrite as a FULL OUTER "
+    "JOIN on the preserved keys with COALESCE over the key columns.")
+
+
+def _code_only(stmt: str) -> str:
+    """The statement with string literals, backticked identifiers and
+    comments blanked (same state machine as split_statements), so
+    keyword checks never fire on quoted text."""
+    out: list[str] = []
+    i, n = 0, len(stmt)
+    mode: str | None = None
+    while i < n:
+        ch = stmt[i]
+        nxt = stmt[i + 1] if i + 1 < n else ""
+        if mode is None:
+            if ch in ("'", '"', "`"):
+                mode = ch
+            elif ch == "-" and nxt == "-":
+                mode = "--"
+            elif ch == "/" and nxt == "*":
+                mode = "/*"
+            out.append(ch)
+            i += 1
+            continue
+        if mode in ("'", '"'):
+            if ch == "\\" and i + 1 < n:
+                out.append("  ")
+                i += 2
+                continue
+            if ch == mode and nxt == mode:
+                out.append("  ")
+                i += 2
+                continue
+            if ch == mode:
+                mode = None
+        elif mode == "`" and ch == "`":
+            mode = None
+        elif mode == "--" and ch == "\n":
+            mode = None
+        elif mode == "/*" and ch == "*" and nxt == "/":
+            out.append("  ")
+            i += 2
+            mode = None
+            continue
+        out.append(" " if mode is not None else ch)
+        i += 1
+    return "".join(out)
+
+
+def check_supported_syntax(stmt: str) -> None:
+    """Raise the documented diagnostic for Hive-only syntax this
+    engine deliberately does not implement (currently: UNIQUEJOIN)."""
+    import re
+    if re.search(r"\bUNIQUEJOIN\b", _code_only(stmt), re.IGNORECASE):
+        raise UniqueJoinUnsupportedError(_UNIQUEJOIN_MSG)
+
+
+# ---------------------------------------------------------------------------
 # py4j helpers
 # ---------------------------------------------------------------------------
 
@@ -1618,6 +1693,7 @@ def extract_lineage(spark: SparkSession, sql_text: str,
     """
     script = ScriptLineage()
     for stmt in split_statements(sql_text):
+        check_supported_syntax(stmt)
         script.statements.append(
             _statement_lineage(spark, stmt, traverse_views))
     return script

@@ -625,3 +625,34 @@ def test_mapjoin_hint_transparent_to_lineage(spark, lineage_tables):
     assert by_alias(lh)["c1"]["sources"] == ["default.t2.c1"]
     assert [c["sources"] for c in lh.col_lines] == \
         [c["sources"] for c in lp.col_lines]
+
+
+def test_uniquejoin_documented_unsupported(spark, lineage_tables):
+    """SURVEY §2a row 15 / reference TOK_UNIQUEJOIN
+    (LineParser.java:281-293): Spark has no UNIQUE JOIN analogue, so
+    non-implementation is correct — but the engine must say so with
+    the documented diagnostic, not a generic parse error, on BOTH the
+    lineage and the execution path. Quoted/commented occurrences must
+    NOT trigger it."""
+    import pytest
+
+    from hive_parse_lineage_spark.engine import Engine
+    from hive_parse_lineage_spark.plans.lineage import (
+        UniqueJoinUnsupportedError, extract_lineage)
+
+    uj = ("SELECT a.col1 FROM UNIQUEJOIN PRESERVE t1 a (a.col2), "
+          "PRESERVE t2 b (b.col2)")
+    with pytest.raises(UniqueJoinUnsupportedError, match="FULL OUTER"):
+        extract_lineage(spark, uj)
+    eng = Engine(spark, register_tables=False)
+    with pytest.raises(UniqueJoinUnsupportedError,
+                       match="LineParser.java:281-293"):
+        eng.run(uj)
+    with pytest.raises(UniqueJoinUnsupportedError):
+        eng.run_script("SELECT 1; " + uj + "; SELECT 2")
+
+    # the keyword inside literals/comments/backticks is NOT the syntax
+    ok = ("SELECT 'UNIQUEJOIN' AS s, col1 AS `uniquejoin` "
+          "-- uniquejoin here too\n FROM t1")
+    got = extract_lineage(spark, ok)
+    assert got.input_tables == {"default.t1"}
