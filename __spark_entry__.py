@@ -54,6 +54,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(analytics_queries())
     except ImportError:
         pass
+    try:
+        from hive_parse_lineage_spark.audit_queries import audit_queries
+        out.update(audit_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -78,6 +83,11 @@ def oracle_sql() -> dict[str, str]:
     try:
         from hive_parse_lineage_spark.analytics_queries import analytics_oracle_sql
         out.update(analytics_oracle_sql())
+    except ImportError:
+        pass
+    try:
+        from hive_parse_lineage_spark.audit_queries import audit_oracle_sql
+        out.update(audit_oracle_sql())
     except ImportError:
         pass
     return out

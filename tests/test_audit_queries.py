@@ -1,0 +1,129 @@
+"""x206-x212 (audit_queries): toy-reference tests for the math and
+fan-out shapes; value-level correctness vs DuckDB is covered by the
+oracle gate (selfcheck / driver)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_parse_lineage_spark.audit_queries import (
+    _x206_y4m_frame_sample, _x207_png_roundtrip_stats, _x208_fd_violations,
+    _x209_join_cardinality_audit, _x211_acf_lags, _x212_edge_embeddedness)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def test_y4m_frame_sample_schedule_and_checksum(spark):
+    """130 bytes -> 6 frames of 24; every-200ms at F25:1 samples frames
+    0 and 5; checksums replay the padded byte layout exactly."""
+    text = "".join(chr(65 + (i % 26)) for i in range(130))
+    out = _x206_y4m_frame_sample(
+        spark, {"documents": _docs(spark, [text])}).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_sampled"] == 2 and r["idx_sum"] == 5 and r["ts_sum"] == 200
+
+    def frame_ps(i):
+        chunk = text[i * 24:(i + 1) * 24].ljust(24, "\0")
+        return sum((j + 1) * ord(c) for j, c in enumerate(chunk))
+
+    assert r["possum"] == frame_ps(0) + frame_ps(5)
+
+
+def test_png_roundtrip_filters_reconstruct(spark):
+    """A text long enough to hit all three filter rows (None/Sub/Up)
+    must come back byte-exact through zlib + filter reconstruction."""
+    text = "The quick brown fox jumps over the lazy dog 0123456789"
+    out = _x207_png_roundtrip_stats(
+        spark, {"documents": _docs(spark, [text])}).collect()
+    r = out[0].asDict()
+    n, w = len(text), 5
+    h = (n + w - 1) // w
+    assert h >= 4  # filters 0,1,2 all exercised
+    assert r["height"] == h and r["n_bytes"] == h * w
+    assert r["peak"] == max(ord(c) for c in text)
+    assert r["possum"] == sum((k + 1) * ord(c) for k, c in enumerate(text))
+
+
+def test_fd_violations_toy(spark):
+    part = spark.createDataFrame(
+        [(1, "b1", "t1"), (2, "b2", "t1"), (3, "b2", "t2")],
+        "p_partkey long, p_brand string, p_type string")
+    tables = {
+        "part": part,
+        "customer": spark.createDataFrame(
+            [(1, 1, "A")], "c_custkey long, c_nationkey long, "
+                           "c_mktsegment string"),
+        "orders": spark.createDataFrame(
+            [(1, 1, "P1"), (2, 1, "P2")],
+            "o_orderkey long, o_custkey long, o_orderpriority string"),
+        "lineitem": spark.createDataFrame(
+            [(1, "R")], "l_orderkey long, l_returnflag string"),
+        "nation": spark.createDataFrame(
+            [(1, "x", 1), (2, "y", 1)],
+            "n_nationkey long, n_name string, n_regionkey long"),
+    }
+    got = {r["fd"]: r.asDict()
+           for r in _x208_fd_violations(spark, tables).collect()}
+    # p_partkey -> p_brand: PK lhs, always holds
+    assert got["part.p_partkey->p_brand"]["n_violating"] == 0
+    # p_type -> p_brand: t1 maps to {b1, b2} -> 1 of 2 groups violates
+    t = got["part.p_type->p_brand"]
+    assert (t["n_groups"], t["n_violating"], t["max_rhs"],
+            t["violation_permille"]) == (2, 1, 2, 500)
+    # o_custkey -> o_orderpriority: one group, two priorities
+    assert got["orders.o_custkey->o_orderpriority"]["n_violating"] == 1
+    # n_regionkey -> n_name: one region, two names
+    assert got["nation.n_regionkey->n_name"]["violation_permille"] == 1000
+
+
+def test_join_cardinality_estimate_formula(spark, sf_dir):
+    """PK-FK joins: actual == |FK side with matching keys|; the
+    System-R estimate |A|*|B|/max(ndv) must land within 5% on the
+    uniform synthetic keys (that's the audit's point)."""
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    rows = {r["join_name"]: r.asDict()
+            for r in _x209_join_cardinality_audit(spark, tables).collect()}
+    lo = rows["lineitem_orders"]
+    # l_orderkey -> o_orderkey is FK->PK: every lineitem matches once
+    assert lo["actual_rows"] == tables["lineitem"].count()
+    assert lo["est_rows"] == (lo["n_left"] * lo["n_right"]
+                              // max(lo["ndv_left"], lo["ndv_right"]))
+    assert abs(lo["err_permille"]) <= 50
+
+
+def test_acf_linear_ramp_slope_is_exactly_one(spark):
+    """Hourly counts 1,2,...,8 -> count(t+k) = count(t) + k, so the
+    lag-k regression slope is exactly 1.000 for every lag."""
+    rows = []
+    eid = 0
+    for h in range(8):
+        for _ in range(h + 1):
+            rows.append((eid, h * 3600_000_000, 1, "a", 0.0))
+            eid += 1
+    e = spark.createDataFrame(rows, "event_id long, us long, user_id long,"
+                                    " event_type string, value double") \
+        .select("event_id", F.timestamp_micros("us").alias("ts"),
+                "user_id", "event_type", "value")
+    out = _x211_acf_lags(spark, {"events": e}).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["ar_milli"] == 1000, r
+
+
+def test_edge_embeddedness_triangle_plus_pendant(spark):
+    """3 identical docs form an LSH triangle (each edge has 1 common
+    neighbor); 2 other identical docs form an isolated edge
+    (embeddedness 0)."""
+    tri = "alpha beta gamma delta epsilon zeta eta theta"
+    pend = "one two three four five six seven eight nine"
+    docs = _docs(spark, [tri, tri, tri, pend, pend])
+    got = {r["embeddedness"]: r["n_edges"]
+           for r in _x212_edge_embeddedness(
+               spark, {"documents": docs}).collect()}
+    assert got == {0: 1, 1: 3}

@@ -598,6 +598,23 @@ _HINT_BUDGETS = {
     "x205_user_predictability": (0, "one per-user window + two "
                                     "partition-local aggregates, "
                                     "no joins"),
+    "x206_y4m_frame_sample": (0, "partition-local mapInPandas passes "
+                                 "+ one per-doc aggregate, no joins"),
+    "x207_png_roundtrip_stats": (0, "partition-local mapInPandas "
+                                    "passes only, no joins"),
+    "x208_fd_violations": (0, "per-FD countDistinct aggregates, "
+                              "no joins; AQE decides nothing"),
+    "x209_join_cardinality_audit": (0, "per-join stats aggregates + "
+                                       "the actual equi-join; AQE "
+                                       "picks the strategy"),
+    "x210_reciprocal_best_match": (0, "banded LSH edges, per-doc "
+                                      "window, mutuality equi-join — "
+                                      "all unhinted"),
+    "x211_acf_lags": (0, "hours-bounded self equi-join after the "
+                         "first aggregate; AQE decides"),
+    "x212_edge_embeddedness": (0, "edge-list joins against the "
+                                  "symmetrized adjacency, wedge-"
+                                  "bounded, unhinted"),
 }
 
 
