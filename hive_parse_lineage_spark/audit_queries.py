@@ -593,6 +593,321 @@ FROM emb GROUP BY embeddedness ORDER BY embeddedness
 
 
 # ---------------------------------------------------------------------------
+# x213 — Merkle-bucket anti-entropy diff of two snapshots
+# ---------------------------------------------------------------------------
+
+_MERKLE_BUCKETS = 256
+#: row-fingerprint sums fold mod 1e12 so a 2^63 accumulator never
+#: overflows: 1e12 * rows stays under 2^63 up to ~9M rows per bucket
+_MERKLE_FOLD = 10 ** 12
+
+
+def _x213_merkle_bucket_diff(spark, tables):
+    """Anti-entropy SNAPSHOT RECONCILIATION, the Merkle-bucket way two
+    100-TB replicas are actually compared: hash every row's
+    fingerprint into one of 256 buckets, keep per-bucket (count,
+    fingerprint-sum), and report ONLY the buckets where the two
+    snapshots disagree — the divergent 1/256th of the data is what a
+    repair job re-reads, never the full corpus. Snapshot B here is A
+    with deterministic damage (doc_id % 97 = 13 dropped, % 53 = 7
+    text-mutated), so the report provably localizes both delete- and
+    update-class divergence. Fingerprints are the portable md5-fold
+    hash, folded mod 1e12 before summing (order-free, overflow-safe).
+
+    Scale shape: one scan + one 256-group aggregate PER SIDE, then a
+    256-row full-outer join — the comparison itself never touches row
+    data again. The production follow-up (re-read only the divergent
+    buckets) is a partition-pruned scan keyed by the same hash."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    docs = tables["documents"].select("doc_id", "text")
+    b = (docs.filter(F.col("doc_id") % 97 != 13)
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 53 == 7,
+                        F.concat(F.col("text"), F.lit("!")))
+                 .otherwise(F.col("text")).alias("text")))
+
+    def digest(df):
+        fp = F.pmod(portable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                     F.col("text"))), F.lit(_MERKLE_FOLD))
+        bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string")),
+                        F.lit(_MERKLE_BUCKETS))
+        return (df.select(bucket.alias("bucket"), fp.alias("fp"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"), F.sum("fp").alias("s")))
+    da = digest(docs).select("bucket", F.col("n").alias("n_a"),
+                             F.col("s").alias("sum_a"))
+    db = digest(b).select("bucket", F.col("n").alias("n_b"),
+                          F.col("s").alias("sum_b"))
+    return (da.join(db, "bucket", "full_outer")
+            .select("bucket",
+                    F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                    F.coalesce("n_b", F.lit(0)).alias("n_b"),
+                    F.coalesce("sum_a", F.lit(0)).alias("sum_a"),
+                    F.coalesce("sum_b", F.lit(0)).alias("sum_b"))
+            .filter((F.col("n_a") != F.col("n_b"))
+                    | (F.col("sum_a") != F.col("sum_b")))
+            .orderBy("bucket"))
+
+
+def _merkle_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    fp = portable_hash64_sql("CAST(doc_id AS VARCHAR) || '|' || text")
+    bkt = portable_hash64_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH a AS (
+  SELECT doc_id, text FROM documents
+), b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 53 = 7 THEN text || '!' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 != 13
+), da AS (
+  SELECT {bkt} % {_MERKLE_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM({fp} % {_MERKLE_FOLD}) AS BIGINT) AS sum_a
+  FROM a GROUP BY 1
+), db AS (
+  SELECT {bkt} % {_MERKLE_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM({fp} % {_MERKLE_FOLD}) AS BIGINT) AS sum_b
+  FROM b GROUP BY 1
+)
+SELECT bucket, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+       COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b
+FROM da FULL OUTER JOIN db USING (bucket)
+WHERE COALESCE(n_a, 0) != COALESCE(n_b, 0)
+   OR COALESCE(sum_a, 0) != COALESCE(sum_b, 0)
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# x214 — Z-order vs lexicographic clustering effectiveness
+# ---------------------------------------------------------------------------
+
+#: 8-bit folded coordinates -> 16-bit z-value; >> 10 -> 64 buckets
+_Z_BITS, _Z_BUCKETS_SHIFT = 8, 10
+
+
+def _zvalue_spark():
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"shiftleft(shiftright(l_partkey & 255, {b}) & 1, "
+                     f"{2 * b})")
+        terms.append(f"shiftleft(shiftright(l_suppkey & 255, {b}) & 1, "
+                     f"{2 * b + 1})")
+    return F.expr(" + ".join(terms))
+
+
+def _zvalue_duck() -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((((l_partkey & 255) >> {b}) & 1) << {2 * b})")
+        terms.append(f"((((l_suppkey & 255) >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _x214_zorder_clustering(spark, tables):
+    """DATA-LAYOUT audit: what does Z-ORDERING (bit-interleaving the
+    8-bit folds of l_partkey and l_suppkey) buy over lexicographic
+    partkey order? Both schemes place rows into 64 layout buckets
+    (z-value high bits vs partkey-fold high bits); per scheme the
+    report sums each bucket's bounding-box SPAN PER DIMENSION plus the
+    product area. The per-dimension sums are the decision numbers: a
+    skipping index prunes a bucket when a predicate misses its span,
+    so lexicographic order gives razor-thin partkey spans but leaves
+    EVERY bucket full-range on suppkey (suppkey predicates prune
+    nothing), while z-order spends bits on both — suppkey span sum
+    collapses at the cost of a wider partkey span. Total area stays
+    ~constant on uniform keys; the TRADE is the finding, and which
+    side wins depends on the query mix — exactly what this report
+    quantifies before a 100-TB Z-ORDER rewrite is paid for. Pure
+    integer bit arithmetic, identical on both engines.
+
+    Scale shape: two scans with a 64-group aggregate each (map-side
+    combinable), a 2-row output; the z-value is a projection — the
+    audit costs two cheap passes, the layout decision it informs is
+    the expensive thing it replaces."""
+    li = tables["lineitem"].select(
+        (F.col("l_partkey").bitwiseAND(255)).alias("l_partkey"),
+        (F.col("l_suppkey").bitwiseAND(255)).alias("l_suppkey"))
+    z = li.select(
+        F.shiftright(_zvalue_spark(), _Z_BUCKETS_SHIFT).alias("bucket"),
+        "l_partkey", "l_suppkey")
+    lex = li.select(
+        F.expr("shiftright(l_partkey, 2)").alias("bucket"),
+        "l_partkey", "l_suppkey")
+
+    def boxes(df, scheme):
+        per = (df.groupBy("bucket")
+               .agg((F.max("l_partkey") - F.min("l_partkey") + 1)
+                    .alias("ps"),
+                    (F.max("l_suppkey") - F.min("l_suppkey") + 1)
+                    .alias("ss")))
+        return (per.agg(F.count("*").alias("n_buckets"),
+                        F.sum("ps").alias("partkey_span_sum"),
+                        F.sum("ss").alias("suppkey_span_sum"),
+                        F.sum(F.col("ps") * F.col("ss")).alias("sum_area"))
+                .select(F.lit(scheme).alias("scheme"), "n_buckets",
+                        "partkey_span_sum", "suppkey_span_sum",
+                        "sum_area"))
+    return (boxes(z, "zorder").unionByName(boxes(lex, "lex"))
+            .orderBy("scheme"))
+
+
+def _zorder_oracle_sql() -> str:
+    zd = _zvalue_duck()
+    return f"""
+WITH li AS (
+  SELECT l_partkey & 255 AS l_partkey, l_suppkey & 255 AS l_suppkey
+  FROM lineitem
+), z AS (
+  SELECT ({zd}) >> {_Z_BUCKETS_SHIFT} AS bucket, l_partkey, l_suppkey
+  FROM li
+), lex AS (
+  SELECT l_partkey >> 2 AS bucket, l_partkey, l_suppkey FROM li
+), zb AS (
+  SELECT bucket, MAX(l_partkey) - MIN(l_partkey) + 1 AS ps,
+         MAX(l_suppkey) - MIN(l_suppkey) + 1 AS ss
+  FROM z GROUP BY bucket
+), lb AS (
+  SELECT bucket, MAX(l_partkey) - MIN(l_partkey) + 1 AS ps,
+         MAX(l_suppkey) - MIN(l_suppkey) + 1 AS ss
+  FROM lex GROUP BY bucket
+)
+SELECT 'lex' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(ps) AS BIGINT) AS partkey_span_sum,
+       CAST(SUM(ss) AS BIGINT) AS suppkey_span_sum,
+       CAST(SUM(ps * ss) AS BIGINT) AS sum_area
+FROM lb
+UNION ALL
+SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(ps) AS BIGINT), CAST(SUM(ss) AS BIGINT),
+       CAST(SUM(ps * ss) AS BIGINT)
+FROM zb
+ORDER BY scheme
+"""
+
+
+# ---------------------------------------------------------------------------
+# x215 — inter-arrival octave histogram
+# ---------------------------------------------------------------------------
+
+def _x215_interarrival_octaves(spark, tables):
+    """Inter-arrival LATENCY HISTOGRAM in octaves — the log2-bucketed
+    distribution every ops dashboard draws, exact-integer here: per
+    event type, the gap in microseconds between consecutive events
+    (global event-time order, tie on event_id) bucketed by
+    floor(log2(gap))+1 (the x141 ibits primitive; gap 0 = bucket 0).
+    A healthy Poisson-ish stream shows a smooth unimodal octave curve;
+    batch-ingestion artifacts spike octave 0 (simultaneous stamps) and
+    periodic schedulers spike one high octave — shapes a mean or p99
+    alone cannot distinguish (x148's length-octave logic, pointed at
+    time).
+
+    Scale shape: one per-type window (partition-local — types
+    partition the stream), one (type, octave) count aggregate. No
+    joins; output is |types x ~40 octaves|."""
+    e = tables["events"]
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (e.select("event_type", "ts", "event_id")
+            .withColumn("gap_us",
+                        F.unix_micros("ts")
+                        - F.lag(F.unix_micros("ts")).over(w))
+            .filter(F.col("gap_us").isNotNull()))
+    oct_ = F.when(F.col("gap_us") <= 0, F.lit(0)) \
+        .otherwise(F.length(F.bin("gap_us")))
+    return (gaps.select("event_type", oct_.alias("octave"))
+            .groupBy("event_type", "octave")
+            .agg(F.count("*").alias("n_gaps"))
+            .orderBy("event_type", "octave"))
+
+
+_INTERARRIVAL_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+), o AS (
+  SELECT event_type,
+         CASE WHEN gap_us <= 0 THEN 0
+              ELSE length(bin(gap_us)) END AS octave
+  FROM g WHERE gap_us IS NOT NULL
+)
+SELECT event_type, CAST(octave AS BIGINT) AS octave,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM o GROUP BY event_type, octave ORDER BY event_type, octave
+"""
+
+
+# ---------------------------------------------------------------------------
+# x216 — bucketed-join balance audit
+# ---------------------------------------------------------------------------
+
+_BUCKET_COUNTS = (8, 32, 128)
+
+
+def _x216_bucket_balance_audit(spark, tables):
+    """BUCKETING-DESIGN audit run before anyone writes bucketed
+    tables: for each candidate bucket count N, hash o_custkey (the
+    orders side) and c_custkey (the customer side) into N buckets with
+    the SAME portable hash both tables would be written with, and
+    report each side's max bucket share (in permille of a perfectly
+    even 1000/N) plus the straggler factor — max bucket rows * N /
+    total rows, in permille. A co-located bucketed join runs at the
+    speed of its fullest bucket, so straggler_permille near 1000 says
+    the layout is safe at that N and a hot bucket says salt first
+    (operators/skew.py) — the one number that decides between N=32
+    and N=128 before 100 TB gets rewritten.
+
+    Scale shape: per N, one N-group count aggregate per side (map-side
+    combinable; output is N rows) and a scalar rollup; the report is
+    |Ns| x 2 rows. No joins anywhere — the audit costs two scans."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    out = None
+    sides = (("orders", tables["orders"], "o_custkey"),
+             ("customer", tables["customer"], "c_custkey"))
+    for n in _BUCKET_COUNTS:
+        for side, df, key in sides:
+            b = (df.select(F.pmod(portable_hash64(
+                F.col(key).cast("string")), F.lit(n)).alias("bucket"))
+                .groupBy("bucket").agg(F.count("*").alias("c")))
+            rep = (b.agg(F.sum("c").alias("total"),
+                         F.max("c").alias("mx"),
+                         F.count("*").alias("used"))
+                   .select(F.lit(n).alias("n_buckets"),
+                           F.lit(side).alias("side"),
+                           "total", F.col("mx").alias("max_bucket_rows"),
+                           F.col("used").alias("buckets_used"),
+                           F.expr(f"mx * {n} * 1000 div total")
+                           .alias("straggler_permille")))
+            out = rep if out is None else out.unionByName(rep)
+    return out.orderBy("n_buckets", "side")
+
+
+def _bucket_balance_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    parts = []
+    for n in _BUCKET_COUNTS:
+        for side, table, key in (("orders", "orders", "o_custkey"),
+                                 ("customer", "customer", "c_custkey")):
+            h = portable_hash64_sql(f"CAST({key} AS VARCHAR)")
+            parts.append(f"""
+SELECT {n} AS n_buckets, '{side}' AS side,
+       CAST(SUM(c) AS BIGINT) AS total,
+       CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(MAX(c) * {n} * 1000 AS BIGINT) // CAST(SUM(c) AS BIGINT)
+           AS straggler_permille
+FROM (SELECT {h} % {n} AS bucket, COUNT(*) AS c
+      FROM {table} GROUP BY 1)
+""")
+    return (" UNION ALL ".join(parts)
+            + " ORDER BY n_buckets, side")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -605,6 +920,10 @@ def audit_queries():
         "x210_reciprocal_best_match": _q(_x210_reciprocal_best_match),
         "x211_acf_lags": _q(_x211_acf_lags),
         "x212_edge_embeddedness": _q(_x212_edge_embeddedness),
+        "x213_merkle_bucket_diff": _q(_x213_merkle_bucket_diff),
+        "x214_zorder_clustering": _q(_x214_zorder_clustering),
+        "x215_interarrival_octaves": _q(_x215_interarrival_octaves),
+        "x216_bucket_balance_audit": _q(_x216_bucket_balance_audit),
     }
 
 
@@ -617,4 +936,8 @@ def audit_oracle_sql() -> dict[str, str]:
         "x210_reciprocal_best_match": _reciprocal_oracle_sql(),
         "x211_acf_lags": _ACF_ORACLE,
         "x212_edge_embeddedness": _embeddedness_oracle_sql(),
+        "x213_merkle_bucket_diff": _merkle_oracle_sql(),
+        "x214_zorder_clustering": _zorder_oracle_sql(),
+        "x215_interarrival_octaves": _INTERARRIVAL_ORACLE,
+        "x216_bucket_balance_audit": _bucket_balance_oracle_sql(),
     }

@@ -127,3 +127,57 @@ def test_edge_embeddedness_triangle_plus_pendant(spark):
            for r in _x212_edge_embeddedness(
                spark, {"documents": docs}).collect()}
     assert got == {0: 1, 1: 3}
+
+
+def test_merkle_diff_localizes_damage(spark, sf_dir):
+    """Every reported bucket must actually contain a damaged doc_id
+    (dropped %97=13 or mutated %53=7), and every damaged doc's bucket
+    must be reported — divergence localization is the operator's whole
+    contract."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _MERKLE_BUCKETS, _x213_merkle_bucket_diff)
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    reported = {r["bucket"] for r in
+                _x213_merkle_bucket_diff(spark, tables).collect()}
+    damaged = (tables["documents"]
+               .filter((F.col("doc_id") % 97 == 13)
+                       | (F.col("doc_id") % 53 == 7))
+               .select(F.pmod(portable_hash64(
+                   F.col("doc_id").cast("string")),
+                   F.lit(_MERKLE_BUCKETS)).alias("b")))
+    damaged_buckets = {r["b"] for r in damaged.distinct().collect()}
+    assert reported == damaged_buckets and reported
+
+
+def test_zorder_trades_partkey_span_for_suppkey_span(spark, sf_dir):
+    """The audit's reason to exist: lexicographic partkey bucketing
+    leaves every bucket full-range on suppkey (suppkey predicates
+    prune nothing), while z-order collapses the suppkey span sum at
+    the cost of a wider partkey span."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _x214_zorder_clustering)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    got = {r["scheme"]: r.asDict()
+           for r in _x214_zorder_clustering(spark, tables).collect()}
+    assert got["zorder"]["suppkey_span_sum"] < got["lex"]["suppkey_span_sum"]
+    assert got["lex"]["partkey_span_sum"] < got["zorder"]["partkey_span_sum"]
+
+
+def test_interarrival_octaves_toy(spark):
+    """Gaps of 1us, 2us, 3us, 1s land in octaves 1, 2, 2, 20."""
+    rows = [(i, us, 1, "a", 0.0)
+            for i, us in enumerate([0, 1, 3, 6, 1_000_006])]
+    e = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string,"
+              " value double") \
+        .select("event_id", F.timestamp_micros("us").alias("ts"),
+                "user_id", "event_type", "value")
+    from hive_parse_lineage_spark.audit_queries import (
+        _x215_interarrival_octaves)
+    got = {r["octave"]: r["n_gaps"]
+           for r in _x215_interarrival_octaves(
+               spark, {"events": e}).collect()}
+    assert got == {1: 1, 2: 2, 20: 1}

@@ -615,6 +615,14 @@ _HINT_BUDGETS = {
     "x212_edge_embeddedness": (0, "edge-list joins against the "
                                   "symmetrized adjacency, wedge-"
                                   "bounded, unhinted"),
+    "x213_merkle_bucket_diff": (0, "two 256-group digests + a 256-row "
+                                   "full-outer join; AQE decides"),
+    "x214_zorder_clustering": (0, "two scans with 64-group "
+                                  "aggregates, no joins"),
+    "x215_interarrival_octaves": (0, "per-type window + one count "
+                                     "aggregate, no joins"),
+    "x216_bucket_balance_audit": (0, "N-group count aggregates per "
+                                     "side, scalar rollups, no joins"),
 }
 
 
