@@ -323,6 +323,39 @@ def simhash(df: DataFrame, text_col: str = "text",
     return _spread_for_compute(df).withColumn("simhash", sig)
 
 
+def simhash_agg(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", hasher=None,
+                token_expr: Column | None = None) -> DataFrame:
+    """(id, simhash) signatures via explode + 64 bit-count aggregates —
+    the same values as :func:`simhash`, the same physical trick as
+    :func:`minhash_signature_agg`: signature bit b is set iff the
+    signed token vote is positive, and the vote is 2*ones_b - T where
+    ones_b counts tokens whose hash has bit b set. So instead of
+    folding a 64-element ±1 array per token (64 array allocations per
+    row), each token hash becomes one row and the 64 ones-counters are
+    plain SUM registers in a codegen HashAggregate with map-side
+    partial aggregation — the exchange carries one 65-long row per
+    (partition, doc). This is the batch hot path
+    ``simhash_near_dups`` uses; the projection variant stays for
+    arbitrary-column appends and append-mode streaming."""
+    toks = (token_expr if token_expr is not None
+            else F.split(F.col(text_col), " "))
+    base = hasher if hasher is not None else F.xxhash64
+    exploded = (_spread_for_compute(df)
+                .select(id_col, F.explode(toks).alias("_t"))
+                .select(id_col, base(F.col("_t")).alias("_h")))
+    aggs = [F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1)))
+            .alias(f"_o{b}") for b in range(64)]
+    per_doc = exploded.groupBy(id_col).agg(F.count("*").alias("_t"), *aggs)
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    sig = F.lit(0).cast("long")
+    for b, m in enumerate(masks):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"_o{b}") * 2 > F.col("_t"),
+                   F.lit(m).cast("long")).otherwise(F.lit(0).cast("long")))
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
 def simhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3,
                       hasher=None) -> DataFrame:
@@ -336,7 +369,7 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text",
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    sig = simhash(df, text_col, hasher=hasher).select(id_col, "simhash")
+    sig = simhash_agg(df, text_col, id_col, hasher=hasher)
     blocks = F.array(*[
         F.struct(F.lit(i).alias("blk"),
                  F.shiftright("simhash", i * width)

@@ -114,3 +114,21 @@ def test_x179_approx_decile_flag_rank_error_bound(spark, sf_dir,
     p_sum = sum(r["p_permille"] for r in out)
     q_sum = sum(r["q_permille"] for r in out)
     assert abs(p_sum - 1000) <= 10 and abs(q_sum - 1000) <= 10
+
+
+def test_simhash_agg_matches_projection(spark, sf_dir):
+    """simhash_agg (explode + 64 SUM registers, the x08 hot path) must
+    be BIT-IDENTICAL to the array-fold projection variant — same
+    hash, same vote threshold (2*ones > T <=> signed vote > 0),
+    including the sign bit."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import (
+        simhash, simhash_agg)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(300))
+    a = simhash(docs, hasher=portable_hash64).select(
+        "doc_id", F.col("simhash").alias("sa"))
+    b = simhash_agg(docs, hasher=portable_hash64)
+    j = a.join(b, "doc_id")
+    assert j.count() == 300
+    assert j.filter(F.col("sa") != F.col("simhash")).count() == 0
