@@ -2071,10 +2071,14 @@ def _x125_lsh_pair_recall(spark, tables):
     from hive_parse_lineage_spark.operators.dedup import (
         _P, _perm_params, lsh_candidate_pairs)
     docs = tables["documents"].filter(F.col("doc_id") < 250)
+    # lazy pin: the single final action materializes the token stream
+    # once for all three consumers — an EAGER checkpoint here would
+    # serialize an extra job in front of a fixed-250-doc audit whose
+    # wall is pure stage floor
     tk = (docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     na = tk.groupBy("doc_id").agg(F.count("*").alias("nt"))
     a, b = tk.alias("a"), tk.alias("b")
     inter = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
