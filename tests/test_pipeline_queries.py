@@ -789,3 +789,33 @@ def test_burstiness_matches_python_reference(spark):
         runs = [max_run(t) for _, t, lg in rows if lg == lang]
         exp[lang] = (len(runs), max(runs), sum(1 for r in runs if r >= 3))
     assert got == exp, (got, exp)
+
+
+def test_snapshot_diff_cents_column_agrees_with_duckdb(spark, sf_dir):
+    """The r7 verdict's x137 risk, proven closed with cents EMITTED:
+    the FLOOR-then-cast integer-cents surrogate must be value-identical
+    to DuckDB's on every key (a plain CAST(double AS BIGINT) rounds in
+    DuckDB but truncates in Spark — the floor pins both engines)."""
+    import duckdb
+
+    from tests.oracle import compare
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey",
+                 F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+                 .alias("cents"),
+                 F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT) * "
+                        "CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END")
+                 .alias("cents_b"))
+         .orderBy("o_orderkey"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    res = compare(o, """
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                   * CASE WHEN o_orderkey % 5 = 0 THEN 2 ELSE 1 END
+                   AS cents_b
+        FROM orders ORDER BY o_orderkey
+    """, con)
+    assert res["rows_match"] and res["cols_match"] and res["hash_match"]
