@@ -1711,18 +1711,27 @@ def _x119_minhash_calibration(spark, tables):
     inter/union come from distinct 2-shingle sets joined onto the
     candidate pairs (pair-bounded work: LSH candidates, never all
     pairs). Signatures use the portable md5-fold hash so the DuckDB
-    oracle replays them exactly (x07 playbook)."""
+    oracle replays them exactly (x07 playbook).
+
+    One tokenization (the x125/x196 rule): the distinct-shingle table
+    feeds BOTH the signatures (MIN is idempotent over duplicates) and
+    the exact verifier; the signature table is pinned eagerly because
+    three consumers (band explode + both pair joins) would otherwise
+    re-run the 64-min aggregate — its checkpoint job also materializes
+    the lazy shingle pin, so the whole entry is two jobs."""
     from hive_parse_lineage_spark.functions import text as T
     from hive_parse_lineage_spark.operators.dedup import (
-        lsh_candidate_pairs, minhash_signature_agg)
+        lsh_candidate_pairs, minhash_signature_from_shingles)
     docs = tables["documents"]
-    sig = minhash_signature_agg(docs, shingle_k=2,
-                                hasher=T.portable_hash64)
-    pairs = (lsh_candidate_pairs(sig, max_bucket_size=None)
-             .select("id_a", "id_b"))
-    sh = docs.select(
+    sh = (docs.select(
         "doc_id",
         F.array_distinct(T.word_shingles("text", 2)).alias("ds"))
+        .localCheckpoint(eager=False))
+    sig = (minhash_signature_from_shingles(sh, "ds",
+                                           hasher=T.portable_hash64)
+           .localCheckpoint(eager=True))
+    pairs = (lsh_candidate_pairs(sig, max_bucket_size=None)
+             .select("id_a", "id_b"))
     j = (pairs
          .join(sig.select(F.col("doc_id").alias("id_a"),
                           F.col("minhash").alias("ma")), "id_a")
