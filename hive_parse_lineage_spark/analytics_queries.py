@@ -1134,8 +1134,12 @@ def _kmeans_milli_round1(tables):
     instead of each paying it."""
     emb = tables["embeddings"]
     try:
-        key = (emb.sparkSession.sparkContext.applicationId,
-               tuple(sorted(emb.inputFiles())))
+        files = tuple(sorted(emb.inputFiles()))
+        # memoize ONLY file-backed inputs: a LocalRelation (toy test
+        # table) has no input files, and keying it by () would collide
+        # every in-memory table into one cache slot
+        key = ((emb.sparkSession.sparkContext.applicationId, files)
+               if files else None)
     except Exception:
         key = None
     if key is not None and key in _KMEANS_ROUND1_CACHE:
