@@ -2807,18 +2807,20 @@ def _x180_sorted_neighborhood(spark, tables):
     prefixes are the documented miss class (mitigated in production by
     multi-pass SNM over different keys, exactly like extra LSH bands).
 
-    Scale shape: the global sort rank is ONE window (at 100 TB: range
-    partitioning gives per-range ranks + boundary overlap of w rows —
-    x155's documented posture); neighbor pairing is w self-equi-joins
-    on the MANUFACTURED rank+k key — plain hash joins, never a theta
-    join; verification is per-candidate array_intersect, O(w * n)
-    pairs total."""
+    Scale shape: the global sort rank is range-partitioned for real
+    (operators/ranks.py — per-range parallel sorts + bounded offsets,
+    value-identical to the single-partition window it replaces, the
+    caveat-to-code conversion x196 proved); neighbor pairing is w
+    self-equi-joins on the MANUFACTURED rank+k key — plain hash
+    joins, never a theta join; verification is per-candidate
+    array_intersect, O(w * n) pairs total."""
     from hive_parse_lineage_spark.functions.text import tokens
+    from hive_parse_lineage_spark.operators.ranks import (
+        range_partitioned_row_number)
     d = tables["documents"].select(
         "doc_id", F.substring("text", 1, 16).alias("k16"),
         F.array_distinct(tokens("text")).alias("toks"))
-    w = Window.orderBy("k16", "doc_id")
-    ranked = (d.withColumn("rk", F.row_number().over(w))
+    ranked = (range_partitioned_row_number(d, ["k16", "doc_id"], "rk")
               .localCheckpoint(eager=True))
     pairs = None
     for k in (1, 2, 3):
