@@ -908,6 +908,353 @@ FROM (SELECT {h} % {n} AS bucket, COUNT(*) AS c
 
 
 # ---------------------------------------------------------------------------
+# x217 — deletion-propagation (right-to-be-forgotten) audit
+# ---------------------------------------------------------------------------
+
+_DEL_MOD, _DEL_REM = 37, 5
+
+
+def _x217_deletion_propagation(spark, tables):
+    """RIGHT-TO-BE-FORGOTTEN propagation audit: given a deletion list
+    (user_id % 37 = 5 — the GDPR batch), for each user-keyed derived
+    artifact the pipeline materializes, report how many rows the
+    pre-deletion build contains, how many of those reference deleted
+    users (the residue a DPA audit would flag), and how many rows a
+    re-derive on the scrubbed events produces. For user-keyed
+    artifacts rows_after = rows_before - referencing, and the report
+    proves it per artifact — the reconciliation that says deletion
+    actually PROPAGATED instead of merely disappearing from the raw
+    table. Artifacts: per-user activity summary, (hour, user) rollup,
+    and the view->purchase-within-hour funnel (x103's shape).
+
+    Scale shape: each artifact is one aggregate over events; residue
+    counting is a filter on the artifact's own user key (no joins —
+    the deletion predicate is hash-derivable per row); the re-derive
+    reuses the same aggregate on the filtered scan. Output is
+    |artifacts| rows."""
+    e = tables["events"].select("event_id", "user_id", "ts", "event_type")
+    deleted = F.col("user_id") % _DEL_MOD == _DEL_REM
+    kept = e.filter(~deleted)
+
+    def summary(ev):
+        return ev.groupBy("user_id").agg(F.count("*").alias("n"))
+
+    def rollup(ev):
+        return (ev.groupBy("user_id",
+                           F.expr("unix_millis(ts) div 3600000")
+                           .alias("hi"))
+                .agg(F.count("*").alias("n")))
+
+    def funnel(ev):
+        v = ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("vts"),
+            F.col("event_id").alias("vid"))
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("u"), F.col("ts").alias("pts"),
+            F.col("event_id").alias("pid"))
+        return (v.join(p, "u")
+                .filter((F.col("pts") >= F.col("vts"))
+                        & (F.unix_micros("pts") - F.unix_micros("vts")
+                           < 3600_000_000))
+                .select(F.col("u").alias("user_id"), "vid", "pid"))
+
+    out = None
+    for name, build in (("user_summary", summary),
+                        ("hourly_rollup", rollup),
+                        ("view_purchase_funnel", funnel)):
+        before = build(e)
+        row = (before.agg(F.count("*").alias("rows_before"),
+                          F.sum((F.col("user_id") % _DEL_MOD == _DEL_REM)
+                                .cast("long")).alias("referencing_deleted"))
+               .crossJoin(build(kept).agg(F.count("*")
+                                          .alias("rows_after_rederive")))
+               .select(F.lit(name).alias("artifact"), "rows_before",
+                       "referencing_deleted", "rows_after_rederive"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("artifact")
+
+
+_DELETION_ORACLE = f"""
+WITH k AS (
+  SELECT * FROM events WHERE user_id % {_DEL_MOD} != {_DEL_REM}
+), s_b AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+s_a AS (SELECT user_id FROM k GROUP BY user_id),
+r_b AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hi
+        FROM events GROUP BY user_id, epoch_ms(ts) // 3600000),
+r_a AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hi
+        FROM k GROUP BY user_id, epoch_ms(ts) // 3600000),
+f_b AS (
+  SELECT v.user_id FROM events v JOIN events p
+    ON v.event_type = 'view' AND p.event_type = 'purchase'
+   AND v.user_id = p.user_id AND p.ts >= v.ts
+   AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+), f_a AS (
+  SELECT v.user_id FROM k v JOIN k p
+    ON v.event_type = 'view' AND p.event_type = 'purchase'
+   AND v.user_id = p.user_id AND p.ts >= v.ts
+   AND epoch_us(p.ts) - epoch_us(v.ts) < 3600000000
+)
+SELECT 'hourly_rollup' AS artifact,
+       (SELECT COUNT(*) FROM r_b) AS rows_before,
+       (SELECT COUNT(*) FROM r_b
+        WHERE user_id % {_DEL_MOD} = {_DEL_REM}) AS referencing_deleted,
+       (SELECT COUNT(*) FROM r_a) AS rows_after_rederive
+UNION ALL
+SELECT 'user_summary',
+       (SELECT COUNT(*) FROM s_b),
+       (SELECT COUNT(*) FROM s_b
+        WHERE user_id % {_DEL_MOD} = {_DEL_REM}),
+       (SELECT COUNT(*) FROM s_a)
+UNION ALL
+SELECT 'view_purchase_funnel',
+       (SELECT COUNT(*) FROM f_b),
+       (SELECT COUNT(*) FROM f_b
+        WHERE user_id % {_DEL_MOD} = {_DEL_REM}),
+       (SELECT COUNT(*) FROM f_a)
+ORDER BY artifact
+"""
+
+
+# ---------------------------------------------------------------------------
+# x218 — sparse TF-IDF cosine pairs (rare-token blocked)
+# ---------------------------------------------------------------------------
+
+_TFIDF_DF_CAP = 20      # posting join restricted to tokens with df <= cap
+_TFIDF_TF_CAP = 20      # tf capped so dot^2 * 1000 stays in int64
+
+
+def _x218_sparse_tfidf_pairs(spark, tables):
+    """Sparse TF-IDF cosine similarity — the search-engine similarity
+    primitive in token space (x06/x09 are dense-embedding cosine; x05
+    is unweighted Jaccard): doc pairs are CANDIDATES only if they
+    share a rare token (df <= 20 posting self-join — the inverted-
+    index blocking that never goes all-pairs), then the FULL weighted
+    dot product is computed over every shared token of the pair.
+    Weights are exact integers: tf capped at 20 (so the squared-cosine
+    permille below stays in int64) times ibits(N div df) (the x44
+    integer log-rarity). Output is squared cosine in permille —
+    dot*dot*1000 div (|a|^2 * |b|^2) — computed as one fixed
+    division chain so both engines truncate identically; >= 250
+    (cos >= 0.5) survives.
+
+    Scale shape: the posting join is keyed by RARE tokens only
+    (df-capped — bounded fanout per token), the dot join is
+    pair-bounded, norms are one per-doc aggregate. Same complexity
+    class as x07's banding with an exact-arithmetic verifier."""
+    docs = tables["documents"].select("doc_id", "text")
+    tf = (docs.select("doc_id", F.explode(F.split("text", " "))
+                      .alias("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(F.least(F.count("*"), F.lit(_TFIDF_TF_CAP)).alias("tf")))
+    n_docs = docs.agg(F.count("*").alias("nn"))
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = (tf.join(df_, "tok").crossJoin(F.broadcast(n_docs))
+         .select("doc_id", "tok",
+                 (F.col("tf") * F.length(F.bin(F.expr("nn div df"))))
+                 .alias("w"), "df")
+         .localCheckpoint(eager=False))
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w"))
+                                    .alias("n2"))
+    rare = w.filter(F.col("df") <= _TFIDF_DF_CAP)
+    cand = (rare.select(F.col("doc_id").alias("id_a"), "tok")
+            .join(rare.select(F.col("doc_id").alias("id_b"), "tok"),
+                  "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    wa = w.select(F.col("doc_id").alias("id_a"), "tok",
+                  F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("id_b"), "tok",
+                  F.col("w").alias("wb"))
+    dots = (cand.join(wa, "id_a").join(wb, ["id_b", "tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    return (dots
+            .join(norms.select(F.col("doc_id").alias("id_a"),
+                               F.col("n2").alias("n2a")), "id_a")
+            .join(norms.select(F.col("doc_id").alias("id_b"),
+                               F.col("n2").alias("n2b")), "id_b")
+            .select("id_a", "id_b",
+                    F.expr("dot * dot * 1000 div (n2a * n2b)")
+                    .alias("cos2_permille"))
+            .filter(F.col("cos2_permille") >= 250)
+            .orderBy("id_a", "id_b"))
+
+
+_SPARSE_TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, tok, LEAST(COUNT(*), {_TFIDF_TF_CAP}) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+), nd AS (SELECT COUNT(*) AS nn FROM documents),
+dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+w AS MATERIALIZED (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * length(bin(nn // df)) AS w, dfr.df
+  FROM tf JOIN dfr USING (tok), nd
+), norms AS (
+  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+), rare AS (SELECT doc_id, tok FROM w WHERE df <= {_TFIDF_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+), dots AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.id_a
+  JOIN w wb ON wb.doc_id = c.id_b AND wb.tok = wa.tok
+  GROUP BY c.id_a, c.id_b
+)
+SELECT d.id_a, d.id_b,
+       d.dot * d.dot * 1000 // (na.n2 * nb.n2) AS cos2_permille
+FROM dots d JOIN norms na ON na.doc_id = d.id_a
+            JOIN norms nb ON nb.doc_id = d.id_b
+WHERE d.dot * d.dot * 1000 // (na.n2 * nb.n2) >= 250
+ORDER BY d.id_a, d.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# x219 — Hamilton (largest-remainder) sample allocation
+# ---------------------------------------------------------------------------
+
+_HAMILTON_BUDGET = 10_000
+
+
+def _x219_hamilton_allocation(spark, tables):
+    """EXACT PROPORTIONAL SAMPLE ALLOCATION by the Hamilton
+    largest-remainder method — the apportionment rule that turns 'give
+    each source its fair share of a 10k-doc sample budget' into
+    integers that provably sum to the budget: each source gets
+    floor(budget * n_s / N), and the leftover seats go to the largest
+    fractional remainders (tie to source name). Every mixing entry
+    (x120/x139/x185) needs this step before it can materialize a
+    sample; rounding naively either over- or under-draws the budget.
+
+    Scale shape: one |sources|-row count aggregate, a broadcast of the
+    single-row total, one window over the |sources|-row table
+    (bounded — never corpus-proportional). Output |sources| rows."""
+    d = tables["documents"]
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("nn"))
+    base = (counts.crossJoin(F.broadcast(tot))
+            .select("source", "n_docs",
+                    F.expr(f"n_docs * {_HAMILTON_BUDGET} div nn")
+                    .alias("base_alloc"),
+                    F.expr(f"n_docs * {_HAMILTON_BUDGET} % nn")
+                    .alias("rem"), "nn"))
+    wsum = base.agg(F.sum("base_alloc").alias("sb"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    return (base.crossJoin(F.broadcast(wsum))
+            .withColumn("rk", F.row_number().over(w))
+            .select("source", "n_docs", "base_alloc",
+                    (F.col("rk") <= _HAMILTON_BUDGET - F.col("sb"))
+                    .cast("long").alias("extra"))
+            .withColumn("final_alloc",
+                        F.col("base_alloc") + F.col("extra"))
+            .orderBy("source"))
+
+
+_HAMILTON_ORACLE = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM c),
+b AS (
+  SELECT source, n_docs,
+         n_docs * {_HAMILTON_BUDGET} // nn AS base_alloc,
+         n_docs * {_HAMILTON_BUDGET} % nn AS rem
+  FROM c, t
+), s AS (SELECT CAST(SUM(base_alloc) AS BIGINT) AS sb FROM b),
+r AS (
+  SELECT source, n_docs, base_alloc, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+  FROM b
+)
+SELECT source, n_docs, base_alloc,
+       CAST(CASE WHEN rk <= {_HAMILTON_BUDGET} - sb THEN 1 ELSE 0 END
+            AS BIGINT) AS extra,
+       base_alloc + CASE WHEN rk <= {_HAMILTON_BUDGET} - sb
+                         THEN 1 ELSE 0 END AS final_alloc
+FROM r, s ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# x220 — discrete-time hazard (churn) table with censoring
+# ---------------------------------------------------------------------------
+
+_HAZARD_WEEK_US = 7 * 24 * 3600 * 1_000_000
+_HAZARD_MAX_WEEK = 12
+
+
+def _x220_hazard_table(spark, tables):
+    """DISCRETE-TIME CHURN HAZARD with right-censoring — the
+    survival-analysis table x47's cohort retention cannot give: per
+    week-since-first-event k, the users still AT RISK (observed and
+    alive through week k), the users who CHURNED in week k (last
+    activity in week k while the observation window extends beyond
+    it), and the hazard in permille. Users whose observation window
+    itself ends in week k are CENSORED, not churned — the distinction
+    naive retention curves get wrong and the reason this is the
+    estimator a churn model trains on. Integer week arithmetic
+    end-to-end.
+
+    Scale shape: one per-user min/max aggregate (map-side
+    combinable), a broadcast single-row observation end, a 13-way
+    explode of the |users|-row table, one (week) aggregate. Nothing
+    after the first aggregate is event-proportional."""
+    e = tables["events"].select("user_id", F.unix_micros("ts").alias("us"))
+    per = e.groupBy("user_id").agg(F.min("us").alias("first_us"),
+                                   F.max("us").alias("last_us"))
+    end = e.agg(F.max("us").alias("end_us"))
+    spans = (per.crossJoin(F.broadcast(end))
+             .select(F.expr(f"(last_us - first_us) div {_HAZARD_WEEK_US}")
+                     .alias("life_w"),
+                     F.expr(f"(end_us - first_us) div {_HAZARD_WEEK_US}")
+                     .alias("obs_w")))
+    k = F.explode(F.sequence(F.lit(0), F.lit(_HAZARD_MAX_WEEK))).alias("k")
+    graded = (spans.select("life_w", "obs_w", k)
+              .filter((F.col("life_w") >= F.col("k"))
+                      & (F.col("obs_w") >= F.col("k"))))
+    return (graded.groupBy("k")
+            .agg(F.count("*").alias("n_at_risk"),
+                 F.sum(((F.col("life_w") == F.col("k"))
+                        & (F.col("obs_w") > F.col("k"))).cast("long"))
+                 .alias("n_churned"))
+            .select(F.col("k").alias("week"), "n_at_risk", "n_churned",
+                    F.expr("n_churned * 1000 div n_at_risk")
+                    .alias("hazard_permille"))
+            .orderBy("week"))
+
+
+_HAZARD_ORACLE = f"""
+WITH per AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+), e AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+spans AS (
+  SELECT (last_us - first_us) // {_HAZARD_WEEK_US} AS life_w,
+         (end_us - first_us) // {_HAZARD_WEEK_US} AS obs_w
+  FROM per, e
+), g AS (
+  SELECT life_w, obs_w, k
+  FROM spans, LATERAL (SELECT unnest(generate_series(
+                           0, {_HAZARD_MAX_WEEK})) AS k) t
+  WHERE life_w >= k AND obs_w >= k
+)
+SELECT k AS week, CAST(COUNT(*) AS BIGINT) AS n_at_risk,
+       CAST(SUM(CASE WHEN life_w = k AND obs_w > k
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(SUM(CASE WHEN life_w = k AND obs_w > k
+                THEN 1 ELSE 0 END) * 1000 AS BIGINT) // COUNT(*)
+           AS hazard_permille
+FROM g GROUP BY k ORDER BY week
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -924,6 +1271,10 @@ def audit_queries():
         "x214_zorder_clustering": _q(_x214_zorder_clustering),
         "x215_interarrival_octaves": _q(_x215_interarrival_octaves),
         "x216_bucket_balance_audit": _q(_x216_bucket_balance_audit),
+        "x217_deletion_propagation": _q(_x217_deletion_propagation),
+        "x218_sparse_tfidf_pairs": _q(_x218_sparse_tfidf_pairs),
+        "x219_hamilton_allocation": _q(_x219_hamilton_allocation),
+        "x220_hazard_table": _q(_x220_hazard_table),
     }
 
 
@@ -940,4 +1291,8 @@ def audit_oracle_sql() -> dict[str, str]:
         "x214_zorder_clustering": _zorder_oracle_sql(),
         "x215_interarrival_octaves": _INTERARRIVAL_ORACLE,
         "x216_bucket_balance_audit": _bucket_balance_oracle_sql(),
+        "x217_deletion_propagation": _DELETION_ORACLE,
+        "x218_sparse_tfidf_pairs": _SPARSE_TFIDF_ORACLE,
+        "x219_hamilton_allocation": _HAMILTON_ORACLE,
+        "x220_hazard_table": _HAZARD_ORACLE,
     }

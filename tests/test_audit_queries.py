@@ -181,3 +181,54 @@ def test_interarrival_octaves_toy(spark):
            for r in _x215_interarrival_octaves(
                spark, {"events": e}).collect()}
     assert got == {1: 1, 2: 2, 20: 1}
+
+
+def test_hamilton_allocation_sums_to_budget(spark, sf_dir):
+    """Largest-remainder apportionment: final allocations must sum to
+    EXACTLY the budget and differ from the unrounded share by < 1."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _HAMILTON_BUDGET, _x219_hamilton_allocation)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    rows = _x219_hamilton_allocation(spark, tables).collect()
+    assert sum(r["final_alloc"] for r in rows) == _HAMILTON_BUDGET
+    n = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        exact = _HAMILTON_BUDGET * r["n_docs"] / n
+        assert abs(r["final_alloc"] - exact) < 1.0, r
+
+
+def test_hazard_table_censoring_toy(spark):
+    """3 users: A active weeks 0..2 then gone (churns week 2), B active
+    through the end (censored, never churned), C active only week 0
+    (churns week 0). Observation end = B's last event."""
+    wk = 7 * 24 * 3600 * 1_000_000
+    rows = [("A", 0), ("A", 2 * wk + 5), ("B", 0), ("B", 4 * wk + 5),
+            ("C", 10)]
+    e = spark.createDataFrame(
+        [(i, us, u) for i, (u, us) in enumerate(rows)],
+        "event_id long, us long, user_id string") \
+        .select("event_id", F.timestamp_micros("us").alias("ts"),
+                "user_id")
+    from hive_parse_lineage_spark.audit_queries import _x220_hazard_table
+    got = {r["week"]: r.asDict()
+           for r in _x220_hazard_table(spark, {"events": e}).collect()}
+    # week 0: all 3 at risk; C churns (lifespan 0, observed 4)
+    assert (got[0]["n_at_risk"], got[0]["n_churned"]) == (3, 1)
+    # week 2: A and B at risk; A churns
+    assert (got[2]["n_at_risk"], got[2]["n_churned"]) == (2, 1)
+    # week 4: only B at risk; B is censored (obs_w == life_w) — 0 churn
+    assert (got[4]["n_at_risk"], got[4]["n_churned"]) == (1, 0)
+
+
+def test_deletion_propagation_reconciles(spark, sf_dir):
+    """For user-keyed artifacts, rows_after must equal rows_before
+    minus the deleted-user residue — the audit's invariant."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _x217_deletion_propagation)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    for r in _x217_deletion_propagation(spark, tables).collect():
+        assert (r["rows_after_rederive"]
+                == r["rows_before"] - r["referencing_deleted"]), r
+        assert r["referencing_deleted"] > 0, r

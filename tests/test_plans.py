@@ -623,6 +623,19 @@ _HINT_BUDGETS = {
                                      "aggregate, no joins"),
     "x216_bucket_balance_audit": (0, "N-group count aggregates per "
                                      "side, scalar rollups, no joins"),
+    "x217_deletion_propagation": (0, "per-artifact aggregates + the "
+                                     "funnel equi-join; AQE decides"),
+    "x218_sparse_tfidf_pairs": (1, "the ONLY hinted table is the "
+                                   "1-row corpus count folded into "
+                                   "the weight projection; posting "
+                                   "and dot joins are unhinted"),
+    "x219_hamilton_allocation": (3, "1-row broadcasts only: the total "
+                                    "(seen twice — the base table "
+                                    "feeds both the base-sum and the "
+                                    "main chain) and the base-sum — "
+                                    "never data-proportional"),
+    "x220_hazard_table": (1, "one 1-row observation-end broadcast "
+                             "into the |users|-row span table"),
 }
 
 
