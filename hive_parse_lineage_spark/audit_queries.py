@@ -1025,24 +1025,27 @@ _TFIDF_TF_CAP = 20      # tf capped so dot^2 * 1000 stays in int64
 
 def _x218_sparse_tfidf_pairs(spark, tables):
     """Sparse TF-IDF cosine similarity — the search-engine similarity
-    primitive in token space (x06/x09 are dense-embedding cosine; x05
-    is unweighted Jaccard): doc pairs are CANDIDATES only if they
-    share a rare token (df <= 20 posting self-join — the inverted-
-    index blocking that never goes all-pairs), then the FULL weighted
-    dot product is computed over every shared token of the pair.
-    Weights are exact integers: tf capped at 20 (so the squared-cosine
-    permille below stays in int64) times ibits(N div df) (the x44
-    integer log-rarity). Output is squared cosine in permille —
-    dot*dot*1000 div (|a|^2 * |b|^2) — computed as one fixed
-    division chain so both engines truncate identically; >= 250
-    (cos >= 0.5) survives.
+    primitive in TERM space (x06/x09 are dense-embedding cosine; x05
+    is unweighted Jaccard): terms are 3-word shingles (the corpus
+    vocabulary is a 31-word closed set, so unigram idf is flat —
+    shingles carry the discriminative mass, x41's lesson), doc pairs
+    are CANDIDATES only if they share a rare term (df <= 20 posting
+    self-join — inverted-index blocking with per-term fanout capped,
+    never all-pairs), then the FULL weighted dot product is computed
+    over every shared term of the pair. Weights are exact integers:
+    tf capped at 20 (so the squared-cosine permille below stays in
+    int64) times ibits(N div df) (the x44 integer log-rarity). Output
+    is squared cosine in permille — dot*dot*1000 div (|a|^2 * |b|^2),
+    one fixed division chain so both engines truncate identically;
+    >= 250 (cos >= 0.5) survives.
 
-    Scale shape: the posting join is keyed by RARE tokens only
-    (df-capped — bounded fanout per token), the dot join is
+    Scale shape: the posting join is keyed by RARE terms only
+    (df-capped — bounded fanout per term), the dot join is
     pair-bounded, norms are one per-doc aggregate. Same complexity
     class as x07's banding with an exact-arithmetic verifier."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"].select("doc_id", "text")
-    tf = (docs.select("doc_id", F.explode(F.split("text", " "))
+    tf = (docs.select("doc_id", F.explode(word_shingles("text", 3))
                       .alias("tok"))
           .groupBy("doc_id", "tok")
           .agg(F.least(F.count("*"), F.lit(_TFIDF_TF_CAP)).alias("tf")))
@@ -1081,11 +1084,18 @@ def _x218_sparse_tfidf_pairs(spark, tables):
 
 
 _SPARSE_TFIDF_ORACLE = f"""
-WITH tf AS (
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                ELSE [text] END) AS tok
+  FROM toks
+), tf AS (
   SELECT doc_id, tok, LEAST(COUNT(*), {_TFIDF_TF_CAP}) AS tf
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents)
-  GROUP BY doc_id, tok
+  FROM sh GROUP BY doc_id, tok
 ), nd AS (SELECT COUNT(*) AS nn FROM documents),
 dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 w AS MATERIALIZED (
