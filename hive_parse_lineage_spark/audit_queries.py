@@ -1265,6 +1265,176 @@ FROM g GROUP BY k ORDER BY week
 
 
 # ---------------------------------------------------------------------------
+# x221 — text-normalization collision census (idempotence-audited)
+# ---------------------------------------------------------------------------
+
+def _norm_spark(col):
+    # punctuation becomes a SPACE (not deleted): deleting would glue
+    # adjacent tokens ("a--b" -> "ab") and manufacture false merges
+    return F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(col), "[^a-z0-9 ]", " "), " +", " "))
+
+
+_NORM_DUCK = ("trim(regexp_replace(regexp_replace(lower({c}), "
+              "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+def _x221_normalization_collisions(spark, tables):
+    """TEXT-NORMALIZATION collision census — what the canonicalization
+    step every dedup pipeline runs BEFORE hashing actually does to the
+    corpus: per source, raw distinct texts vs distinct texts after
+    normalize (lowercase, strip non-alphanumerics, collapse spaces),
+    and the collision count — document pairs that become identical
+    ONLY under normalization (raw-distinct minus norm-distinct). That
+    delta is exactly the extra dedup mass a normalized exact-dedup
+    pass (x11 on normalized text) gains, and a spike in it flags
+    punctuation/casing noise in one source. The normalizer is audited
+    idempotent in tests (f(f(x)) = f(x)) — a non-idempotent
+    normalizer silently makes dedup order-dependent.
+
+    Scale shape: one scan with two countDistinct aggregates per
+    source (map-side partial; the normalize is a projection). Output
+    |sources| rows. No joins."""
+    d = tables["documents"].select(
+        "source", F.col("text").alias("raw"),
+        _norm_spark(F.col("text")).alias("norm"))
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("raw").alias("distinct_raw"),
+                 F.countDistinct("norm").alias("distinct_norm"))
+            .withColumn("collisions",
+                        F.col("distinct_raw") - F.col("distinct_norm"))
+            .orderBy("source"))
+
+
+_NORM_COLLISION_ORACLE = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_raw,
+       CAST(COUNT(DISTINCT {_NORM_DUCK.format(c='text')}) AS BIGINT)
+           AS distinct_norm,
+       CAST(COUNT(DISTINCT text)
+            - COUNT(DISTINCT {_NORM_DUCK.format(c='text')}) AS BIGINT)
+           AS collisions
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# x222 — k-anonymity census over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+def _x222_kanonymity_census(spark, tables):
+    """K-ANONYMITY census — the privacy audit run before a table is
+    released: under the quasi-identifier (c_nationkey, c_mktsegment),
+    every customer belongs to an equivalence class; a released row is
+    k-anonymous iff its class has >= k members. The report is the
+    class-size OCTAVE histogram (floor(log2 k)+1 — x148's bucketing)
+    plus per-bucket row mass, and the headline min class size: if any
+    class has 1 member, the release re-identifies someone no matter
+    what the k policy says. Suppression/generalization decisions read
+    exactly this table.
+
+    Scale shape: one (QI) count aggregate, one |classes|-row octave
+    aggregate, a 1-row min crossed in (bounded). No joins."""
+    c = tables["customer"]
+    cls = (c.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.count("*").alias("k")))
+    octv = (cls.groupBy(F.length(F.bin("k")).alias("k_octave"))
+            .agg(F.count("*").alias("n_classes"),
+                 F.sum("k").alias("n_rows"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k")))
+    overall = cls.agg(F.min("k").alias("global_min_k"))
+    return (octv.crossJoin(F.broadcast(overall))
+            .select("k_octave", "n_classes", "n_rows", "min_k", "max_k",
+                    "global_min_k")
+            .orderBy("k_octave"))
+
+
+_KANON_ORACLE = """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+), o AS (
+  SELECT CAST(length(bin(k)) AS BIGINT) AS k_octave,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(k) AS BIGINT) AS n_rows,
+         MIN(k) AS min_k, MAX(k) AS max_k
+  FROM cls GROUP BY length(bin(k))
+), g AS (SELECT MIN(k) AS global_min_k FROM cls)
+SELECT k_octave, n_classes, n_rows, min_k, max_k, g.global_min_k
+FROM o, g ORDER BY k_octave
+"""
+
+
+# ---------------------------------------------------------------------------
+# x223 — join-output skew contribution (top keys by produced rows)
+# ---------------------------------------------------------------------------
+
+def _x223_join_output_skew(spark, tables):
+    """JOIN-OUTPUT skew diagnosis — x109 profiles per-TABLE key skew;
+    this profiles what the JOIN will actually produce: for the
+    many-to-many (lineitem x orders ON custkey-derived nationkey...
+    deliberately the SKEWED shape: lineitem joined to orders via
+    orderkey is 1:N and boring, so the audit uses l_suppkey x
+    s_suppkey enriched to s_nationkey) — per join key, the output
+    contribution is count_left * count_right, WITHOUT running the
+    join: two per-key count aggregates multiplied. The report is the
+    top-10 nation keys by contribution plus each key's permille of
+    total output — the number that says which key AQE's skew split
+    (or a salting pass, operators/skew.py) must handle, before any
+    shuffle is paid.
+
+    Scale shape: two per-key counts (map-side combinable), a
+    |keys|-row join of the two count tables, a bounded top-10. The
+    join itself is never executed — that's the point."""
+    li = tables["lineitem"]
+    s = tables["supplier"]
+    left = (li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.col("s_nationkey").alias("key"))
+            .agg(F.count("*").alias("cl")))
+    right = (tables["customer"]
+             .groupBy(F.col("c_nationkey").alias("key"))
+             .agg(F.count("*").alias("cr")))
+    contrib = (left.join(right, "key")
+               .select("key", "cl", "cr",
+                       (F.col("cl") * F.col("cr")).alias("out_rows")))
+    tot = contrib.agg(F.sum("out_rows").alias("t"))
+    w = Window.orderBy(F.col("out_rows").desc(), F.col("key"))
+    return (contrib.crossJoin(F.broadcast(tot))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("key", "cl", "cr", "out_rows",
+                    F.expr("out_rows * 1000 div t")
+                    .alias("contribution_permille"),
+                    F.col("rk").cast("long").alias("rank"))
+            .orderBy("rank"))
+
+
+_JOIN_SKEW_ORACLE = """
+WITH l AS (
+  SELECT s.s_nationkey AS key, CAST(COUNT(*) AS BIGINT) AS cl
+  FROM lineitem li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey
+), r AS (
+  SELECT c_nationkey AS key, CAST(COUNT(*) AS BIGINT) AS cr
+  FROM customer GROUP BY c_nationkey
+), c AS (
+  SELECT l.key, l.cl, r.cr, l.cl * r.cr AS out_rows
+  FROM l JOIN r USING (key)
+), t AS (SELECT CAST(SUM(out_rows) AS BIGINT) AS t FROM c),
+rk AS (
+  SELECT key, cl, cr, out_rows,
+         ROW_NUMBER() OVER (ORDER BY out_rows DESC, key) AS rank
+  FROM c
+)
+SELECT rk.key, rk.cl, rk.cr, rk.out_rows,
+       rk.out_rows * 1000 // t.t AS contribution_permille,
+       CAST(rank AS BIGINT) AS rank
+FROM rk, t WHERE rank <= 10 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1285,6 +1455,9 @@ def audit_queries():
         "x218_sparse_tfidf_pairs": _q(_x218_sparse_tfidf_pairs),
         "x219_hamilton_allocation": _q(_x219_hamilton_allocation),
         "x220_hazard_table": _q(_x220_hazard_table),
+        "x221_normalization_collisions": _q(_x221_normalization_collisions),
+        "x222_kanonymity_census": _q(_x222_kanonymity_census),
+        "x223_join_output_skew": _q(_x223_join_output_skew),
     }
 
 
@@ -1305,4 +1478,7 @@ def audit_oracle_sql() -> dict[str, str]:
         "x218_sparse_tfidf_pairs": _SPARSE_TFIDF_ORACLE,
         "x219_hamilton_allocation": _HAMILTON_ORACLE,
         "x220_hazard_table": _HAZARD_ORACLE,
+        "x221_normalization_collisions": _NORM_COLLISION_ORACLE,
+        "x222_kanonymity_census": _KANON_ORACLE,
+        "x223_join_output_skew": _JOIN_SKEW_ORACLE,
     }

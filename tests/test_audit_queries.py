@@ -232,3 +232,48 @@ def test_deletion_propagation_reconciles(spark, sf_dir):
         assert (r["rows_after_rederive"]
                 == r["rows_before"] - r["referencing_deleted"]), r
         assert r["referencing_deleted"] > 0, r
+
+
+def test_normalizer_is_idempotent_and_counts_collisions(spark):
+    """f(f(x)) == f(x) for messy inputs, and the census counts exactly
+    the pairs that collide only under normalization."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _norm_spark, _x221_normalization_collisions)
+    messy = ["  Hello,   WORLD!! ", "hello world", "A--B  c",
+             "a b C", "unique one"]
+    df = spark.createDataFrame([(t,) for t in messy], "t string")
+    once = [r["n"] for r in df.select(_norm_spark(F.col("t"))
+                                      .alias("n")).collect()]
+    twice = [r["n2"] for r in
+             spark.createDataFrame([(t,) for t in once], "t string")
+             .select(_norm_spark(F.col("t")).alias("n2")).collect()]
+    assert once == twice
+    docs = spark.createDataFrame(
+        [(i + 1, t, "s") for i, t in enumerate(messy)],
+        "doc_id long, text string, source string")
+    row = _x221_normalization_collisions(
+        spark, {"documents": docs}).collect()[0]
+    # 5 raw-distinct texts -> 3 normalized ("hello world", "a b c",
+    # "unique one") -> 2 collisions
+    assert (row["distinct_raw"], row["distinct_norm"],
+            row["collisions"]) == (5, 3, 2)
+
+
+def test_join_output_skew_matches_actual_join(spark, sf_dir):
+    """The predicted output contribution (cl * cr per key) must equal
+    the ACTUAL join output count per key — predicted without paying
+    for the join is the operator's promise."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _x223_join_output_skew)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    pred = {r["key"]: r["out_rows"]
+            for r in _x223_join_output_skew(spark, tables).collect()}
+    li, s, c = tables["lineitem"], tables["supplier"], tables["customer"]
+    actual = (li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(c, F.col("s_nationkey") == F.col("c_nationkey"))
+              .groupBy("s_nationkey").agg(F.count("*").alias("n"))
+              .collect())
+    actual = {r["s_nationkey"]: r["n"] for r in actual}
+    for k, v in pred.items():
+        assert actual[k] == v, (k, v, actual.get(k))

@@ -636,6 +636,14 @@ _HINT_BUDGETS = {
                                     "never data-proportional"),
     "x220_hazard_table": (1, "one 1-row observation-end broadcast "
                              "into the |users|-row span table"),
+    "x221_normalization_collisions": (0, "one scan, per-source "
+                                         "countDistinct aggregates, "
+                                         "no joins"),
+    "x222_kanonymity_census": (1, "one 1-row global-min broadcast "
+                                  "into the octave table"),
+    "x223_join_output_skew": (1, "the fact join runs unhinted; the "
+                                 "ONLY hinted table is the 1-row "
+                                 "contribution total"),
 }
 
 
