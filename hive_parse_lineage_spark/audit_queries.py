@@ -861,18 +861,27 @@ def _x216_bucket_balance_audit(spark, tables):
     (operators/skew.py) — the one number that decides between N=32
     and N=128 before 100 TB gets rewritten.
 
-    Scale shape: per N, one N-group count aggregate per side (map-side
-    combinable; output is N rows) and a scalar rollup; the report is
-    |Ns| x 2 rows. No joins anywhere — the audit costs two scans."""
+    Scale shape: ONE scan + one 128-group count aggregate per side —
+    the candidate Ns form a divisor chain (8 | 32 | 128), so
+    h mod 8 = (h mod 128) mod 8 and every coarser bucketing rolls up
+    from the pinned 128-row fine table; the md5-fold hash is computed
+    once per row, not once per (row, N). The report is |Ns| x 2 rows.
+    No joins anywhere — the audit costs two scans."""
     from hive_parse_lineage_spark.functions.text import portable_hash64
+    n_fine = max(_BUCKET_COUNTS)
     out = None
     sides = (("orders", tables["orders"], "o_custkey"),
              ("customer", tables["customer"], "c_custkey"))
-    for n in _BUCKET_COUNTS:
-        for side, df, key in sides:
-            b = (df.select(F.pmod(portable_hash64(
-                F.col(key).cast("string")), F.lit(n)).alias("bucket"))
-                .groupBy("bucket").agg(F.count("*").alias("c")))
+    for side, df, key in sides:
+        fine = (df.select(F.pmod(portable_hash64(
+            F.col(key).cast("string")), F.lit(n_fine)).alias("bf"))
+            .groupBy("bf").agg(F.count("*").alias("c"))
+            # <= n_fine rows; pinned because every N rolls up from it
+            .localCheckpoint(eager=True))
+        for n in _BUCKET_COUNTS:
+            b = (fine.groupBy(F.pmod(F.col("bf"), F.lit(n))
+                              .alias("bucket"))
+                 .agg(F.sum("c").alias("c")))
             rep = (b.agg(F.sum("c").alias("total"),
                          F.max("c").alias("mx"),
                          F.count("*").alias("used"))
