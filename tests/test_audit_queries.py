@@ -277,3 +277,22 @@ def test_join_output_skew_matches_actual_join(spark, sf_dir):
     actual = {r["s_nationkey"]: r["n"] for r in actual}
     for k, v in pred.items():
         assert actual[k] == v, (k, v, actual.get(k))
+
+
+def test_reciprocal_best_match_tie_and_asymmetry(spark):
+    """3 identical docs A,B,C: every best-neighbor points to the
+    lowest-id other doc, so A<->B is mutual but C->A is asymmetric
+    (A prefers B) and must NOT survive; an isolated identical pair
+    D,E is mutual."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _x210_reciprocal_best_match)
+    tri = "alpha beta gamma delta epsilon zeta eta theta"
+    pair = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, tri), (2, tri), (3, tri), (4, pair), (5, pair)],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in _x210_reciprocal_best_match(
+               spark, {"documents": docs}).collect()}
+    assert set(got) == {(1, 2), (4, 5)}
+    assert all(v == 1.0 for v in got.values())
