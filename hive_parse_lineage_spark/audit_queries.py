@@ -1037,21 +1037,22 @@ def _x218_sparse_tfidf_pairs(spark, tables):
     primitive in TERM space (x06/x09 are dense-embedding cosine; x05
     is unweighted Jaccard): terms are 3-word shingles (the corpus
     vocabulary is a 31-word closed set, so unigram idf is flat —
-    shingles carry the discriminative mass, x41's lesson), doc pairs
-    are CANDIDATES only if they share a rare term (df <= 20 posting
-    self-join — inverted-index blocking with per-term fanout capped,
-    never all-pairs), then the FULL weighted dot product is computed
-    over every shared term of the pair. Weights are exact integers:
-    tf capped at 20 (so the squared-cosine permille below stays in
-    int64) times ibits(N div df) (the x44 integer log-rarity). Output
-    is squared cosine in permille — dot*dot*1000 div (|a|^2 * |b|^2),
-    one fixed division chain so both engines truncate identically;
-    >= 250 (cos >= 0.5) survives.
+    shingles carry the discriminative mass, x41's lesson), and the
+    vector space drops terms with df > 20 — the stoplist move every
+    search engine makes, which here also bounds the posting join. The
+    dot product then aggregates DIRECTLY off the posting self-join
+    (sum of df^2 rows per term, df-capped — never all-pairs, never a
+    pair-times-terms re-join). Weights are exact integers: tf capped
+    at 20 (so the squared-cosine permille below stays in int64 — at
+    corpora where ibits(N/df) exceeds ~15, halve the tf cap) times
+    ibits(N div df) (the x44 integer log-rarity). Output is squared
+    cosine in permille — dot*dot*1000 div (|a|^2 * |b|^2), one fixed
+    division chain so both engines truncate identically; >= 250
+    (cos >= 0.5) survives.
 
-    Scale shape: the posting join is keyed by RARE terms only
-    (df-capped — bounded fanout per term), the dot join is
-    pair-bounded, norms are one per-doc aggregate. Same complexity
-    class as x07's banding with an exact-arithmetic verifier."""
+    Scale shape: ONE posting self-join keyed by rare terms
+    (per-term fanout <= df-cap choose 2) feeding a pair-keyed SUM,
+    one per-doc norm aggregate, two pair-bounded norm joins."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"].select("doc_id", "text")
     tf = (docs.select("doc_id", F.explode(word_shingles("text", 3))
@@ -1060,24 +1061,26 @@ def _x218_sparse_tfidf_pairs(spark, tables):
           .agg(F.least(F.count("*"), F.lit(_TFIDF_TF_CAP)).alias("tf")))
     n_docs = docs.agg(F.count("*").alias("nn"))
     df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    w = (tf.join(df_, "tok").crossJoin(F.broadcast(n_docs))
+    # stopword drop IS the vector space: terms with df > cap carry no
+    # weight (boilerplate shingles from big dup families — the same
+    # terms a search engine stoplists), so the dot product aggregates
+    # DIRECTLY off the posting self-join (sum df^2 rows, df-capped)
+    # with no pair-times-terms re-join — the spelling that blew up
+    # both engines at sf1.0 before this restriction
+    w = (tf.join(df_.filter(F.col("df") <= _TFIDF_DF_CAP), "tok")
+         .crossJoin(F.broadcast(n_docs))
          .select("doc_id", "tok",
                  (F.col("tf") * F.length(F.bin(F.expr("nn div df"))))
-                 .alias("w"), "df")
+                 .alias("w"))
          .localCheckpoint(eager=False))
     norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w"))
                                     .alias("n2"))
-    rare = w.filter(F.col("df") <= _TFIDF_DF_CAP)
-    cand = (rare.select(F.col("doc_id").alias("id_a"), "tok")
-            .join(rare.select(F.col("doc_id").alias("id_b"), "tok"),
-                  "tok")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
     wa = w.select(F.col("doc_id").alias("id_a"), "tok",
                   F.col("w").alias("wa"))
     wb = w.select(F.col("doc_id").alias("id_b"), "tok",
                   F.col("w").alias("wb"))
-    dots = (cand.join(wa, "id_a").join(wb, ["id_b", "tok"])
+    dots = (wa.join(wb, "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
     return (dots
@@ -1106,23 +1109,19 @@ WITH toks AS (
   SELECT doc_id, tok, LEAST(COUNT(*), {_TFIDF_TF_CAP}) AS tf
   FROM sh GROUP BY doc_id, tok
 ), nd AS (SELECT COUNT(*) AS nn FROM documents),
-dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        HAVING COUNT(*) <= {_TFIDF_DF_CAP}),
 w AS MATERIALIZED (
   SELECT tf.doc_id, tf.tok,
-         tf.tf * length(bin(nn // df)) AS w, dfr.df
+         tf.tf * length(bin(nn // df)) AS w
   FROM tf JOIN dfr USING (tok), nd
 ), norms AS (
   SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
-), rare AS (SELECT doc_id, tok FROM w WHERE df <= {_TFIDF_DF_CAP}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
 ), dots AS (
-  SELECT c.id_a, c.id_b, CAST(SUM(wa.w * wb.w) AS BIGINT) AS dot
-  FROM cand c
-  JOIN w wa ON wa.doc_id = c.id_a
-  JOIN w wb ON wb.doc_id = c.id_b AND wb.tok = wa.tok
-  GROUP BY c.id_a, c.id_b
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
 SELECT d.id_a, d.id_b,
        d.dot * d.dot * 1000 // (na.n2 * nb.n2) AS cos2_permille
