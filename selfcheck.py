@@ -44,6 +44,14 @@ class EntryGuard:
     (stop streams, cancel Spark jobs, interrupt DuckDB); exceptions
     from hooks are swallowed — cancellation is best-effort.
     ``timeout_s == 0`` disables the guard entirely.
+
+    Known limit: the hooks can interrupt the ENGINES but not the
+    harness's own pure-Python normalize/hash phase (tests/oracle.py),
+    which for a ~60M-row result (q12 at sf1.0) runs 10+ minutes per
+    side — under a watchdog that entry reports TIMEOUT even though
+    both engines finished in seconds. Replay huge-result entries with
+    the watchdog OFF (r7/r8 practice), or vectorize ``normalize``
+    before tightening the guard further.
     """
 
     def __init__(self, timeout_s: float, cancel_hooks):
