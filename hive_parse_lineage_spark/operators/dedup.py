@@ -341,18 +341,33 @@ def simhash_agg(df: DataFrame, text_col: str = "text",
     toks = (token_expr if token_expr is not None
             else F.split(F.col(text_col), " "))
     base = hasher if hasher is not None else F.xxhash64
+    # explode_outer + a size tag so NULL/empty token arrays keep their
+    # doc row exactly like the projection variant (ADVICE r8: plain
+    # explode silently dropped NULL-array docs from candidate
+    # generation): _sz == -1 marks a NULL array (NULL signature, as
+    # aggregate(NULL,...) yields in the projection form), _sz == 0 an
+    # empty one (signature 0); the padding row's _h stays NULL so it
+    # feeds no SUM register, while a genuine NULL ELEMENT of a
+    # non-empty array is hashed — base(NULL) — just as transform() does.
     exploded = (_spread_for_compute(df)
-                .select(id_col, F.explode(toks).alias("_t"))
-                .select(id_col, base(F.col("_t")).alias("_h")))
+                .select(id_col,
+                        F.coalesce(F.size(toks), F.lit(-1)).alias("_sz"),
+                        F.explode_outer(toks).alias("_t"))
+                .select(id_col, "_sz",
+                        F.when(F.col("_sz") >= 1,
+                               base(F.col("_t"))).alias("_h")))
     aggs = [F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1)))
             .alias(f"_o{b}") for b in range(64)]
-    per_doc = exploded.groupBy(id_col).agg(F.count("*").alias("_t"), *aggs)
+    per_doc = exploded.groupBy(id_col).agg(
+        F.count("_h").alias("_t"), F.min("_sz").alias("_sz"), *aggs)
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
     sig = F.lit(0).cast("long")
     for b, m in enumerate(masks):
         sig = sig.bitwiseOR(
             F.when(F.col(f"_o{b}") * 2 > F.col("_t"),
                    F.lit(m).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = F.when(F.col("_sz") == -1, F.lit(None).cast("long")) \
+           .otherwise(sig)
     return per_doc.select(id_col, sig.alias("simhash"))
 
 

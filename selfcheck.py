@@ -160,22 +160,30 @@ def main() -> None:
     # variants in bench.py --scale-sweep.
     entry_timeout = int(os.environ.get("SPARK_GRAFT_ENTRY_TIMEOUT", "0"))
 
-    # `holder` so the hooks and the compare always use the CURRENT
-    # connection: after a timeout the interrupted connection may carry
-    # a pending-interrupt flag into the next query, so the main loop
-    # reconnects (de-poisons) before sweeping on.
+    # `holder` so the compare always uses the CURRENT connection: after
+    # a timeout the interrupted connection may carry a pending-interrupt
+    # flag into the next query, so the main loop reconnects (de-poisons)
+    # before sweeping on.
     holder = {"con": con}
 
     def _stop_streams():
         for q in spark.streams.active:
             q.stop()
 
-    guard = EntryGuard(entry_timeout, [
-        _stop_streams,
-        lambda: spark.sparkContext.cancelAllJobs(),
-        lambda: holder["con"].interrupt(),
-    ])
-    _guarded = guard.run
+    def _guarded(fn):
+        # The interrupt hook binds the connection AT GUARD START
+        # (ADVICE r8): a stale timer thread that loses the race with
+        # the main loop's holder-swap then interrupts the already-dead
+        # OLD connection (exception swallowed by EntryGuard), never the
+        # fresh one — a pending interrupt on the new connection would
+        # spuriously fail the NEXT entry's DuckDB query.
+        con_now = holder["con"]
+        guard = EntryGuard(entry_timeout, [
+            _stop_streams,
+            lambda: spark.sparkContext.cancelAllJobs(),
+            lambda: con_now.interrupt(),
+        ])
+        return guard.run(fn)
 
     queries = entry.queries()
     oracles = entry.oracle_sql()

@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import math
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -35,6 +36,10 @@ def _norm_value(v) -> str:
         return "NULL"  # NaT and friends
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, Decimal):
+        # Spark DecimalType arrives as object-of-Decimal while DuckDB
+        # widens to float64 — collapse both to the float normal form
+        return _norm_value(float(v))
     if isinstance(v, float):
         r = round(v, 2)
         if r == int(r):
@@ -79,6 +84,12 @@ def _norm_series(s: pd.Series) -> pd.Series:
         nan = np.isnan(arr)
         r = np.round(arr, 2)
         safe = np.where(nan, 0.0, r)
+        if np.abs(safe).max(initial=0.0) >= 2**62:
+            # int64 cast overflows there and the vectorized '%.2f' form
+            # ('1e19.00') diverges from _norm_value's str(int(r)) — one
+            # huge value sends the WHOLE column down the exact per-value
+            # path (mirrors _col_u64's 9e16 string-path bail)
+            return s.map(_norm_value)
         ints = safe.astype("int64")
         is_int = (~nan) & (safe == ints) & (np.abs(safe) < 2**62)
         out = np.where(is_int, ints.astype(str),
@@ -154,13 +165,25 @@ def _col_u64(s: pd.Series):
     if pt.is_bool_dtype(s) and not pt.is_object_dtype(s):
         # *100 like every numeric path: a bool column in one frame must
         # equal an int/float 0/1 column in the other (the string
-        # normalize collapsed them too)
+        # normalize collapsed them too). Nullable BooleanDtype with
+        # pd.NA cannot cast straight to uint64 — mask first.
+        if pt.is_extension_array_dtype(s):
+            mask = s.isna().to_numpy()
+            canon = (s.fillna(False).to_numpy(dtype="bool")
+                     .astype("uint64") * np.uint64(100))
+            canon[mask] = _NULL_SENTINEL
+            return canon
         return s.to_numpy(dtype="uint64") * np.uint64(100)
     if pt.is_integer_dtype(s):
         mask = s.isna().to_numpy() if pt.is_extension_array_dtype(s) \
             else np.zeros(n, dtype=bool)
         vals = s.fillna(0).astype("int64").to_numpy() if mask.any() \
             else s.astype("int64").to_numpy()
+        if n and max(abs(int(vals.max())), abs(int(vals.min()))) >= 9e16:
+            # beyond float64's exact-integer range the float column of
+            # the same values bails to the string path — bail here too
+            # so int64 vs float64 columns of equal huge values agree
+            return None
         with np.errstate(over="ignore"):
             canon = (vals * 100).astype("uint64")
         canon[mask] = _NULL_SENTINEL
@@ -192,6 +215,18 @@ def _col_u64(s: pd.Series):
             # Spark returns datetime.date objects where DuckDB returns
             # datetime64 — canonicalize both to floor-us epoch
             return _col_u64(pd.to_datetime(s))
+        if len(vals) and all(isinstance(v, (int, float, Decimal))
+                             and not isinstance(v, bool)
+                             for v in vals.head(100)) \
+                and all(isinstance(v, (int, float, Decimal))
+                        and not isinstance(v, bool) for v in vals):
+            # Spark DecimalType toPandas yields object-of-Decimal while
+            # the DuckDB twin is float64 on the uint64 fast path —
+            # canonicalize through the SAME float64 *100 scheme (its
+            # 9e16 guard sends out-of-range columns to the string path,
+            # where the Decimal clause in _norm_value keeps the two
+            # sides' normal forms identical)
+            return _col_u64(s.astype("float64"))
     return None
 
 

@@ -94,6 +94,56 @@ def test_value_hash_cross_dtype_equivalence():
     assert value_hash(t1) == value_hash(t2)
 
 
+def test_value_hash_decimal_vs_float_collapse():
+    """Spark DecimalType → toPandas object-of-Decimal must hash equal
+    to the DuckDB float64 spelling of the same values (ADVICE r8: the
+    object column took the string path while float64 took the uint64
+    fast path)."""
+    from decimal import Decimal
+    dec = pd.DataFrame({"v": pd.Series(
+        [Decimal("123"), Decimal("4.5"), Decimal("-0.004"), None],
+        dtype=object)})
+    flt = pd.DataFrame({"v": [123.0, 4.5, -0.004, float("nan")]})
+    assert value_hash(dec) == value_hash(flt)
+    # mixed int/Decimal object column (DuckDB HUGEINT fetch can yield
+    # object-of-int) collapses the same way
+    obj = pd.DataFrame({"v": pd.Series([123, 4.5, Decimal("-0.004"),
+                                        None], dtype=object)})
+    assert value_hash(obj) == value_hash(flt)
+    # and close-but-different Decimals still distinguish
+    assert value_hash(pd.DataFrame(
+        {"v": pd.Series([Decimal("1.23")], dtype=object)})) != \
+        value_hash(pd.DataFrame(
+            {"v": pd.Series([Decimal("1.24")], dtype=object)}))
+
+
+def test_value_hash_nullable_boolean_with_na():
+    """Nullable BooleanDtype containing pd.NA must not crash and must
+    collapse with int/float 1/0/NULL (ADVICE r8: to_numpy raised)."""
+    b = pd.DataFrame({"b": pd.array([True, False, None],
+                                    dtype="boolean")})
+    i = pd.DataFrame({"b": pd.array([1, 0, None], dtype="Int64")})
+    f = pd.DataFrame({"b": [1.0, 0.0, float("nan")]})
+    assert value_hash(b) == value_hash(i) == value_hash(f)
+    assert value_hash(b) != value_hash(pd.DataFrame(
+        {"b": pd.array([True, True, None], dtype="boolean")}))
+
+
+def test_huge_magnitude_floats_and_ints_agree():
+    """|v| >= 2**62: _norm_series must fall back to the per-value form
+    (str(int(r)), not '%.2f'), and int64 vs float64 vs object columns
+    of the same representable huge value must hash equal (ADVICE r8)."""
+    big = float(2**63)  # exactly representable in float64
+    f = pd.DataFrame({"v": [big, 1.5]})
+    o = pd.DataFrame({"v": pd.Series([big, 1.5], dtype=object)})
+    assert list(normalize(f)) == list(normalize(o))
+    assert _norm_value(big) in set(normalize(f))
+    assert value_hash(f) == value_hash(o)
+    i = pd.DataFrame({"v": np.array([2**63 - 2**10, 100], dtype="int64")})
+    fi = pd.DataFrame({"v": [float(2**63 - 2**10), 100.0]})
+    assert value_hash(i) == value_hash(fi)
+
+
 def test_value_hash_distinguishes_close_values():
     assert value_hash(pd.DataFrame({"k": [100]})) != \
         value_hash(pd.DataFrame({"k": [1]}))  # *100 canon vs raw

@@ -132,3 +132,34 @@ def test_simhash_agg_matches_projection(spark, sf_dir):
     j = a.join(b, "doc_id")
     assert j.count() == 300
     assert j.filter(F.col("sa") != F.col("simhash")).count() == 0
+
+
+def test_simhash_agg_keeps_null_and_empty_docs(spark):
+    """ADVICE r8: explode of a NULL token array dropped the doc from
+    simhash_agg output while the projection variant kept it. Both
+    variants must now emit one row per input doc with identical
+    signatures: NULL array -> NULL simhash, empty array -> 0, and a
+    genuine NULL ELEMENT inside a non-empty array hashes like the
+    projection's transform() does."""
+    from hive_parse_lineage_spark.operators.dedup import (
+        simhash, simhash_agg)
+    rows = [(1, "alpha beta gamma"), (2, None), (3, "alpha beta"),
+            (4, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # token_expr cases: null array, empty array, null element
+    tok = F.when(F.col("doc_id") == 2, F.lit(None).cast("array<string>")) \
+           .when(F.col("doc_id") == 4, F.array().cast("array<string>")) \
+           .when(F.col("doc_id") == 3,
+                 F.array(F.lit("alpha"), F.lit(None).cast("string"))) \
+           .otherwise(F.split(F.col("text"), " "))
+    a = simhash(docs, token_expr=tok).select(
+        "doc_id", F.col("simhash").alias("sa"))
+    b = simhash_agg(docs, token_expr=tok)
+    assert b.count() == 4  # no doc vanishes
+    j = a.join(b, "doc_id", "full").collect()
+    assert len(j) == 4
+    for r in j:
+        assert r["sa"] == r["simhash"], (r["doc_id"], r["sa"], r["simhash"])
+    by_id = {r["doc_id"]: r["simhash"] for r in j}
+    assert by_id[2] is None      # NULL array -> NULL signature
+    assert by_id[4] == 0         # empty array -> all-zero signature
