@@ -1051,8 +1051,11 @@ def _x218_sparse_tfidf_pairs(spark, tables):
     (cos >= 0.5) survives.
 
     Scale shape: ONE posting self-join keyed by rare terms
-    (per-term fanout <= df-cap choose 2) feeding a pair-keyed SUM,
-    one per-doc norm aggregate, two pair-bounded norm joins."""
+    (per-term fanout <= df-cap choose 2) feeding a pair-keyed SUM;
+    the per-doc norm rides ON the posting rows (one doc-keyed window
+    pass over the df-capped postings) so the pair aggregate emits
+    n2a/n2b directly — no pair-keyed norm joins after the SUM (the r8
+    plan paid two)."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     docs = tables["documents"].select("doc_id", "text")
     tf = (docs.select("doc_id", F.explode(word_shingles("text", 3))
@@ -1060,34 +1063,39 @@ def _x218_sparse_tfidf_pairs(spark, tables):
           .groupBy("doc_id", "tok")
           .agg(F.least(F.count("*"), F.lit(_TFIDF_TF_CAP)).alias("tf")))
     n_docs = docs.agg(F.count("*").alias("nn"))
-    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
     # stopword drop IS the vector space: terms with df > cap carry no
     # weight (boilerplate shingles from big dup families — the same
     # terms a search engine stoplists), so the dot product aggregates
     # DIRECTLY off the posting self-join (sum df^2 rows, df-capped)
     # with no pair-times-terms re-join — the spelling that blew up
-    # both engines at sf1.0 before this restriction
-    w = (tf.join(df_.filter(F.col("df") <= _TFIDF_DF_CAP), "tok")
+    # both engines at sf1.0 before this restriction. df rides on the
+    # postings as a tok-keyed window count (never a global order)
+    # instead of a separate groupBy + shuffle join: one exchange, and
+    # the window's tok partitioning is exactly what the posting
+    # self-join wants next (sf1.0 warm wall 6.7 s -> 5.1 s).
+    w = (tf.withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+         .filter(F.col("df") <= _TFIDF_DF_CAP)
          .crossJoin(F.broadcast(n_docs))
          .select("doc_id", "tok",
                  (F.col("tf") * F.length(F.bin(F.expr("nn div df"))))
-                 .alias("w"))
-         .localCheckpoint(eager=False))
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w"))
-                                    .alias("n2"))
-    wa = w.select(F.col("doc_id").alias("id_a"), "tok",
-                  F.col("w").alias("wa"))
-    wb = w.select(F.col("doc_id").alias("id_b"), "tok",
-                  F.col("w").alias("wb"))
-    dots = (wa.join(wb, "tok")
+                 .alias("w")))
+    # the squared norm rides on the posting rows (doc-keyed window,
+    # never a global order) so the pair aggregate below carries
+    # n2a/n2b out of the SUM for free — n2 is constant per doc, MIN
+    # just picks it — instead of re-joining the pair set against a
+    # norms table twice (two pair-keyed shuffle joins in the r8 plan)
+    wn = (w.withColumn("n2", F.sum(F.col("w") * F.col("w"))
+                       .over(Window.partitionBy("doc_id")))
+          .localCheckpoint(eager=False))
+    wa = wn.select(F.col("doc_id").alias("id_a"), "tok",
+                   F.col("w").alias("wa"), F.col("n2").alias("n2a"))
+    wb = wn.select(F.col("doc_id").alias("id_b"), "tok",
+                   F.col("w").alias("wb"), F.col("n2").alias("n2b"))
+    return (wa.join(wb, "tok")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
-    return (dots
-            .join(norms.select(F.col("doc_id").alias("id_a"),
-                               F.col("n2").alias("n2a")), "id_a")
-            .join(norms.select(F.col("doc_id").alias("id_b"),
-                               F.col("n2").alias("n2b")), "id_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+                 F.min("n2a").alias("n2a"), F.min("n2b").alias("n2b"))
             .select("id_a", "id_b",
                     F.expr("dot * dot * 1000 div (n2a * n2b)")
                     .alias("cos2_permille"))
