@@ -1066,25 +1066,56 @@ def _x162_curriculum_schedule(spark, tables):
     schedule position — is what a training loader needs to seek its
     shard of the curriculum.
 
-    Scale shape: the global quartile is ONE total-order ntile — the
-    same single-partition sort an exact global percentile costs; at
-    100 TB swap it for approx-quantile boundaries (the documented
-    x91/x131 swap) and the rest of the plan is per-quartile windows
-    (4-way parallel) + one rollup. No joins anywhere."""
+    Scale shape: the global quartile is ONE total-order ntile; the
+    AT-SCALE path is real code, not prose — the same
+    ``SPARK_GRAFT_APPROX_QUANTILES=1`` knob as x179 swaps BOTH global
+    windows (the ntile AND the 4-partition schedule-position sort) for
+    range-partitioned exact ranks (operators/ranks.py) plus
+    closed-form NTILE/offset arithmetic; that spelling is
+    VALUE-IDENTICAL (tested hash-equal), so the flag trades constant
+    cost (a range exchange + bounded counts collect per rank) for
+    removing every single-/few-partition sort. Flag off keeps the
+    cheap direct windows the sub-sf1 gate replays. No joins anywhere
+    on either path."""
+    import os
+
     from hive_parse_lineage_spark.functions.text import token_count
     d = tables["documents"].select(
         "doc_id", "source", token_count("text").alias("n_tok"))
-    qd = d.withColumn(
-        "quartile",
-        F.ntile(4).over(Window.orderBy("n_tok", "doc_id")).cast("long"))
-    r = qd.withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("quartile", "source")
-            .orderBy("n_tok", "doc_id")))
-    p = r.withColumn(
-        "pos", F.row_number().over(
-            Window.partitionBy("quartile")
-            .orderBy("rn", "source", "doc_id")).cast("long"))
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        from hive_parse_lineage_spark.operators.ranks import (
+            bucket_start_offset, ntile_from_rank,
+            range_partitioned_row_number)
+        n = d.count()
+        qd = (range_partitioned_row_number(d, ["n_tok", "doc_id"], "_rk")
+              .withColumn("quartile", ntile_from_rank("_rk", n, 4))
+              .drop("_rk"))
+        r = qd.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("quartile", "source")
+                .orderBy("n_tok", "doc_id")))
+        # schedule position: global rank over (quartile, rn, source,
+        # doc_id) minus the quartile's closed-form start offset — the
+        # quartile sizes are determined by (n, 4), so no per-quartile
+        # aggregate or join is needed to localize the rank
+        p = (range_partitioned_row_number(
+                r, ["quartile", "rn", "source", "doc_id"], "_grk")
+             .withColumn("pos", (F.col("_grk")
+                                 - bucket_start_offset("quartile", n, 4))
+                         .cast("long"))
+             .drop("_grk"))
+    else:
+        qd = d.withColumn(
+            "quartile",
+            F.ntile(4).over(Window.orderBy("n_tok", "doc_id")).cast("long"))
+        r = qd.withColumn(
+            "rn", F.row_number().over(
+                Window.partitionBy("quartile", "source")
+                .orderBy("n_tok", "doc_id")))
+        p = r.withColumn(
+            "pos", F.row_number().over(
+                Window.partitionBy("quartile")
+                .orderBy("rn", "source", "doc_id")).cast("long"))
     return (p.groupBy("quartile", "source")
             .agg(F.count("*").alias("n_docs"),
                  F.min("pos").alias("first_pos"),
@@ -3511,9 +3542,13 @@ def _x188_rfm_segments(spark, tables):
     volume, token mass) for mix design.
 
     Scale shape: one user-keyed aggregate, three global NTILE windows
-    over the |users|-row table (at 100 TB: approx_percentile cut
-    points instead of global sorts — the documented x91/x162 swap),
-    one 64-row-max aggregate."""
+    over the |users|-row table; the AT-SCALE path is real code —
+    ``SPARK_GRAFT_APPROX_QUANTILES=1`` (x179's knob) swaps each global
+    ntile for a range-partitioned exact rank (operators/ranks.py) +
+    closed-form NTILE arithmetic, VALUE-IDENTICAL to the window
+    spelling (tested hash-equal) with per-range parallel sorts instead
+    of three single-partition ones. Then one 64-row-max aggregate."""
+    import os
     ev = tables["events"].select(
         "user_id", F.unix_micros("ts").alias("t"),
         F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"))
@@ -3521,11 +3556,25 @@ def _x188_rfm_segments(spark, tables):
                 .agg(F.max("t").alias("recency"),
                      F.count("*").alias("frequency"),
                      F.sum("cents").alias("monetary")))
-    q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id"))
-    scored = per_user.select(
-        "user_id", "monetary",
-        q("recency").alias("r_q"), q("frequency").alias("f_q"),
-        q("monetary").alias("m_q"))
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        from hive_parse_lineage_spark.operators.ranks import (
+            ntile_from_rank, range_partitioned_row_number)
+        n = per_user.count()
+        scored = per_user
+        for col, alias in (("recency", "r_q"), ("frequency", "f_q"),
+                           ("monetary", "m_q")):
+            scored = (range_partitioned_row_number(
+                          scored, [col, "user_id"], "_rk")
+                      .withColumn(alias, ntile_from_rank("_rk", n, 4))
+                      .drop("_rk"))
+        scored = scored.select("user_id", "monetary",
+                               "r_q", "f_q", "m_q")
+    else:
+        q = lambda col: F.ntile(4).over(Window.orderBy(col, "user_id"))
+        scored = per_user.select(
+            "user_id", "monetary",
+            q("recency").alias("r_q"), q("frequency").alias("f_q"),
+            q("monetary").alias("m_q"))
     return (scored.groupBy("r_q", "f_q", "m_q")
             .agg(F.count("*").alias("n_users"),
                  F.expr(_sdiv("SUM(monetary)", "COUNT(*)"))

@@ -19,7 +19,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["range_partitioned_row_number"]
+__all__ = ["range_partitioned_row_number", "ntile_from_rank",
+           "bucket_start_offset"]
+
+
+def ntile_from_rank(rk: str, n_rows: int, buckets: int):
+    """EXACT ``NTILE(buckets)`` computed from a 1-based global rank
+    column over ``n_rows`` total rows — SQL NTILE semantics: the first
+    ``n mod b`` buckets take ``ceil(n/b)`` rows, the rest ``floor``.
+    Pure integer arithmetic on the rank, so pairing it with
+    :func:`range_partitioned_row_number` yields values BIT-IDENTICAL
+    to ``ntile(b) over (order by ...)`` with no single-partition sort.
+    ``rk`` is a column NAME (the arithmetic is emitted as a SQL expr
+    so the division stays integral at any rank magnitude)."""
+    q, r = divmod(int(n_rows), int(buckets))
+    if q == 0:  # fewer rows than buckets: NTILE gives bucket = rank
+        return F.col(rk).cast("bigint")
+    big = r * (q + 1)
+    return F.expr(
+        f"CAST(CASE WHEN {rk} <= {big} THEN ({rk} + {q}) DIV {q + 1} "
+        f"ELSE {r} + ({rk} - {big} + {q - 1}) DIV {q} END AS BIGINT)")
+
+
+def bucket_start_offset(bucket: str, n_rows: int, buckets: int):
+    """Rows preceding ``bucket`` under the same NTILE split — turns a
+    global rank into a WITHIN-bucket position (``rank - offset``)
+    without any per-bucket aggregate or join: the split sizes are a
+    closed form of (n_rows, buckets). ``bucket`` is a column name."""
+    q, r = divmod(int(n_rows), int(buckets))
+    return F.expr(f"CAST(({bucket} - 1) * {q} "
+                  f"+ LEAST({bucket} - 1, {r}) AS BIGINT)")
 
 
 def range_partitioned_row_number(df: DataFrame, order_cols,

@@ -116,6 +116,65 @@ def test_x179_approx_decile_flag_rank_error_bound(spark, sf_dir,
     assert abs(p_sum - 1000) <= 10 and abs(q_sum - 1000) <= 10
 
 
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    """Closed-form NTILE-from-rank must be bit-identical to
+    ntile(b) over (order by ...) across remainder shapes, including
+    n < buckets."""
+    from hive_parse_lineage_spark.operators.ranks import (
+        bucket_start_offset, ntile_from_rank)
+    for n, b in [(10, 4), (12, 4), (13, 4), (3, 4), (1, 4), (100, 7),
+                 (8, 8), (9, 8)]:
+        df = spark.range(1, n + 1).select(F.col("id").alias("v"))
+        want = df.select(
+            "v", F.ntile(b).over(Window.orderBy("v")).cast("bigint")
+            .alias("t")).collect()
+        got = (df.withColumn("rk", F.row_number().over(
+                   Window.orderBy("v")).cast("bigint"))
+               .select("v", ntile_from_rank("rk", n, b).alias("t"))
+               .collect())
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), (n, b)
+        # offsets: rows preceding bucket t == count of rows in buckets
+        # < t under the same split
+        from collections import Counter
+        sizes = Counter(r["t"] for r in want)
+        off = (df.withColumn("rk", F.row_number().over(
+                   Window.orderBy("v")).cast("bigint"))
+               .select(ntile_from_rank("rk", n, b).alias("t"))
+               .distinct()
+               .select("t", bucket_start_offset("t", n, b).alias("o"))
+               .collect())
+        for r in off:
+            assert r["o"] == sum(sizes[t] for t in sizes if t < r["t"]), \
+                (n, b, r)
+
+
+def _flag_on_off(fn, spark, tables, monkeypatch):
+    import os
+    monkeypatch.delenv("SPARK_GRAFT_APPROX_QUANTILES", raising=False)
+    off = sorted(map(tuple, fn(spark, tables).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_APPROX_QUANTILES", "1")
+    on = sorted(map(tuple, fn(spark, tables).collect()))
+    monkeypatch.delenv("SPARK_GRAFT_APPROX_QUANTILES", raising=False)
+    return off, on
+
+
+def test_x162_x188_flag_paths_value_identical(spark, sf_dir,
+                                              monkeypatch):
+    """The SPARK_GRAFT_APPROX_QUANTILES=1 at-scale spellings of x162
+    (curriculum NTILE + schedule position) and x188 (three RFM NTILEs)
+    use range-partitioned ranks + closed-form NTILE arithmetic and
+    must be VALUE-IDENTICAL to the global-window gate spellings —
+    equality, not similarity, is the bar (unlike x179's sketch path,
+    nothing here approximates)."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x162_curriculum_schedule, _x188_rfm_segments)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    for fn in (_x162_curriculum_schedule, _x188_rfm_segments):
+        off, on = _flag_on_off(fn, spark, tables, monkeypatch)
+        assert off == on, fn.__name__
+
+
 def test_simhash_agg_matches_projection(spark, sf_dir):
     """simhash_agg (explode + 64 SUM registers, the x08 hot path) must
     be BIT-IDENTICAL to the array-fold projection variant — same
