@@ -3725,6 +3725,13 @@ X190_DELAY_MIN = 31
 #: propagation breaks x190 ALONE — start the bisect at this constant.
 X190_FILTER_LAG_BATCHES = 2
 
+#: The Spark release X190_FILTER_LAG_BATCHES was pinned against. The
+#: one-batch filter lag is EMPIRICAL micro-batch-engine behavior (not
+#: a documented contract), so a Spark upgrade must re-derive the lag:
+#: tests/test_version_pin.py fails with a pointer here instead of
+#: letting a changed lag redden the x190 oracle corpus-wide.
+X190_PINNED_SPARK = "4.1.2"
+
 
 def _x190_stream_watermark_windows(spark, tables):
     """The one watermark behavior no other streaming entry exercises:
