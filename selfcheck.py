@@ -45,13 +45,11 @@ class EntryGuard:
     from hooks are swallowed — cancellation is best-effort.
     ``timeout_s == 0`` disables the guard entirely.
 
-    Known limit: the hooks can interrupt the ENGINES but not the
-    harness's own pure-Python normalize/hash phase (tests/oracle.py),
-    which for a ~60M-row result (q12 at sf1.0) runs 10+ minutes per
-    side — under a watchdog that entry reports TIMEOUT even though
-    both engines finished in seconds. Replay huge-result entries with
-    the watchdog OFF (r7/r8 practice), or vectorize ``normalize``
-    before tightening the guard further.
+    The harness's own normalize/hash phase (tests/oracle.py) is not
+    interruptible by the hooks, but since the r9 vectorization it is
+    also no longer a timeout risk: the multiset ``value_hash`` runs
+    q12's 59.9M-row sf1.0 compare hash-green inside a 300 s guard
+    (the r7/r8 "replay un-watchdogged" practice is obsolete).
     """
 
     def __init__(self, timeout_s: float, cancel_hooks):
