@@ -6,9 +6,13 @@ Usage: python bench.py                  declared + corpus surface, one JSON line
                                         + capped x46/x64/x149 variants) at
                                         every SF: rows/s scaling
        python bench.py --lineage        lineage stmts/s on the BASELINE corpus
-       python bench.py --sf1-corpus     the 20 heaviest corpus entries +
+       python bench.py --sf1-corpus     the heaviest corpus entries +
                                         DuckDB twins at SPARK_GRAFT_SF_DIR
                                         (default /tmp/sf1.0): per-entry ratios
+       python bench.py --dedup-ladder   the 5 heaviest dedup/cluster entries
+                                        at sf0.1 -> sf1.0 -> sf10 (100x over
+                                        the graded SF): wall-over-token
+                                        growth per rung -> SWEEP_r{N}.json
 Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS    (default all cores)
        BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
@@ -683,6 +687,94 @@ def _corpus_query_map() -> dict:
     return allq
 
 
+#: The 5 heaviest dedup/cluster entries for the 100x ladder
+#: (r8 verdict ask #6): registry gate spellings where they scale;
+#: x46 runs its production capped variant (same census body — the
+#: registry's uncapped portable-hash spelling exists only so DuckDB
+#: can replay it, and is documented quadratic on Zipf corpora).
+DEDUP_LADDER_QUERIES = ("x07_minhash_near_dup", "x59_dedup_keep_one",
+                        "x87_cluster_size_histogram",
+                        "x196_dedup_method_census")
+
+
+def dedup_ladder() -> None:
+    """``bench.py --dedup-ladder``: a TRUE 100x scale point for the
+    dedup core. The graded SF is 0.1; sf1.0 (make_sfN.py) is only 10x,
+    so this ladder adds /tmp/sf10 (100x docs/tokens over sf0.1) and
+    reports wall growth over token growth between consecutive rungs —
+    the brief's "would this survive a 100x scale-up" answered with
+    walls, not prose. Global JIT warm at the smallest rung, ONE timed
+    pass per rung (entries run minutes at sf10; growth ratios, not
+    per-run noise, are the signal here). Output mirrors
+    --scale-sweep's schema; written to SWEEP_r{N}.json."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.session import RUNTIME_CONFS
+
+    dirs = os.environ.get(
+        "SPARK_GRAFT_LADDER_DIRS",
+        "/root/testdata/sf0.1,/tmp/sf1.0,/tmp/sf10").split(",")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
+        os.cpu_count() or 4, 16)
+    builder = (SparkSession.builder.master(f"local[{cpus}]")
+               .appName("dedup-ladder")
+               .config("spark.sql.shuffle.partitions", str(cpus))
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+               .config("spark.ui.enabled", "false")
+               .config("spark.ui.showConsoleProgress", "false"))
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from hive_parse_lineage_spark.analytics_queries import analytics_queries
+    from hive_parse_lineage_spark.corpus_queries import corpus_queries
+    pool = {**corpus_queries(), **analytics_queries()}
+    qs = {n: pool[n] for n in DEDUP_LADDER_QUERIES}
+    qs["x46_dup_clusters_capped"] = _x46_capped
+
+    for name, fn in sorted(qs.items()):        # JIT/codegen warm
+        fn(spark, dirs[0]).collect()
+
+    out: dict = {"metric": "dedup_ladder", "unit": "sec", "sweep": []}
+    for d in dirs:
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        rows = docs.count()
+        toks = docs.select(F.sum(F.size(F.split("text", " ")))
+                           .alias("t")).first()["t"]
+        entry: dict = {"sf_dir": os.path.basename(d.rstrip("/")),
+                       "doc_rows": rows, "doc_tokens": int(toks),
+                       "queries": {}}
+        for name, fn in sorted(qs.items()):
+            t0 = time.perf_counter()
+            n_out = len(fn(spark, d).collect())
+            wall = time.perf_counter() - t0
+            entry["queries"][name] = {"wall": round(wall, 3),
+                                      "rows_out": n_out}
+            print("ladder " + json.dumps({d: {name: round(wall, 3)}}),
+                  file=sys.stderr, flush=True)
+        out["sweep"].append(entry)
+    for name in sorted(qs):
+        ratios = []
+        for a, b in zip(out["sweep"], out["sweep"][1:]):
+            wall_g = (b["queries"][name]["wall"]
+                      / max(a["queries"][name]["wall"], 1e-9))
+            ratios.append(round(
+                wall_g / (b["doc_tokens"] / max(a["doc_tokens"], 1)), 3))
+        out.setdefault("wall_growth_over_token_growth", {})[name] = ratios
+    path = os.environ.get(
+        "SWEEP_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     os.path.basename(_detail_path())
+                     .replace("BENCH_DETAIL", "SWEEP")))
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    out["detail_file"] = os.path.basename(path)
+    print(json.dumps(out))
+
+
 def _bench_corpus(spark, sf_dir: str):
     """Full LLM-corpus x-surface: Spark wall per query, one warm + one
     timed pass each (the work-dominated subset gets extra min-of-N
@@ -761,6 +853,9 @@ def main() -> None:
         return
     if "--sf1-corpus" in sys.argv:
         sf1_corpus_bench()
+        return
+    if "--dedup-ladder" in sys.argv:
+        dedup_ladder()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

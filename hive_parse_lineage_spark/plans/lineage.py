@@ -353,7 +353,20 @@ class _Walker:
         return self.parser.parsePlan(sql)
 
     def analyze(self, parsed):
-        return self.analyzer.execute(parsed)
+        plan = self.analyzer.execute(parsed)
+        # execute() returns silently even when resolution FAILED (e.g.
+        # a UNION over incompatible column types leaves UnresolvedStar
+        # nodes behind) — found by the r9 union-nesting fuzz as a
+        # KeyError deep in the JSON walk. Surface the engine's own
+        # AnalysisException (INCOMPATIBLE_COLUMN_TYPE, ...) instead:
+        # lineage must agree with the engine on what is a valid query.
+        try:
+            resolved = bool(plan.resolved())
+        except Exception:
+            resolved = True
+        if not resolved:
+            self.analyzer.checkAnalysis(plan)  # raises the real error
+        return plan
 
     # -- plan traversal -------------------------------------------------
     def walk(self, plan) -> tuple[dict[int, set[str]], set[str]]:

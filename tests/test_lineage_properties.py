@@ -118,6 +118,28 @@ def richer_query(draw):
             f"SELECT {c2} AS k FROM {t2}")
 
 
+# Type-class split of SCHEMAS: UNION branches must pair columns from
+# the SAME class — Spark (ANSI) rejects e.g. BIGINT vs TIMESTAMP with
+# INCOMPATIBLE_COLUMN_TYPE, and lineage now surfaces that engine error
+# (a fuzz catch: the walker used to KeyError on the half-resolved
+# plan). o_orderdate is deliberately absent: timestamps union with
+# nothing else here.
+NUM_COLS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey", "c_acctbal"],
+    "supplier": ["s_suppkey", "s_nationkey", "s_acctbal"],
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+}
+STR_COLS = {
+    "region": ["r_name"],
+    "nation": ["n_name"],
+    "customer": ["c_name", "c_mktsegment"],
+    "supplier": ["s_name"],
+    "orders": ["o_orderstatus", "o_orderpriority"],
+}
+
+
 @st.composite
 def nested_union_query(draw):
     """UNION-in-subquery × CTE × star-expansion, up to 3 wrapper
@@ -129,10 +151,12 @@ def nested_union_query(draw):
     column, expected input tables)."""
     t1 = draw(tables_st)
     t2 = draw(tables_st.filter(lambda t: t != t1))
-    a1, a2 = draw(st.sampled_from(SCHEMAS[t1])), SCHEMAS[t1][0]
-    b1, b2 = draw(st.sampled_from(SCHEMAS[t2])), SCHEMAS[t2][0]
+    cls = NUM_COLS if draw(st.booleans()) else STR_COLS
+    a1 = draw(st.sampled_from(cls[t1]))
+    b1 = draw(st.sampled_from(cls[t2]))
+    a2, b2 = SCHEMAS[t1][0], SCHEMAS[t2][0]  # both integer keys
     wa = f" WHERE {a1} IS NOT NULL" if draw(st.booleans()) else ""
-    wb = f" WHERE {b1} > 0" if draw(st.booleans()) else ""
+    wb = f" WHERE {b1} IS NOT NULL" if draw(st.booleans()) else ""
     setop = draw(st.sampled_from(["UNION ALL", "UNION"]))
     union = (f"SELECT {a1} AS k, {a2} AS v FROM {t1}{wa} {setop} "
              f"SELECT {b1} AS k, {b2} AS v FROM {t2}{wb}")
@@ -182,6 +206,25 @@ def test_union_merge_survives_nesting(spark, tables, q, monkeypatch):
     assert [a for a, _ in edges] == ["k", "v"]
     for alias, sources in edges:
         assert set(sources) == expected[alias], (sql, alias, sources)
+
+
+def test_incompatible_union_surfaces_engine_error(spark, tables,
+                                                  monkeypatch):
+    """A UNION the engine itself rejects (BIGINT vs TIMESTAMP) must
+    raise the engine's AnalysisException from lineage too — in BOTH
+    walk modes. Before the r9 fix, analyzer.execute() returned a
+    half-resolved plan and the walkers crashed downstream (JSON walk:
+    KeyError 'exprId' on an UnresolvedStar; py4j walk: opaque
+    Py4JJavaError on .output)."""
+    import pytest
+
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    sql = ("SELECT * FROM (SELECT c_custkey AS k FROM customer "
+           "UNION ALL SELECT o_orderdate AS k FROM orders) d")
+    for mode in ("strict", "0"):
+        monkeypatch.setenv("HPL_JSON_WALK", mode)
+        with pytest.raises(Exception, match="(?i)compatible"):
+            extract_lineage(spark, sql)
 
 
 @settings(max_examples=20, deadline=None,
