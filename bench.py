@@ -729,9 +729,7 @@ def dedup_ladder() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    from hive_parse_lineage_spark.analytics_queries import analytics_queries
-    from hive_parse_lineage_spark.corpus_queries import corpus_queries
-    pool = {**corpus_queries(), **analytics_queries()}
+    pool = _corpus_query_map()
     qs = {n: pool[n] for n in DEDUP_LADDER_QUERIES}
     qs["x46_dup_clusters_capped"] = _x46_capped
 
