@@ -671,17 +671,30 @@ def _x152_qq_alignment(spark, tables):
 
     Scale shape: one global sort and one per-source sort (both
     value-at-row extractions, 9 conditional aggregates each), then a
-    9-row broadcast-sized join on decile. At 100 TB both sorts swap
-    to approx_percentile (x91's documented swap)."""
+    9-row broadcast-sized join on decile. The AT-SCALE path is code:
+    ``SPARK_GRAFT_APPROX_QUANTILES=1`` swaps the single-partition
+    GLOBAL window for the range-partitioned exact rank
+    (operators/ranks.py) + one scalar count — VALUE-IDENTICAL, tested
+    equal (the per-source window is already partitioned)."""
+    import os
     docs = tables["documents"]
+    use_ranges = os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1"
     def deciles(df, part_cols):
-        w = (Window.partitionBy(*part_cols).orderBy("n_chars", "doc_id")
-             if part_cols else Window.orderBy("n_chars", "doc_id"))
-        wn = (Window.partitionBy(*part_cols) if part_cols
-              else Window.partitionBy())
-        ranked = df.select(*part_cols, "n_chars", "doc_id",
-                           F.row_number().over(w).alias("rn"),
-                           F.count("*").over(wn).alias("n"))
+        if not part_cols and use_ranges:
+            from hive_parse_lineage_spark.operators.ranks import (
+                range_partitioned_row_number)
+            ranked = (range_partitioned_row_number(
+                          df.select("n_chars", "doc_id"),
+                          ["n_chars", "doc_id"], "rn")
+                      .withColumn("n", F.lit(df.count())))
+        else:
+            w = (Window.partitionBy(*part_cols).orderBy("n_chars", "doc_id")
+                 if part_cols else Window.orderBy("n_chars", "doc_id"))
+            wn = (Window.partitionBy(*part_cols) if part_cols
+                  else Window.partitionBy())
+            ranked = df.select(*part_cols, "n_chars", "doc_id",
+                               F.row_number().over(w).alias("rn"),
+                               F.count("*").over(wn).alias("n"))
         aggs = [F.max(F.when(F.expr(f"rn = ({d} * n + 9) div 10"),
                              F.col("n_chars"))).alias(f"d{d}")
                 for d in range(1, 10)]
@@ -747,16 +760,28 @@ def _x155_gaps_islands(spark, tables):
     allocation gaps). Island id is the engine-free ``key - dense
     row_number`` constant; all-integer.
 
-    Scale shape: one global sort (the pattern's inherent cost; at
-    100 TB it range-partitions — consecutive keys co-locate by
-    construction, so per-range islands + boundary merge is the
-    documented swap) and two tiny aggregates."""
+    Scale shape: one global sort (the pattern's inherent cost). The
+    AT-SCALE path is code, not prose: ``SPARK_GRAFT_APPROX_QUANTILES=1``
+    swaps the global row_number for the range-partitioned exact rank
+    (operators/ranks.py — per-range sorts + a bounded offsets collect;
+    consecutive keys co-locate by construction), VALUE-IDENTICAL and
+    tested equal. Then two tiny aggregates either way."""
+    import os
     o = tables["orders"].filter(F.col("o_orderstatus") == "O")
-    w = Window.orderBy("o_orderkey")
-    runs = (o.select("o_orderkey",
-                     (F.col("o_orderkey")
-                      - F.row_number().over(w)).alias("grp"))
-            .groupBy("grp").agg(F.count("*").alias("island_len")))
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        from hive_parse_lineage_spark.operators.ranks import (
+            range_partitioned_row_number)
+        ranked = range_partitioned_row_number(
+            o.select("o_orderkey"), ["o_orderkey"], "_rk")
+        runs = (ranked.select((F.col("o_orderkey") - F.col("_rk"))
+                              .alias("grp"))
+                .groupBy("grp").agg(F.count("*").alias("island_len")))
+    else:
+        w = Window.orderBy("o_orderkey")
+        runs = (o.select("o_orderkey",
+                         (F.col("o_orderkey")
+                          - F.row_number().over(w)).alias("grp"))
+                .groupBy("grp").agg(F.count("*").alias("island_len")))
     return (runs.groupBy("island_len")
             .agg(F.count("*").alias("n_islands"))
             .orderBy("island_len"))
@@ -3477,17 +3502,25 @@ def _x187_watermark_lateness(spark, tables):
     (x111/x118/x135) WOULD DROP — the number that picks the
     delay/state-size trade-off before any streaming job is written.
 
-    Scale shape: one global running-max window in arrival order (at
-    scale: range-partition by event_id, per-range max + one
-    |ranges|-row prefix-max carry — x155's posture), then a 3x
-    threshold explode feeding one map-side-combinable aggregate. No
-    joins."""
+    Scale shape: one global running-max window in arrival order. The
+    AT-SCALE path is code: ``SPARK_GRAFT_APPROX_QUANTILES=1`` swaps it
+    for ``range_partitioned_running_max`` (operators/ranks.py —
+    per-range running max + a bounded |ranges|-row prefix-max carry),
+    VALUE-IDENTICAL and tested equal. Then a 3x threshold explode
+    feeding one map-side-combinable aggregate. No joins."""
+    import os
     ev = tables["events"].select(
         "event_id", F.unix_micros("ts").alias("t"))
-    w = (Window.orderBy("event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    late = ev.select(
-        (F.max("t").over(w) - F.col("t")).alias("late_us"))
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        from hive_parse_lineage_spark.operators.ranks import (
+            range_partitioned_running_max)
+        late = (range_partitioned_running_max(ev, ["event_id"], "t", "_rm")
+                .select((F.col("_rm") - F.col("t")).alias("late_us")))
+    else:
+        w = (Window.orderBy("event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        late = ev.select(
+            (F.max("t").over(w) - F.col("t")).alias("late_us"))
     thr = F.array(*[
         F.struct(F.lit(label).alias("wm"), F.lit(us).alias("w_us"))
         for label, us in WATERMARK_THRESHOLDS])
@@ -4756,17 +4789,19 @@ def _x200_quantile_normalize(spark, tables):
     whose boundary row this is — no join, no broadcast; a row serves
     every k it bounds (small sources hit the same row repeatedly).
 
-    Scale shape: one per-source window + one global window (the
-    global row_number range-partitions with a prefix-count carry at
-    scale, or swaps to approx_percentile per x91's documented
-    posture), then a 10-row x (10*|sources|)-row equi-join AQE
+    Scale shape: one per-source window + one global window. The
+    AT-SCALE path is code: ``SPARK_GRAFT_APPROX_QUANTILES=1`` swaps
+    the single-partition global row_number for the range-partitioned
+    exact rank (operators/ranks.py) + one scalar count —
+    VALUE-IDENTICAL, tested equal (the per-source window stays
+    partitioned). Then a 10-row x (10*|sources|)-row equi-join AQE
     resolves. Corpus scanned twice, column-pruned to (source, n,
     doc_id)."""
+    import os
     d = tables["documents"].select(
         "doc_id", "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n"))
     ws = Window.partitionBy("source").orderBy("n", "doc_id")
-    wg = Window.orderBy("n", "doc_id")
     src_b = (d.select("source", "n",
                       F.row_number().over(ws).alias("rn"),
                       F.count("*").over(
@@ -4775,9 +4810,19 @@ def _x200_quantile_normalize(spark, tables):
                      F.explode(F.expr(
                          "filter(sequence(1, 10), "
                          "k -> rn = (k * m + 9) div 10)")).alias("k")))
-    glob_b = (d.select("n", F.row_number().over(wg).alias("rn"),
-                       F.count("*").over(
-                           Window.partitionBy(F.lit(1))).alias("m"))
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        from hive_parse_lineage_spark.operators.ranks import (
+            range_partitioned_row_number)
+        g = d.select("n", "doc_id")
+        glob_ranked = (range_partitioned_row_number(
+                           g, ["n", "doc_id"], "rn")
+                       .withColumn("m", F.lit(g.count())))
+    else:
+        wg = Window.orderBy("n", "doc_id")
+        glob_ranked = d.select(
+            "n", F.row_number().over(wg).alias("rn"),
+            F.count("*").over(Window.partitionBy(F.lit(1))).alias("m"))
+    glob_b = (glob_ranked
               .select(F.col("n").alias("global_value"),
                       F.explode(F.expr(
                           "filter(sequence(1, 10), "

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["range_partitioned_row_number", "ntile_from_rank",
-           "bucket_start_offset"]
+           "bucket_start_offset", "range_partitioned_running_max"]
 
 
 def ntile_from_rank(rk: str, n_rows: int, buckets: int):
@@ -97,3 +97,45 @@ def range_partitioned_row_number(df: DataFrame, order_cols,
     return (part.join(F.broadcast(off), "_rpid")
             .withColumn(col_name, F.row_number().over(w) + F.col("_rkoff"))
             .drop("_rpid", "_rkoff"))
+
+
+def range_partitioned_running_max(df: DataFrame, order_cols, value_col: str,
+                                  col_name: str = "running_max",
+                                  num_ranges: int | None = None) -> DataFrame:
+    """Append an EXACT ``max(value_col) over (order by order_cols rows
+    unbounded preceding)`` — the running-max spelling x187's watermark
+    audit uses — without a single-partition sort.
+
+    Same scheme as :func:`range_partitioned_row_number`: a range
+    exchange pinned by a lazy localCheckpoint, a BOUNDED
+    ``num_ranges``-row collect (here the per-range max instead of the
+    per-range count), and a per-range window. The collected maxima
+    fold into an EXCLUSIVE prefix max per range; each row's running
+    max is then ``greatest(per-range running max, prefix max of all
+    earlier ranges)``. ``order_cols`` must be a total order for the
+    result to be deterministic under ties (same contract as the rank).
+    NULL values never win a max (``F.greatest`` skips NULLs), matching
+    the window spelling."""
+    spark = df.sparkSession
+    n = int(num_ranges or spark.sparkContext.defaultParallelism)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    part = (df.repartitionByRange(n, *order_cols)
+            .withColumn("_rpid", F.spark_partition_id())
+            .localCheckpoint(eager=False))
+    maxes = {r["_rpid"]: r["m"]
+             for r in part.groupBy("_rpid")
+             .agg(F.max(value_col).alias("m")).collect()}
+    vtype = df.schema[value_col].dataType.simpleString()
+    prefix, acc = [], None
+    for pid in sorted(maxes):
+        prefix.append((pid, acc))
+        m = maxes[pid]
+        if m is not None and (acc is None or m > acc):
+            acc = m
+    pre = spark.createDataFrame(prefix, f"_rpid int, _pmax {vtype}")
+    w = (Window.partitionBy("_rpid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (part.join(F.broadcast(pre), "_rpid")
+            .withColumn(col_name,
+                        F.greatest(F.max(value_col).over(w), F.col("_pmax")))
+            .drop("_rpid", "_pmax"))

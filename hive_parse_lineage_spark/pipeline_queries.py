@@ -247,18 +247,32 @@ def _x95_quality_dup_calibration(spark, tables):
     unlike whole-text exact dups, which the sf0.01 gate data doesn't
     contain). One window on the prefix, one global ntile, one
     aggregate. 100 TB note: the exact global ntile is the oracle-
-    replayable spelling for the gate; at scale the decile boundaries
-    come from approx_percentile over the score (the x81 pattern) and
-    the ntile becomes a broadcast range lookup."""
+    replayable spelling for the gate; the AT-SCALE path is code —
+    ``SPARK_GRAFT_APPROX_QUANTILES=1`` swaps it for the
+    range-partitioned exact rank + closed-form ``ntile_from_rank``
+    (operators/ranks.py), VALUE-IDENTICAL and tested equal."""
+    import os
+
     from hive_parse_lineage_spark.functions.text import quality_score
     pre = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")
     docs = tables["documents"].select(
         "doc_id", pre.alias("pre"), quality_score("text").alias("q"))
     dup_n = F.count("*").over(Window.partitionBy("pre"))
-    scored = (docs.withColumn("is_boiler", (dup_n > 1).cast("long"))
-              .select("doc_id", "q", "is_boiler",
-                      F.ntile(10).over(Window.orderBy("q", "doc_id"))
-                      .alias("decile")))
+    base = (docs.withColumn("is_boiler", (dup_n > 1).cast("long"))
+            .select("doc_id", "q", "is_boiler"))
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        from hive_parse_lineage_spark.operators.ranks import (
+            ntile_from_rank, range_partitioned_row_number)
+        scored = (range_partitioned_row_number(base, ["q", "doc_id"], "_rk")
+                  .withColumn("decile",
+                              ntile_from_rank("_rk", base.count(), 10)
+                              .cast("int"))
+                  .drop("_rk"))
+    else:
+        scored = base.select(
+            "doc_id", "q", "is_boiler",
+            F.ntile(10).over(Window.orderBy("q", "doc_id"))
+            .alias("decile"))
     return (scored.groupBy("decile")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("is_boiler").alias("n_boiler"))

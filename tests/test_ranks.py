@@ -175,6 +175,53 @@ def test_x162_x188_flag_paths_value_identical(spark, sf_dir,
         assert off == on, fn.__name__
 
 
+def test_range_running_max_equals_global_window(spark, sf_dir):
+    """range_partitioned_running_max must equal the single-partition
+    running-max window bit-for-bit — including when the maximum value
+    arrives in the FIRST range (every later range reads it from the
+    prefix carry) and when values repeat."""
+    from hive_parse_lineage_spark.operators.ranks import (
+        range_partitioned_running_max)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    ev = (load_tables(spark, sf_dir)["events"]
+          .select("event_id", F.unix_micros("ts").alias("t")))
+    got = range_partitioned_running_max(ev, ["event_id"], "t", "rm",
+                                        num_ranges=7)
+    w = (Window.orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = ev.withColumn("rm", F.max("t").over(w))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # adversarial shape: global max first, then descending — every
+    # range after the first must carry the prefix max
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (1000 - F.col("id")).alias("v"))
+    got2 = range_partitioned_running_max(df, ["k"], "v", "rm",
+                                         num_ranges=9)
+    assert got2.filter(F.col("rm") != 1000).count() == 0
+
+
+def test_x95_x152_x155_x187_x200_flag_paths_value_identical(
+        spark, sf_dir, monkeypatch):
+    """The remaining global-window gate spellings converted this round
+    (x95 quality-dup ntile, x152 QQ global deciles, x155 gaps-islands
+    rank, x187 running-max lateness, x200 quantile-normalize global
+    rank) must be VALUE-IDENTICAL under SPARK_GRAFT_APPROX_QUANTILES=1
+    — these swaps are exact, not sketches, so equality is the bar."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x152_qq_alignment, _x155_gaps_islands, _x187_watermark_lateness,
+        _x200_quantile_normalize)
+    from hive_parse_lineage_spark.pipeline_queries import (
+        _x95_quality_dup_calibration)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+    tables = load_tables(spark, sf_dir)
+    for fn in (_x95_quality_dup_calibration, _x152_qq_alignment,
+               _x155_gaps_islands, _x187_watermark_lateness,
+               _x200_quantile_normalize):
+        off, on = _flag_on_off(fn, spark, tables, monkeypatch)
+        assert off == on, fn.__name__
+
+
 def test_simhash_agg_matches_projection(spark, sf_dir):
     """simhash_agg (explode + 64 SUM registers, the x08 hot path) must
     be BIT-IDENTICAL to the array-fold projection variant — same
