@@ -1451,6 +1451,97 @@ FROM rk, t WHERE rank <= 10 ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# x224 — semi-supervised label propagation over dup-blocking keys
+# ---------------------------------------------------------------------------
+
+
+def _x224_label_propagation(spark, tables):
+    """Semi-supervised LABEL PROPAGATION through the dedup blocking
+    graph — the curation move the registry was missing: a vetted seed
+    subset (every 3rd doc keeps its source as a provenance/quality
+    label) spreads to unlabeled docs via two synchronous majority
+    rounds over ALTERNATING blocking keys (8-token prefix, then
+    8-token suffix — the same boilerplate keys x95/x99 block on), so
+    labels travel along prefix-suffix chains no single key connects.
+    Majority ties break to the MIN label; the census reports, per
+    final label, the seed count, the count labeled after round 1, and
+    the final count — the adoption funnel a curator reads before
+    trusting propagated labels.
+
+    Scale shape: two ``majority_label_round`` calls
+    (operators/components.py) — each ONE count aggregate + one
+    keys-sized argmax + one same-key left join; label cardinality is
+    |sources|-bounded, nothing pairwise, no windows. The suffix key
+    is spelled ``reverse -> first 8`` (order is irrelevant for a
+    blocking key, and both engines slice reversed lists identically
+    for short docs)."""
+    from hive_parse_lineage_spark.operators.components import (
+        majority_label_round)
+    toks = F.split(F.col("text"), " ")
+    base = tables["documents"].select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 8), " ").alias("pre"),
+        F.array_join(F.slice(F.reverse(toks), 1, 8), " ").alias("suf"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("source")).alias("seed"))
+    r1 = majority_label_round(base.withColumn("lab1", F.col("seed")),
+                              "pre", "lab1")
+    r2 = majority_label_round(r1.withColumn("lab2", F.col("lab1")),
+                              "suf", "lab2")
+    return (r2.filter(F.col("lab2").isNotNull())
+            .groupBy(F.col("lab2").alias("label"))
+            .agg(F.sum(F.col("seed").isNotNull().cast("long"))
+                 .alias("n_seed"),
+                 F.sum(F.col("lab1").isNotNull().cast("long"))
+                 .alias("n_after_r1"),
+                 F.count("*").alias("n_after_r2"))
+            .orderBy("label"))
+
+
+_LABEL_PROP_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+           AS pre,
+         array_to_string(
+           list_slice(list_reverse(string_split(text, ' ')), 1, 8), ' ')
+           AS suf,
+         CASE WHEN doc_id % 3 = 0 THEN source END AS seed
+  FROM documents
+), c1 AS (
+  SELECT pre, seed AS l, COUNT(*) AS c FROM base
+  WHERE seed IS NOT NULL GROUP BY pre, seed
+), w1 AS (
+  SELECT pre, l AS win FROM (
+    SELECT pre, l,
+           ROW_NUMBER() OVER (PARTITION BY pre ORDER BY c DESC, l) AS rn
+    FROM c1) WHERE rn = 1
+), r1 AS (
+  SELECT base.*, COALESCE(seed, w1.win) AS lab1
+  FROM base LEFT JOIN w1 USING (pre)
+), c2 AS (
+  SELECT suf, lab1 AS l, COUNT(*) AS c FROM r1
+  WHERE lab1 IS NOT NULL GROUP BY suf, lab1
+), w2 AS (
+  SELECT suf, l AS win FROM (
+    SELECT suf, l,
+           ROW_NUMBER() OVER (PARTITION BY suf ORDER BY c DESC, l) AS rn
+    FROM c2) WHERE rn = 1
+), r2 AS (
+  SELECT r1.*, COALESCE(lab1, w2.win) AS lab2
+  FROM r1 LEFT JOIN w2 USING (suf)
+)
+SELECT lab2 AS label,
+       CAST(SUM(CASE WHEN seed IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seed,
+       CAST(SUM(CASE WHEN lab1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after_r1,
+       CAST(COUNT(*) AS BIGINT) AS n_after_r2
+FROM r2 WHERE lab2 IS NOT NULL
+GROUP BY lab2 ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1474,6 +1565,7 @@ def audit_queries():
         "x221_normalization_collisions": _q(_x221_normalization_collisions),
         "x222_kanonymity_census": _q(_x222_kanonymity_census),
         "x223_join_output_skew": _q(_x223_join_output_skew),
+        "x224_label_propagation": _q(_x224_label_propagation),
     }
 
 
@@ -1497,4 +1589,5 @@ def audit_oracle_sql() -> dict[str, str]:
         "x221_normalization_collisions": _NORM_COLLISION_ORACLE,
         "x222_kanonymity_census": _KANON_ORACLE,
         "x223_join_output_skew": _JOIN_SKEW_ORACLE,
+        "x224_label_propagation": _LABEL_PROP_ORACLE,
     }

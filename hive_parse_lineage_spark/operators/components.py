@@ -101,3 +101,37 @@ def dedup_survivors(docs: DataFrame, edges: DataFrame,
     losers = comp.filter(F.col("vertex") != F.col("component")) \
                  .select(F.col("vertex").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def majority_label_round(df: DataFrame, key_col: str, label_col: str,
+                         out_col: str | None = None) -> DataFrame:
+    """ONE synchronous round of majority label propagation over a
+    blocking key: every row whose ``label_col`` is NULL adopts its
+    ``key_col`` group's majority label among the currently-labeled
+    members (ties broken to the MIN label — deterministic, so a
+    differential SQL oracle can unroll the identical round).
+
+    The semi-supervised leg of dedup-graph curation: seed quality /
+    provenance labels on a vetted subset, then spread them through the
+    same blocking groups the near-dup pass already builds (alternating
+    the key between rounds — e.g. prefix, then suffix — lets labels
+    travel along chains no single key connects).
+
+    Scale posture (100 TB): the group winner is ONE count aggregate
+    plus one |keys x labels|-row argmax — both hash-shuffled on the
+    key, never pairwise; adopting is a left join back on the same key
+    (same partitioning, Exchange reuse). Label cardinality is bounded
+    (sources/quality tiers), so the winner table is keys-sized. The
+    argmax is ``min(struct(-count, label))`` — no window, map-side
+    combinable."""
+    out = out_col or label_col
+    lab = (df.filter(F.col(label_col).isNotNull())
+           .groupBy(key_col, label_col)
+           .agg(F.count("*").alias("_c")))
+    win = (lab.groupBy(key_col)
+           .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
+                               F.col(label_col).alias("l"))).alias("_w"))
+           .select(key_col, F.col("_w.l").alias("_win")))
+    return (df.join(win, key_col, "left")
+            .withColumn(out, F.coalesce(F.col(label_col), F.col("_win")))
+            .drop("_win"))

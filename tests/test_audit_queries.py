@@ -296,3 +296,50 @@ def test_reciprocal_best_match_tie_and_asymmetry(spark):
                spark, {"documents": docs}).collect()}
     assert set(got) == {(1, 2), (4, 5)}
     assert all(v == 1.0 for v in got.values())
+
+
+def test_label_propagation_chain_majority_and_tie(spark):
+    """majority_label_round semantics, toy-pinned: (a) majority wins
+    within a blocking group (2 seeds 'beta' beat 1 seed 'alpha');
+    (b) a 1-1 tie breaks to the MIN label; (c) labels travel along a
+    prefix->suffix CHAIN across the two x224 rounds — a doc with no
+    labeled prefix-peer still gets labeled in round 2 through a
+    suffix-peer that was labeled in round 1."""
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.operators.components import (
+        majority_label_round)
+
+    rows = [
+        # group g1: two 'beta' seeds + one 'alpha' seed + one unlabeled
+        (1, "g1", "beta"), (2, "g1", "beta"), (3, "g1", "alpha"),
+        (4, "g1", None),
+        # group g2: 1-1 tie -> min label 'aa'
+        (5, "g2", "zz"), (6, "g2", "aa"), (7, "g2", None),
+        # group g3: no seeds -> stays NULL
+        (8, "g3", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, lab string")
+    got = {r["id"]: r["lab"]
+           for r in majority_label_round(df, "k", "lab").collect()}
+    assert got[4] == "beta" and got[7] == "aa" and got[8] is None
+    # seeds never change
+    assert got[3] == "alpha" and got[5] == "zz"
+
+    # chain: doc 30 shares NO prefix with a seed, but shares a suffix
+    # with doc 20, which gets labeled from seed doc 10 in round 1
+    docs = spark.createDataFrame(
+        [(9, "p q r s t u v w SEEDSIDE"),        # 9 % 3 == 0 -> seed
+         (20, "p q r s t u v w x y z m n o END1 END2 END3 END4 E5 E6 E7 E8"),
+         (31, "totally different start words here ok yes END1 END2 END3 "
+              "END4 E5 E6 E7 E8")],
+        "doc_id long, text string")
+    docs = docs.withColumn("source", F.lit("curated"))
+    from hive_parse_lineage_spark.audit_queries import (
+        _x224_label_propagation)
+    out = {r["label"]: (r["n_seed"], r["n_after_r1"], r["n_after_r2"])
+           for r in _x224_label_propagation(
+               spark, {"documents": docs}).collect()}
+    # doc 9 seeded; doc 20 adopts via shared 8-token prefix in r1;
+    # doc 31 adopts via shared 8-token suffix with 20 in r2
+    assert out == {"curated": (1, 2, 3)}
