@@ -1542,6 +1542,129 @@ GROUP BY lab2 ORDER BY label
 
 
 # ---------------------------------------------------------------------------
+# x225 — content-defined chunking + duplicate-chunk census
+# ---------------------------------------------------------------------------
+
+#: Gear-style CDC parameters: cut after a 4-token window whose hash is
+#: ≡ 0 (mod 32) → expected chunk ≈ 36 tokens. Production FastCDC adds
+#: min/max chunk caps; the census spelling keeps the pure cut rule so
+#: the oracle replays it verbatim.
+_CDC_W, _CDC_D = 4, 32
+
+
+def _x225_cdc_chunking(spark, tables):
+    """CONTENT-DEFINED CHUNKING census — the boundary-stable dedup
+    primitive x53's fixed-stride windows cannot provide: chunk cuts
+    land where a rolling 4-token window's hash ≡ 0 (mod 32) (Gear/
+    FastCDC rule), so inserting a sentence shifts ONE chunk instead of
+    re-aligning every window after it — the property that makes
+    chunk-level dedup and incremental corpus diffing survive edits.
+    Per source: chunk count, token mass, cross-doc duplicate chunks
+    (chunk text seen in ≥2 distinct docs), duplicate token permille,
+    and mean chunk size — the dial for picking the divisor before a
+    chunk-store is built.
+
+    Scale shape: chunking is a pure per-doc array program (shingle
+    hashes → cut positions → slices) — zero shuffles until the dup
+    census, which is ONE hash shuffle on the chunk fingerprint (the
+    exact-dedup shape) plus one per-source aggregate. The 60-bit
+    md5-fold hash is the portable replay spelling; production swaps
+    xxhash64 into the same cut rule."""
+    w, dv = _CDC_W, _CDC_D
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, word_shingles)
+    d = tables["documents"].select(
+        "doc_id", "source", F.split("text", " ").alias("t"),
+        word_shingles("text", w).alias("s"))
+    hj = ("CAST(CONV(SUBSTRING(MD5(element_at(s, j)), 1, 15), 16, 10) "
+          "AS BIGINT)")
+    cuts = F.expr(
+        f"concat(array(1), "
+        f"transform(filter(sequence(1, size(s)), "
+        f"j -> {hj} % {dv} = 0 AND j + {w} <= size(t)), j -> j + {w}), "
+        f"array(size(t) + 1))")
+    ch = (d.withColumn("cuts", cuts)
+          .select("doc_id", "source",
+                  F.explode(F.expr(
+                      "transform(sequence(1, size(cuts) - 1), m -> "
+                      "concat_ws(' ', slice(t, element_at(cuts, m), "
+                      "element_at(cuts, m + 1) - element_at(cuts, m))))"))
+                  .alias("chunk")))
+    ck = ch.select("doc_id", "source",
+                   F.size(F.split("chunk", " ")).cast("long")
+                   .alias("n_tok"),
+                   portable_hash64("chunk").alias("h"))
+    dup = ck.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (ck.join(dup, "h")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum("n_tok").alias("tok_mass"),
+                 F.sum((F.col("nd") >= 2).cast("long"))
+                 .alias("n_dup_chunks"),
+                 F.sum(F.when(F.col("nd") >= 2, F.col("n_tok"))
+                       .otherwise(F.lit(0))).alias("dup_tok_mass"))
+            .withColumn("dup_tok_permille",
+                        F.expr("dup_tok_mass * 1000 div tok_mass"))
+            .withColumn("mean_chunk_tok",
+                        F.expr("tok_mass div n_chunks"))
+            .orderBy("source"))
+
+
+def _cdc_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    w, dv = _CDC_W, _CDC_D
+    hj = portable_hash64_sql("sh[j]")
+    hc = portable_hash64_sql("chunk")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t, text
+  FROM documents
+), s AS (
+  SELECT doc_id, source, t,
+         CASE WHEN len(t) >= {w} THEN list_transform(
+             range(1, len(t) - {w - 2}), i ->
+             array_to_string(list_slice(t, i, i + {w - 1}), ' '))
+         ELSE [text] END AS sh
+  FROM d
+), c AS (
+  SELECT doc_id, source, t,
+         list_concat(list_concat(
+             [1],
+             list_transform(list_filter(range(1, len(sh) + 1),
+                 j -> ({hj}) % {dv} = 0 AND j + {w} <= len(t)),
+                 j -> j + {w})),
+             [len(t) + 1]) AS cuts
+  FROM s
+), ch AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(cuts)), m ->
+             array_to_string(
+                 list_slice(t, cuts[m], cuts[m + 1] - 1), ' '))) AS chunk
+  FROM c
+), ck AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+         {hc} AS h
+  FROM ch
+), dup AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ck GROUP BY h
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_mass,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN nd >= 2 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS dup_tok_mass,
+       CAST(SUM(CASE WHEN nd >= 2 THEN n_tok ELSE 0 END) * 1000
+            // SUM(n_tok) AS BIGINT) AS dup_tok_permille,
+       CAST(SUM(n_tok) // COUNT(*) AS BIGINT) AS mean_chunk_tok
+FROM ck JOIN dup USING (h)
+GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1566,6 +1689,7 @@ def audit_queries():
         "x222_kanonymity_census": _q(_x222_kanonymity_census),
         "x223_join_output_skew": _q(_x223_join_output_skew),
         "x224_label_propagation": _q(_x224_label_propagation),
+        "x225_cdc_chunking": _q(_x225_cdc_chunking),
     }
 
 
@@ -1590,4 +1714,5 @@ def audit_oracle_sql() -> dict[str, str]:
         "x222_kanonymity_census": _KANON_ORACLE,
         "x223_join_output_skew": _JOIN_SKEW_ORACLE,
         "x224_label_propagation": _LABEL_PROP_ORACLE,
+        "x225_cdc_chunking": _cdc_oracle_sql(),
     }

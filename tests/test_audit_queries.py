@@ -343,3 +343,75 @@ def test_label_propagation_chain_majority_and_tie(spark):
     # doc 9 seeded; doc 20 adopts via shared 8-token prefix in r1;
     # doc 31 adopts via shared 8-token suffix with 20 in r2
     assert out == {"curated": (1, 2, 3)}
+
+
+def _py_cdc_chunks(text, w=4, dv=32):
+    """Independent reimplementation of the x225 cut rule (hashlib md5
+    fold) — the differential anchor for the Spark/DuckDB spellings."""
+    import hashlib
+    t = text.split(" ")
+    n = len(t)
+    if n >= w:
+        sh = [" ".join(t[i:i + w]) for i in range(n - w + 1)]
+    else:
+        sh = [text]
+    h = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh]
+    cuts = [1] + [j + w for j in range(1, len(sh) + 1)
+                  if h[j - 1] % dv == 0 and j + w <= n] + [n + 1]
+    return [" ".join(t[cuts[m] - 1:cuts[m + 1] - 1])
+            for m in range(len(cuts) - 1)]
+
+
+def test_cdc_chunking_matches_independent_python(spark):
+    """x225's Spark chunker must equal the hashlib reimplementation
+    chunk-for-chunk, and the census must count the cross-doc shared
+    chunk as duplicate mass."""
+    import random
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.audit_queries import (
+        _CDC_D, _CDC_W, _x225_cdc_chunking)
+    rng = random.Random(7)
+    words = "a b c d e f g h i j k l m n o p q r s t u v w".split()
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randint(1, 200)))
+             for _ in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t, "src%d" % (i % 2)) for i, t in enumerate(texts)],
+        "doc_id long, text string, source string")
+    # census vs a full python replay
+    exp = {}
+    chunk_docs = {}
+    for i, t in enumerate(texts):
+        for c in _py_cdc_chunks(t, _CDC_W, _CDC_D):
+            chunk_docs.setdefault(c, set()).add(i)
+    for i, t in enumerate(texts):
+        src = "src%d" % (i % 2)
+        st = exp.setdefault(src, [0, 0, 0, 0])
+        for c in _py_cdc_chunks(t, _CDC_W, _CDC_D):
+            nt = len(c.split(" "))
+            st[0] += 1
+            st[1] += nt
+            if len(chunk_docs[c]) >= 2:
+                st[2] += 1
+                st[3] += nt
+    got = {r["source"]: (r["n_chunks"], r["tok_mass"], r["n_dup_chunks"],
+                         r["dup_tok_mass"])
+           for r in _x225_cdc_chunking(spark, {"documents": docs}).collect()}
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_cdc_chunking_boundary_stability():
+    """The CDC selling point: prepending tokens only disturbs chunks
+    up to the first cut — every chunk after it is byte-identical, so
+    chunk-level dedup survives edits that re-align every fixed-stride
+    window."""
+    import random
+    rng = random.Random(11)
+    words = "alpha beta gamma delta eps zeta eta theta iota kappa".split()
+    base = " ".join(rng.choice(words) for _ in range(400))
+    edited = "NEW TOKENS AT FRONT " + base
+    c1 = _py_cdc_chunks(base)
+    c2 = _py_cdc_chunks(edited)
+    assert len(c1) > 3  # the corpus draw actually produced cuts
+    # all base chunks except (at most) the first survive the edit
+    assert set(c1[1:]) <= set(c2)
