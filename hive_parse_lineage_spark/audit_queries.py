@@ -1665,6 +1665,73 @@ GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# x226 — exact mergeable bitmap distinct
+# ---------------------------------------------------------------------------
+
+
+def _x226_bitmap_distinct(spark, tables):
+    """EXACT distinct counting as a MERGEABLE bitmap fold — the
+    missing exact member of the cardinality family (KMV x108 / CMS
+    x104 / histogram x131 / HLL are all approximate): per event_type,
+    user ids fold into 62-bit words (``bucket = id div 62``, ``bit =
+    id mod 62``) via ``bit_or`` — a commutative monoid, so per-shard
+    partials merge without re-scanning, the property countDistinct's
+    expand-shuffle lacks and the reason warehouse rollups precompute
+    bitmap columns (the roaring-bitmap pattern). The census emits the
+    bitmap count NEXT TO the plain ``countDistinct`` with their
+    difference, which must be 0 on every row — the in-band equality
+    proof (x223's verified-equal posture).
+
+    Scale shape: one (event_type, bucket) bit_or aggregate (map-side
+    combinable; partial rows ≈ |ids|/62 per group, dense-id layout —
+    sparse 64-bit key spaces compress buckets roaring-style, the
+    documented swap) + one word-count rollup + one |event_types|-row
+    join against the plain spelling. All integer."""
+    ev = tables["events"].select("event_type", "user_id")
+    words = (ev.groupBy("event_type",
+                        F.expr("user_id div 62").alias("bucket"))
+             .agg(F.expr("bit_or(shiftleft(1L, "
+                         "CAST(user_id % 62 AS INT)))").alias("bits")))
+    bm = (words.groupBy("event_type")
+          .agg(F.sum(F.bit_count("bits")).alias("distinct_bitmap"),
+               F.count("*").alias("n_words")))
+    plain = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("distinct_plain"),
+                  F.count("*").alias("n_events")))
+    return (bm.join(plain, "event_type")
+            .select("event_type", "n_events", "n_words",
+                    "distinct_bitmap", "distinct_plain",
+                    (F.col("distinct_bitmap") - F.col("distinct_plain"))
+                    .alias("diff"))
+            .orderBy("event_type"))
+
+
+_BITMAP_DISTINCT_ORACLE = """
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+), words AS (
+  SELECT event_type, user_id // 62 AS bucket,
+         bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS bits
+  FROM ev GROUP BY event_type, user_id // 62
+), bm AS (
+  SELECT event_type,
+         CAST(SUM(bit_count(bits)) AS BIGINT) AS distinct_bitmap,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM words GROUP BY event_type
+), plain AS (
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_plain,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY event_type
+)
+SELECT bm.event_type, n_events, n_words, distinct_bitmap, distinct_plain,
+       distinct_bitmap - distinct_plain AS diff
+FROM bm JOIN plain USING (event_type)
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1690,6 +1757,7 @@ def audit_queries():
         "x223_join_output_skew": _q(_x223_join_output_skew),
         "x224_label_propagation": _q(_x224_label_propagation),
         "x225_cdc_chunking": _q(_x225_cdc_chunking),
+        "x226_bitmap_distinct": _q(_x226_bitmap_distinct),
     }
 
 
@@ -1715,4 +1783,5 @@ def audit_oracle_sql() -> dict[str, str]:
         "x223_join_output_skew": _JOIN_SKEW_ORACLE,
         "x224_label_propagation": _LABEL_PROP_ORACLE,
         "x225_cdc_chunking": _cdc_oracle_sql(),
+        "x226_bitmap_distinct": _BITMAP_DISTINCT_ORACLE,
     }

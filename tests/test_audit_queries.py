@@ -415,3 +415,37 @@ def test_cdc_chunking_boundary_stability():
     assert len(c1) > 3  # the corpus draw actually produced cuts
     # all base chunks except (at most) the first survive the edit
     assert set(c1[1:]) <= set(c2)
+
+
+def test_bitmap_distinct_merge_property_and_zero_diff(spark):
+    """The bitmap fold is a mergeable monoid: folding two disjoint
+    shards separately and bit_or-merging the word tables must give the
+    same count as folding the union — and on a toy stream with known
+    duplicates the census diff column is 0 everywhere."""
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.audit_queries import (
+        _x226_bitmap_distinct)
+    rows = [(i, uid, "t%d" % (uid % 2), 0.0)
+            for i, uid in enumerate([1, 1, 2, 63, 63, 64, 125, 200, 200])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, v double")
+    out = {r["event_type"]: r.asDict()
+           for r in _x226_bitmap_distinct(
+               spark, {"events": ev}).collect()}
+    assert all(r["diff"] == 0 for r in out.values())
+    # t1: uids 1,1,63,63,125 -> 3 distinct; t0: 2,64,200,200 -> 3
+    assert out["t1"]["distinct_bitmap"] == 3
+    assert out["t0"]["distinct_bitmap"] == 3
+    # merge property: shard by event parity, fold each, OR the words
+    words = lambda df: (df.groupBy(F.expr("user_id div 62").alias("b"))
+                        .agg(F.expr("bit_or(shiftleft(1L, "
+                                    "CAST(user_id % 62 AS INT)))")
+                             .alias("bits")))
+    a = words(ev.filter("event_id % 2 = 0"))
+    b = words(ev.filter("event_id % 2 = 1"))
+    merged = (a.unionByName(b).groupBy("b")
+              .agg(F.expr("bit_or(bits)").alias("bits"))
+              .agg(F.sum(F.bit_count("bits"))).first()[0])
+    whole = words(ev).agg(F.sum(F.bit_count("bits"))).first()[0]
+    assert merged == whole == 6
