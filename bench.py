@@ -13,6 +13,10 @@ Usage: python bench.py                  declared + corpus surface, one JSON line
                                         at sf0.1 -> sf1.0 -> sf10 (100x over
                                         the graded SF): wall-over-token
                                         growth per rung -> SWEEP_r{N}.json
+       python bench.py --ann-ladder     the query-set-bounded similarity
+                                        entries on the same rungs: wall-over-
+                                        vector-rows growth ->
+                                        SWEEP_ANN_r{N}.json
 Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS    (default all cores)
        BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
@@ -697,6 +701,37 @@ DEDUP_LADDER_QUERIES = ("x07_minhash_near_dup", "x59_dedup_keep_one",
                         "x196_dedup_method_census")
 
 
+#: Query-set-bounded similarity entries for the ANN 100x ladder:
+#: x06 broadcast-query linear cosine scan, x10 hyperplane-LSH kNN,
+#: x79 exact-vs-LSH recall audit, x184 PQ-ADC scan. x35 (pairwise
+#: embedding near-dup) is deliberately EXCLUDED: make_sfN replicates
+#: vectors verbatim (id-shifted), so every vector gains 10 exact
+#: twins per rung and the PAIR OUTPUT grows quadratically — a
+#: synthesis artifact, not a plan property (documents get per-copy
+#: token suffixes for exactly this reason; embeddings can't without
+#: changing the vectors the queries measure).
+ANN_LADDER_QUERIES = ("x06_cosine_pairs", "x10_lsh_knn",
+                      "x79_ann_recall", "x184_pq_adc")
+
+
+def ann_ladder() -> None:
+    """``bench.py --ann-ladder``: the 100x rung for the similarity /
+    ANN family (the dedup core has SWEEP_r09; this is the embedding
+    side of the same question). Rungs sf0.1 -> sf1.0 -> sf10 scale the
+    vector corpus 20k -> 200k -> 2M rows (dims fixed); growth is
+    normalized by EMBEDDING ROWS. Same protocol as --dedup-ladder:
+    global JIT warm at the smallest rung, one timed pass per rung,
+    growth ratios are the signal. Written to SWEEP_ANN_r{N}.json."""
+    _run_ladder(
+        {n: _corpus_query_map()[n] for n in ANN_LADDER_QUERIES},
+        metric="ann_ladder",
+        scale_of=lambda spark, d: {
+            "vec_rows": spark.read.parquet(
+                os.path.join(d, "embeddings.parquet")).count()},
+        growth_key="vec_rows",
+        path_tag="SWEEP_ANN")
+
+
 def dedup_ladder() -> None:
     """``bench.py --dedup-ladder``: a TRUE 100x scale point for the
     dedup core. The graded SF is 0.1; sf1.0 (make_sfN.py) is only 10x,
@@ -707,8 +742,27 @@ def dedup_ladder() -> None:
     pass per rung (entries run minutes at sf10; growth ratios, not
     per-run noise, are the signal here). Output mirrors
     --scale-sweep's schema; written to SWEEP_r{N}.json."""
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
+
+    def scale_of(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        toks = docs.select(F.sum(F.size(F.split("text", " ")))
+                           .alias("t")).first()["t"]
+        return {"doc_rows": docs.count(), "doc_tokens": int(toks)}
+
+    qs = {n: _corpus_query_map()[n] for n in DEDUP_LADDER_QUERIES}
+    qs["x46_dup_clusters_capped"] = _x46_capped
+    _run_ladder(qs, metric="dedup_ladder", scale_of=scale_of,
+                growth_key="doc_tokens", path_tag="SWEEP")
+
+
+def _run_ladder(qs, metric: str, scale_of, growth_key: str,
+                path_tag: str) -> None:
+    """Shared rung walker for the 100x ladders: one SparkSession, JIT
+    warm at the smallest rung, one timed pass per (rung, entry), and
+    per-entry wall-growth-over-scale-growth ratios normalized by
+    ``growth_key`` from ``scale_of(spark, dir)``."""
+    from pyspark.sql import SparkSession
 
     from hive_parse_lineage_spark.session import RUNTIME_CONFS
 
@@ -718,7 +772,7 @@ def dedup_ladder() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
         os.cpu_count() or 4, 16)
     builder = (SparkSession.builder.master(f"local[{cpus}]")
-               .appName("dedup-ladder")
+               .appName(metric.replace("_", "-"))
                .config("spark.sql.shuffle.partitions", str(cpus))
                .config("spark.driver.memory",
                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -729,22 +783,13 @@ def dedup_ladder() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    pool = _corpus_query_map()
-    qs = {n: pool[n] for n in DEDUP_LADDER_QUERIES}
-    qs["x46_dup_clusters_capped"] = _x46_capped
-
     for name, fn in sorted(qs.items()):        # JIT/codegen warm
         fn(spark, dirs[0]).collect()
 
-    out: dict = {"metric": "dedup_ladder", "unit": "sec", "sweep": []}
+    out: dict = {"metric": metric, "unit": "sec", "sweep": []}
     for d in dirs:
-        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-        rows = docs.count()
-        toks = docs.select(F.sum(F.size(F.split("text", " ")))
-                           .alias("t")).first()["t"]
         entry: dict = {"sf_dir": os.path.basename(d.rstrip("/")),
-                       "doc_rows": rows, "doc_tokens": int(toks),
-                       "queries": {}}
+                       **scale_of(spark, d), "queries": {}}
         for name, fn in sorted(qs.items()):
             t0 = time.perf_counter()
             n_out = len(fn(spark, d).collect())
@@ -754,19 +799,22 @@ def dedup_ladder() -> None:
             print("ladder " + json.dumps({d: {name: round(wall, 3)}}),
                   file=sys.stderr, flush=True)
         out["sweep"].append(entry)
+    growth_field = ("wall_growth_over_token_growth"
+                    if growth_key == "doc_tokens"
+                    else f"wall_growth_over_{growth_key}_growth")
     for name in sorted(qs):
         ratios = []
         for a, b in zip(out["sweep"], out["sweep"][1:]):
             wall_g = (b["queries"][name]["wall"]
                       / max(a["queries"][name]["wall"], 1e-9))
             ratios.append(round(
-                wall_g / (b["doc_tokens"] / max(a["doc_tokens"], 1)), 3))
-        out.setdefault("wall_growth_over_token_growth", {})[name] = ratios
+                wall_g / (b[growth_key] / max(a[growth_key], 1)), 3))
+        out.setdefault(growth_field, {})[name] = ratios
     path = os.environ.get(
         "SWEEP_PATH",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      os.path.basename(_detail_path())
-                     .replace("BENCH_DETAIL", "SWEEP")))
+                     .replace("BENCH_DETAIL", path_tag)))
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     out["detail_file"] = os.path.basename(path)
@@ -854,6 +902,9 @@ def main() -> None:
         return
     if "--dedup-ladder" in sys.argv:
         dedup_ladder()
+        return
+    if "--ann-ladder" in sys.argv:
+        ann_ladder()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
