@@ -1732,6 +1732,116 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# x227 — zone-map skip-rate audit
+# ---------------------------------------------------------------------------
+
+#: (predicate name, column tag, inclusive lo, inclusive hi) — cents =
+#: FLOOR(o_totalprice*100) (the x137 both-engines spelling), cust =
+#: o_custkey. Constants are SF-independent absolute values.
+_ZONEMAP_PREDS = (
+    ("price_band", "cents", 10_000_000, 20_000_000),
+    ("price_high", "cents", 40_000_000, 9_223_372_036_854_775_000),
+    ("cust_low", "cust", 0, 100),
+)
+
+
+def _x227_zonemap_skips(spark, tables):
+    """ZONE-MAP (min/max skipping index) audit — the READ-side
+    complement to x214's layout spans: orders split into 64 id-range
+    blocks (the row-group model), per block the min/max of
+    price-cents and custkey, then for three fixed range predicates
+    the permille of blocks a scanner could SKIP (``max < lo OR min >
+    hi``) next to the predicate's true row selectivity. The gap
+    between the two columns is the finding: a selective predicate on
+    a column UNCORRELATED with the layout order prunes nothing — the
+    number that justifies (or kills) a sort/Z-order rewrite before
+    it is paid for, and exactly what parquet row-group pruning will
+    and won't do on this layout.
+
+    Scale shape: one 64-group min/max aggregate (map-side combinable)
+    + one 3-way conditional-count aggregate for the selectivities —
+    two cheap scans, 3 output rows; the zone-map table itself is the
+    |blocks|-row broadcast class."""
+    o = tables["orders"].select(
+        "o_orderkey", F.col("o_custkey").alias("cust"),
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    mx = o.agg(F.max("o_orderkey").alias("mx"))
+    b = (o.crossJoin(F.broadcast(mx))
+         .select(F.expr("o_orderkey * 64 div (mx + 1)").alias("block"),
+                 "cust", "cents"))
+    zm = b.groupBy("block").agg(
+        F.min("cents").alias("min_cents"), F.max("cents").alias("max_cents"),
+        F.min("cust").alias("min_cust"), F.max("cust").alias("max_cust"))
+    preds = F.array(*[
+        F.struct(F.lit(n).alias("pred"), F.lit(t).alias("tag"),
+                 F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+        for n, t, lo, hi in _ZONEMAP_PREDS])
+    skips = (zm.select(F.explode(preds).alias("p"), "*")
+             .select("p.*", "min_cents", "max_cents", "min_cust", "max_cust")
+             .groupBy("pred")
+             .agg(F.count("*").alias("n_blocks"),
+                  F.sum(F.expr(
+                      "CASE WHEN (tag = 'cents' AND (max_cents < lo "
+                      "OR min_cents > hi)) OR (tag = 'cust' AND "
+                      "(max_cust < lo OR min_cust > hi)) "
+                      "THEN 1 ELSE 0 END")).alias("n_skippable")))
+    sel = (b.select(F.explode(preds).alias("p"), "cents", "cust")
+           .select("p.*", "cents", "cust")
+           .groupBy("pred")
+           .agg(F.sum(F.expr(
+                    "CASE WHEN (tag = 'cents' AND cents BETWEEN lo AND hi)"
+                    " OR (tag = 'cust' AND cust BETWEEN lo AND hi) "
+                    "THEN 1 ELSE 0 END")).alias("matched"),
+                F.count("*").alias("n")))
+    return (skips.join(sel, "pred")
+            .select("pred", "n_blocks", "n_skippable",
+                    F.expr("n_skippable * 1000 div n_blocks")
+                    .alias("skip_permille"),
+                    F.expr("matched * 1000 div n").alias("match_permille"))
+            .orderBy("pred"))
+
+
+def _zonemap_oracle_sql() -> str:
+    pred_rows = ", ".join(
+        f"('{n}', '{t}', {lo}, {hi})" for n, t, lo, hi in _ZONEMAP_PREDS)
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS cust,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), mx AS (SELECT MAX(o_orderkey) AS mx FROM o),
+b AS (
+  SELECT o.o_orderkey * 64 // (mx.mx + 1) AS block, cust, cents
+  FROM o, mx
+), zm AS (
+  SELECT block, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+         MIN(cust) AS min_cust, MAX(cust) AS max_cust
+  FROM b GROUP BY block
+), preds(pred, tag, lo, hi) AS (VALUES {pred_rows}),
+skips AS (
+  SELECT pred,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CASE WHEN (tag = 'cents' AND (max_cents < lo OR min_cents > hi))
+                         OR (tag = 'cust' AND (max_cust < lo OR min_cust > hi))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable
+  FROM zm, preds GROUP BY pred
+), sel AS (
+  SELECT pred,
+         CAST(SUM(CASE WHEN (tag = 'cents' AND cents BETWEEN lo AND hi)
+                         OR (tag = 'cust' AND cust BETWEEN lo AND hi)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM b, preds GROUP BY pred
+)
+SELECT s.pred, n_blocks, n_skippable,
+       n_skippable * 1000 // n_blocks AS skip_permille,
+       matched * 1000 // n AS match_permille
+FROM skips s JOIN sel USING (pred)
+ORDER BY pred
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1758,6 +1868,7 @@ def audit_queries():
         "x224_label_propagation": _q(_x224_label_propagation),
         "x225_cdc_chunking": _q(_x225_cdc_chunking),
         "x226_bitmap_distinct": _q(_x226_bitmap_distinct),
+        "x227_zonemap_skips": _q(_x227_zonemap_skips),
     }
 
 
@@ -1784,4 +1895,5 @@ def audit_oracle_sql() -> dict[str, str]:
         "x224_label_propagation": _LABEL_PROP_ORACLE,
         "x225_cdc_chunking": _cdc_oracle_sql(),
         "x226_bitmap_distinct": _BITMAP_DISTINCT_ORACLE,
+        "x227_zonemap_skips": _zonemap_oracle_sql(),
     }

@@ -449,3 +449,43 @@ def test_bitmap_distinct_merge_property_and_zero_diff(spark):
               .agg(F.sum(F.bit_count("bits"))).first()[0])
     whole = words(ev).agg(F.sum(F.bit_count("bits"))).first()[0]
     assert merged == whole == 6
+
+
+def test_zonemap_skips_correlation_contrast(spark):
+    """The audit's reason to exist, toy-pinned: a predicate on a
+    column CORRELATED with the block order (price grows with
+    o_orderkey) skips most blocks, while an equally selective
+    predicate on an uncorrelated column (custkey = orderkey*31 %
+    1000) skips none — its values span every block's min/max range."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _ZONEMAP_PREDS, _x227_zonemap_skips)
+    rows = [(k, (k * 7919) % 1000, k * 200.0) for k in range(1, 1281)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_totalprice double")
+    out = {r["pred"]: r.asDict()
+           for r in _x227_zonemap_skips(spark, {"orders": orders}).collect()}
+    # python replay of the block/zone rule
+    import math
+    mx = 1280
+    blocks = {}
+    for k, cust, price in rows:
+        b = k * 64 // (mx + 1)
+        cents = int(math.floor(price * 100))
+        mm = blocks.setdefault(b, [cents, cents, cust, cust])
+        mm[0], mm[1] = min(mm[0], cents), max(mm[1], cents)
+        mm[2], mm[3] = min(mm[2], cust), max(mm[3], cust)
+    for name, tag, lo, hi in _ZONEMAP_PREDS:
+        i = (0, 1) if tag == "cents" else (2, 3)
+        skip = sum(1 for mm in blocks.values()
+                   if mm[i[1]] < lo or mm[i[0]] > hi)
+        assert out[name]["n_blocks"] == len(blocks)
+        assert out[name]["n_skippable"] == skip, name
+    # price_band covers orderkey 500..1000 -> a correlated layout
+    # skips the majority of blocks
+    assert out["price_band"]["skip_permille"] > 400
+    assert 0 < out["price_band"]["match_permille"] < 1000
+    # cust_low is equally selective (~10%) but the scattered column
+    # leaves nearly every block's span straddling the band
+    assert out["cust_low"]["skip_permille"] < 300
+    assert out["cust_low"]["skip_permille"] < out["price_band"]["skip_permille"]
+    assert out["cust_low"]["match_permille"] < 200
