@@ -552,7 +552,7 @@ SF1_EXTENSION_QUERIES = (
     "x177_source_minhash", "x180_sorted_neighborhood",
     "x201_cluster_safe_split", "x210_reciprocal_best_match",
     "x212_edge_embeddedness", "x216_bucket_balance_audit",
-    "x218_sparse_tfidf_pairs",
+    "x218_sparse_tfidf_pairs", "x225_cdc_chunking",
 )
 
 
