@@ -722,8 +722,9 @@ def ann_ladder() -> None:
     normalized by EMBEDDING ROWS. Same protocol as --dedup-ladder:
     global JIT warm at the smallest rung, one timed pass per rung,
     growth ratios are the signal. Written to SWEEP_ANN_r{N}.json."""
+    pool = _corpus_query_map()
     _run_ladder(
-        {n: _corpus_query_map()[n] for n in ANN_LADDER_QUERIES},
+        {n: pool[n] for n in ANN_LADDER_QUERIES},
         metric="ann_ladder",
         scale_of=lambda spark, d: {
             "vec_rows": spark.read.parquet(

@@ -683,10 +683,10 @@ def _x152_qq_alignment(spark, tables):
         if not part_cols and use_ranges:
             from hive_parse_lineage_spark.operators.ranks import (
                 range_partitioned_row_number)
-            ranked = (range_partitioned_row_number(
-                          df.select("n_chars", "doc_id"),
-                          ["n_chars", "doc_id"], "rn")
-                      .withColumn("n", F.lit(df.count())))
+            ranked, n_total = range_partitioned_row_number(
+                df.select("n_chars", "doc_id"),
+                ["n_chars", "doc_id"], "rn", return_total=True)
+            ranked = ranked.withColumn("n", F.lit(n_total))
         else:
             w = (Window.partitionBy(*part_cols).orderBy("n_chars", "doc_id")
                  if part_cols else Window.orderBy("n_chars", "doc_id"))
@@ -1111,9 +1111,9 @@ def _x162_curriculum_schedule(spark, tables):
         from hive_parse_lineage_spark.operators.ranks import (
             bucket_start_offset, ntile_from_rank,
             range_partitioned_row_number)
-        n = d.count()
-        qd = (range_partitioned_row_number(d, ["n_tok", "doc_id"], "_rk")
-              .withColumn("quartile", ntile_from_rank("_rk", n, 4))
+        qd, n = range_partitioned_row_number(
+            d, ["n_tok", "doc_id"], "_rk", return_total=True)
+        qd = (qd.withColumn("quartile", ntile_from_rank("_rk", n, 4))
               .drop("_rk"))
         r = qd.withColumn(
             "rn", F.row_number().over(
@@ -3592,12 +3592,16 @@ def _x188_rfm_segments(spark, tables):
     if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
         from hive_parse_lineage_spark.operators.ranks import (
             ntile_from_rank, range_partitioned_row_number)
-        n = per_user.count()
-        scored = per_user
+        scored, n = per_user, None
         for col, alias in (("recency", "r_q"), ("frequency", "f_q"),
                            ("monetary", "m_q")):
-            scored = (range_partitioned_row_number(
-                          scored, [col, "user_id"], "_rk")
+            if n is None:  # first rank's bounded collect yields |rows|
+                scored, n = range_partitioned_row_number(
+                    scored, [col, "user_id"], "_rk", return_total=True)
+            else:
+                scored = range_partitioned_row_number(
+                    scored, [col, "user_id"], "_rk")
+            scored = (scored
                       .withColumn(alias, ntile_from_rank("_rk", n, 4))
                       .drop("_rk"))
         scored = scored.select("user_id", "monetary",
@@ -4814,9 +4818,9 @@ def _x200_quantile_normalize(spark, tables):
         from hive_parse_lineage_spark.operators.ranks import (
             range_partitioned_row_number)
         g = d.select("n", "doc_id")
-        glob_ranked = (range_partitioned_row_number(
-                           g, ["n", "doc_id"], "rn")
-                       .withColumn("m", F.lit(g.count())))
+        glob_ranked, m_total = range_partitioned_row_number(
+            g, ["n", "doc_id"], "rn", return_total=True)
+        glob_ranked = glob_ranked.withColumn("m", F.lit(m_total))
     else:
         wg = Window.orderBy("n", "doc_id")
         glob_ranked = d.select(

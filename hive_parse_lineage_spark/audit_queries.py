@@ -1560,9 +1560,19 @@ def _x225_cdc_chunking(spark, tables):
     re-aligning every window after it — the property that makes
     chunk-level dedup and incremental corpus diffing survive edits.
     Per source: chunk count, token mass, cross-doc duplicate chunks
-    (chunk text seen in ≥2 distinct docs), duplicate token permille,
-    and mean chunk size — the dial for picking the divisor before a
-    chunk-store is built.
+    (chunk fingerprint seen in ≥2 distinct docs), duplicate token
+    permille, and mean chunk size — the dial for picking the divisor
+    before a chunk-store is built.
+
+    Collision exposure (documented, like the 60-bit-hash remark
+    below): the dup census keys on the 60-bit chunk fingerprint, not
+    the chunk text — a fingerprint collision between two distinct
+    chunks inflates n_dup_chunks/dup_tok_mass, and because the DuckDB
+    oracle replays the same hash the gate cannot see it (the python
+    differential test compares by TEXT, but only on toy data).
+    Expected collisions ≈ n²/2^61 — negligible below ~10^8 distinct
+    chunks; past that, group on the chunk text itself (the x75
+    exact-dedup shuffle width) or widen the fingerprint.
 
     Scale shape: chunking is a pure per-doc array program (shingle
     hashes → cut positions → slices) — zero shuffles until the dup
@@ -1686,12 +1696,21 @@ def _x226_bitmap_distinct(spark, tables):
     combinable; partial rows ≈ |ids|/62 per group, dense-id layout —
     sparse 64-bit key spaces compress buckets roaring-style, the
     documented swap) + one word-count rollup + one |event_types|-row
-    join against the plain spelling. All integer."""
+    join against the plain spelling. All integer.
+
+    Sign safety: ``bit = ((id % 62) + 62) % 62`` (a portable pmod —
+    Spark's and DuckDB's ``%`` both follow the dividend sign) and
+    ``bucket = (id - bit) div 62`` (exactly divisible, so truncating
+    DIV equals floor division) — negative ids land in well-defined
+    (bucket, bit) cells in BOTH engines instead of Java's masked
+    shift count silently setting an arbitrary bit."""
     ev = tables["events"].select("event_type", "user_id")
+    pm = "((user_id % 62) + 62) % 62"
     words = (ev.groupBy("event_type",
-                        F.expr("user_id div 62").alias("bucket"))
-             .agg(F.expr("bit_or(shiftleft(1L, "
-                         "CAST(user_id % 62 AS INT)))").alias("bits")))
+                        F.expr(f"(user_id - ({pm})) div 62")
+                        .alias("bucket"))
+             .agg(F.expr(f"bit_or(shiftleft(1L, "
+                         f"CAST({pm} AS INT)))").alias("bits")))
     bm = (words.groupBy("event_type")
           .agg(F.sum(F.bit_count("bits")).alias("distinct_bitmap"),
                F.count("*").alias("n_words")))
@@ -1710,9 +1729,12 @@ _BITMAP_DISTINCT_ORACLE = """
 WITH ev AS (
   SELECT event_type, user_id FROM events
 ), words AS (
-  SELECT event_type, user_id // 62 AS bucket,
-         bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER)) AS bits
-  FROM ev GROUP BY event_type, user_id // 62
+  SELECT event_type,
+         (user_id - (((user_id % 62) + 62) % 62)) // 62 AS bucket,
+         bit_or(1::BIGINT
+                << CAST(((user_id % 62) + 62) % 62 AS INTEGER)) AS bits
+  FROM ev
+  GROUP BY event_type, (user_id - (((user_id % 62) + 62) % 62)) // 62
 ), bm AS (
   SELECT event_type,
          CAST(SUM(bit_count(bits)) AS BIGINT) AS distinct_bitmap,

@@ -51,9 +51,23 @@ def bucket_start_offset(bucket: str, n_rows: int, buckets: int):
                   f"+ LEAST({bucket} - 1, {r}) AS BIGINT)")
 
 
+def _spark_max_key(v):
+    """Sort key matching Spark's MAX total order for numerics: NaN is
+    greater than every other value (ties with itself). Keeps the
+    driver-side prefix fold of :func:`range_partitioned_running_max`
+    agreeing with the ``max() over (...)`` spelling when a float range
+    maximum is NaN (Python's ``nan > x`` is always False and would
+    silently drop it)."""
+    import math
+    if isinstance(v, float) and math.isnan(v):
+        return (1, 0.0)
+    return (0, v)
+
+
 def range_partitioned_row_number(df: DataFrame, order_cols,
                                  col_name: str = "rk",
-                                 num_ranges: int | None = None) -> DataFrame:
+                                 num_ranges: int | None = None,
+                                 return_total: bool = False):
     """Append an EXACT global ``row_number() over (order by
     order_cols)`` without a single-partition sort.
 
@@ -76,6 +90,11 @@ def range_partitioned_row_number(df: DataFrame, order_cols,
     materializes the pin as a side effect, so pinning costs zero extra
     jobs — every later action reads the checkpointed blocks and can
     never re-draw the sampled boundaries.
+
+    ``return_total=True`` returns ``(df, total_rows)`` — the total is
+    the sum of the already-collected per-range counts, so callers that
+    need |rows| (NTILE arithmetic) get it for free instead of paying a
+    second full scan via ``df.count()``.
     """
     spark = df.sparkSession
     n = int(num_ranges or spark.sparkContext.defaultParallelism)
@@ -94,9 +113,10 @@ def range_partitioned_row_number(df: DataFrame, order_cols,
     w = Window.partitionBy("_rpid").orderBy(*order_cols)
     # int row_number + bigint offset widens to bigint — correct past
     # 2^31 rows, where a 100-TB global rank actually lives
-    return (part.join(F.broadcast(off), "_rpid")
-            .withColumn(col_name, F.row_number().over(w) + F.col("_rkoff"))
-            .drop("_rpid", "_rkoff"))
+    out = (part.join(F.broadcast(off), "_rpid")
+           .withColumn(col_name, F.row_number().over(w) + F.col("_rkoff"))
+           .drop("_rpid", "_rkoff"))
+    return (out, acc) if return_total else out
 
 
 def range_partitioned_running_max(df: DataFrame, order_cols, value_col: str,
@@ -115,7 +135,10 @@ def range_partitioned_running_max(df: DataFrame, order_cols, value_col: str,
     earlier ranges)``. ``order_cols`` must be a total order for the
     result to be deterministic under ties (same contract as the rank).
     NULL values never win a max (``F.greatest`` skips NULLs), matching
-    the window spelling."""
+    the window spelling. Float/double NaN is folded with Spark's total
+    order (NaN greater than every number — ``_spark_max_key``), so the
+    prefix carry agrees with ``max() over (...)`` even when a range's
+    maximum is NaN."""
     spark = df.sparkSession
     n = int(num_ranges or spark.sparkContext.defaultParallelism)
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
@@ -130,7 +153,8 @@ def range_partitioned_running_max(df: DataFrame, order_cols, value_col: str,
     for pid in sorted(maxes):
         prefix.append((pid, acc))
         m = maxes[pid]
-        if m is not None and (acc is None or m > acc):
+        if m is not None and (acc is None
+                              or _spark_max_key(m) > _spark_max_key(acc)):
             acc = m
     pre = spark.createDataFrame(prefix, f"_rpid int, _pmax {vtype}")
     w = (Window.partitionBy("_rpid").orderBy(*order_cols)

@@ -263,9 +263,11 @@ def _x95_quality_dup_calibration(spark, tables):
     if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
         from hive_parse_lineage_spark.operators.ranks import (
             ntile_from_rank, range_partitioned_row_number)
-        scored = (range_partitioned_row_number(base, ["q", "doc_id"], "_rk")
+        scored, n_total = range_partitioned_row_number(
+            base, ["q", "doc_id"], "_rk", return_total=True)
+        scored = (scored
                   .withColumn("decile",
-                              ntile_from_rank("_rk", base.count(), 10)
+                              ntile_from_rank("_rk", n_total, 10)
                               .cast("int"))
                   .drop("_rk"))
     else:

@@ -269,3 +269,31 @@ def test_simhash_agg_keeps_null_and_empty_docs(spark):
     by_id = {r["doc_id"]: r["simhash"] for r in j}
     assert by_id[2] is None      # NULL array -> NULL signature
     assert by_id[4] == 0         # empty array -> all-zero signature
+
+
+def test_running_max_nan_matches_window(spark):
+    """ADVICE r9: the driver-side prefix fold used Python `m > acc`,
+    which drops a NaN range-max (nan > x is False) while Spark's
+    window max treats NaN as greater than everything. With a NaN
+    range maximum early in the order, the range-partitioned spelling
+    must still agree row-for-row with the global-window spelling."""
+    import math
+
+    from hive_parse_lineage_spark.operators.ranks import (
+        range_partitioned_running_max)
+    rows = [(i, float("nan") if i == 7 else float(i % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    got = {r["id"]: r["rm"]
+           for r in range_partitioned_running_max(
+               df, ["id"], "v", "rm", num_ranges=8).collect()}
+    w = (Window.orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["id"]: r["rm"]
+            for r in df.select("id", F.max("v").over(w).alias("rm"))
+            .collect()}
+    assert set(got) == set(want)
+    for k in want:
+        if math.isnan(want[k]):
+            assert math.isnan(got[k]), k
+        else:
+            assert got[k] == want[k], k
