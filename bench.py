@@ -632,8 +632,26 @@ def sf1_corpus_bench() -> None:
         t0 = time.perf_counter()
         con.execute(allsql[name]).fetchdf()
         dw = round(time.perf_counter() - t0, 3)
+        # r9 verdict ask #1: a single-pass wall left x71's committed
+        # row (2.83x) contradicting its warm re-probe (~1x). Any entry
+        # whose FIRST pass lands >1.5x is re-timed min-of-3 on the
+        # Spark side and min-of-2 on the DuckDB side, with every pass
+        # wall published so the record is self-adjudicating.
+        spark_passes, duck_passes = [sw], [dw]
+        if dw > 0 and sw / dw > 1.5:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                spark_passes.append(round(time.perf_counter() - t0, 3))
+            t0 = time.perf_counter()
+            con.execute(allsql[name]).fetchdf()
+            duck_passes.append(round(time.perf_counter() - t0, 3))
+            sw, dw = min(spark_passes), min(duck_passes)
         detail[name] = {"spark": sw, "duckdb": dw, "rows": rows,
                         "ratio": round(sw / dw, 2) if dw > 0 else None}
+        if len(spark_passes) > 1:
+            detail[name]["spark_passes"] = spark_passes
+            detail[name]["duckdb_passes"] = duck_passes
         print("sf1-entry " + json.dumps({name: detail[name]}),
               file=sys.stderr, flush=True)
     stot = round(sum(v["spark"] for v in detail.values()), 2)

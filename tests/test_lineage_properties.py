@@ -247,3 +247,110 @@ def test_json_walk_matches_jvm_walk(spark, tables, sql, monkeypatch):
                 lin.input_tables, lin.output_tables)
 
     assert run("strict") == run("0")
+
+
+# --- INSERT / CTAS over the same shape grammar (r9 verdict ask #5) ------
+#
+# The reference's subtlest OUTPUT behavior is the positional bind of
+# select expressions onto the target's physical columns
+# (LineParser.java:120-155); the walker mirrors it (plus the Spark-era
+# user-column-list override). Until now only golden-tested — this
+# draws it property-style over the union/CTE shape grammar above.
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def insert_target(spark):
+    spark.sql("DROP TABLE IF EXISTS default.pt_ins2")
+    spark.sql("CREATE TABLE default.pt_ins2 (tk DOUBLE, tv BIGINT) "
+              "USING parquet")
+    yield "pt_ins2"
+    spark.sql("DROP TABLE IF EXISTS default.pt_ins2")
+
+
+@st.composite
+def write_query(draw):
+    """(sql, kind, expected sources per POSITION, expected inputs).
+
+    Body shapes: plain projection, 2-branch union, either optionally
+    CTE/derived-wrapped — the nested_union_query grammar restricted to
+    numeric columns so the INSERT's positional bind onto (tk DOUBLE,
+    tv BIGINT) analyzes under ANSI store assignment."""
+    t1 = draw(tables_st)
+    a1 = draw(st.sampled_from(NUM_COLS[t1]))
+    a2 = SCHEMAS[t1][0]
+    use_union = draw(st.booleans())
+    if use_union:
+        t2 = draw(tables_st.filter(lambda t: t != t1))
+        b1 = draw(st.sampled_from(NUM_COLS[t2]))
+        b2 = SCHEMAS[t2][0]
+        wa = f" WHERE {a1} IS NOT NULL" if draw(st.booleans()) else ""
+        body = (f"SELECT {a1} AS k, {a2} AS v FROM {t1}{wa} UNION ALL "
+                f"SELECT {b1} AS k, {b2} AS v FROM {t2}")
+        expected = [{f"default.{t1}.{a1}", f"default.{t2}.{b1}"},
+                    {f"default.{t1}.{a2}", f"default.{t2}.{b2}"}]
+        inputs = {f"default.{t1}", f"default.{t2}"}
+    else:
+        body = f"SELECT {a1} AS k, {a2} AS v FROM {t1}"
+        expected = [{f"default.{t1}.{a1}"}, {f"default.{t1}.{a2}"}]
+        inputs = {f"default.{t1}"}
+    if draw(st.booleans()):
+        body = (f"WITH w AS ({body}) SELECT * FROM w"
+                if draw(st.booleans())
+                else f"SELECT * FROM ({body}) d")
+    kind = draw(st.sampled_from(["insert", "insert_cols", "ctas"]))
+    if kind == "insert":
+        sql = f"INSERT INTO pt_ins2 {body}"
+    elif kind == "insert_cols":
+        # user column list REVERSES the positional order: 1st select
+        # expression (k) binds to tv, 2nd (v) binds to tk
+        sql = f"INSERT INTO pt_ins2 (tv, tk) {body}"
+    else:
+        sql = f"CREATE TABLE ctas_prop AS {body}"
+    return sql, kind, expected, inputs
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=write_query())
+def test_insert_ctas_positional_binding(spark, tables, insert_target,
+                                        q, monkeypatch):
+    """Per-POSITION sources survive the INSERT/CTAS wrapper; the
+    target column is the catalog's positional bind (or the user list's
+    override, or the alias for CTAS); output/input table sets are
+    right; and the JSON walk and py4j walk agree on all of it."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    sql, kind, expected, inputs = q
+
+    def run(mode):
+        monkeypatch.setenv("HPL_JSON_WALK", mode)
+        st_ = extract_lineage(spark, sql).statements[0]
+        return ([(c.target_table, c.target_column, c.target_alias,
+                  sorted(c.sources)) for c in st_.col_lines],
+                st_.operation, st_.input_tables, st_.output_tables)
+
+    strict = run("strict")
+    assert strict == run("0")
+    edges, op, in_tables, out_tables = strict
+    assert in_tables == inputs, sql
+    assert len(edges) == 2, sql
+    for (tbl, tcol, alias, sources), want in zip(edges, expected):
+        assert set(sources) == want, (sql, alias, sources)
+    aliases = [e[2] for e in edges]
+    assert aliases == ["k", "v"], sql
+    if kind == "insert":
+        assert op == "INSERT"
+        assert out_tables == {"default.pt_ins2"}
+        assert [e[1] for e in edges] == ["tk", "tv"], sql
+    elif kind == "insert_cols":
+        assert op == "INSERT"
+        assert out_tables == {"default.pt_ins2"}
+        assert [e[1] for e in edges] == ["tv", "tk"], sql
+    else:
+        assert op == "CREATETABLE"
+        assert out_tables == {"default.ctas_prop"}
+        # CTAS: target columns ARE the select aliases (the table does
+        # not exist yet; reference binds nothing, LineParser take)
+        assert [e[1] for e in edges] == ["k", "v"], sql
+    assert all(e[0] in out_tables for e in edges), sql
