@@ -17,6 +17,14 @@ Usage: python bench.py                  declared + corpus surface, one JSON line
                                         entries on the same rungs: wall-over-
                                         vector-rows growth ->
                                         SWEEP_ANN_r{N}.json
+       python bench.py --graph-ladder   x172/x210/x149 on the same rungs,
+                                        wall-over-LSH-EDGE growth ->
+                                        SWEEP_GRAPH_r{N}.json
+       python bench.py --event-ladder   x187/x197 (flag-on at-scale
+                                        spellings) -> SWEEP_EVENT_r{N}.json
+       python bench.py --skew-sweep     dedup/skew entries on make_sfN.py
+                                        --skew data + capped-LSH cap-fire
+                                        observation -> SWEEP_SKEW_r{N}.json
 Env:   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
        SPARK_GRAFT_CPUS    (default all cores)
        BENCH_ENGINE=duckdb to time the DuckDB baseline on the same queries
@@ -775,6 +783,202 @@ def dedup_ladder() -> None:
                 growth_key="doc_tokens", path_tag="SWEEP")
 
 
+#: The heaviest edge-proportional graph/pair entries (r9 verdict ask
+#: #2): x172 pair provenance (18.4 s at sf1.0), x210 reciprocal best
+#: match (13.2 s), x149 triangle census. All three consume the same
+#: uncapped portable-hash LSH pair list (threshold 0.3, 64 hashes,
+#: 16 bands, 2-shingles), so the ladder normalizes wall growth by
+#: THAT pair count — the brief's "edge-proportional" claim measured
+#: against the actual edge count, not a doc-count proxy.
+GRAPH_LADDER_QUERIES = ("x172_pair_provenance",
+                        "x210_reciprocal_best_match",
+                        "x149_dup_graph_triangles")
+
+
+def _lsh_edge_count(spark, d: str) -> int:
+    """|edges| of the x172/x210/x149 shared pair list at ``d`` — the
+    same minhash_near_dups call the entries make, counted once per
+    rung for growth normalization."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    return minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                             shingle_k=2, hasher=portable_hash64,
+                             max_bucket_size=None).count()
+
+
+def graph_ladder() -> None:
+    """``bench.py --graph-ladder``: the 100x rung for the graph/pair
+    family — the heaviest edge-proportional plans, whose at-scale
+    posture was previously answered only by design. Same protocol as
+    --dedup-ladder (JIT warm at the smallest rung, one timed pass per
+    rung); growth is normalized by the SHARED LSH edge count, so a
+    ratio ≲1 means the plans really are edge-proportional. Written to
+    SWEEP_GRAPH_r{N}.json."""
+    pool = _corpus_query_map()
+
+    def scale_of(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        return {"doc_rows": docs.count(),
+                "lsh_edges": _lsh_edge_count(spark, d)}
+
+    _run_ladder({n: pool[n] for n in GRAPH_LADDER_QUERIES},
+                metric="graph_ladder", scale_of=scale_of,
+                growth_key="lsh_edges", path_tag="SWEEP_GRAPH")
+
+
+#: Event/window family sf10 points (r9 verdict ask #4): x187's
+#: at-scale spelling is range_partitioned_running_max behind
+#: SPARK_GRAFT_APPROX_QUANTILES=1 — the ladder runs FLAG ON because
+#: the flag-off global window is the documented non-scale gate
+#: spelling (a single-partition sort, exactly what the ladder must
+#: not measure). x197 TWAP is partition-local on both paths.
+EVENT_LADDER_QUERIES = ("x187_watermark_lateness",
+                        "x197_time_weighted_avg")
+
+
+def event_ladder() -> None:
+    """``bench.py --event-ladder``: the 100x rung for the event/window
+    family, normalized by event rows. Flag-on (see
+    EVENT_LADDER_QUERIES note); the flag-on path is value-identical
+    and oracle-gated by tests/test_atscale_flags.py, so this measures
+    the same answer's at-scale plan. Written to SWEEP_EVENT_r{N}.json."""
+    os.environ["SPARK_GRAFT_APPROX_QUANTILES"] = "1"
+    pool = _corpus_query_map()
+
+    def scale_of(spark, d):
+        ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+        return {"event_rows": ev.count()}
+
+    _run_ladder({n: pool[n] for n in EVENT_LADDER_QUERIES},
+                metric="event_ladder", scale_of=scale_of,
+                growth_key="event_rows", path_tag="SWEEP_EVENT")
+
+
+#: Skewed-synthesis sweep (r9 verdict ask #3): entries whose DESIGN
+#: claims are about skew — LSH hot-bucket caps, salting, hot-key
+#: split join, skew reporting — measured on make_sfN.py --skew data
+#: (one boilerplate family at ~5% of docs, one hot user at ~10% of
+#: events), where uniform replication never stressed them.
+SKEW_SWEEP_QUERIES = ("x07_minhash_near_dup", "x59_dedup_keep_one",
+                      "x52_salted_agg", "x70_hot_key_split_join",
+                      "x109_key_skew_report")
+
+
+def skew_sweep() -> None:
+    """``bench.py --skew-sweep``: the skew rung. Two dirs (uniform
+    sf0.1 base, skewed sf1.0 from ``make_sfN.py BASE OUT 10 --skew``),
+    per-entry wall growth over token growth like the dedup ladder,
+    PLUS per-rung skew shape (largest identical-text family, hot-user
+    event share) and the capped-LSH production posture with a real
+    ``Observation`` on the cap rule — ``capped_bucket_rows`` > 0 on
+    the skewed rung is the cap OBSERVABLY firing, turning the
+    hot-bucket design claim into recorded data. x07 stays uncapped
+    (the gate spelling): on a skewed corpus its pair output is
+    quadratic in the family size BY CONSTRUCTION — the sweep records
+    that cost next to the capped variant that avoids it."""
+    from pyspark.sql import Observation, SparkSession
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.session import RUNTIME_CONFS
+
+    dirs = os.environ.get(
+        "SPARK_GRAFT_SKEW_DIRS",
+        "/root/testdata/sf0.1,/tmp/sf1.0skew").split(",")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
+        os.cpu_count() or 4, 16)
+    builder = (SparkSession.builder.master(f"local[{cpus}]")
+               .appName("skew-sweep")
+               .config("spark.sql.shuffle.partitions", str(cpus))
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+               .config("spark.ui.enabled", "false")
+               .config("spark.ui.showConsoleProgress", "false"))
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pool = _corpus_query_map()
+    qs = {n: pool[n] for n in SKEW_SWEEP_QUERIES}
+    qs["x46_dup_clusters_capped"] = _x46_capped
+
+    def _capped_pairs_probe(spark, d):
+        """The capped production posture (xxhash64, cap 1000) with the
+        cap rule observed — returns (n_pairs, capped_bucket_rows,
+        total_bucket_rows)."""
+        from hive_parse_lineage_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_signature)
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        obs = Observation(f"cap-{os.path.basename(d.rstrip('/'))}")
+        sig = minhash_signature(docs, n_hashes=64, shingle_k=2)
+        pairs = lsh_candidate_pairs(sig, n_hashes=64, bands=16,
+                                    max_bucket_size=1000,
+                                    cap_observation=obs)
+        n = pairs.count()
+        got = obs.get
+        return n, int(got["capped_bucket_rows"] or 0), \
+            int(got["total_bucket_rows"])
+
+    def scale_of(d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        toks = docs.select(F.sum(F.size(F.split("text", " ")))
+                           .alias("t")).first()["t"]
+        fam = (docs.groupBy(F.md5("text")).count()
+               .agg(F.max("count")).first()[0])
+        ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+        n_ev = ev.count()
+        hot = (ev.groupBy("user_id").count()
+               .agg(F.max("count")).first()[0])
+        return {"doc_rows": docs.count(), "doc_tokens": int(toks),
+                "max_identical_family": int(fam), "event_rows": n_ev,
+                "hot_user_share_permille": round(hot * 1000 / n_ev)}
+
+    for name, fn in sorted(qs.items()):        # JIT/codegen warm
+        fn(spark, dirs[0]).collect()
+
+    out: dict = {"metric": "skew_sweep", "unit": "sec", "sweep": []}
+    for d in dirs:
+        entry: dict = {"sf_dir": os.path.basename(d.rstrip("/")),
+                       **scale_of(d), "queries": {}}
+        for name, fn in sorted(qs.items()):
+            t0 = time.perf_counter()
+            n_out = len(fn(spark, d).collect())
+            wall = time.perf_counter() - t0
+            entry["queries"][name] = {"wall": round(wall, 3),
+                                      "rows_out": n_out}
+            print("skew " + json.dumps({d: {name: round(wall, 3)}}),
+                  file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        n_pairs, capped, total = _capped_pairs_probe(spark, d)
+        entry["queries"]["x07_capped_probe"] = {
+            "wall": round(time.perf_counter() - t0, 3),
+            "rows_out": n_pairs, "capped_bucket_rows": capped,
+            "total_bucket_rows": total,
+            "cap_fired": capped > 0}
+        print("skew " + json.dumps(
+            {d: entry["queries"]["x07_capped_probe"]}),
+            file=sys.stderr, flush=True)
+        out["sweep"].append(entry)
+    for name in sorted(out["sweep"][0]["queries"]):
+        ratios = []
+        for a, b in zip(out["sweep"], out["sweep"][1:]):
+            wall_g = (b["queries"][name]["wall"]
+                      / max(a["queries"][name]["wall"], 1e-9))
+            ratios.append(round(
+                wall_g / (b["doc_tokens"] / max(a["doc_tokens"], 1)), 3))
+        out.setdefault("wall_growth_over_token_growth", {})[name] = ratios
+    path = os.environ.get(
+        "SWEEP_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     os.path.basename(_detail_path())
+                     .replace("BENCH_DETAIL", "SWEEP_SKEW")))
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    out["detail_file"] = os.path.basename(path)
+    print(json.dumps(out))
+
+
 def _run_ladder(qs, metric: str, scale_of, growth_key: str,
                 path_tag: str) -> None:
     """Shared rung walker for the 100x ladders: one SparkSession, JIT
@@ -924,6 +1128,15 @@ def main() -> None:
         return
     if "--ann-ladder" in sys.argv:
         ann_ladder()
+        return
+    if "--graph-ladder" in sys.argv:
+        graph_ladder()
+        return
+    if "--event-ladder" in sys.argv:
+        event_ladder()
+        return
+    if "--skew-sweep" in sys.argv:
+        skew_sweep()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

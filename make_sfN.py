@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Synthesize a larger-SF testdata directory by key-shifted replication.
 
-Usage: python make_sfN.py [BASE_DIR] [OUT_DIR] [COPIES]
+Usage: python make_sfN.py [BASE_DIR] [OUT_DIR] [COPIES] [--skew]
        (defaults: /root/testdata/sf0.1  /tmp/sf1.0  10)
 
 Why this exists: the graded testdata tops out at sf0.1, where 41/43
@@ -25,6 +25,21 @@ point from the committed data with the work content scaled exactly
 - embeddings keep their vectors (brute-force similarity work is
   row-linear either way) with shifted ids.
 
+``--skew`` (r9 verdict ask #3) layers two deterministic hot spots on
+top — uniform replication never stresses the hot-bucket caps or the
+salting operators, this does:
+
+- one BOILERPLATE FAMILY: every doc whose final doc_id % 20 == 7
+  (~5% of the corpus) gets ONE identical 64-token blob as its text —
+  the giant identical-text family that floods every LSH band bucket
+  (the x72 cap's target) and the exact-dedup hash groups;
+- one HOT EVENT USER: every event whose final event_id % 10 == 3
+  (~10% of all events) is reassigned to user_id 777 — the skewed
+  aggregation/join key x52/x70/x109 exist for.
+
+Both rules key on the EXPANDED ids, so the skew mass is constant in
+COPIES and the same rule reproduces the dirs bit-identically.
+
 Runs entirely in DuckDB and writes ONE parquet file per table so both
 engines in bench.py read the exact same files (Spark directory-style
 output would need globs on the DuckDB side).
@@ -41,10 +56,17 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+#: The --skew boilerplate blob: 64 distinct tokens, long enough that
+#: every shingle window the dedup entries use (k=2..10) sees it.
+SKEW_BLOB = " ".join(f"boiler{j}" for j in range(64))
+
+
 def main() -> None:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    base = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/sf1.0"
+    copies = int(args[2]) if len(args) > 2 else 10
     os.makedirs(out, exist_ok=True)
 
     con = duckdb.connect()
@@ -93,26 +115,29 @@ def main() -> None:
             FROM lineitem CROSS JOIN copies""",
         "events": f"""
             SELECT event_id + i * {ke} AS event_id, ts,
-                   user_id + i * {ku} AS user_id, event_type, value, props
+                   {"CASE WHEN (event_id + i * %d) %% 10 = 3 THEN 777 "
+                    "ELSE user_id + i * %d END" % (ke, ku) if skew
+                    else f"user_id + i * {ku}"} AS user_id,
+                   event_type, value, props
             FROM events CROSS JOIN copies""",
         "documents": f"""
             SELECT doc_id + i * {kd} AS doc_id,
-                   CASE WHEN i = 0 THEN text
-                        ELSE array_to_string(list_transform(
-                            string_split(text, ' '),
-                            t -> t || '_' || CAST(i AS VARCHAR)), ' ')
-                   END AS text,
-                   lang, source,
-                   CAST(length(CASE WHEN i = 0 THEN text
-                        ELSE array_to_string(list_transform(
-                            string_split(text, ' '),
-                            t -> t || '_' || CAST(i AS VARCHAR)), ' ')
-                   END) AS BIGINT) AS n_chars
+                   {{txt}} AS text, lang, source,
+                   CAST(length({{txt}}) AS BIGINT) AS n_chars
             FROM documents CROSS JOIN copies""",
         "embeddings": f"""
             SELECT vec_id + i * {kv} AS vec_id, embedding, label
             FROM embeddings CROSS JOIN copies""",
     }
+    base_txt = ("CASE WHEN i = 0 THEN text "
+                "ELSE array_to_string(list_transform("
+                "string_split(text, ' '), "
+                "t -> t || '_' || CAST(i AS VARCHAR)), ' ') END")
+    if skew:
+        base_txt = (f"CASE WHEN (doc_id + i * {kd}) % 20 = 7 "
+                    f"THEN '{SKEW_BLOB}' ELSE ({base_txt}) END")
+    sqls["documents"] = sqls["documents"].replace("{txt}", base_txt)
+
     for t in TABLES:
         con.execute(f"COPY ({sqls[t]}) TO '{out}/{t}.parquet' "
                     f"(FORMAT PARQUET)")
