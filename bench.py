@@ -783,6 +783,39 @@ def dedup_ladder() -> None:
                 growth_key="doc_tokens", path_tag="SWEEP")
 
 
+#: The r8 work-dominated composition (BENCH_DETAIL_r08.json entries
+#: whose DuckDB twin ran >0.2 s at sf0.1), FROZEN so every later round
+#: can publish a like-for-like subset ratio next to the live-rule one
+#: (r9 verdict ask #6 — composition drift vs performance drift).
+R8_WD_COMPOSITION = (
+    "x02_lang_id", "x05_token_jaccard_pairs", "x07_minhash_near_dup",
+    "x08_simhash_near_dup", "x100_dup_pagerank", "x104_cms_heavy_hitters",
+    "x105_ppjoin_exact", "x107_langid_kappa", "x10_lsh_knn",
+    "x115_phrase_match", "x119_minhash_calibration", "x122_quantized_recall",
+    "x124_code_switch_audit", "x125_lsh_pair_recall", "x129_source_overlap",
+    "x132_vocab_growth", "x133_winnowing_fingerprints",
+    "x145_principal_direction", "x149_dup_graph_triangles",
+    "x151_split_contamination", "x158_benchmark_decontamination",
+    "x161_kcore_peel", "x163_kmeans_milli", "x164_lsh_precision",
+    "x168_ngram_diversity", "x171_mattr", "x172_pair_provenance",
+    "x173_dedup_quota", "x175_effective_tokens", "x176_rendezvous_sharding",
+    "x177_source_minhash", "x180_sorted_neighborhood", "x181_gopher_rules",
+    "x183_poisson_bootstrap", "x184_pq_adc", "x192_wav_roundtrip_stats",
+    "x193_cooccurrence_itemsets", "x196_dedup_method_census",
+    "x201_cluster_safe_split", "x203_cluster_margin",
+    "x210_reciprocal_best_match", "x212_edge_embeddedness",
+    "x216_bucket_balance_audit", "x218_sparse_tfidf_pairs",
+    "x35_embedding_near_dup", "x36_repetition", "x41_common_shingles",
+    "x42_decontaminate", "x45_bigram_counts", "x46_dup_clusters",
+    "x56_training_pipeline", "x59_dedup_keep_one", "x60_ngram_containment",
+    "x63_lm_score", "x64_incremental_dedup", "x71_bucket_sample",
+    "x72_capped_lsh", "x73_dup_span_fraction", "x77_bloom_decontaminate",
+    "x79_ann_recall", "x80_mmr_diversify", "x82_oov_rate",
+    "x84_split_leakage", "x87_cluster_size_histogram", "x93_novelty_curve",
+    "x96_lang_confusion",
+)
+
+
 #: The heaviest edge-proportional graph/pair entries (r9 verdict ask
 #: #2): x172 pair provenance (18.4 s at sf1.0), x210 reciprocal best
 #: match (13.2 s), x149 triangle census. All three consume the same
@@ -1255,6 +1288,20 @@ def main() -> None:
                 out["work_dominated_spark_wall"] = round(sw, 4)
                 out["work_dominated_duckdb_wall"] = round(dw, 4)
                 out["work_dominated_ratio"] = round(sw / dw, 2)
+                # Fixed-composition comparator (r9 verdict ask #6):
+                # the >0.2 s membership rule reshuffles as entries are
+                # added and twins drift across the threshold, which
+                # conflated composition with performance in r8->r9
+                # round-over-round reads. The frozen r8 subset (n=66)
+                # is re-published every round so the like-for-like
+                # delta is in the record, not re-derived.
+                fixed = [n for n in R8_WD_COMPOSITION
+                         if n in ctimes and dtimes.get(n)]
+                fsw = sum(ctimes[n] for n in fixed)
+                fdw = sum(dtimes[n] for n in fixed)
+                out["work_dominated_r8_composition_n"] = len(fixed)
+                out["work_dominated_r8_composition_ratio"] = (
+                    round(fsw / fdw, 2) if fdw > 0 else None)
 
     total = round(sum(times.values()), 4)
     out.update({

@@ -1864,6 +1864,236 @@ ORDER BY pred
 
 
 # ---------------------------------------------------------------------------
+# x228 — sequence-packing audit (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+#: Training-sequence token capacity for the packing audit. Small
+#: enough that boundary crossings exist at every SF; the rule is
+#: capacity-agnostic.
+_PACK_C = 512
+
+
+def _x228_sequence_packing(spark, tables):
+    """SEQUENCE-PACKING audit — the step between a cleaned corpus and
+    a training run: GPT-style packing concatenates all documents in a
+    fixed order and cuts every ``_PACK_C`` tokens, so any document
+    whose token span straddles a cut boundary is SPLIT across training
+    sequences (attention never sees it whole). Per source: doc count,
+    token mass, docs split at least once, split permille, total
+    (doc, sequence) incidences — ``seqs_touched`` = sum over docs of
+    crossings+1, the collator's work list — and the worst single
+    document's crossing count. The split permille is the number that
+    decides between plain concat-packing and a boundary-respecting
+    packer before either is built.
+
+    Pure arithmetic on the EXCLUSIVE global prefix sum of token
+    counts in doc_id order: a doc spanning [start, start+n) is split
+    iff ``(start+n-1) div C > start div C``, and crosses exactly
+    ``(start+n-1) div C - start div C`` boundaries. All integer.
+
+    Scale shape: ONE global running sum in a stable total order
+    (doc_id) + one per-source aggregate; no joins. The AT-SCALE path
+    is code: ``SPARK_GRAFT_APPROX_QUANTILES=1`` swaps the
+    single-partition window cumsum for
+    ``range_partitioned_running_sum`` (operators/ranks.py — per-range
+    sums + a bounded |ranges|-row exclusive prefix fold),
+    VALUE-IDENTICAL (integral addends, oracle-gated flag-on by
+    tests/test_atscale_flags.py)."""
+    import os
+    d = tables["documents"].select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"))
+    if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES", "") == "1":
+        from hive_parse_lineage_spark.operators.ranks import (
+            range_partitioned_running_sum)
+        c = (range_partitioned_running_sum(d, ["doc_id"], "n", "_cs")
+             .withColumn("start", F.col("_cs") - F.col("n")).drop("_cs"))
+    else:
+        w = (Window.orderBy("doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        c = d.select("source", "n",
+                     (F.sum("n").over(w) - F.col("n")).alias("start"))
+    C = _PACK_C
+    x = c.select(
+        "source", "n",
+        F.expr(f"(start + n - 1) div {C} - start div {C}").alias("nc"))
+    return (x.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n").alias("tok_mass"),
+                 F.sum((F.col("nc") >= 1).cast("long")).alias("docs_split"),
+                 F.sum(F.col("nc") + 1).alias("seqs_touched"),
+                 F.max("nc").alias("max_crossings"))
+            .withColumn("split_permille",
+                        F.expr("docs_split * 1000 div n_docs"))
+            .select("source", "n_docs", "tok_mass", "docs_split",
+                    "split_permille", "seqs_touched", "max_crossings")
+            .orderBy("source"))
+
+
+_SEQUENCE_PACKING_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT source, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - n AS start
+  FROM d
+), x AS (
+  SELECT source, n,
+         (start + n - 1) // {_PACK_C} - start // {_PACK_C} AS nc
+  FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS tok_mass,
+       CAST(SUM(CASE WHEN nc >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_split,
+       CAST(SUM(CASE WHEN nc >= 1 THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS split_permille,
+       CAST(SUM(nc + 1) AS BIGINT) AS seqs_touched,
+       CAST(MAX(nc) AS BIGINT) AS max_crossings
+FROM x GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# x229 — Bloom-filter semi-join audit (runtime filter)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits (62-bit words like x226), k=2 portable
+#: hashes. Filter predicate is x227's absolute price_high band so the
+#: key set is SF-proportional but rule-stable.
+_BLOOM_M = 1 << 18
+_BLOOM_CENTS_LO = 40_000_000
+
+
+def _x229_bloom_semijoin(spark, tables):
+    """RUNTIME-FILTER (Bloom semi-join) audit — the write-side
+    complement to x227's zone maps: the keys of a selective orders
+    predicate (price-cents >= the x227 high band) fold into an m-bit
+    Bloom filter (k=2 portable hashes, 62-bit ``bit_or`` words — the
+    x226 monoid, so per-shard partials merge), and every lineitem row
+    probes it. Reported next to the TRUE semi-join: probe count, true
+    matches, Bloom passes, false positives, and the false-positive
+    permille over true negatives — the measured number that says what
+    a runtime filter (Spark's bloom-filter join / DPP analogues) would
+    actually deliver on THIS key distribution, versus the m/k theory.
+    Bloom has no false negatives by construction; the gate enforces it
+    in-band (n_pass >= n_true on every run, and any missed true match
+    changes both counts).
+
+    Scale shape: filter side is one map-side-combinable word aggregate
+    (|words| <= min(2|keys|, m/62+1) — the BROADCAST class at any SF,
+    m is fixed); the probe is two broadcast equi-joins on the word
+    index + a projection (map-side, zero shuffles on the fact table);
+    the truth column is the one real shuffle (the exact semi-join the
+    Bloom exists to avoid) — kept because this entry's job is to
+    MEASURE the filter against the truth."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
+    orders = tables["orders"].select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)").alias("cents"))
+    keys = (orders.filter(F.col("cents") >= _BLOOM_CENTS_LO)
+            .select("o_orderkey").distinct())
+    m = _BLOOM_M
+
+    def bit(col, salt):
+        return F.pmod(portable_hash64(
+            F.concat(F.lit(salt + "|"), F.col(col).cast("string"))),
+            F.lit(m))
+
+    bits = keys.select(
+        F.explode(F.array(bit("o_orderkey", "s1"),
+                          bit("o_orderkey", "s2"))).alias("b"))
+    words = (bits.groupBy(F.expr("b div 62").alias("bucket"))
+             .agg(F.expr("bit_or(shiftleft(1L, CAST(b % 62 AS INT)))")
+                  .alias("bits")))
+    li = tables["lineitem"].select(F.col("l_orderkey").alias("k"))
+    probe = li.select(
+        "k", bit("k", "s1").alias("b1"), bit("k", "s2").alias("b2"))
+    w1 = words.select(F.col("bucket").alias("k1"),
+                      F.col("bits").alias("w1"))
+    w2 = words.select(F.col("bucket").alias("k2"),
+                      F.col("bits").alias("w2"))
+    tested = (probe
+              .withColumn("k1", F.expr("b1 div 62"))
+              .withColumn("k2", F.expr("b2 div 62"))
+              .join(F.broadcast(w1), "k1", "left")
+              .join(F.broadcast(w2), "k2", "left")
+              .select("k", F.expr(
+                  "COALESCE(shiftright(w1, CAST(b1 % 62 AS INT)) & 1, 0) = 1 "
+                  "AND "
+                  "COALESCE(shiftright(w2, CAST(b2 % 62 AS INT)) & 1, 0) = 1")
+                  .alias("pass")))
+    truth = (tested.join(keys.withColumnRenamed("o_orderkey", "k")
+                         .withColumn("is_true", F.lit(1)), "k", "left")
+             .select("pass", F.coalesce("is_true", F.lit(0)).alias("t")))
+    n_words = words.count()
+    return (truth.agg(
+                F.count("*").alias("n_probe"),
+                F.sum("t").alias("n_true"),
+                F.sum(F.col("pass").cast("long")).alias("n_pass"))
+            .select(F.lit(m).alias("m_bits"),
+                    F.lit(int(n_words)).alias("n_words"),
+                    "n_probe", "n_true", "n_pass",
+                    (F.col("n_pass") - F.col("n_true")).alias("false_pos"),
+                    F.expr("CASE WHEN n_probe - n_true > 0 THEN "
+                           "(n_pass - n_true) * 1000000 div "
+                           "(n_probe - n_true) ELSE 0 END")
+                    .alias("fp_per_million")))
+
+
+def _bloom_oracle_sql() -> str:
+    from hive_parse_lineage_spark.functions.text import portable_hash64_sql
+    m = _BLOOM_M
+    h1 = portable_hash64_sql("'s1|' || CAST(o_orderkey AS VARCHAR)")
+    h2 = portable_hash64_sql("'s2|' || CAST(o_orderkey AS VARCHAR)")
+    p1 = portable_hash64_sql("'s1|' || CAST(k AS VARCHAR)")
+    p2 = portable_hash64_sql("'s2|' || CAST(k AS VARCHAR)")
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderkey FROM orders
+  WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) >= {_BLOOM_CENTS_LO}
+), bits AS (
+  SELECT unnest([({h1}) % {m}, ({h2}) % {m}]) AS b FROM keys
+), words AS (
+  SELECT b // 62 AS bucket,
+         bit_or(1::BIGINT << CAST(b % 62 AS INTEGER)) AS bits
+  FROM bits GROUP BY b // 62
+), probe AS (
+  SELECT l_orderkey AS k, (({p1}) % {m}) AS b1, (({p2}) % {m}) AS b2
+  FROM lineitem
+), tested AS (
+  SELECT p.k,
+         COALESCE(w1.bits >> CAST(p.b1 % 62 AS INTEGER), 0) & 1 = 1
+         AND COALESCE(w2.bits >> CAST(p.b2 % 62 AS INTEGER), 0) & 1 = 1
+           AS pass
+  FROM probe p
+  LEFT JOIN words w1 ON w1.bucket = p.b1 // 62
+  LEFT JOIN words w2 ON w2.bucket = p.b2 // 62
+), truth AS (
+  SELECT pass, CASE WHEN k IN (SELECT o_orderkey FROM keys)
+               THEN 1 ELSE 0 END AS t
+  FROM tested
+)
+SELECT CAST({m} AS BIGINT) AS m_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM words) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(t) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) - SUM(t) AS BIGINT)
+         AS false_pos,
+       CAST(CASE WHEN COUNT(*) - SUM(t) > 0 THEN
+            (SUM(CASE WHEN pass THEN 1 ELSE 0 END) - SUM(t)) * 1000000
+            // (COUNT(*) - SUM(t)) ELSE 0 END AS BIGINT)
+         AS fp_per_million
+FROM truth
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1891,6 +2121,8 @@ def audit_queries():
         "x225_cdc_chunking": _q(_x225_cdc_chunking),
         "x226_bitmap_distinct": _q(_x226_bitmap_distinct),
         "x227_zonemap_skips": _q(_x227_zonemap_skips),
+        "x228_sequence_packing": _q(_x228_sequence_packing),
+        "x229_bloom_semijoin": _q(_x229_bloom_semijoin),
     }
 
 
@@ -1918,4 +2150,6 @@ def audit_oracle_sql() -> dict[str, str]:
         "x225_cdc_chunking": _cdc_oracle_sql(),
         "x226_bitmap_distinct": _BITMAP_DISTINCT_ORACLE,
         "x227_zonemap_skips": _zonemap_oracle_sql(),
+        "x228_sequence_packing": _SEQUENCE_PACKING_ORACLE,
+        "x229_bloom_semijoin": _bloom_oracle_sql(),
     }

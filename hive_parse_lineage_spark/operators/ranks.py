@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["range_partitioned_row_number", "ntile_from_rank",
-           "bucket_start_offset", "range_partitioned_running_max"]
+           "bucket_start_offset", "range_partitioned_running_max",
+           "range_partitioned_running_sum"]
 
 
 def ntile_from_rank(rk: str, n_rows: int, buckets: int):
@@ -163,3 +164,50 @@ def range_partitioned_running_max(df: DataFrame, order_cols, value_col: str,
             .withColumn(col_name,
                         F.greatest(F.max(value_col).over(w), F.col("_pmax")))
             .drop("_rpid", "_pmax"))
+
+
+def range_partitioned_running_sum(df: DataFrame, order_cols, value_col: str,
+                                  col_name: str = "running_sum",
+                                  num_ranges: int | None = None) -> DataFrame:
+    """Append an EXACT ``sum(value_col) over (order by order_cols rows
+    unbounded preceding)`` — the global prefix sum (x228's
+    concat-and-chunk packing offset) — without a single-partition sort.
+
+    Same scheme as :func:`range_partitioned_running_max` with SUM as
+    the monoid: range exchange pinned by a lazy localCheckpoint, a
+    BOUNDED ``num_ranges``-row collect of per-range sums, an EXCLUSIVE
+    driver-side prefix fold (integer-exact — the contract is an
+    integral ``value_col``; float addends would reorder rounding vs
+    the window spelling), and a per-range running-sum window plus the
+    broadcast prefix. ``order_cols`` must be a total order. NULL
+    values contribute nothing on either path (SUM skips NULLs; the
+    prefix fold skips None)."""
+    spark = df.sparkSession
+    n = int(num_ranges or spark.sparkContext.defaultParallelism)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    part = (df.repartitionByRange(n, *order_cols)
+            .withColumn("_rpid", F.spark_partition_id())
+            .localCheckpoint(eager=False))
+    sums = {r["_rpid"]: r["s"]
+            for r in part.groupBy("_rpid")
+            .agg(F.sum(value_col).alias("s")).collect()}
+    # NULL prefix = "no non-null addend in any earlier range": then the
+    # per-range window sum (possibly NULL, matching a leading-NULL
+    # global prefix) stands alone; a non-NULL prefix forces the row
+    # non-NULL (the global window has seen a value), so the in-range
+    # NULL sum coalesces to 0 before the carry is added.
+    prefix, acc = [], None
+    for pid in sorted(sums):
+        prefix.append((pid, acc))
+        if sums[pid] is not None:
+            acc = (acc or 0) + sums[pid]
+    pre = spark.createDataFrame(prefix, "_rpid int, _psum bigint")
+    w = (Window.partitionBy("_rpid").orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    win = F.sum(value_col).over(w)
+    return (part.join(F.broadcast(pre), "_rpid")
+            .withColumn(col_name,
+                        F.when(F.col("_psum").isNull(), win)
+                        .otherwise(F.coalesce(win, F.lit(0))
+                                   + F.col("_psum")))
+            .drop("_rpid", "_psum"))

@@ -32,6 +32,7 @@ EXACT_FLAG_ENTRIES = {
     "x188_rfm_segments": ("analytics_queries", "_x188_rfm_segments"),
     "x200_quantile_normalize": ("analytics_queries",
                                 "_x200_quantile_normalize"),
+    "x228_sequence_packing": ("audit_queries", "_x228_sequence_packing"),
 }
 
 #: flag-gated but approximate by design (sketch, bounded error) —

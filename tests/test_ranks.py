@@ -297,3 +297,32 @@ def test_running_max_nan_matches_window(spark):
             assert math.isnan(got[k]), k
         else:
             assert got[k] == want[k], k
+
+
+def test_running_sum_matches_window(spark):
+    """range_partitioned_running_sum must equal the single-partition
+    running-sum window exactly — including NULL addends (skipped by
+    both paths) and leading-NULL prefixes (NULL until the first
+    non-null value, like the window spelling)."""
+    from hive_parse_lineage_spark.operators.ranks import (
+        range_partitioned_running_sum)
+    rows = [(i, None if i % 7 == 3 else int(i * 11 % 97))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {r["id"]: r["rs"]
+           for r in range_partitioned_running_sum(
+               df, ["id"], "v", "rs", num_ranges=9).collect()}
+    w = (Window.orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["id"]: r["rs"]
+            for r in df.select("id", F.sum("v").over(w).alias("rs"))
+            .collect()}
+    assert got == want
+    # leading-NULL prefix: rows before the first value stay NULL
+    df2 = spark.createDataFrame(
+        [(0, None), (1, None), (2, 5), (3, None), (4, 7)],
+        "id bigint, v bigint")
+    got2 = {r["id"]: r["rs"]
+            for r in range_partitioned_running_sum(
+                df2, ["id"], "v", "rs", num_ranges=3).collect()}
+    assert got2 == {0: None, 1: None, 2: 5, 3: 5, 4: 12}
