@@ -592,11 +592,16 @@ def _x71_bucket_sample(spark, tables):
     same sampled set on every engine and re-run, and the predicate is a
     plain codegen filter that composes with pushdown/pruning.
 
-    No ORDER BY (r10): the gate's value hash is order-insensitive and
-    a sample feeding downstream stages has no consumer for a global
-    sort — at sf1.0 the sort alone cost ~0.45 s on a 150k-row result
-    (half of x71's former 2.9x gate excess; the oracle drops its
-    ORDER BY too, so both engines run the same shape)."""
+    No ORDER BY on the Spark side (r10): the gate's value hash is
+    order-insensitive and a sample feeding downstream stages has no
+    consumer for a global sort — at sf1.0 the sort alone cost ~0.45 s
+    on the 150k-row result (half of x71's former 2.9x gate excess).
+    The DuckDB twin KEEPS its ORDER BY: measured A/B at sf1.0, the
+    unordered SELECT goes through DuckDB's streaming result collector
+    effectively single-threaded (~7 s) while the sort is a pipeline
+    breaker that keeps the md5 filter parallel (~0.9 s; bare
+    COUNT(*) over the same filter is 0.7 s) — each engine runs its
+    best spelling of the same unordered-set semantics."""
     from hive_parse_lineage_spark.operators.sampling import bucket_sample
     return (bucket_sample(tables["orders"], "o_orderkey",
                           bucket=1, out_of=10)
@@ -1422,9 +1427,14 @@ def corpus_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _bucket_sample_oracle_sql() -> str:
     from hive_parse_lineage_spark.functions.text import portable_hash64_sql
     h = portable_hash64_sql("CAST(o_orderkey AS VARCHAR)")
+    # ORDER BY kept on the oracle side only: a DuckDB pipeline breaker
+    # that keeps the md5 filter parallel — without it the streaming
+    # result collector serializes the scan (~7 s vs ~0.9 s at sf1.0).
+    # The gate hash is order-insensitive; see _x71_bucket_sample.
     return f"""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
 FROM orders WHERE {h} % 10 = 0
+ORDER BY o_orderkey
 """
 
 
