@@ -944,17 +944,18 @@ def skew_sweep() -> None:
     qs["x46_dup_clusters_capped"] = _x46_capped
 
     def _capped_pairs_probe(spark, d):
-        """The capped production posture (xxhash64, cap 1000) with the
-        cap rule observed — returns (n_pairs, capped_bucket_rows,
+        """The capped production posture — the exact x46_capped edge
+        spelling (xxhash64, agg signatures, cap 1000) with the cap
+        rule observed — returns (n_pairs, capped_bucket_rows,
         total_bucket_rows)."""
         from hive_parse_lineage_spark.operators.dedup import (
-            lsh_candidate_pairs, minhash_signature)
+            minhash_near_dups)
         docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
         obs = Observation(f"cap-{os.path.basename(d.rstrip('/'))}")
-        sig = minhash_signature(docs, n_hashes=64, shingle_k=2)
-        pairs = lsh_candidate_pairs(sig, n_hashes=64, bands=16,
-                                    max_bucket_size=1000,
-                                    cap_observation=obs)
+        pairs = minhash_near_dups(docs, threshold=0.3, n_hashes=64,
+                                  bands=16, shingle_k=2,
+                                  max_bucket_size=1000,
+                                  cap_observation=obs)
         n = pairs.count()
         got = obs.get
         return n, int(got["capped_bucket_rows"] or 0), \
