@@ -4039,36 +4039,40 @@ def _x193_cooccurrence_itemsets(spark, tables):
     template detection that adjacent-bigram entries (x45/x92)
     structurally miss.
 
-    Scale shape: one (doc, token) distinct + one vocab-keyed shuffle
-    join for df (never broadcast), one per-doc window over <= |doc
-    vocab| rows, one doc-keyed self-join bounded to 8 rows per key
-    -> <= 28 pairs, one pair count + TakeOrdered(30). The df band
-    plus per-doc rank cap is what keeps candidate volume linear in
-    corpus size — the same production posture as x72's LSH cap."""
+    Scale shape (r10 rewrite): the (doc, token) distinct stream is
+    materialized ONCE (localCheckpoint — it feeds both the df count
+    and the band join; without the pin each branch re-scanned the
+    corpus), then one vocab-keyed shuffle join for df (never
+    broadcast), one per-doc collect into a sorted <=8-slot array
+    (hash aggregate — replaces the former row_number window sort),
+    and the <=28 pairs per doc come from a pure-codegen array
+    comprehension over that array (replaces the former doc-keyed
+    self-join entirely), then one pair count + TakeOrdered(30). The
+    df band plus per-doc cap is what keeps candidate volume linear
+    in corpus size — the same production posture as x72's LSH cap."""
     d = tables["documents"]
     nd = d.agg(F.count("*").alias("n_docs"))
     dt = (d.select("doc_id",
                    F.explode(F.array_distinct(F.split("text", " ")))
-                   .alias("tok")))
+                   .alias("tok"))
+          .localCheckpoint(eager=True))
     df_ = dt.groupBy("tok").agg(F.count("*").alias("df"))
     band = (df_.crossJoin(F.broadcast(nd))
             .filter((F.col("df") >= 5)
                     & (F.col("df") * 5 <= F.col("n_docs") * 4))
             .select("tok", "df"))
-    wd = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (dt.join(band, "tok")
-              .withColumn("rk", F.row_number().over(wd))
-              .filter(F.col("rk") <= 8)
-              .select("doc_id", "tok", "rk")
-              .localCheckpoint(eager=True))
-    a = ranked.select("doc_id", F.col("tok").alias("ta"),
-                      F.col("rk").alias("ra"))
-    b = ranked.select("doc_id", F.col("tok").alias("tb"),
-                      F.col("rk").alias("rb"))
-    pairs = (a.join(b, "doc_id")
-             .filter(F.col("ra") < F.col("rb"))
-             .select(F.least("ta", "tb").alias("t1"),
-                     F.greatest("ta", "tb").alias("t2")))
+    # array_sort on struct(df, tok) = the former ORDER BY df, tok;
+    # slice keeps the 8 rarest; the nested transform emits ordered
+    # (i < j) pairs, i.e. exactly the old ra < rb self-join output
+    top = (dt.join(band, "tok")
+           .groupBy("doc_id")
+           .agg(F.slice(F.array_sort(F.collect_list(
+               F.struct("df", "tok"))), 1, 8).alias("top")))
+    pairs = top.select(F.explode(F.expr(
+        "flatten(transform(top, (x, i) -> "
+        "transform(slice(top, i + 2, size(top)), y -> "
+        "struct(least(x.tok, y.tok) AS t1, "
+        "greatest(x.tok, y.tok) AS t2))))")).alias("p")).select("p.*")
     return (pairs.groupBy("t1", "t2").agg(F.count("*").alias("support"))
             .filter(F.col("support") >= 4)
             .orderBy(F.desc("support"), "t1", "t2")

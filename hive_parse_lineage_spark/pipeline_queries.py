@@ -2738,8 +2738,13 @@ def _x132_vocab_growth(spark, tables):
     and tells a curator when new crawl stops growing the vocabulary.
 
     Scale shape: bucket is a codegen projection against one broadcast
-    scalar (never ntile); the bigram stream shuffles ONCE into the
-    first-seen-bucket aggregate (map-side combined min); the
+    scalar (never ntile); r10 rewrite — ONE corpus scan and ONE real
+    shuffle: per gram TYPE, a single map-side-combined aggregate
+    carries the first-seen bucket AND ten conditional instance
+    counters; a global 1-row combine (20 partial-aggregable sums)
+    then explodes back into the 10 bucket rows. The former spelling
+    exploded the bigram stream twice (AQE defeated the exchange
+    reuse); this one cannot — there is only one exchange. The
     cumulative window runs over exactly 10 rows."""
     from hive_parse_lineage_spark.functions.text import word_shingles
     d = tables["documents"]
@@ -2747,14 +2752,21 @@ def _x132_vocab_growth(spark, tables):
     tk = (d.crossJoin(F.broadcast(mx))
           .select(F.expr("doc_id * 10 div (_mx + 1) + 1").alias("bucket"),
                   F.explode(word_shingles("text", 2)).alias("g")))
-    newt = (tk.groupBy("g").agg(F.min("bucket").alias("bucket"))
-            .groupBy("bucket").agg(F.count("*").alias("new_types")))
-    toks = tk.groupBy("bucket").agg(F.count("*").alias("n_grams"))
+    per_g = tk.groupBy("g").agg(
+        F.min("bucket").alias("fb"),
+        *[F.sum((F.col("bucket") == i).cast("long")).alias(f"c{i}")
+          for i in range(1, 11)])
+    row = per_g.agg(
+        *[F.sum((F.col("fb") == i).cast("long")).alias(f"nt{i}")
+          for i in range(1, 11)],
+        *[F.sum(f"c{i}").alias(f"ng{i}") for i in range(1, 11)])
+    long = row.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("bucket"),
+                 F.col(f"nt{i}").alias("new_types"),
+                 F.col(f"ng{i}").alias("n_grams"))
+        for i in range(1, 11)])).alias("s")).select("s.*")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (toks.join(newt, "bucket", "left")
-            .select("bucket",
-                    F.coalesce("new_types", F.lit(0)).alias("new_types"),
-                    "n_grams")
+    return (long.filter(F.col("n_grams") > 0)
             .withColumn("cum_types", F.sum("new_types").over(w))
             .withColumn("cum_grams", F.sum("n_grams").over(w))
             .withColumn("types_per_mgram",
