@@ -867,6 +867,36 @@ def graph_ladder() -> None:
                 growth_key="lsh_edges", path_tag="SWEEP_GRAPH")
 
 
+#: Retrieval / data-selection family sf10 points (r10): BM25 top-k
+#: (vocab-keyed posting joins, never broadcast), DSIR importance
+#: weights, per-source cross-entropy, DoReMi-lite domain reweighting.
+#: Growth normalized by corpus tokens (all four are token-mass
+#: proportional: posting lists / n-gram LM counts).
+RETRIEVAL_LADDER_QUERIES = ("x88_bm25_topk", "x89_importance_weights",
+                            "x170_source_cross_entropy",
+                            "x185_domain_reweight")
+
+
+def retrieval_ladder() -> None:
+    """``bench.py --retrieval-ladder``: the 100x rung for the
+    retrieval/data-selection family — the last work-dominated family
+    without at-scale wall evidence. Same protocol as --dedup-ladder;
+    growth normalized by corpus TOKENS. Written to
+    SWEEP_RETRIEVAL_r{N}.json."""
+    from pyspark.sql import functions as F
+    pool = _corpus_query_map()
+
+    def scale_of(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        toks = docs.select(F.sum(F.size(F.split("text", " ")))
+                           .alias("t")).first()["t"]
+        return {"doc_rows": docs.count(), "doc_tokens": int(toks)}
+
+    _run_ladder({n: pool[n] for n in RETRIEVAL_LADDER_QUERIES},
+                metric="retrieval_ladder", scale_of=scale_of,
+                growth_key="doc_tokens", path_tag="SWEEP_RETRIEVAL")
+
+
 #: Event/window family sf10 points (r9 verdict ask #4): x187's
 #: at-scale spelling is range_partitioned_running_max behind
 #: SPARK_GRAFT_APPROX_QUANTILES=1 — the ladder runs FLAG ON because
@@ -1185,6 +1215,9 @@ def main() -> None:
         return
     if "--event-ladder" in sys.argv:
         event_ladder()
+        return
+    if "--retrieval-ladder" in sys.argv:
+        retrieval_ladder()
         return
     if "--skew-sweep" in sys.argv:
         skew_sweep()
