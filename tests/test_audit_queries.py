@@ -489,3 +489,55 @@ def test_zonemap_skips_correlation_contrast(spark):
     assert out["cust_low"]["skip_permille"] < 300
     assert out["cust_low"]["skip_permille"] < out["price_band"]["skip_permille"]
     assert out["cust_low"]["match_permille"] < 200
+
+
+def test_x228_packing_matches_python_replay(spark):
+    """Toy pin for the sequence-packing arithmetic: a hand-built
+    corpus with known token counts, python-replayed against the
+    concat-and-chunk rule (exclusive prefix start, crossings =
+    (start+n-1)//C - start//C)."""
+    from hive_parse_lineage_spark.audit_queries import (
+        _PACK_C, _x228_sequence_packing)
+    sizes = [700, 100, 300, 512, 1030, 1, 511, 64]
+    rows = [(i, "s%d" % (i % 2), " ".join("t%d" % j for j in range(n)))
+            for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    out = {r["source"]: r.asDict()
+           for r in _x228_sequence_packing(
+               spark, {"documents": docs}).collect()}
+    # python replay in doc_id order
+    import collections
+    start, agg = 0, collections.defaultdict(
+        lambda: dict(n_docs=0, tok=0, split=0, seqs=0, mx=0))
+    for i, n in enumerate(sizes):
+        nc = (start + n - 1) // _PACK_C - start // _PACK_C
+        a = agg["s%d" % (i % 2)]
+        a["n_docs"] += 1
+        a["tok"] += n
+        a["split"] += 1 if nc >= 1 else 0
+        a["seqs"] += nc + 1
+        a["mx"] = max(a["mx"], nc)
+        start += n
+    for src, a in agg.items():
+        got = out[src]
+        assert got["n_docs"] == a["n_docs"]
+        assert got["tok_mass"] == a["tok"]
+        assert got["docs_split"] == a["split"], src
+        assert got["seqs_touched"] == a["seqs"], src
+        assert got["max_crossings"] == a["mx"], src
+        assert got["split_permille"] == a["split"] * 1000 // a["n_docs"]
+
+
+def test_x229_bloom_no_false_negatives(spark, tables):
+    """The Bloom probe may only ever ADD rows over the true
+    semi-join: n_pass >= n_true, false_pos >= 0, and a true match
+    must always pass (no false negatives by construction)."""
+    from hive_parse_lineage_spark.audit_queries import _x229_bloom_semijoin
+    row = _x229_bloom_semijoin(spark, tables).collect()[0].asDict()
+    assert row["n_pass"] >= row["n_true"]
+    assert row["false_pos"] == row["n_pass"] - row["n_true"]
+    assert row["false_pos"] >= 0
+    assert row["n_probe"] > 0 and row["n_true"] > 0
+    # geometry sanity: word table stays broadcast-class
+    assert row["n_words"] <= row["m_bits"] // 62 + 1

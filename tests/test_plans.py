@@ -551,10 +551,15 @@ _HINT_BUDGETS = {
                                "is unhinted, AQE decides"),
     "x192_wav_roundtrip_stats": (0, "two Arrow passes + projection, "
                                     "no joins"),
-    "x193_cooccurrence_itemsets": (0, "single-row n_docs hint sits "
-                                      "behind the checkpointed ranked "
-                                      "stream; pair self-join is "
-                                      "doc-keyed and rank-capped"),
+    "x193_cooccurrence_itemsets": (1, "single-row n_docs total on the "
+                                      "df band (r10 rewrite moved the "
+                                      "checkpoint to the distinct-token "
+                                      "stream, so the hint is visible "
+                                      "again); the vocab df join is "
+                                      "unhinted and the former pair "
+                                      "self-join is gone entirely — "
+                                      "pairs come from a per-doc array "
+                                      "comprehension"),
     "x194_markov_attribution": (1, "single-row base conversion; the "
                                    "variant table hint and all chain "
                                    "squarings sit behind per-round "
