@@ -561,6 +561,9 @@ SF1_EXTENSION_QUERIES = (
     "x201_cluster_safe_split", "x210_reciprocal_best_match",
     "x212_edge_embeddedness", "x216_bucket_balance_audit",
     "x218_sparse_tfidf_pairs", "x225_cdc_chunking",
+    # r10 additions that clear the >0.2 s-twin coverage rule (x228's
+    # twin is 22 ms at sf0.1 and stays excluded by the same rule)
+    "x229_bloom_semijoin",
 )
 
 
