@@ -354,3 +354,57 @@ def test_insert_ctas_positional_binding(spark, tables, insert_target,
         # not exist yet; reference binds nothing, LineParser take)
         assert [e[1] for e in edges] == ["k", "v"], sql
     assert all(e[0] in out_tables for e in edges), sql
+
+
+@st.composite
+def multi_insert_query(draw):
+    """Hive-style multi-insert: one FROM source, two INSERT branches
+    (the reference's one-TOK_QUERY / many-TOK_INSERT shape,
+    LineParser.java:200-214). Branch 1 targets pt_ins2 positionally
+    with numeric (k, v); branch 2 targets it with a user column list
+    over a single expression. Returns (sql, expected per-branch
+    (target_column, sources))."""
+    t1 = draw(tables_st)
+    a1 = draw(st.sampled_from(NUM_COLS[t1]))
+    a2 = SCHEMAS[t1][0]
+    b1 = draw(st.sampled_from(NUM_COLS[t1]))
+    wa = f" WHERE {a1} IS NOT NULL" if draw(st.booleans()) else ""
+    sql = (f"FROM {t1} "
+           f"INSERT INTO pt_ins2 SELECT {a1} AS k, {a2} AS v{wa} "
+           f"INSERT INTO pt_ins2 (tv) SELECT {b1} AS m")
+    expected = [
+        ("tk", {f"default.{t1}.{a1}"}),
+        ("tv", {f"default.{t1}.{a2}"}),
+        ("tv", {f"default.{t1}.{b1}"}),
+    ]
+    return sql, expected, {f"default.{t1}"}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=multi_insert_query())
+def test_multi_insert_branch_binding(spark, tables, insert_target,
+                                     q, monkeypatch):
+    """Each multi-insert branch binds its own select list against the
+    target (positional for branch 1, user-list for branch 2); sources
+    trace to the shared FROM table; both walk modes agree."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    sql, expected, inputs = q
+
+    def run(mode):
+        monkeypatch.setenv("HPL_JSON_WALK", mode)
+        st_ = extract_lineage(spark, sql).statements[0]
+        return ([(c.target_column, sorted(c.sources))
+                 for c in st_.col_lines],
+                st_.operation, st_.input_tables, st_.output_tables)
+
+    strict = run("strict")
+    assert strict == run("0")
+    edges, op, in_tables, out_tables = strict
+    assert op == "INSERT"
+    assert in_tables == inputs, sql
+    assert out_tables == {"default.pt_ins2"}, sql
+    assert len(edges) == len(expected), (sql, edges)
+    for (tcol, sources), (want_col, want_src) in zip(edges, expected):
+        assert tcol == want_col, (sql, edges)
+        assert set(sources) == want_src, (sql, edges)
