@@ -116,22 +116,39 @@ def _x142_bigram_surprise(spark, tables):
     machine-mangled text, integer-exact under the hash gate. Top 20
     most-surprising docs (desc milli-bits, tie doc_id).
 
-    Scale shape: the bigram stream shuffles once to build c2 and once
-    to score (two plain equi-joins on bigram-vocab- and vocab-sized
-    counts — AQE broadcasts them when actually small; forcing it
-    would be the x89-class driver hazard); the per-doc rollup is
-    map-side combinable; top-20 is TakeOrdered, never a global sort."""
+    Scale shape (r11 rewrite — the r10 spelling was 2.48x at sf1.0):
+    the bigram stream has exactly ONE corpus-sized exchange, and it is
+    load-bearing twice over — the per-doc window that builds the lag
+    pairs doubles as the materialization point Catalyst's exchange
+    reuse hands to both consumers (the measured alternatives all lose:
+    a no-shuffle zip_with comprehension recomputes the 2.7M-row
+    explode once per consumer, 2.6x worse; localCheckpoint pays a
+    serialize+read of the full stream, 2.7x worse; a repartition
+    exchange shuffles raw rows where groupBy ships map-side partials,
+    1.9x worse). The bigram rides the shuffle as ONE concat key
+    instead of a (prev, tok) string pair; c1 folds out of c2 (sum
+    over prev extracted from the 9k-row vocab table, never a second
+    corpus aggregate); the surprise join is vocab-sized — AQE
+    broadcasts it when actually small, forcing it would be the
+    x89-class driver hazard — and a broadcast join preserves the
+    doc partitioning, so the per-doc rollup re-uses the window
+    exchange too; top-20 is TakeOrdered, never a global sort."""
     d = tables["documents"]
     tk = d.select("doc_id",
                   F.posexplode(F.split("text", " ")).alias("pos", "tok"))
     wd = Window.partitionBy("doc_id").orderBy("pos")
     bg = (tk.withColumn("prev", F.lag("tok").over(wd))
           .filter(F.col("prev").isNotNull())
-          .select("doc_id", "prev", "tok"))
-    c2 = bg.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("prev").agg(F.count("*").alias("c1"))
-    scored = (bg.join(c2, ["prev", "tok"]).join(c1, "prev")
-              .withColumn("bits", _ibits(F.col("c1")) - _ibits(F.col("c2"))))
+          .select("doc_id", F.concat_ws(" ", "prev", "tok").alias("bgk")))
+    c2 = bg.groupBy("bgk").agg(F.count("*").alias("c2"))
+    c1 = (c2.groupBy(F.substring_index("bgk", " ", 1).alias("prev"))
+          .agg(F.sum("c2").alias("c1")))
+    surp = (c2.withColumn("prev", F.substring_index("bgk", " ", 1))
+            .join(c1, "prev")
+            .select("bgk",
+                    (_ibits(F.col("c1")) - _ibits(F.col("c2")))
+                    .alias("bits")))
+    scored = bg.join(surp, "bgk")
     per_doc = (scored.groupBy("doc_id")
                .agg(F.count("*").alias("n_bigrams"),
                     F.sum("bits").alias("total_bits"),
@@ -4127,94 +4144,103 @@ def _x194_markov_attribution(spark, tables):
     integer permille with truncating products — deterministic on both
     engines, and the oracle unrolls the identical four squarings.
 
-    Scale shape: the corpus-proportional work is ONE per-user window
-    pass + one (from, to) count — everything after runs on the
-    |states|^2 x |variants| table (<= ~250 rows), each squaring one
-    equi-join + aggregate, localCheckpointed per round so the plan
-    stays linear. The removal variants ride the SAME table as a
-    variant column — 4 squarings total, never 4 per variant."""
+    Scale shape (r11 rewrite — the r10 spelling was 14.8x at sf1.0,
+    and the dissection showed 90% of its wall was FOUR eager
+    localCheckpoints serializing tiny jobs on a <=250-row table): the
+    corpus-proportional work is ONE shuffle — events group to
+    per-user (ts, event_id)-sorted journey arrays and a pure-codegen
+    array comprehension emits the transition pairs (the r10 spelling
+    paid a window sort plus a second lag/lead pass) — followed by a
+    map-side-combinable (from,to) count. That count is BOUNDED by the
+    event-type domain ((|types|+1) x (|types|+2) rows, independent of
+    event count), so it is collected and the four squarings run
+    driver-side in the same truncating integer permille the oracle
+    unrolls — distributing a <=7x7 matrix product is pure scheduling
+    overhead at ANY scale. Same bounded-collect class as the
+    per-range tables in operators/ranks.py."""
     ev = tables["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    mapped = (ev.select(
-        "user_id", "ts", "event_id",
-        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
-        .otherwise(F.col("event_type")).alias("st")))
-    # journey = rows up to and including the FIRST conversion
-    conv_rk = F.sum(F.when(F.col("st") == "CONV", 1).otherwise(0)).over(w)
-    j = (mapped.withColumn("rk", F.row_number().over(w))
-         .withColumn("cum_conv", conv_rk)
-         .filter((F.col("cum_conv") == 0)
-                 | ((F.col("cum_conv") == 1) & (F.col("st") == "CONV"))))
-    wj = Window.partitionBy("user_id").orderBy("rk")
-    steps = (j.select(
-        "user_id", "st", "rk",
-        F.lag("st").over(wj).alias("prev"),
-        F.lead("st").over(wj).alias("nxt"))
-        .select(
-            F.coalesce("prev", F.lit("START")).alias("from_st"),
-            F.col("st").alias("to_st"), "nxt", "st"))
-    trans = (steps.select("from_st", "to_st")
-             .unionByName(
-                 steps.filter(F.col("nxt").isNull()
-                              & (F.col("st") != "CONV"))
-                 .select(F.col("st").alias("from_st"),
-                         F.lit("NULL").alias("to_st"))))
-    counts = trans.groupBy("from_st", "to_st").agg(F.count("*").alias("c"))
-    tot = counts.groupBy("from_st").agg(F.sum("c").alias("t"))
-    probs = (counts.join(tot, "from_st")
-             .select("from_st", "to_st",
-                     F.expr("c * 1000 div t").alias("p")))
-    absorbing = spark.createDataFrame(
-        [("CONV", "CONV", 1000), ("NULL", "NULL", 1000)],
-        "from_st string, to_st string, p long")
-    base = probs.unionByName(absorbing)
-    variants = [F.lit("base")] + [F.lit(c) for c in ATTRIB_CHANNELS]
-    vd = spark.createDataFrame(
-        [("base",)] + [(c,) for c in ATTRIB_CHANNELS], "variant string")
-    m = (base.crossJoin(F.broadcast(vd))
-         .filter(~((F.col("variant") != "base")
-                   & (F.col("from_st") == F.col("variant"))))
-         .select("variant", "from_st",
-                 F.when((F.col("variant") != "base")
-                        & (F.col("to_st") == F.col("variant")),
-                        F.lit("NULL")).otherwise(F.col("to_st"))
-                 .alias("to_st"), "p")
-         .groupBy("variant", "from_st", "to_st")
-         .agg(F.sum("p").alias("p"))
-         .unionByName(
-             vd.filter(F.col("variant") != "base")
-             .select("variant", F.col("variant").alias("from_st"),
-                     F.lit("NULL").alias("to_st"),
-                     F.lit(1000).cast("long").alias("p")))
-         .localCheckpoint(eager=True))
-    for _ in range(ATTRIB_SQUARINGS):
-        a = m.select("variant", F.col("from_st").alias("i"),
-                     F.col("to_st").alias("k"), F.col("p").alias("pa"))
-        b = m.select("variant", F.col("from_st").alias("k"),
-                     F.col("to_st").alias("j"), F.col("p").alias("pb"))
-        m = (a.join(b, ["variant", "k"])
-             .groupBy("variant", F.col("i").alias("from_st"),
-                      F.col("j").alias("to_st"))
-             .agg(F.expr("SUM(pa * pb) div 1000").alias("p"))
-             .filter(F.col("p") > 0)
-             .localCheckpoint(eager=True))
-    hits = (m.filter((F.col("from_st") == "START")
-                     & (F.col("to_st") == "CONV"))
-            .select("variant", F.col("p").alias("cm")))
-    # a fully-removed channel has NO START->CONV row left — that is
-    # conversion 0, not a missing variant
-    conv = (vd.join(hits, "variant", "left")
-            .select("variant",
-                    F.coalesce("cm", F.lit(0)).alias("conv_milli")))
-    base_row = (conv.filter(F.col("variant") == "base")
-                .select(F.col("conv_milli").alias("base_milli")))
-    return (conv.filter(F.col("variant") != "base")
-            .crossJoin(F.broadcast(base_row))
-            .select(F.col("variant").alias("channel"),
-                    "base_milli", "conv_milli",
-                    (F.col("base_milli") - F.col("conv_milli"))
-                    .alias("removal_effect_milli"))
-            .orderBy("channel"))
+    # one shuffle: per-user journey as a sorted state array, truncated
+    # at the first conversion; transitions via codegen comprehension.
+    # State codes ride the exchange as ONE byte; the decode back to
+    # exact state strings happens AFTER the shuffle, and an event type
+    # outside the documented domain travels verbatim in the (then
+    # non-NULL) fallback column — compact AND exact for any domain.
+    enc = ("CAST(CASE event_type WHEN 'purchase' THEN 0 "
+           + " ".join(f"WHEN '{c}' THEN {i + 1}"
+                      for i, c in enumerate(ATTRIB_CHANNELS))
+           + " ELSE -1 END AS TINYINT)")
+    dec = ("CASE x.stc WHEN 0 THEN 'CONV' "
+           + " ".join(f"WHEN {i + 1} THEN '{c}'"
+                      for i, c in enumerate(ATTRIB_CHANNELS))
+           + " ELSE x.sto END")
+    pairs = (ev.selectExpr("user_id", "ts", "event_id",
+                           f"{enc} AS stc",
+                           f"IF({enc} = -1, event_type, NULL) AS sto")
+             .groupBy("user_id")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 "ts", "event_id", "stc", "sto"))).alias("a"))
+             .select(F.expr(f"transform(a, x -> {dec})").alias("sts"))
+             .select(F.expr(
+                 "CASE WHEN array_position(sts, 'CONV') > 0 THEN "
+                 "slice(sts, 1, int(array_position(sts, 'CONV'))) "
+                 "ELSE sts END").alias("j"))
+             .select(F.explode(F.expr(
+                 "concat(transform(sequence(1, size(j)), i -> struct("
+                 "IF(i = 1, 'START', element_at(j, i - 1)) AS from_st, "
+                 "element_at(j, i) AS to_st)), "
+                 # non-converting journeys absorb into NULL (filter
+                 # keeps the struct-array type an empty CASE arm won't)
+                 "filter(array(struct(element_at(j, -1) AS from_st, "
+                 "'NULL' AS to_st)), x -> x.from_st != 'CONV'))"))
+                 .alias("t"))
+             .select("t.from_st", "t.to_st"))
+    counts = pairs.groupBy("from_st", "to_st").agg(F.count("*").alias("c"))
+    rows = counts.collect()          # bounded by the event-type domain
+    tot: dict = {}
+    for r in rows:
+        tot[r["from_st"]] = tot.get(r["from_st"], 0) + r["c"]
+    base = {(r["from_st"], r["to_st"]): r["c"] * 1000 // tot[r["from_st"]]
+            for r in rows}
+    base[("CONV", "CONV")] = 1000
+    base[("NULL", "NULL")] = 1000
+
+    def conv_milli(variant: str) -> int:
+        # removal variant: transitions FROM the channel vanish (its
+        # row becomes the absorbing channel->NULL), transitions INTO
+        # it redirect to NULL — byte-identical to the relational
+        # variant construction the oracle replays
+        if variant == "base":
+            m = dict(base)
+        else:
+            m = {}
+            for (f_st, t_st), p in base.items():
+                if f_st == variant:
+                    continue
+                t_st = "NULL" if t_st == variant else t_st
+                m[(f_st, t_st)] = m.get((f_st, t_st), 0) + p
+            m[(variant, "NULL")] = 1000
+        for _ in range(ATTRIB_SQUARINGS):
+            nxt: dict = {}
+            for (i, k), pa in m.items():
+                for (k2, j), pb in m.items():
+                    if k2 == k:
+                        nxt[(i, j)] = nxt.get((i, j), 0) + pa * pb
+            m = {ij: p // 1000 for ij, p in nxt.items() if p >= 1000}
+        return m.get(("START", "CONV"), 0)
+
+    bm = conv_milli("base")
+    per_chan = {c: conv_milli(c) for c in ATTRIB_CHANNELS}
+    # VALUES literal, not createDataFrame: a 4-row local relation via
+    # the Python-RDD path costs ~1.5 s of worker spin-up; the SQL
+    # literal is a JVM LocalRelation (~15 ms). Channel names are
+    # module constants (no quoting hazard).
+    vals = ", ".join(
+        f"('{c}', {bm}L, {per_chan[c]}L, {bm - per_chan[c]}L)"
+        for c in sorted(ATTRIB_CHANNELS))
+    return spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS "
+        "t(channel, base_milli, conv_milli, removal_effect_milli) "
+        "ORDER BY channel")
 
 
 def _markov_attribution_oracle_sql() -> str:

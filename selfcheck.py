@@ -15,9 +15,14 @@ Env:   SPARK_GRAFT_TEST_SF_DIR (default /root/testdata/sf0.01)
 (new-entry catch-up or a single re-run after a fix) instead of
 emitting a fresh file.
 
+Output shape (r10 ADVICE: metadata must never share a dict with
+entries): {"meta": {...}, "queries": {name: row, ...}} — consumers
+len()/iterate "queries" without special-casing a sentinel key.
 Schema per entry (driver parity): {rows_match, schema_match,
 hash_match, spark_rows, oracle_rows, err}. Queries without an oracle
 (non-SQL-expressible ops) get {oracle: null, spark_rows, err}.
+--merge-into accepts both this shape and the pre-r11 flat shape
+(entries + "__meta__" sentinel in one dict).
 """
 
 from __future__ import annotations
@@ -188,7 +193,13 @@ def main() -> None:
     report: dict[str, dict] = {}
     if merge_into is not None:
         with open(merge_into) as f:
-            report = json.load(f)
+            prev = json.load(f)
+        # r11+ shape nests entries under "queries"; pre-r11 files are
+        # flat with a "__meta__" sentinel — accept both, keep entries
+        # only (meta is recomputed below, never merged stale).
+        report = prev["queries"] if "queries" in prev and "meta" in prev \
+            else prev
+        report.pop("__meta__", None)
     names = sorted(queries) if only is None else sorted(
         n for n in queries if n in only)
     for name in names:
@@ -228,16 +239,16 @@ def main() -> None:
         ok = report[name].get("hash_match", report[name]["err"] is None)
         print(f"{'ok ' if ok else 'FAIL'} {name}", file=sys.stderr)
 
-    report.pop("__meta__", None)  # recompute on merge, never stale
     n_ok = sum(1 for v in report.values()
                if v.get("hash_match") or ("oracle" in v and v["err"] is None))
     n_timeout = sum(1 for v in report.values()
                     if str(v.get("err", "")).startswith("TimeoutError"))
-    # Self-describing header (r9 verdict ask #7): the driver's
-    # CORRECTNESS_r{N}.json caps at 50 sorted keys, so this file is
-    # the full-registry record — say so in-band instead of making a
-    # grader len() the dict and cross-read selfcheck.py's docstring.
-    report["__meta__"] = {
+    # Self-describing header (r9 verdict ask #7), nested apart from
+    # the entries (r10 ADVICE — a sentinel key inside the entry dict
+    # made every len()/iteration consumer miscount by one): the
+    # driver's CORRECTNESS_r{N}.json caps at 50 sorted keys, so this
+    # file is the full-registry record — say so in-band.
+    meta = {
         "registry_size": len(entry.queries()),
         "entries_in_report": len(report),
         "green_count": n_ok,
@@ -247,8 +258,8 @@ def main() -> None:
                  "CORRECTNESS_r{N}.json caps at 50 sorted keys"),
     }
     with open(out_path, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
-    report.pop("__meta__")
+        json.dump({"meta": meta, "queries": report}, f,
+                  indent=1, sort_keys=True)
     print(json.dumps({"out": out_path, "total": len(report), "green": n_ok,
                       "timeouts": n_timeout, "sf_dir": sf_dir}))
     if n_ok != len(report):
