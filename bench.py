@@ -20,6 +20,10 @@ Usage: python bench.py                  declared + corpus surface, one JSON line
        python bench.py --graph-ladder   x172/x210/x149 on the same rungs,
                                         wall-over-LSH-EDGE growth ->
                                         SWEEP_GRAPH_r{N}.json
+       python bench.py --graph-skew     the same three in their CAPPED
+                                        production posture on make_sfN.py
+                                        --skew data, wall-over-CAPPED-edge
+                                        growth -> SWEEP_GRAPH_r{N}.json
        python bench.py --event-ladder   x187/x197 (flag-on at-scale
                                         spellings) -> SWEEP_EVENT_r{N}.json
        python bench.py --skew-sweep     dedup/skew entries on make_sfN.py
@@ -919,6 +923,82 @@ def graph_ladder() -> None:
                 growth_key="lsh_edges", path_tag="SWEEP_GRAPH")
 
 
+def _capped_graph_edges(spark, d: str):
+    """The graph family's PRODUCTION edge builder for the skew rung:
+    same LSH banding as the registry entries but default xxhash64 and
+    the hot-bucket cap active (max_bucket_size=1000) — on the --skew
+    corpus the 2,500-doc boilerplate family makes the uncapped pair
+    list quadratic BY CONSTRUCTION (that cost is recorded by
+    SWEEP_SKEW's uncapped gate spellings); the cap bounds every
+    bucket's pair count, which is the posture a 100 TB run uses."""
+    from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    return minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
+                             shingle_k=2, max_bucket_size=1000)
+
+
+def _x172_capped(spark, d: str):
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.analytics_queries import (
+        pair_provenance_from_pairs)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    pairs = (_capped_graph_edges(spark, d)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+    return pair_provenance_from_pairs(docs, pairs)
+
+
+def _x210_capped(spark, d: str):
+    from hive_parse_lineage_spark.audit_queries import (
+        reciprocal_best_match_from_edges)
+    return reciprocal_best_match_from_edges(_capped_graph_edges(spark, d))
+
+
+def _x149_capped(spark, d: str):
+    from pyspark.sql import functions as F
+
+    from hive_parse_lineage_spark.operators.graph import triangle_census
+    edges = (_capped_graph_edges(spark, d)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
+    return (triangle_census(edges)
+            .select(F.col("e").alias("n_edges"),
+                    F.col("w").alias("n_wedges"),
+                    F.col("t").alias("n_triangles"),
+                    F.expr("CASE WHEN w > 0 THEN 3 * t * 1000 div w "
+                           "ELSE 0 END").alias("global_cc_permille")))
+
+
+def graph_skew() -> None:
+    """``bench.py --graph-skew``: the SKEWED rung for the graph/pair
+    family (r10 verdict ask #4) — the r10 uniform ladder never
+    stressed the edge-proportionality claim, and a boilerplate family
+    is precisely what inflates LSH edges quadratically inside the hot
+    buckets. Runs the three family entries in their CAPPED production
+    posture (the cap changes the pair set by design, so this is a
+    bench-only variant sharing the registry entries' downstream
+    bodies, not a value-identical flag) on uniform sf0.1 vs
+    make_sfN.py --skew sf1.0; growth normalized by the CAPPED edge
+    count — ≲1 means the downstream really is edge-proportional even
+    when the cap is doing the bounding. Written to
+    SWEEP_GRAPH_r{N}.json."""
+    from pyspark.sql import functions as F
+
+    def scale_of(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        fam = (docs.groupBy(F.md5("text")).count()
+               .agg(F.max("count")).first()[0])
+        return {"doc_rows": docs.count(),
+                "max_identical_family": int(fam),
+                "lsh_edges_capped": _capped_graph_edges(spark, d).count()}
+
+    _run_ladder({"x172_pair_provenance_capped": _x172_capped,
+                 "x210_reciprocal_best_match_capped": _x210_capped,
+                 "x149_dup_graph_triangles_capped": _x149_capped},
+                metric="graph_skew_ladder", scale_of=scale_of,
+                growth_key="lsh_edges_capped", path_tag="SWEEP_GRAPH",
+                default_dirs="/root/testdata/sf0.1,/tmp/sf1.0skew")
+
+
 #: Retrieval / data-selection family sf10 points (r10): BM25 top-k
 #: (vocab-keyed posting joins, never broadcast), DSIR importance
 #: weights, per-source cross-entropy, DoReMi-lite domain reweighting.
@@ -1122,7 +1202,9 @@ def _materialize(df) -> int:
 
 
 def _run_ladder(qs, metric: str, scale_of, growth_key: str,
-                path_tag: str) -> None:
+                path_tag: str,
+                default_dirs: str = (
+                    "/root/testdata/sf0.1,/tmp/sf1.0,/tmp/sf10")) -> None:
     """Shared rung walker for the 100x ladders: one SparkSession, JIT
     warm at the smallest rung, one timed pass per (rung, entry), and
     per-entry wall-growth-over-scale-growth ratios normalized by
@@ -1132,8 +1214,7 @@ def _run_ladder(qs, metric: str, scale_of, growth_key: str,
     from hive_parse_lineage_spark.session import RUNTIME_CONFS
 
     dirs = os.environ.get(
-        "SPARK_GRAFT_LADDER_DIRS",
-        "/root/testdata/sf0.1,/tmp/sf1.0,/tmp/sf10").split(",")
+        "SPARK_GRAFT_LADDER_DIRS", default_dirs).split(",")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
         os.cpu_count() or 4, 16)
     builder = (SparkSession.builder.master(f"local[{cpus}]")
@@ -1270,6 +1351,9 @@ def main() -> None:
         return
     if "--ann-ladder" in sys.argv:
         ann_ladder()
+        return
+    if "--graph-skew" in sys.argv:
+        graph_skew()
         return
     if "--graph-ladder" in sys.argv:
         graph_ladder()

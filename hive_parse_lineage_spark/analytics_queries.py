@@ -2121,15 +2121,26 @@ def _x172_pair_provenance(spark, tables):
     edge-proportional — the positional and distinct shingle streams
     join THROUGH the (checkpointed) pair list, never all-pairs; run
     detection is a gaps-and-islands window partitioned by
-    (pair, diagonal), bounded by doc length."""
-    from hive_parse_lineage_spark.functions.text import (
-        portable_hash64, word_shingles)
+    (pair, diagonal), bounded by doc length. The downstream body is
+    shared with bench.py's capped skew-rung variant
+    (pair_provenance_from_pairs), so the two measurements can never
+    drift; only the edge builder differs (uncapped portable hash
+    here, capped xxhash64 in the sweep)."""
+    from hive_parse_lineage_spark.functions.text import portable_hash64
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
     docs = tables["documents"]
     pairs = (minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
                                shingle_k=2, hasher=portable_hash64,
                                max_bucket_size=None)
              .select("id_a", "id_b").localCheckpoint(eager=True))
+    return pair_provenance_from_pairs(docs, pairs)
+
+
+def pair_provenance_from_pairs(docs, pairs):
+    """x172's edge-proportional downstream over an arbitrary
+    (id_a, id_b) pair list: exact distinct-5-gram Jaccard, shared
+    positional matches, longest shared run, 3-way dup class."""
+    from hive_parse_lineage_spark.functions.text import word_shingles
     pos = docs.select(
         "doc_id", F.posexplode(word_shingles("text", 5)).alias("p", "sh"))
     ds = docs.select(

@@ -406,13 +406,22 @@ def _x210_reciprocal_best_match(spark, tables):
     all-pairs); best-neighbor is one partition-local window over the
     symmetrized edges (keyed by doc — no global sort); mutuality is a
     self equi-join on the manufactured (doc, best) key. Everything
-    downstream of the edges is edge-proportional."""
+    downstream of the edges is edge-proportional; the downstream body
+    is shared with bench.py's capped skew-rung variant
+    (reciprocal_best_match_from_edges) so the two measurements can
+    never drift."""
     from hive_parse_lineage_spark.functions.text import portable_hash64
     from hive_parse_lineage_spark.operators.dedup import minhash_near_dups
     docs = tables["documents"]
     edges = minhash_near_dups(docs, threshold=0.3, n_hashes=64, bands=16,
                               shingle_k=2, hasher=portable_hash64,
                               max_bucket_size=None)
+    return reciprocal_best_match_from_edges(edges)
+
+
+def reciprocal_best_match_from_edges(edges):
+    """x210's edge-proportional downstream over an arbitrary
+    (id_a, id_b, est_jaccard) edge list."""
     sym = (edges.select(F.col("id_a").alias("v"), F.col("id_b").alias("u"),
                         "est_jaccard")
            .unionByName(edges.select(F.col("id_b").alias("v"),
