@@ -1995,19 +1995,27 @@ def _x170_source_cross_entropy(spark, tables):
     term = (F.col("ca")
             * (_ibits(F.col("t_tok") + F.col("v"))
                - _ibits(F.coalesce(F.col("cb"), F.lit(0)) + 1)))
-    # |sources|^2 rows — checkpoint so the vocab-sized matrix
-    # aggregation runs ONCE (the diagonal is a filter over the
-    # materialized matrix, not a recompute of the whole subtree)
+    # the |sources|^2-row matrix is BOUNDED, so it collects and the
+    # diagonal subtraction runs driver-side (r11 — the r10 spelling
+    # eagerly checkpointed the 400-row matrix and joined the diagonal
+    # back, a serialized tiny-job tail on top of the one real
+    # vocab x |sources| aggregation), result as a VALUES LocalRelation
     mat = (j.groupBy("source_a", "source_b")
            .agg(F.sum(term).alias("cross_bits"))
-           .localCheckpoint(eager=True))
-    diag = (mat.filter(F.col("source_a") == F.col("source_b"))
-            .select("source_a", F.col("cross_bits").alias("self_bits")))
-    return (mat.join(F.broadcast(diag), "source_a")
-            .select("source_a", "source_b", "cross_bits",
-                    (F.col("cross_bits") - F.col("self_bits"))
-                    .alias("kl_bits"))
-            .orderBy("source_a", "source_b"))
+           .collect())
+    self_bits = {r["source_a"]: r["cross_bits"] for r in mat
+                 if r["source_a"] == r["source_b"]}
+    vals = ", ".join(
+        "('{}', '{}', {}L, {}L)".format(
+            r["source_a"].replace("'", "''"),
+            r["source_b"].replace("'", "''"), r["cross_bits"],
+            r["cross_bits"] - self_bits[r["source_a"]])
+        for r in sorted(mat, key=lambda r: (r["source_a"],
+                                            r["source_b"])))
+    return spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS "
+        "t(source_a, source_b, cross_bits, kl_bits) "
+        "ORDER BY source_a, source_b")
 
 
 _SOURCE_CROSS_ENTROPY_ORACLE = """
@@ -3343,44 +3351,55 @@ def _x185_domain_reweight(spark, tables):
     token-proportional sampling. Every quantity is a non-negative
     integer at division time, so truncating div agrees across engines.
 
-    Scale shape: the loss pass is the only corpus-proportional work —
-    one explode, one vocab-keyed shuffle join (never broadcast), one
-    source aggregate; the five MW rounds run on the |sources|-row
-    table (localCheckpointed once) with single-row totals the only
-    broadcast class."""
+    Scale shape (r11 rewrite — the r10 spelling was 2.68x at sf1.0
+    and BIMODAL: its token stream recomputed three times — global
+    counts, total, join probe — and AQE flapped between broadcasting
+    the vocab and sort-merging the 6M-row stream, a ~2.5 s coin
+    flip visible in its own pass walls [4.34, 1.71, 1.68]): the
+    corpus explodes ONCE into a per-(source, token) count whose
+    shuffle exchange feeds all three consumers via Catalyst exchange
+    reuse (the x142 lesson); the global unigram counts and total FOLD
+    OUT of the per-source counts, so the scoring join is vocab-sized
+    on both sides (weighted by cs — identical integers to the
+    occurrence-level sum). The loss table is BOUNDED by the source
+    domain, so it collects and the five multiplicative-weights rounds
+    run driver-side in the same truncating integer permille the
+    oracle unrolls (the r10 spelling localCheckpointed the
+    |sources|-row table once per round — five serialized tiny jobs,
+    the x194 disease); the result is a VALUES LocalRelation. Same
+    bounded-collect class as the per-range tables in
+    operators/ranks.py."""
     d = tables["documents"]
     tk = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    ct = tk.groupBy("tok").agg(F.count("*").alias("c"))
-    tt = tk.agg(F.count("*").alias("t"))
-    loss = (tk.join(ct, "tok").crossJoin(F.broadcast(tt))
-            .groupBy("source")
-            .agg(F.expr("CAST(SUM(length(bin(t)) - length(bin(c))) "
-                        "AS BIGINT) * 1000 div COUNT(*)").alias("loss"))
-            .withColumn("w", F.lit(100000).cast("long"))
-            .localCheckpoint(eager=True))
-    cur = loss
+    cst = tk.groupBy("source", "tok").agg(F.count("*").alias("cs"))
+    ct = cst.groupBy("tok").agg(F.sum("cs").alias("c"))
+    tt = cst.agg(F.sum("cs").alias("t"))
+    loss_rows = (cst.join(ct, "tok").crossJoin(F.broadcast(tt))
+                 .groupBy("source")
+                 .agg(F.expr("CAST(SUM(cs * (length(bin(t)) "
+                             "- length(bin(c)))) AS BIGINT) "
+                             "* 1000 div SUM(cs)")
+                      .alias("loss"))
+                 .collect())                  # bounded: one row per source
+    rows = sorted((r["source"], r["loss"]) for r in loss_rows)
+    w = {s: 100000 for s, _ in rows}
+    # every quantity below is a non-negative integer at division time
+    # (the clamp keeps the factor >= 500), so python // == Spark div
     for _ in range(REWEIGHT_ROUNDS):
-        avg = cur.agg(
-            F.expr("SUM(w * loss) div SUM(w)").alias("avg_loss"))
-        upd = (cur.crossJoin(F.broadcast(avg))
-               .select("source", "loss",
-                       F.expr("w * (1000 + GREATEST(-500, LEAST(500, "
-                              "loss - avg_loss))) div 1000").alias("w")))
-        sw = upd.agg(F.sum("w").alias("sw"))
-        # per-round checkpoint keeps the plan LINEAR: without it each
-        # round's avg/sw aggregates re-derive the whole prior-round
-        # subtree (2x fanout per round -> 4^R recomputes of a 20-row
-        # table) — cheap here, catastrophic at a real sources count
-        cur = (upd.crossJoin(F.broadcast(sw))
-               .select("source", "loss",
-                       F.expr("w * 100000 div sw").alias("w"))
-               .localCheckpoint(eager=True))
-    tot = cur.agg(F.sum("w").alias("tw"))
-    return (cur.crossJoin(F.broadcast(tot))
-            .select("source", F.col("loss").alias("loss_millibits"),
-                    F.col("w").alias("weight"),
-                    F.expr("w * 1000 div tw").alias("weight_permille"))
-            .orderBy("source"))
+        avg = sum(w[s] * l for s, l in rows) // sum(w.values())
+        upd = {s: w[s] * (1000 + max(-500, min(500, l - avg))) // 1000
+               for s, l in rows}
+        sw = sum(upd.values())
+        w = {s: upd[s] * 100000 // sw for s, _ in rows}
+    tw = sum(w.values())
+    vals = ", ".join(
+        "('{}', {}L, {}L, {}L)".format(s.replace("'", "''"), l, w[s],
+                                       w[s] * 1000 // tw)
+        for s, l in rows)
+    return spark.sql(
+        f"SELECT * FROM (VALUES {vals}) AS "
+        "t(source, loss_millibits, weight, weight_permille) "
+        "ORDER BY source")
 
 
 def _domain_reweight_oracle_sql() -> str:
