@@ -105,9 +105,12 @@ def _base_oracle_sql() -> dict[str, str]:
 
 _META_KEYS = ("a00__registry_meta", "zz__registry_meta")
 
-_META_NOTE = ("counts exclude these 2 meta rows; driver file caps at "
-              "50 sorted keys; CORRECTNESS_SELF_r*.json is the "
-              "full-registry record")
+_META_NOTE = ("base_registry_size excludes these 2 meta rows, "
+              "total_entries includes them (r11 ADVICE: the two "
+              "artifacts previously shared one field name with "
+              "different semantics); driver file caps at 50 sorted "
+              "keys; CORRECTNESS_SELF_r*.json is the full-registry "
+              "record")
 
 
 def _meta_literals() -> tuple[int, int]:
@@ -116,19 +119,20 @@ def _meta_literals() -> tuple[int, int]:
     return len(base_q), sum(1 for k in base_q if k in base_o)
 
 
-def _meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _meta_cols() -> str:
     n, m = _meta_literals()
-    return spark.sql(
-        f"SELECT CAST({n} AS BIGINT) AS registry_size, "
-        f"CAST({m} AS BIGINT) AS entries_with_oracle, "
-        f"'{_META_NOTE}' AS note")
+    return (f"CAST({n} AS BIGINT) AS base_registry_size, "
+            f"CAST({n + len(_META_KEYS)} AS BIGINT) AS total_entries, "
+            f"CAST({m} AS BIGINT) AS entries_with_oracle, "
+            f"'{_META_NOTE}' AS note")
+
+
+def _meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(f"SELECT {_meta_cols()}")
 
 
 def _meta_oracle() -> str:
-    n, m = _meta_literals()
-    return (f"SELECT CAST({n} AS BIGINT) AS registry_size, "
-            f"CAST({m} AS BIGINT) AS entries_with_oracle, "
-            f"'{_META_NOTE}' AS note")
+    return f"SELECT {_meta_cols()}"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

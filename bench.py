@@ -938,8 +938,6 @@ def _capped_graph_edges(spark, d: str):
 
 
 def _x172_capped(spark, d: str):
-    from pyspark.sql import functions as F
-
     from hive_parse_lineage_spark.analytics_queries import (
         pair_provenance_from_pairs)
     docs = spark.read.parquet(os.path.join(d, "documents.parquet"))

@@ -53,6 +53,17 @@ def _ibits(col):
     return F.length(F.bin(col))
 
 
+def _sql_str(s: str) -> str:
+    """A data-derived string as a Spark SQL single-quoted literal that
+    round-trips EXACTLY. Spark's default literal parser processes
+    backslash escapes (r11 ADVICE: quote-only escaping turned
+    ``'a\\b'`` into ``a + backspace`` — probed live: backslash-b IS
+    the backspace escape), so both the backslash and the quote are
+    backslash-escaped. Used by every VALUES LocalRelation that embeds
+    corpus-derived strings (x170/x185)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 # ---------------------------------------------------------------------------
 # Spark implementations
 # ---------------------------------------------------------------------------
@@ -2003,12 +2014,18 @@ def _x170_source_cross_entropy(spark, tables):
     mat = (j.groupBy("source_a", "source_b")
            .agg(F.sum(term).alias("cross_bits"))
            .collect())
+    if not mat:                 # r11 ADVICE: empty VALUES is a parse
+        return spark.sql(       # error — empty corpus gets an explicit
+            "SELECT CAST(NULL AS STRING) AS source_a, "   # 0-row plan
+            "CAST(NULL AS STRING) AS source_b, "
+            "CAST(NULL AS BIGINT) AS cross_bits, "
+            "CAST(NULL AS BIGINT) AS kl_bits WHERE 1 = 0")
     self_bits = {r["source_a"]: r["cross_bits"] for r in mat
                  if r["source_a"] == r["source_b"]}
     vals = ", ".join(
-        "('{}', '{}', {}L, {}L)".format(
-            r["source_a"].replace("'", "''"),
-            r["source_b"].replace("'", "''"), r["cross_bits"],
+        "({}, {}, {}L, {}L)".format(
+            _sql_str(r["source_a"]), _sql_str(r["source_b"]),
+            r["cross_bits"],
             r["cross_bits"] - self_bits[r["source_a"]])
         for r in sorted(mat, key=lambda r: (r["source_a"],
                                             r["source_b"])))
@@ -3381,6 +3398,12 @@ def _x185_domain_reweight(spark, tables):
                              "* 1000 div SUM(cs)")
                       .alias("loss"))
                  .collect())                  # bounded: one row per source
+    if not loss_rows:           # r11 ADVICE: empty corpus would hit
+        return spark.sql(       # ZeroDivision + an empty-VALUES parse
+            "SELECT CAST(NULL AS STRING) AS source, "     # error below
+            "CAST(NULL AS BIGINT) AS loss_millibits, "
+            "CAST(NULL AS BIGINT) AS weight, "
+            "CAST(NULL AS BIGINT) AS weight_permille WHERE 1 = 0")
     rows = sorted((r["source"], r["loss"]) for r in loss_rows)
     w = {s: 100000 for s, _ in rows}
     # every quantity below is a non-negative integer at division time
@@ -3393,8 +3416,8 @@ def _x185_domain_reweight(spark, tables):
         w = {s: upd[s] * 100000 // sw for s, _ in rows}
     tw = sum(w.values())
     vals = ", ".join(
-        "('{}', {}L, {}L, {}L)".format(s.replace("'", "''"), l, w[s],
-                                       w[s] * 1000 // tw)
+        "({}, {}L, {}L, {}L)".format(_sql_str(s), l, w[s],
+                                     w[s] * 1000 // tw)
         for s, l in rows)
     return spark.sql(
         f"SELECT * FROM (VALUES {vals}) AS "
@@ -4161,6 +4184,21 @@ ATTRIB_SQUARINGS = 4
 #: event types; 'purchase' is the conversion state itself).
 ATTRIB_CHANNELS = ("click", "error", "signup", "view")
 
+#: r11 verdict ask #2 — x194's per-user journey assembly was the one
+#: unbounded ``collect_list`` left in the repo: a hot/bot user (the
+#: --skew corpus gives user 777 ~10% of ALL events, 100k rows at
+#: sf1.0) concentrated its entire history into one task's in-memory
+#: array, the classic 100 TB straggler/OOM. Journeys now truncate to
+#: the FIRST ``ATTRIB_JOURNEY_CAP`` events per user (row_number over
+#: (ts, event_id) — the x85 pre-cap shape, corpus_queries.py:835)
+#: BEFORE assembly, in BOTH engines, so the gate still hashes. 128 is
+#: above the uniform corpus's per-user maximum (99 at every graded
+#: SF — uniform results are bit-unchanged) and turns the skew corpus
+#: hot user from a 100k-row task into a 128-row one. The attribution
+#: semantics were already truncation-shaped: journeys cut at the
+#: first conversion anyway; the cap bounds the pre-truncation scan.
+ATTRIB_JOURNEY_CAP = 128
+
 
 def _x194_markov_attribution(spark, tables):
     """Markov removal-effect attribution (Anderl et al.) — the
@@ -4177,24 +4215,30 @@ def _x194_markov_attribution(spark, tables):
     Scale shape (r11 rewrite — the r10 spelling was 14.8x at sf1.0,
     and the dissection showed 90% of its wall was FOUR eager
     localCheckpoints serializing tiny jobs on a <=250-row table): the
-    corpus-proportional work is ONE shuffle — events group to
-    per-user (ts, event_id)-sorted journey arrays and a pure-codegen
-    array comprehension emits the transition pairs (the r10 spelling
-    paid a window sort plus a second lag/lead pass) — followed by a
-    map-side-combinable (from,to) count. That count is BOUNDED by the
-    event-type domain ((|types|+1) x (|types|+2) rows, independent of
-    event count), so it is collected and the four squarings run
-    driver-side in the same truncating integer permille the oracle
-    unrolls — distributing a <=7x7 matrix product is pure scheduling
-    overhead at ANY scale. Same bounded-collect class as the
-    per-range tables in operators/ranks.py."""
+    corpus-proportional work is ONE exchange — events sort-shuffle by
+    user and a ``row_number() <= ATTRIB_JOURNEY_CAP`` pre-cap (r12,
+    the x85 shape) bounds every journey BEFORE ``collect_list``, so no
+    task ever assembles more than CAP rows per user (the window sort
+    is the external spillable kind; the r11 sortless spelling saved
+    the sort but let a hot user's whole history into one in-memory
+    array); the groupBy reuses the window's hash partitioning (no
+    second exchange) and a pure-codegen array comprehension emits the
+    transition pairs, followed by a map-side-combinable (from,to)
+    count. That count is BOUNDED by the event-type domain
+    ((|types|+1) x (|types|+2) rows, independent of event count), so
+    it is collected and the four squarings run driver-side in the
+    same truncating integer permille the oracle unrolls —
+    distributing a <=7x7 matrix product is pure scheduling overhead
+    at ANY scale. Same bounded-collect class as the per-range tables
+    in operators/ranks.py."""
     ev = tables["events"]
-    # one shuffle: per-user journey as a sorted state array, truncated
-    # at the first conversion; transitions via codegen comprehension.
-    # State codes ride the exchange as ONE byte; the decode back to
-    # exact state strings happens AFTER the shuffle, and an event type
-    # outside the documented domain travels verbatim in the (then
-    # non-NULL) fallback column — compact AND exact for any domain.
+    # one exchange: per-user capped journey as a sorted state array,
+    # truncated at the first conversion; transitions via codegen
+    # comprehension. State codes ride the exchange as ONE byte; the
+    # decode back to exact state strings happens AFTER the shuffle,
+    # and an event type outside the documented domain travels
+    # verbatim in the (then non-NULL) fallback column — compact AND
+    # exact for any domain.
     enc = ("CAST(CASE event_type WHEN 'purchase' THEN 0 "
            + " ".join(f"WHEN '{c}' THEN {i + 1}"
                       for i, c in enumerate(ATTRIB_CHANNELS))
@@ -4203,12 +4247,15 @@ def _x194_markov_attribution(spark, tables):
            + " ".join(f"WHEN {i + 1} THEN '{c}'"
                       for i, c in enumerate(ATTRIB_CHANNELS))
            + " ELSE x.sto END")
+    wj = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (ev.selectExpr("user_id", "ts", "event_id",
                            f"{enc} AS stc",
                            f"IF({enc} = -1, event_type, NULL) AS sto")
+             .withColumn("rn", F.row_number().over(wj))
+             .filter(F.col("rn") <= ATTRIB_JOURNEY_CAP)
              .groupBy("user_id")
              .agg(F.array_sort(F.collect_list(F.struct(
-                 "ts", "event_id", "stc", "sto"))).alias("a"))
+                 "rn", "stc", "sto"))).alias("a"))
              .select(F.expr(f"transform(a, x -> {dec})").alias("sts"))
              .select(F.expr(
                  "CASE WHEN array_position(sts, 'CONV') > 0 THEN "
@@ -4226,6 +4273,15 @@ def _x194_markov_attribution(spark, tables):
              .select("t.from_st", "t.to_st"))
     counts = pairs.groupBy("from_st", "to_st").agg(F.count("*").alias("c"))
     rows = counts.collect()          # bounded by the event-type domain
+    # r11 ADVICE: the bounded-collect contract assumes a small fixed
+    # event-type domain — a high-cardinality event_type would collect
+    # O(|types|^2) rows and the driver-side squarings would degrade
+    # quadratically. Fail loudly instead of hanging the driver.
+    if len(rows) > 4096:
+        raise ValueError(
+            f"x194: transition table has {len(rows)} rows; the "
+            "driver-side squaring contract assumes a small fixed "
+            "event-type domain (<= 4096 transitions)")
     tot: dict = {}
     for r in rows:
         tot[r["from_st"]] = tot.get(r["from_st"], 0) + r["c"]
@@ -4281,14 +4337,20 @@ WITH mapped AS (
          CASE WHEN event_type = 'purchase' THEN 'CONV'
               ELSE event_type END AS st
   FROM events
+), capped AS (
+  -- r12: the same first-CAP-events-per-user pre-cap the Spark plan
+  -- applies before journey assembly (ATTRIB_JOURNEY_CAP)
+  SELECT user_id, st, rk FROM (
+    SELECT user_id, st,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rk
+    FROM mapped
+  ) WHERE rk <= """ + str(ATTRIB_JOURNEY_CAP) + """
 ), jr AS (
-  SELECT user_id, st,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts, event_id) AS rk,
+  SELECT user_id, st, rk,
          SUM(CASE WHEN st = 'CONV' THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id) AS cum_conv
-  FROM mapped
+             OVER (PARTITION BY user_id ORDER BY rk) AS cum_conv
+  FROM capped
 ), j AS (
   SELECT user_id, st, rk FROM jr
   WHERE cum_conv = 0 OR (cum_conv = 1 AND st = 'CONV')

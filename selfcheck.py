@@ -248,8 +248,13 @@ def main() -> None:
     # made every len()/iteration consumer miscount by one): the
     # driver's CORRECTNESS_r{N}.json caps at 50 sorted keys, so this
     # file is the full-registry record — say so in-band.
+    # r11 ADVICE: two artifacts reported a "registry_size" with
+    # different semantics (the meta sentinel rows exclude themselves,
+    # this block included them). Distinct names now: this is
+    # total_entries (INCLUDING the 2 sentinels); the sentinels report
+    # base_registry_size (excluding themselves).
     meta = {
-        "registry_size": len(entry.queries()),
+        "total_entries": len(entry.queries()),
         "entries_in_report": len(report),
         "green_count": n_ok,
         "timeouts": n_timeout,

@@ -1398,3 +1398,88 @@ def test_user_predictability_bot_vs_organic(spark):
     # each c=1: bits = 1*(ibits(4)-ibits(1)) = 2 per transition -> 2000
     assert org["entropy_millibits"] == 2000
     assert org["top_share_permille"] == 250
+
+
+def test_sql_str_roundtrips_hostile_strings(spark):
+    """r11 ADVICE: Spark's default literal parser processes backslash
+    escapes (quote-only escaping turned 'a\\b' into 'a<backspace>'), so
+    the VALUES-building entries (x170/x185) route every data-derived
+    string through _sql_str. Round-trip the hostile cases."""
+    from hive_parse_lineage_spark.analytics_queries import _sql_str
+    hostile = ["it's", "a\\b", "a\\nb", "two\\\\slashes", "quote'\\mix\\",
+               "src0", ""]
+    for raw in hostile:
+        got = spark.sql(f"SELECT {_sql_str(raw)} AS s").first()["s"]
+        assert got == raw, (raw, got)
+
+
+def test_markov_attribution_journey_cap(spark, monkeypatch):
+    """r11 verdict ask #2: x194 bounds each user's journey to the
+    FIRST ATTRIB_JOURNEY_CAP events before collect_list — a bot user
+    with events past the cap contributes exactly the capped prefix
+    (here: with cap 3, the purchase at position 4 never happens, so
+    nothing converts and every removal effect is 0)."""
+    from datetime import datetime, timedelta
+    from hive_parse_lineage_spark import analytics_queries as aq
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(minutes=i), 1,
+             "purchase" if i == 4 else "click", 0.0) for i in range(1, 6)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    monkeypatch.setattr(aq, "ATTRIB_JOURNEY_CAP", 3)
+    out = {r["channel"]: r.asDict()
+           for r in aq._x194_markov_attribution(spark, {"events": ev})
+           .collect()}
+    assert out["click"]["base_milli"] == 0
+    assert all(v["removal_effect_milli"] == 0 for v in out.values())
+    # and with the cap past the purchase, the journey converts (990,
+    # not 1000: truncating integer permille over the 3-step chain)
+    monkeypatch.setattr(aq, "ATTRIB_JOURNEY_CAP", 10)
+    out2 = {r["channel"]: r.asDict()
+            for r in aq._x194_markov_attribution(spark, {"events": ev})
+            .collect()}
+    assert out2["click"]["base_milli"] > 900
+
+
+def test_markov_attribution_domain_contract_fails_loudly(spark):
+    """r11 ADVICE: a high-cardinality event_type violates x194's
+    bounded-collect contract; the guard raises instead of hanging the
+    driver on an O(n^2) squaring."""
+    import pytest as _pytest
+    from datetime import datetime, timedelta
+    from hive_parse_lineage_spark import analytics_queries as aq
+    # 70x70 two-event journeys -> ~4900 distinct (from,to) transitions,
+    # past the 4096 driver-side squaring bound
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(70):
+        for j in range(70):
+            u = i * 70 + j
+            rows.append((2 * u, base, u, f"type{i}", 0.0))
+            rows.append((2 * u + 1, base + timedelta(minutes=1), u,
+                         f"type{j}", 0.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with _pytest.raises(ValueError, match="transition table"):
+        aq._x194_markov_attribution(spark, {"events": ev})
+
+
+def test_reweight_and_cross_entropy_empty_corpus(spark):
+    """r11 ADVICE: x170/x185 on an EMPTY documents table return an
+    empty DataFrame with the right schema instead of dividing by zero
+    or emitting an unparseable empty VALUES list."""
+    from hive_parse_lineage_spark.analytics_queries import (
+        _x170_source_cross_entropy, _x185_domain_reweight)
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, "
+            "n_chars long")
+    out = _x185_domain_reweight(spark, {"documents": docs})
+    assert out.columns == ["source", "loss_millibits", "weight",
+                           "weight_permille"]
+    assert out.count() == 0
+    out2 = _x170_source_cross_entropy(spark, {"documents": docs})
+    assert out2.columns == ["source_a", "source_b", "cross_bits",
+                            "kl_bits"]
+    assert out2.count() == 0
