@@ -753,6 +753,107 @@ def sf1_corpus_bench() -> None:
     print(json.dumps(out))
 
 
+# r11 verdict ask #1: the four >2x sf1.0 watchlist rows (x170 4.34x,
+# x194 4.25x, x186 3.13x, x185 2.51x) are plan-minimal on inspection
+# but their "residual is fixed stage floor on a tiny twin" story was
+# prose, and the x71 precedent (r9 prose claim, r10 disproof) says
+# prose claims about floors must die. --floor-proof runs each entry
+# AND its DuckDB twin at sf1.0 and sf10: if the residual is a fixed
+# per-job cost, the RATIO must FALL as the twin amortizes over 10x
+# the work; a flat-or-rising ratio means a real plan defect.
+FLOORPROOF_QUERIES = (
+    "x170_source_cross_entropy", "x185_domain_reweight",
+    "x186_zipf_alpha", "x194_markov_attribution",
+)
+
+
+def floor_proof() -> None:
+    """``bench.py --floor-proof``: the falling-ratio test for the
+    >2x-at-sf1.0 watchlist entries. Protocol: one SparkSession, per
+    dir (default /tmp/sf1.0,/tmp/sf10) one JIT/codegen warm pass per
+    engine, then N_PASSES (default 3) SYMMETRIC INTERLEAVED timed
+    passes — spark, duckdb, spark, duckdb, ... — min-of-N on both
+    sides, every pass wall published (the r10/r11 re-time standard).
+    Emits BENCH_FLOORPROOF_r{N}.json with the per-entry ratio curve
+    and a ratio_fell verdict per entry."""
+    import duckdb
+
+    from pyspark.sql import SparkSession
+
+    from hive_parse_lineage_spark.analytics_queries import (
+        analytics_oracle_sql, analytics_queries)
+    from hive_parse_lineage_spark.session import RUNTIME_CONFS
+    from hive_parse_lineage_spark.sources.loader import TABLES, load_tables
+
+    dirs = os.environ.get(
+        "SPARK_GRAFT_FLOORPROOF_DIRS", "/tmp/sf1.0,/tmp/sf10").split(",")
+    n_passes = int(os.environ.get("BENCH_PASSES", "3"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
+        os.cpu_count() or 4, 16)
+    builder = (SparkSession.builder.master(f"local[{cpus}]")
+               .appName("floor-proof")
+               .config("spark.sql.shuffle.partitions", str(cpus))
+               .config("spark.driver.memory",
+                       os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+               .config("spark.ui.enabled", "false")
+               .config("spark.ui.showConsoleProgress", "false"))
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    allq, allsql = analytics_queries(), analytics_oracle_sql()
+    names = tuple(os.environ.get(
+        "FLOORPROOF_ONLY", ",".join(FLOORPROOF_QUERIES)).split(","))
+    out: dict = {"metric": "floor_proof", "unit": "sec",
+                 "passes": n_passes, "sweep": []}
+    for d in dirs:
+        load_tables(spark, d)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{d}/{t}.parquet')")
+        entry: dict = {"sf_dir": os.path.basename(d.rstrip("/")),
+                       "sf": infer_sf(d), "queries": {}}
+        for name in names:
+            fn, sql = allq[name], allsql[name]
+            rows = _materialize(fn(spark, d))            # warm spark
+            con.execute(sql).fetchdf()                   # warm duckdb
+            sp, dp = [], []
+            for _ in range(n_passes):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, d))
+                sp.append(round(time.perf_counter() - t0, 3))
+                t0 = time.perf_counter()
+                con.execute(sql).fetchdf()
+                dp.append(round(time.perf_counter() - t0, 3))
+            sw, dw = min(sp), min(dp)
+            entry["queries"][name] = {
+                "spark": sw, "duckdb": dw, "rows": rows,
+                "ratio": round(sw / dw, 2) if dw > 0 else None,
+                "spark_passes": sp, "duckdb_passes": dp}
+            print("floorproof " + json.dumps(
+                {entry["sf_dir"]: {name: entry["queries"][name]}}),
+                file=sys.stderr, flush=True)
+        con.close()
+        out["sweep"].append(entry)
+    for name in names:
+        curve = [(e["sf"], e["queries"][name]["ratio"])
+                 for e in out["sweep"]]
+        falling = all(b[1] <= a[1] for a, b in zip(curve, curve[1:]))
+        out.setdefault("ratio_curve", {})[name] = {
+            "curve": curve, "ratio_fell": falling}
+    path = os.environ.get(
+        "BENCH_FLOORPROOF_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     os.path.basename(_detail_path())
+                     .replace("BENCH_DETAIL", "BENCH_FLOORPROOF")))
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    out["detail_file"] = os.path.basename(path)
+    print(json.dumps(out))
+
+
 # Structured-Streaming gate entries: per-micro-batch checkpointing
 # dominates their wall — correctness gates, not throughput queries;
 # benching them would only measure stream startup.
@@ -1027,6 +1128,51 @@ def retrieval_ladder() -> None:
                 growth_key="doc_tokens", path_tag="SWEEP_RETRIEVAL")
 
 
+#: Retrieval-family skew rung (r11 verdict ask #4): x88's per-term
+#: rank window and df broadcast, and x189's full (tok, doc) score
+#: stream + vocab-keyed df join, are where STOPWORD skew bites — a
+#: single query token appearing in ~30% of docs (make_sfN.py
+#: --stopword injects the x88/x189 query term 'spark') fattens one
+#: posting list and one rank partition. x193 rides along as the
+#: defended comparison: its df-banding already drops
+#: above-threshold tokens by design.
+RETRIEVAL_SKEW_QUERIES = ("x88_bm25_topk", "x189_prf_expansion",
+                          "x193_cooccurrence_itemsets")
+
+
+def retrieval_skew() -> None:
+    """``bench.py --retrieval-skew``: the skewed rung for the
+    retrieval family. Two dirs (uniform sf0.1 base, stopword-heavy
+    sf1.0 from ``make_sfN.py BASE OUT 10 --stopword``), growth
+    normalized by corpus tokens; growth < 1 means the fat posting
+    list does not super-linearize the plans. The probe records the
+    injected term's document frequency share so the rung's skew shape
+    is in-band."""
+    from pyspark.sql import functions as F
+    pool = _corpus_query_map()
+
+    def scale_of(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        toks = docs.select(F.sum(F.size(F.split("text", " ")))
+                           .alias("t")).first()["t"]
+        return {"doc_rows": docs.count(), "doc_tokens": int(toks)}
+
+    def df_probe(spark, d):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        n = docs.count()
+        hot = docs.filter(
+            F.array_contains(F.split("text", " "), "spark")).count()
+        return {"hot_term": "spark", "hot_term_df": int(hot),
+                "hot_term_df_permille": round(hot * 1000 / n)}
+
+    _run_ladder({n: pool[n] for n in RETRIEVAL_SKEW_QUERIES},
+                metric="retrieval_skew", scale_of=scale_of,
+                growth_key="doc_tokens",
+                path_tag="SWEEP_RETRIEVAL_SKEW",
+                default_dirs="/root/testdata/sf0.1,/tmp/sf1.0stop",
+                probes={"stopword_df_probe": df_probe})
+
+
 #: Event/window family sf10 points (r9 verdict ask #4): x187's
 #: at-scale spelling is range_partitioned_running_max behind
 #: SPARK_GRAFT_APPROX_QUANTILES=1 — the ladder runs FLAG ON because
@@ -1053,6 +1199,68 @@ def event_ladder() -> None:
     _run_ladder({n: pool[n] for n in EVENT_LADDER_QUERIES},
                 metric="event_ladder", scale_of=scale_of,
                 growth_key="event_rows", path_tag="SWEEP_EVENT")
+
+
+#: Event-family skew rung (r11 verdict ask #3): the per-user
+#: window/aggregate entries — x187 (watermark lateness quantiles),
+#: x194 (per-user journey assembly, now capped), x197 (per-user TWAP),
+#: x205 (per-user next-event predictability) — are exactly where
+#: hot-user skew lands on user data, and until r12 they ran only on
+#: uniform synthesis. The --skew corpus gives user 777 ~10% of ALL
+#: events (100k rows at sf1.0) — the realistic bot-user failure mode.
+#: x187 runs flag-on for the same reason as EVENT_LADDER_QUERIES.
+EVENT_SKEW_QUERIES = ("x187_watermark_lateness",
+                      "x194_markov_attribution",
+                      "x197_time_weighted_avg",
+                      "x205_user_predictability")
+
+
+def event_skew() -> None:
+    """``bench.py --event-skew``: the skewed rung for the event/window
+    family. Two dirs (uniform sf0.1 base, skewed sf1.0 from
+    ``make_sfN.py BASE OUT 10 --skew`` — hot user 777 holds ~10% of
+    events), growth normalized by event_rows; per-entry growth < 1
+    means the hot user does not super-linearize the plan. The x194
+    journey-cap probe records the hot user's RAW event count next to
+    the max rows any journey task actually assembles after the
+    ATTRIB_JOURNEY_CAP pre-cap — cap_fired is the r11 verdict's
+    'observably bounding the hot user's task' evidence."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    os.environ["SPARK_GRAFT_APPROX_QUANTILES"] = "1"
+    pool = _corpus_query_map()
+
+    def scale_of(spark, d):
+        ev = spark.read.parquet(os.path.join(d, "events.parquet"))
+        n = ev.count()
+        hot = (ev.groupBy("user_id").count()
+               .agg(F.max("count")).first()[0])
+        return {"event_rows": n, "hot_user_events": int(hot),
+                "hot_user_share_permille": round(hot * 1000 / n)}
+
+    def x194_cap_probe(spark, d):
+        from hive_parse_lineage_spark.analytics_queries import (
+            ATTRIB_JOURNEY_CAP)
+        from hive_parse_lineage_spark.sources.loader import load_tables
+        ev = load_tables(spark, d)["events"]
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        mx = (ev.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= ATTRIB_JOURNEY_CAP)
+              .groupBy("user_id").count()
+              .agg(F.max("count")).first()[0])
+        raw = (ev.groupBy("user_id").count()
+               .agg(F.max("count")).first()[0])
+        return {"cap": ATTRIB_JOURNEY_CAP,
+                "max_raw_user_events": int(raw),
+                "max_capped_journey_rows": int(mx),
+                "cap_fired": raw > ATTRIB_JOURNEY_CAP}
+
+    _run_ladder({n: pool[n] for n in EVENT_SKEW_QUERIES},
+                metric="event_skew", scale_of=scale_of,
+                growth_key="event_rows", path_tag="SWEEP_EVENT_SKEW",
+                default_dirs="/root/testdata/sf0.1,/tmp/sf1.0skew",
+                probes={"x194_journey_cap_probe": x194_cap_probe})
 
 
 #: Skewed-synthesis sweep (r9 verdict ask #3): entries whose DESIGN
@@ -1202,11 +1410,15 @@ def _materialize(df) -> int:
 def _run_ladder(qs, metric: str, scale_of, growth_key: str,
                 path_tag: str,
                 default_dirs: str = (
-                    "/root/testdata/sf0.1,/tmp/sf1.0,/tmp/sf10")) -> None:
+                    "/root/testdata/sf0.1,/tmp/sf1.0,/tmp/sf10"),
+                probes=None) -> None:
     """Shared rung walker for the 100x ladders: one SparkSession, JIT
     warm at the smallest rung, one timed pass per (rung, entry), and
     per-entry wall-growth-over-scale-growth ratios normalized by
-    ``growth_key`` from ``scale_of(spark, dir)``."""
+    ``growth_key`` from ``scale_of(spark, dir)``. ``probes`` (name ->
+    (spark, dir) -> dict) records extra per-rung evidence rows (e.g.
+    a cap-fired observation) next to the timed entries without
+    entering the growth ratios."""
     from pyspark.sql import SparkSession
 
     from hive_parse_lineage_spark.session import RUNTIME_CONFS
@@ -1241,6 +1453,10 @@ def _run_ladder(qs, metric: str, scale_of, growth_key: str,
             entry["queries"][name] = {"wall": round(wall, 3),
                                       "rows_out": n_out}
             print("ladder " + json.dumps({d: {name: round(wall, 3)}}),
+                  file=sys.stderr, flush=True)
+        for pname, pfn in (probes or {}).items():
+            entry["queries"][pname] = pfn(spark, d)
+            print("ladder " + json.dumps({d: {pname: entry["queries"][pname]}}),
                   file=sys.stderr, flush=True)
         out["sweep"].append(entry)
     growth_field = ("wall_growth_over_token_growth"
@@ -1364,6 +1580,15 @@ def main() -> None:
         return
     if "--skew-sweep" in sys.argv:
         skew_sweep()
+        return
+    if "--floor-proof" in sys.argv:
+        floor_proof()
+        return
+    if "--event-skew" in sys.argv:
+        event_skew()
+        return
+    if "--retrieval-skew" in sys.argv:
+        retrieval_skew()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

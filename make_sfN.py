@@ -2,6 +2,7 @@
 """Synthesize a larger-SF testdata directory by key-shifted replication.
 
 Usage: python make_sfN.py [BASE_DIR] [OUT_DIR] [COPIES] [--skew]
+                          [--stopword]
        (defaults: /root/testdata/sf0.1  /tmp/sf1.0  10)
 
 Why this exists: the graded testdata tops out at sf0.1, where 41/43
@@ -40,6 +41,17 @@ salting operators, this does:
 Both rules key on the EXPANDED ids, so the skew mass is constant in
 COPIES and the same rule reproduces the dirs bit-identically.
 
+``--stopword`` (r11 verdict ask #4) appends ONE occurrence of the
+token ``spark`` — deliberately an existing x88 BM25 / x189 PRF query
+term, so the retrieval surface actually sees it — to every doc whose
+final doc_id % 10 < 3 (~30% of the corpus). That makes one QUERY
+token's document frequency ~30% of the corpus: the df aggregate gets
+a hot key, x88's per-term rank window gets one giant 'spark'
+partition, and x189's (tok, doc) score stream carries the fat posting
+list — the stopword-skew failure mode the uniform synthesis never
+exercises. Keys on the EXPANDED doc_id like --skew; composable with
+it (the stopword CASE wraps the skew CASE).
+
 Runs entirely in DuckDB and writes ONE parquet file per table so both
 engines in bench.py read the exact same files (Spark directory-style
 output would need globs on the DuckDB side).
@@ -62,8 +74,10 @@ SKEW_BLOB = " ".join(f"boiler{j}" for j in range(64))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--skew"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--skew", "--stopword")]
     skew = "--skew" in sys.argv[1:]
+    stopword = "--stopword" in sys.argv[1:]
     base = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     out = args[1] if len(args) > 1 else "/tmp/sf1.0"
     copies = int(args[2]) if len(args) > 2 else 10
@@ -136,6 +150,10 @@ def main() -> None:
     if skew:
         base_txt = (f"CASE WHEN (doc_id + i * {kd}) % 20 = 7 "
                     f"THEN '{SKEW_BLOB}' ELSE ({base_txt}) END")
+    if stopword:
+        base_txt = (f"CASE WHEN (doc_id + i * {kd}) % 10 < 3 "
+                    f"THEN ({base_txt}) || ' spark' "
+                    f"ELSE ({base_txt}) END")
     sqls["documents"] = sqls["documents"].replace("{txt}", base_txt)
 
     for t in TABLES:
