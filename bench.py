@@ -1142,12 +1142,17 @@ RETRIEVAL_SKEW_QUERIES = ("x88_bm25_topk", "x189_prf_expansion",
 
 def retrieval_skew() -> None:
     """``bench.py --retrieval-skew``: the skewed rung for the
-    retrieval family. Two dirs (uniform sf0.1 base, stopword-heavy
-    sf1.0 from ``make_sfN.py BASE OUT 10 --stopword``), growth
-    normalized by corpus tokens; growth < 1 means the fat posting
-    list does not super-linearize the plans. The probe records the
-    injected term's document frequency share so the rung's skew shape
-    is in-band."""
+    retrieval family. THREE dirs — uniform sf0.1 base, uniform
+    sf1.0, stopword-heavy sf1.0 from ``make_sfN.py BASE OUT 10
+    --stopword`` — separating 10x SCALE growth (first consecutive
+    ratio, normalized by corpus tokens) from PURE SKEW at equal
+    scale (second ratio: tokens ~constant, so it reads directly as
+    wall_stop/wall_uniform — the cost of the fat posting list). The
+    df probe records the injected term's document-frequency share
+    per rung so the skew shape is in-band: the uniform sf1.0 rung
+    dilutes 'spark' to ~78 permille (suffix-rewritten copies),
+    --stopword re-injects it into ~30% of ALL docs (~355 permille
+    measured — some copy-0 docs already contained it)."""
     from pyspark.sql import functions as F
     pool = _corpus_query_map()
 
@@ -1169,7 +1174,8 @@ def retrieval_skew() -> None:
                 metric="retrieval_skew", scale_of=scale_of,
                 growth_key="doc_tokens",
                 path_tag="SWEEP_RETRIEVAL_SKEW",
-                default_dirs="/root/testdata/sf0.1,/tmp/sf1.0stop",
+                default_dirs=("/root/testdata/sf0.1,/tmp/sf1.0,"
+                              "/tmp/sf1.0stop"),
                 probes={"stopword_df_probe": df_probe})
 
 
@@ -1217,13 +1223,17 @@ EVENT_SKEW_QUERIES = ("x187_watermark_lateness",
 
 def event_skew() -> None:
     """``bench.py --event-skew``: the skewed rung for the event/window
-    family. Two dirs (uniform sf0.1 base, skewed sf1.0 from
-    ``make_sfN.py BASE OUT 10 --skew`` — hot user 777 holds ~10% of
-    events), growth normalized by event_rows; per-entry growth < 1
-    means the hot user does not super-linearize the plan. The x194
-    journey-cap probe records the hot user's RAW event count next to
-    the max rows any journey task actually assembles after the
-    ATTRIB_JOURNEY_CAP pre-cap — cap_fired is the r11 verdict's
+    family. THREE dirs — uniform sf0.1 base, uniform sf1.0, skewed
+    sf1.0 from ``make_sfN.py BASE OUT 10 --skew`` (hot user 777 holds
+    ~10% of events) — so the record separates the two effects: the
+    first consecutive ratio is 10x SCALE growth (read against
+    event_rows like the event ladder), the second is PURE SKEW at
+    equal scale (event_rows ~constant, so the normalized ratio is
+    just wall_skew/wall_uniform: how much the hot user costs). Both
+    < 1 means the hot user does not super-linearize the plan. The
+    x194 journey-cap probe records the hot user's RAW event count
+    next to the max rows any journey task actually assembles after
+    the ATTRIB_JOURNEY_CAP pre-cap — cap_fired is the r11 verdict's
     'observably bounding the hot user's task' evidence."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -1259,7 +1269,8 @@ def event_skew() -> None:
     _run_ladder({n: pool[n] for n in EVENT_SKEW_QUERIES},
                 metric="event_skew", scale_of=scale_of,
                 growth_key="event_rows", path_tag="SWEEP_EVENT_SKEW",
-                default_dirs="/root/testdata/sf0.1,/tmp/sf1.0skew",
+                default_dirs=("/root/testdata/sf0.1,/tmp/sf1.0,"
+                              "/tmp/sf1.0skew"),
                 probes={"x194_journey_cap_probe": x194_cap_probe})
 
 
