@@ -586,7 +586,7 @@ SF1_EXTENSION_QUERIES = (
 SF1_STICKY_QUERIES = (
     "x142_bigram_surprise", "x170_source_cross_entropy",
     "x182_pareto_skyline", "x185_domain_reweight", "x186_zipf_alpha",
-    "x194_markov_attribution",
+    "x194_markov_attribution", "x205_user_predictability",
 )
 
 # Fixed-size calibration audits (r10 verdict ask #6): x125 audits the

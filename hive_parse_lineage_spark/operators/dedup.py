@@ -85,14 +85,17 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     sh = word_shingles(text_col, shingle_k)
     base = hasher if hasher is not None else F.xxhash64
     hashed = F.transform(sh, lambda s: F.pmod(base(s), F.lit(_P)))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            hashed,
-            lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P)),
-        ))
-        for a, b in params
-    ])
-    return _spread_for_compute(df).withColumn("minhash", sig)
+    # One parsed expression instead of n_hashes Column trees: the
+    # DataFrame is rebuilt per run, and py4j round-trips for 64
+    # permutation columns were ~half the operator's driver wall
+    # (measured r12; values bit-identical — same pmod arithmetic).
+    sig = F.expr("array(" + ", ".join(
+        f"array_min(transform(_mh_h, x -> pmod({a} * x + {b}, {_P})))"
+        for a, b in params) + ")")
+    return (_spread_for_compute(df)
+            .withColumn("_mh_h", hashed)
+            .withColumn("minhash", sig)
+            .drop("_mh_h"))
 
 
 def minhash_signature_agg(df: DataFrame, text_col: str = "text",
@@ -120,11 +123,7 @@ def minhash_signature_agg(df: DataFrame, text_col: str = "text",
                         .alias("_sh"))
                 .select(id_col,
                         F.pmod(base(F.col("_sh")), F.lit(_P)).alias("_h")))
-    aggs = [F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P)))
-            .alias(f"_m{i}") for i, (a, b) in enumerate(params)]
-    return (exploded.groupBy(id_col).agg(*aggs)
-            .select(id_col, F.array(*[f"_m{i}" for i in range(n_hashes)])
-                    .alias("minhash")))
+    return _min_register_aggs(exploded, id_col, params)
 
 
 def minhash_signature_from_shingles(df: DataFrame,
@@ -150,11 +149,21 @@ def minhash_signature_from_shingles(df: DataFrame,
     exploded = (df.select(id_col, F.explode(shingles_col).alias("_sh"))
                 .select(id_col,
                         F.pmod(base(F.col("_sh")), F.lit(_P)).alias("_h")))
-    aggs = [F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_P)))
-            .alias(f"_m{i}") for i, (a, b) in enumerate(params)]
-    return (exploded.groupBy(id_col).agg(*aggs)
-            .select(id_col, F.array(*[f"_m{i}" for i in range(n_hashes)])
-                    .alias("minhash")))
+    return _min_register_aggs(exploded, id_col, params)
+
+
+def _min_register_aggs(exploded: DataFrame, id_col: str,
+                       params: list[tuple[int, int]]) -> DataFrame:
+    """The n_hashes MIN permutation registers over an (id, _h) stream,
+    parsed from SQL text: one py4j expression per register (and one for
+    the array assembly) instead of ~8 Column calls each — the Column
+    trees were ~half the LSH operators' driver wall because every run
+    rebuilds the DataFrame (measured r12). Values bit-identical."""
+    aggs = [F.expr(f"min(pmod({a} * _h + {b}, {_P})) AS _m{i}")
+            for i, (a, b) in enumerate(params)]
+    arr = ("array(" + ", ".join(f"_m{i}" for i in range(len(params)))
+           + ") AS minhash")
+    return exploded.groupBy(id_col).agg(*aggs).selectExpr(id_col, arr)
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str = "doc_id",
@@ -204,13 +213,13 @@ def _band_buckets(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int,
     """Explode (id, minhash) into (id, minhash, band, band_hash) rows,
     optionally dropping oversized buckets (see lsh_candidate_pairs)."""
     r = n_hashes // bands
-    band_entries = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.xxhash64(F.concat_ws(",", *[
-                     F.element_at("minhash", i * r + j + 1).cast("string")
-                     for j in range(r)])).alias("band_hash"))
-        for i in range(bands)
-    ])
+    # one parsed expression for all bands (see _min_register_aggs)
+    band_entries = F.expr("array(" + ", ".join(
+        "named_struct('band', {i}, 'band_hash', xxhash64(concat_ws(',', {e})))"
+        .format(i=i, e=", ".join(
+            f"cast(element_at(minhash, {i * r + j + 1}) as string)"
+            for j in range(r)))
+        for i in range(bands)) + ")")
     buckets = (sig_df
                .select(id_col, "minhash", F.explode(band_entries).alias("b"))
                .select(id_col, "minhash", "b.band", "b.band_hash"))
@@ -231,10 +240,10 @@ def _band_buckets(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int,
 
 
 def _est_jaccard(n_hashes: int) -> Column:
-    return F.round(
-        F.size(F.filter(F.zip_with("mh_a", "mh_b",
-                                   lambda a, b: (a == b).cast("int")),
-                        lambda x: x == 1)) / F.lit(n_hashes), 4)
+    return F.expr(
+        "round(size(filter(zip_with(mh_a, mh_b, "
+        "(a, b) -> cast((a = b) as int)), x -> x = 1)) "
+        f"/ {n_hashes}, 4)")
 
 
 def lsh_cross_pairs(sig_new: DataFrame, sig_corpus: DataFrame,
@@ -303,24 +312,23 @@ def simhash(df: DataFrame, text_col: str = "text",
     """
     toks = token_expr if token_expr is not None else F.split(F.col(text_col), " ")
     base = hasher if hasher is not None else F.xxhash64
-    # signed-long bit masks; bit 63 is the (negative) sign-bit mask
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    counters = F.aggregate(
-        F.transform(toks, lambda t: base(t)),
-        F.array(*[F.lit(0) for _ in range(64)]),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[F.when(h.bitwiseAND(F.lit(m)) != 0, F.lit(1)).otherwise(F.lit(-1))
-                      for m in masks]),
-            lambda x, y: x + y),
-    )
-    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
-    sig = F.aggregate(
-        F.zip_with(counters, mask_arr,
-                   lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x))
-    return _spread_for_compute(df).withColumn("simhash", sig)
+    # signed-long bit masks; bit 63 is the (negative) sign-bit mask,
+    # spelled shiftleft(1L, 63) in SQL text. The whole fold is ONE
+    # parsed expression instead of ~400 Column calls (see
+    # _min_register_aggs) — values bit-identical.
+    mask_sql = [f"CAST({1 << b} AS BIGINT)" if b < 63
+                else "shiftleft(CAST(1 AS BIGINT), 63)" for b in range(64)]
+    vote = ", ".join(f"CASE WHEN (h & {m}) != 0 THEN 1 ELSE -1 END"
+                     for m in mask_sql)
+    counters = (f"aggregate(_sh_h, array_repeat(0, 64), "
+                f"(acc, h) -> zip_with(acc, array({vote}), (x, y) -> x + y))")
+    sig = (f"aggregate(zip_with({counters}, array({', '.join(mask_sql)}), "
+           "(c, m) -> CASE WHEN c > 0 THEN m ELSE CAST(0 AS BIGINT) END), "
+           "CAST(0 AS BIGINT), (acc, x) -> acc | x)")
+    return (_spread_for_compute(df)
+            .withColumn("_sh_h", F.transform(toks, lambda t: base(t)))
+            .withColumn("simhash", F.expr(sig))
+            .drop("_sh_h"))
 
 
 def simhash_agg(df: DataFrame, text_col: str = "text",
@@ -356,19 +364,20 @@ def simhash_agg(df: DataFrame, text_col: str = "text",
                 .select(id_col, "_sz",
                         F.when(F.col("_sz") >= 1,
                                base(F.col("_t"))).alias("_h")))
-    aggs = [F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1)))
-            .alias(f"_o{b}") for b in range(64)]
+    # SQL-text spellings of the 64 ones-counters and the mask fold —
+    # one parsed expression each instead of hundreds of Column calls
+    # (see _min_register_aggs); values bit-identical, bit 63 spelled
+    # shiftleft(1L, 63) which IS the long sign-bit mask.
+    aggs = [F.expr(f"sum(shiftright(_h, {b}) & 1) AS _o{b}")
+            for b in range(64)]
     per_doc = exploded.groupBy(id_col).agg(
-        F.count("_h").alias("_t"), F.min("_sz").alias("_sz"), *aggs)
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
-    sig = F.lit(0).cast("long")
-    for b, m in enumerate(masks):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"_o{b}") * 2 > F.col("_t"),
-                   F.lit(m).cast("long")).otherwise(F.lit(0).cast("long")))
-    sig = F.when(F.col("_sz") == -1, F.lit(None).cast("long")) \
-           .otherwise(sig)
-    return per_doc.select(id_col, sig.alias("simhash"))
+        F.expr("count(_h) AS _t"), F.expr("min(_sz) AS _sz"), *aggs)
+    terms = " | ".join(
+        f"(CASE WHEN _o{b} * 2 > _t THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        "ELSE CAST(0 AS BIGINT) END)" for b in range(64))
+    sig = (f"CASE WHEN _sz = -1 THEN CAST(NULL AS BIGINT) ELSE ({terms}) END"
+           " AS simhash")
+    return per_doc.selectExpr(id_col, sig)
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text",

@@ -94,18 +94,21 @@ def hyperplane_signature(df: DataFrame, planes, vec_col: str = "embedding",
     ``planes``: list of python float lists (deterministic, seeded by the
     caller). They fold into the plan as literals — no broadcast needed.
     """
-    bits = []
+    # One parsed expression for the whole signature instead of
+    # n_bits x dim Column calls (the Column trees dominated the ANN
+    # entries' driver wall — measured r12, see dedup._min_register_aggs).
+    # repr(float) round-trips exactly and Spark's 'xD' literal parses
+    # with Double.parseDouble, so the plane literals are bit-identical
+    # to the former F.lit(float(v)) spelling.
+    terms = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(v)) for v in p])
-        d = F.aggregate(F.zip_with(F.col(vec_col), plane,
-                                   lambda x, y: x.cast("double") * y),
-                        F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i))
-                     .otherwise(F.lit(0).cast("long")))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return df.withColumn(out_col, sig)
+        lits = ", ".join(f"{float(v)!r}D" for v in p)
+        d = (f"aggregate(zip_with({vec_col}, array({lits}), "
+             "(x, y) -> cast(x as double) * y), 0.0D, (acc, x) -> acc + x)")
+        terms.append(f"(CASE WHEN {d} > 0 THEN "
+                     f"shiftleft(CAST(1 AS BIGINT), {i}) "
+                     "ELSE CAST(0 AS BIGINT) END)")
+    return df.withColumn(out_col, F.expr(" | ".join(terms)))
 
 
 def make_planes(n_bits: int, dim: int, seed: int = 42):
@@ -164,10 +167,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     c = corpus.select(
         id_col, F.col(vec_col).alias("c_vec"),
-        F.element_at(nearest_expr(F.col(vec_col), 1), 1).alias("cell"))
+        F.element_at(nearest_expr(vec_col, 1), 1).alias("cell"))
     q = queries.select(
         query_id_col, F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell"))
+        F.explode(nearest_expr(vec_col, n_probe)).alias("cell"))
     joined = c.join(F.broadcast(q), "cell")
     cos = (dot("q_vec", "c_vec")
            / (F.sqrt(dot("c_vec", "c_vec")) * F.sqrt(dot("q_vec", "q_vec")))).alias("cosine")
@@ -205,18 +208,23 @@ def _ivf_centroids(corpus: DataFrame, n_centroids: int, seed: int,
 
 
 def _nearest_centroid_expr(cents):
-    """expr factory: (vector column, n) -> array of the n nearest
-    centroid ids (squared L2), all in codegen."""
-    def nearest_expr(col, n):
-        dists = F.array(*[
-            F.aggregate(F.zip_with(col, F.array(*[F.lit(float(v)) for v in c]),
-                                   lambda x, y: (x.cast("double") - y) ** 2),
-                        F.lit(0.0), lambda a, x: a + x).alias(f"d{i}")
-            for i, c in enumerate(cents)])
-        idx = F.array_sort(
-            F.zip_with(dists, F.array(*[F.lit(i) for i in range(len(cents))]),
-                       lambda d, i: F.struct(d.alias("d"), i.alias("i"))))
-        return F.slice(F.transform(idx, lambda s: s["i"]), 1, n)
+    """expr factory: (vector column NAME, n) -> array of the n nearest
+    centroid ids (squared L2), all in codegen. One parsed expression
+    instead of n_centroids x dim Column calls (measured r12 — the
+    Column trees dominated the IVF entries' driver wall); 'xD' double
+    literals round-trip bit-identically to the former F.lit spelling."""
+    def nearest_expr(col_name: str, n):
+        dists = ", ".join(
+            "aggregate(zip_with({c}, array({lits}), "
+            "(x, y) -> POWER(cast(x as double) - y, 2)), 0.0D, "
+            "(a, x) -> a + x)".format(
+                c=col_name,
+                lits=", ".join(f"{float(v)!r}D" for v in c))
+            for c in cents)
+        ids = ", ".join(str(i) for i in range(len(cents)))
+        idx = (f"array_sort(zip_with(array({dists}), array({ids}), "
+               "(d, i) -> named_struct('d', d, 'i', i)))")
+        return F.expr(f"slice(transform({idx}, s -> s.i), 1, {n})")
     return nearest_expr
 
 
@@ -243,7 +251,7 @@ def ivf_build(corpus: DataFrame, path: str, n_centroids: int = 16,
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     nearest_expr = _nearest_centroid_expr(cents)
     (corpus.select(id_col, vec_col,
-                   F.element_at(nearest_expr(F.col(vec_col), 1), 1)
+                   F.element_at(nearest_expr(vec_col, 1), 1)
                     .alias("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists"))
 
@@ -269,7 +277,7 @@ def ivf_query(spark, path: str, queries: DataFrame, k: int = 10,
     # probed-cell set
     q_rows = queries.select(
         query_id_col, F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_expr(F.col(vec_col), n_probe)).alias("cell")
+        F.explode(nearest_expr(vec_col, n_probe)).alias("cell")
     ).collect()
     probed = sorted({r["cell"] for r in q_rows})
     # derive the id type from the caller's schema so string/int query
