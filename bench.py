@@ -136,6 +136,31 @@ def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int,
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
+    if tuned:
+        # Declared-surface shuffle sizing from the data, not the core
+        # count: partitions = ceil(input bytes / 128 MB advisory), the
+        # same rule AQE coalescing applies at scale (guide: shuffle
+        # bytes per partition in the 100MB-1GB range). The declared
+        # queries shuffle strictly less than they scan, so input bytes
+        # bound shuffle bytes; at sf0.1 (~25 MB) this gives 1 and at
+        # sf10 (~2.5 GB) 20 — scale-adaptive, core-count-independent.
+        # Measured at sf0.1: 12.0/12.9 s (4 partitions) -> 10.2/10.8 s
+        # (interleaved A/B, min-of-3 passes each), q26 -0.29 s (the
+        # range-sort sampling + per-partition ordered fetch serialize).
+        # The corpus surface resets this to BENCH_CONFS' value below
+        # (its entries explode text into shingle streams ~10x the
+        # input, where 1 partition measurably loses: 55.9 -> 58.3 s
+        # over the first 70 entries).
+        try:
+            in_bytes = sum(
+                os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+                for t in __import__(
+                    "hive_parse_lineage_spark.sources.loader",
+                    fromlist=["TABLES"]).TABLES)
+        except OSError:
+            in_bytes = 0
+        declared_parts = max(1, -(-in_bytes // (128 << 20)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(declared_parts))
 
     big: set[str] = set()
 
@@ -1540,6 +1565,11 @@ def _bench_corpus(spark, sf_dir: str):
     """Full LLM-corpus x-surface: Spark wall per query, one warm + one
     timed pass each (the work-dominated subset gets extra min-of-N
     passes in main once the DuckDB twins identify it)."""
+    # corpus entries explode text into shingle/token streams ~10x the
+    # input, so the declared surface's input-derived partition count
+    # (1 at sf0.1) is too low here — restore the measured corpus value
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   BENCH_CONFS["spark.sql.shuffle.partitions"])
     ctimes: dict[str, float] = {}
     for name, fn in sorted(_corpus_query_map().items()):
         fn(spark, sf_dir).collect()                          # warm-up

@@ -2634,15 +2634,17 @@ def _x177_source_minhash(spark, tables):
                   F.pmod(portable_hash64(F.col("tok")), F.lit(_P))
                   .alias("h"))
     params = _perm_params(20, seed=7)
-    aggs = [F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P)))
-            .alias(f"m{i}") for i, (a, b) in enumerate(params)]
+    # SQL-text register spellings (see dedup._min_register_aggs):
+    # values bit-identical, ~10x fewer py4j round-trips per build
+    aggs = [F.expr(f"min(pmod({a} * h + {b}, {_P})) AS m{i}")
+            for i, (a, b) in enumerate(params)]
     sig = h.groupBy("source").agg(*aggs)
-    sa = sig.select(F.col("source").alias("source_a"),
-                    *[F.col(f"m{i}").alias(f"a{i}") for i in range(20)])
-    sb = sig.select(F.col("source").alias("source_b"),
-                    *[F.col(f"m{i}").alias(f"b{i}") for i in range(20)])
-    match = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(20))
+    sa = sig.selectExpr("source AS source_a",
+                        *[f"m{i} AS a{i}" for i in range(20)])
+    sb = sig.selectExpr("source AS source_b",
+                        *[f"m{i} AS b{i}" for i in range(20)])
+    match = F.expr(" + ".join(
+        f"CAST((a{i} = b{i}) AS LONG)" for i in range(20)))
     est = (sa.join(sb, sa["source_a"] < sb["source_b"])
            .select("source_a", "source_b",
                    (match * 50).alias("est_permille")))

@@ -2122,12 +2122,8 @@ def _x125_lsh_pair_recall(spark, tables):
     hashed = tk.select(
         "doc_id",
         F.pmod(T.portable_hash64(F.col("tok")), F.lit(_P)).alias("_h"))
-    aggs = [F.min(F.pmod(F.lit(pa) * F.col("_h") + F.lit(pb), F.lit(_P)))
-            .alias(f"_m{i}")
-            for i, (pa, pb) in enumerate(_perm_params(64, 42))]
-    sig = (hashed.groupBy("doc_id").agg(*aggs)
-           .select("doc_id",
-                   F.array(*[f"_m{i}" for i in range(64)]).alias("minhash")))
+    from hive_parse_lineage_spark.operators.dedup import _min_register_aggs
+    sig = _min_register_aggs(hashed, "doc_id", _perm_params(64, 42))
     cand = (lsh_candidate_pairs(sig, max_bucket_size=None)
             .select("id_a", "id_b", F.lit(1).alias("hit")))
     j = truth.join(cand, ["id_a", "id_b"], "left")

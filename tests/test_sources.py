@@ -450,3 +450,37 @@ def test_scan_parallelism_guard_spreads_single_row_group(spark, tmp_path):
                    row_group_size=63 * par)
     df3 = spark.read.parquet(tiny)
     assert _scan_parallelism_guard(spark, tiny, "documents", df3) is df3
+
+
+def test_load_tables_cache_reuses_and_invalidates(spark, tmp_path):
+    """load_tables caches the parquet handles per (session, dir, file
+    signature) — repeat calls must return the SAME DataFrame objects
+    (the r12 bench fix: ~1 s of footer re-reads inside every timed
+    corpus entry), and a rewrite of any file must invalidate the entry
+    so stale schemas/listings can never be served."""
+    import os
+    import time as _time
+
+    from hive_parse_lineage_spark.sources.loader import load_tables
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    src = "/root/testdata/sf0.001"
+    import shutil
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(os.path.join(src, f"{t}.parquet"),
+                    os.path.join(d, f"{t}.parquet"))
+    first = load_tables(spark, d)
+    again = load_tables(spark, d)
+    assert first["region"] is again["region"], "cache must hit on repeat"
+    n0 = first["region"].count()
+    # rewrite one file (self-copy with a bumped mtime) -> new handles
+    _time.sleep(0.01)
+    os.utime(os.path.join(d, "region.parquet"))
+    third = load_tables(spark, d)
+    assert third["region"] is not first["region"], \
+        "file rewrite must invalidate the cached handle"
+    assert third["region"].count() == n0
+    # view re-registration after invalidation serves the new handle
+    assert spark.sql("SELECT COUNT(*) AS n FROM region").first()["n"] == n0

@@ -1,0 +1,76 @@
+"""Dump .explain('formatted') for the declared surface + touched corpus
+entries into an output dir. Run from a repo root (sys.path[0]); usage:
+    python tools_dump_plans.py OUTDIR SUFFIX
+Writes OUTDIR/<query>_<SUFFIX>.txt. Bench confs applied so the plans
+show exactly what the bench executes (including the declared-surface
+partition sizing when present in that checkout).
+"""
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+root = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, root)
+outdir, suffix = sys.argv[1], sys.argv[2]
+os.makedirs(outdir, exist_ok=True)
+
+from pyspark.sql import SparkSession
+
+from hive_parse_lineage_spark.session import RUNTIME_CONFS
+import bench as B
+
+cpus = min(os.cpu_count() or 4, 16)
+b = (SparkSession.builder.master(f"local[{cpus}]").appName("plans")
+     .config("spark.driver.memory", "8g").config("spark.ui.enabled", "false")
+     .config("spark.sql.shuffle.partitions", str(cpus)))
+for k, v in {**RUNTIME_CONFS, **B.BENCH_CONFS}.items():
+    b = b.config(k, v)
+spark = b.getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+from hive_parse_lineage_spark.queries import DECLARED_QUERIES
+from hive_parse_lineage_spark.sources.loader import TABLES, load_tables
+
+sf_dir = "/root/testdata/sf0.1"
+load_tables(spark, sf_dir)
+
+# declared-surface partition sizing, if this checkout has it
+try:
+    in_bytes = sum(os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+                   for t in TABLES)
+    declared_parts = max(1, -(-in_bytes // (128 << 20)))
+except OSError:
+    declared_parts = None
+has_sizing = "declared_parts" in open(os.path.join(root, "bench.py")).read()
+if has_sizing and declared_parts:
+    spark.conf.set("spark.sql.shuffle.partitions", str(declared_parts))
+
+def dump(name, df):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as fh:
+        fh.write(buf.getvalue())
+
+for name, sql in DECLARED_QUERIES.items():
+    dump(name, spark.sql(sql))
+
+# corpus surface runs at the corpus partition setting
+spark.conf.set("spark.sql.shuffle.partitions",
+               B.BENCH_CONFS["spark.sql.shuffle.partitions"])
+qmap = B._corpus_query_map()
+TOUCHED = [
+    "x07_minhash_near_dup", "x08_simhash_near_dup", "x10_lsh_knn",
+    "x35_embedding_near_dup", "x46_dup_clusters", "x59_dedup_keep_one",
+    "x64_incremental_dedup", "x79_ann_recall", "x119_minhash_calibration",
+    "x122_quantized_recall", "x164_lsh_precision", "x173_dedup_quota",
+    "x196_dedup_method_census", "x02_lang_id", "x208_fd_violations",
+]
+for name in TOUCHED:
+    if name in qmap:
+        try:
+            dump(name, qmap[name](spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 — plan dump is best-effort
+            print(f"SKIP {name}: {ex}", file=sys.stderr)
+print(f"dumped to {outdir} suffix={suffix}")
