@@ -612,6 +612,11 @@ SF1_STICKY_QUERIES = (
     "x142_bigram_surprise", "x170_source_cross_entropy",
     "x182_pareto_skyline", "x185_domain_reweight", "x186_zipf_alpha",
     "x194_markov_attribution", "x205_user_predictability",
+    # r13: the driver's committed r12 runs (BENCH_DETAIL_r12/r13, a
+    # slower host moment) timed these four twins over 0.2 s — one-way
+    # coverage pulls them in permanently
+    "x81_quality_threshold", "x89_importance_weights",
+    "x140_token_burstiness", "x147_bag_dedup_lift",
 )
 
 # Fixed-size calibration audits (r10 verdict ask #6): x125 audits the
