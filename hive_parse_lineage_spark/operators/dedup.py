@@ -46,6 +46,17 @@ from hive_parse_lineage_spark.operators.util import \
     spread_for_compute as _spread_for_compute
 
 
+def _free_col(df: DataFrame, base: str) -> str:
+    """A helper-column name not present in ``df`` — the projection
+    variants materialize-and-drop a scratch column, and a bare ``_mh_h``
+    /``_sh_h`` would silently overwrite an input column of that name
+    (r12 ADVICE)."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -89,13 +100,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     # DataFrame is rebuilt per run, and py4j round-trips for 64
     # permutation columns were ~half the operator's driver wall
     # (measured r12; values bit-identical — same pmod arithmetic).
+    h_col = _free_col(df, "_mh_h")
     sig = F.expr("array(" + ", ".join(
-        f"array_min(transform(_mh_h, x -> pmod({a} * x + {b}, {_P})))"
+        f"array_min(transform(`{h_col}`, x -> pmod({a} * x + {b}, {_P})))"
         for a, b in params) + ")")
     return (_spread_for_compute(df)
-            .withColumn("_mh_h", hashed)
+            .withColumn(h_col, hashed)
             .withColumn("minhash", sig)
-            .drop("_mh_h"))
+            .drop(h_col))
 
 
 def minhash_signature_agg(df: DataFrame, text_col: str = "text",
@@ -320,15 +332,16 @@ def simhash(df: DataFrame, text_col: str = "text",
                 else "shiftleft(CAST(1 AS BIGINT), 63)" for b in range(64)]
     vote = ", ".join(f"CASE WHEN (h & {m}) != 0 THEN 1 ELSE -1 END"
                      for m in mask_sql)
-    counters = (f"aggregate(_sh_h, array_repeat(0, 64), "
+    h_col = _free_col(df, "_sh_h")
+    counters = (f"aggregate(`{h_col}`, array_repeat(0, 64), "
                 f"(acc, h) -> zip_with(acc, array({vote}), (x, y) -> x + y))")
     sig = (f"aggregate(zip_with({counters}, array({', '.join(mask_sql)}), "
            "(c, m) -> CASE WHEN c > 0 THEN m ELSE CAST(0 AS BIGINT) END), "
            "CAST(0 AS BIGINT), (acc, x) -> acc | x)")
     return (_spread_for_compute(df)
-            .withColumn("_sh_h", F.transform(toks, lambda t: base(t)))
+            .withColumn(h_col, F.transform(toks, lambda t: base(t)))
             .withColumn("simhash", F.expr(sig))
-            .drop("_sh_h"))
+            .drop(h_col))
 
 
 def simhash_agg(df: DataFrame, text_col: str = "text",

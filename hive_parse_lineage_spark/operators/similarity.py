@@ -28,6 +28,12 @@ def _norm_col(vec_col: str):
     return norm(vec_col)
 
 
+def _quote_ident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL text,
+    matching ``F.col``'s treatment of special characters."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 query_id_col: str = "query_id") -> DataFrame:
@@ -99,11 +105,14 @@ def hyperplane_signature(df: DataFrame, planes, vec_col: str = "embedding",
     # entries' driver wall — measured r12, see dedup._min_register_aggs).
     # repr(float) round-trips exactly and Spark's 'xD' literal parses
     # with Double.parseDouble, so the plane literals are bit-identical
-    # to the former F.lit(float(v)) spelling.
+    # to the former F.lit(float(v)) spelling. The column name is
+    # backtick-quoted so names F.col() used to handle (dots, spaces)
+    # still resolve as a COLUMN, not a nested-field path (r12 ADVICE).
+    vc = _quote_ident(vec_col)
     terms = []
     for i, p in enumerate(planes):
         lits = ", ".join(f"{float(v)!r}D" for v in p)
-        d = (f"aggregate(zip_with({vec_col}, array({lits}), "
+        d = (f"aggregate(zip_with({vc}, array({lits}), "
              "(x, y) -> cast(x as double) * y), 0.0D, (acc, x) -> acc + x)")
         terms.append(f"(CASE WHEN {d} > 0 THEN "
                      f"shiftleft(CAST(1 AS BIGINT), {i}) "
@@ -218,7 +227,7 @@ def _nearest_centroid_expr(cents):
             "aggregate(zip_with({c}, array({lits}), "
             "(x, y) -> POWER(cast(x as double) - y, 2)), 0.0D, "
             "(a, x) -> a + x)".format(
-                c=col_name,
+                c=_quote_ident(col_name),
                 lits=", ".join(f"{float(v)!r}D" for v in c))
             for c in cents)
         ids = ", ".join(str(i) for i in range(len(cents)))

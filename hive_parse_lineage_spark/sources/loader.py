@@ -103,23 +103,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: (applicationId, abs sf_dir, tables, per-file (mtime_ns, size)) ->
-#: {name: DataFrame}. The DataFrames only carry the parquet schema and
-#: file listing — every action still scans the files — so reuse is the
-#: Spark analogue of the DuckDB oracle registering its read_parquet
-#: views once per connection (and of spark.sql.hive.
-#: filesourcePartitionFileCacheSize for directory tables). The file
-#: stat signature invalidates the entry when anything rewrites the
-#: data; a new session (new applicationId) never sees old handles.
+#: (session id, abs sf_dir, tables, per-file (mtime_ns, size)) ->
+#: (weakref to the owning SparkSession, {name: DataFrame}). The
+#: DataFrames only carry the parquet schema and file listing — every
+#: action still scans the files — so reuse is the Spark analogue of
+#: the DuckDB oracle registering its read_parquet views once per
+#: connection (and of spark.sql.hive.filesourcePartitionFileCacheSize
+#: for directory tables). The file stat signature invalidates the
+#: entry when anything rewrites the data. Keys carry the SESSION
+#: identity, not just the applicationId: ``spark.newSession()`` (and a
+#: host app owning several sessions) shares one applicationId but has
+#: its own conf and temp-view catalog, so an app-level key would skip
+#: ``configure()`` and register views in the wrong session (r12
+#: ADVICE). ``id(spark)`` can be recycled after GC, hence the weakref
+#: guard: a hit must also be the SAME live session object.
 #: Measured r12: load_tables was ~1 s per call (10 parquet footer
 #: reads + 10x conf re-apply) and every corpus bench entry paid it
 #: inside its timed region.
-_TABLE_CACHE: dict[tuple, dict[str, DataFrame]] = {}
-_CONFIGURED: set[str] = set()
-#: app_id -> the cache key whose views are currently registered, so a
-#: repeat call for the same data skips 10 createOrReplaceTempView
-#: round-trips (~0.3 s measured r12); switching sf_dir re-registers.
-_VIEWS_CURRENT: dict[str, tuple] = {}
+_TABLE_CACHE: dict[tuple, tuple] = {}
+#: session id -> weakref of the session configure() already ran on.
+_CONFIGURED: dict[int, object] = {}
+#: session id -> (weakref, cache key whose views are currently
+#: registered in that session), so a repeat call for the same data
+#: skips 10 createOrReplaceTempView round-trips (~0.3 s measured r12);
+#: switching sf_dir (or session) re-registers.
+_VIEWS_CURRENT: dict[int, tuple] = {}
 
 
 def _cache_key(spark: SparkSession, sf_dir: str,
@@ -132,11 +140,7 @@ def _cache_key(spark: SparkSession, sf_dir: str,
         except OSError:
             # missing/odd layout: skip caching (correctness over speed)
             return None
-    try:
-        app_id = spark.sparkContext.applicationId
-    except Exception:
-        return None
-    return (app_id, os.path.abspath(sf_dir), tables, tuple(sig))
+    return (id(spark), os.path.abspath(sf_dir), tables, tuple(sig))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
@@ -145,24 +149,33 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
 
     Idempotent and cheap on repeat calls: the parquet footer reads are
     cached per (session, dir, file signature) — see ``_TABLE_CACHE`` —
-    and only the temp-view registration re-runs (so a caller that
-    shadowed a view name gets the table back). No data is read until a
-    query runs.
+    and the temp-view registration is likewise skipped while the same
+    session/data pair stays current (NOTE: a caller that shadowed a
+    view name between two identical calls keeps its shadow; pass a
+    changed ``sf_dir`` or call ``createOrReplaceTempView`` itself to
+    restore the table view). No data is read until a query runs.
     """
+    import weakref
+
     key = _cache_key(spark, sf_dir, tables)
-    app_id = key[0] if key else None
-    if app_id not in _CONFIGURED:
+    sid = id(spark)
+    conf_ref = _CONFIGURED.get(sid)
+    if conf_ref is None or conf_ref() is not spark:
         configure(spark)
-        if app_id is not None:
-            _CONFIGURED.add(app_id)
-    out = _TABLE_CACHE.get(key) if key is not None else None
+        _CONFIGURED[sid] = weakref.ref(spark)
+    out = None
+    if key is not None:
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None and hit[0]() is spark:
+            out = hit[1]
     if out is None:
         out = {name: read_table(spark, sf_dir, name) for name in tables}
         if key is not None:
-            _TABLE_CACHE[key] = out
-    if key is None or _VIEWS_CURRENT.get(app_id) != key:
+            _TABLE_CACHE[key] = (weakref.ref(spark), out)
+    cur = _VIEWS_CURRENT.get(sid)
+    if key is None or cur is None or cur[0]() is not spark or cur[1] != key:
         for name, df in out.items():
             df.createOrReplaceTempView(name)
         if key is not None:
-            _VIEWS_CURRENT[app_id] = key
+            _VIEWS_CURRENT[sid] = (weakref.ref(spark), key)
     return out
