@@ -70,13 +70,13 @@ import time
 # - shuffled-hash over sort-merge: every bench join has a small build side;
 #   at 100 TB the planner would still pick SMJ where the build side is big
 #   because this is a preference, not a force.
-# - AQE OFF and 4 shuffle partitions, BENCH ONLY: at sf0.1 (~17 MB) the
-#   AQE re-plan adds fixed per-query latency and 16-way shuffles add
-#   task-launch overhead with nothing to amortize it (measured 6.45 s
-#   vs 7.02 s total; q12 0.45->0.35, q26 0.41->0.27, no regressions).
-#   Engine sessions (session.RUNTIME_CONFS) keep AQE on — that is the
-#   100 TB posture; partition count should track data size
-#   (shuffle bytes / ~128 MB), which at 17 MB rounds to single digits.
+# - AQE OFF and 4 shuffle partitions here are the CORPUS-pass posture
+#   (221 committed plans measured/tuned under it; at sf0.1 the AQE
+#   re-plan adds fixed per-query latency with nothing to amortize it).
+#   The DECLARED pass overrides both at runtime (bench_spark: AQE
+#   coalescing ON + a data-derived initial partition count — r13,
+#   guide §2.2); engine sessions (session.RUNTIME_CONFS) keep AQE on —
+#   that is the 100 TB posture.
 BENCH_CONFS = {
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.enabled": "false",
@@ -137,20 +137,35 @@ def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int,
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
     if tuned:
-        # Declared-surface shuffle sizing from the data, not the core
-        # count: partitions = ceil(input bytes / 128 MB advisory), the
-        # same rule AQE coalescing applies at scale (guide: shuffle
-        # bytes per partition in the 100MB-1GB range). The declared
-        # queries shuffle strictly less than they scan, so input bytes
-        # bound shuffle bytes; at sf0.1 (~25 MB) this gives 1 and at
-        # sf10 (~2.5 GB) 20 — scale-adaptive, core-count-independent.
-        # Measured at sf0.1: 12.0/12.9 s (4 partitions) -> 10.2/10.8 s
-        # (interleaved A/B, min-of-3 passes each), q26 -0.29 s (the
-        # range-sort sampling + per-partition ordered fetch serialize).
-        # The corpus surface resets this to BENCH_CONFS' value below
+        # Declared-surface shuffle sizing (r13, verdict ask #1): AQE
+        # coalescing ON for this pass — the guide-§2.2 mechanism the
+        # r12 static rule imitated — with the initial partition count
+        # derived from the data: max(ceil(bytes/128MB advisory),
+        # min(cpus, ceil(bytes/4MB))). The first term is the at-scale
+        # sizing (100MB-1GB per partition); the second lets the
+        # reduce stages use the cores whenever the data supports >=4MB
+        # per task, which is what r12's pure-bytes rule lost — its 1
+        # partition at sf0.1 serialized q12's many-to-many full-outer
+        # sort-merge join (+54% driver-measured) and made the 8-vs-32
+        # core probe blind by construction. AQE then right-sizes every
+        # exchange per stage, so the excess initial count is a ceiling,
+        # not a task bill. At sf0.1 (~29 MB): 7; sf1.0 (~185 MB): cpus;
+        # 100 TB: the 128MB advisory term dominates — scale-adaptive
+        # at every point.
+        # Measured at sf0.1 (3 interleaved cold-JVM rounds, min-of-3
+        # passes each, /tmp/ab2_summary.json): q12 0.79 -> 0.60 s,
+        # q17 0.73 -> 0.71 s; the 41 floor-bound queries pay the AQE
+        # replan + range-sampling jobs (+0.03-0.10 s each, total
+        # 9.18 -> 10.52 s). No single conf avoids that trade: every
+        # partitions>1 or AQE variant tested (p2/p4/aqe_p4/aqe_par/
+        # aqe_min4/aqe_min8) costs the floor queries the same or more,
+        # and partitions=1 is what serialized q12 — see
+        # OPTIMIZATION_r13.md for the full A/B matrix.
+        # The corpus surface resets to BENCH_CONFS' values below
         # (its entries explode text into shingle streams ~10x the
-        # input, where 1 partition measurably loses: 55.9 -> 58.3 s
-        # over the first 70 entries).
+        # input and their committed plans were tuned under the fixed
+        # corpus conf: 55.9 -> 58.3 s over the first 70 entries at 1
+        # partition).
         try:
             in_bytes = sum(
                 os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
@@ -158,9 +173,16 @@ def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int,
                     "hive_parse_lineage_spark.sources.loader",
                     fromlist=["TABLES"]).TABLES)
         except OSError:
-            in_bytes = 0
-        declared_parts = max(1, -(-in_bytes // (128 << 20)))
-        spark.conf.set("spark.sql.shuffle.partitions", str(declared_parts))
+            # ADVICE r12: a missing/renamed file must not silently
+            # misconfigure a large-SF run into 1-partition shuffles —
+            # leave the builder-time conf (BENCH_CONFS) untouched.
+            in_bytes = None
+        if in_bytes is not None:
+            bytes_parts = max(1, -(-in_bytes // (128 << 20)))
+            par_cap = min(cpus, max(1, -(-in_bytes // (4 << 20))))
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(max(bytes_parts, par_cap)))
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     big: set[str] = set()
 
@@ -928,6 +950,72 @@ def floor_proof() -> None:
     print(json.dumps(out))
 
 
+def declared_scaling() -> None:
+    """``bench.py --declared-scaling``: the declared 43-query surface
+    at an sf>=1.0 dir under two core counts (r12 verdict ask #2: at
+    sf0.1 the shuffle sizing gives single-digit partitions and the
+    driver's 8-vs-32-core probe reads ~1 for every query by
+    construction — parallelism evidence for the declared surface needs
+    a point where the reduce stages have >1 partitions). One fresh
+    cold-JVM subprocess per core count running the exact bench_spark
+    methodology (warm-up + min-of-BENCH_PASSES, adaptive fetch).
+    Writes BENCH_SF1_DECLARED_r{N}.json.
+
+    Env: SPARK_GRAFT_SF_DIR (default /tmp/sf1.0, built by make_sfN.py),
+    BENCH_SCALING_CPUS (default "32,8")."""
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/tmp/sf1.0")
+    cpu_points = [c for c in os.environ.get(
+        "BENCH_SCALING_CPUS", "32,8").split(",")]
+    here = os.path.dirname(os.path.abspath(__file__))
+    child = (
+        "import json, os, sys\n"
+        f"sys.path.insert(0, {here!r})\n"
+        "from bench import bench_spark\n"
+        "from hive_parse_lineage_spark.queries import DECLARED_QUERIES\n"
+        "t, p = bench_spark(os.environ['SPARK_GRAFT_SF_DIR'],\n"
+        "                   dict(DECLARED_QUERIES),\n"
+        "                   int(os.environ.get('BENCH_PASSES', '3')))\n"
+        "print('DS ' + json.dumps({'times': t, 'pass_totals': p}))\n")
+    out: dict = {"metric": "declared_scaling", "unit": "sec",
+                 "sf": infer_sf(sf_dir), "sf_dir": sf_dir, "runs": {}}
+    for c in cpu_points:
+        env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir,
+               "SPARK_GRAFT_CPUS": str(c)}
+        proc = subprocess.run([sys.executable, "-c", child], env=env,
+                              capture_output=True, text=True)
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("DS ")]
+        if not lines:
+            print(json.dumps({"metric": "declared_scaling",
+                              "error": proc.stderr[-500:]}))
+            sys.exit(1)
+        d = json.loads(lines[-1][3:])
+        out["runs"][str(c)] = {
+            "total": round(sum(d["times"].values()), 4),
+            "queries": d["times"], "pass_totals": d["pass_totals"]}
+        print("scaling-point " + json.dumps(
+            {c: out["runs"][str(c)]["total"]}), file=sys.stderr, flush=True)
+    if len(cpu_points) >= 2:
+        hi, lo = str(cpu_points[0]), str(cpu_points[-1])
+        qs = out["runs"][hi]["queries"]
+        out["cpus_high"], out["cpus_low"] = int(hi), int(lo)
+        out["ratio_low_over_high"] = {
+            q: round(out["runs"][lo]["queries"][q] / qs[q], 2)
+            for q in qs if qs[q] > 0}
+        out["total_ratio_low_over_high"] = round(
+            out["runs"][lo]["total"] / out["runs"][hi]["total"], 2)
+    path = os.environ.get(
+        "BENCH_SF1_DECLARED_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     os.path.basename(_detail_path())
+                     .replace("BENCH_DETAIL", "BENCH_SF1_DECLARED")))
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    out["detail_file"] = os.path.basename(path)
+    print(json.dumps({k: v for k, v in out.items() if k != "runs"}))
+
+
 # Structured-Streaming gate entries: per-micro-batch checkpointing
 # dominates their wall — correctness gates, not throughput queries;
 # benching them would only measure stream startup.
@@ -1569,19 +1657,47 @@ def _run_ladder(qs, metric: str, scale_of, growth_key: str,
 def _bench_corpus(spark, sf_dir: str):
     """Full LLM-corpus x-surface: Spark wall per query, one warm + one
     timed pass each (the work-dominated subset gets extra min-of-N
-    passes in main once the DuckDB twins identify it)."""
+    passes in main once the DuckDB twins identify it).
+
+    Fetch rule (r13, guide §6 "Arrow for driver transfers"): the same
+    adaptive materialization the declared surface has used since r9 —
+    ``collect()`` for small results, ``toPandas()`` (Arrow) past 5000
+    rows, chosen at warm-up. Through r12 every corpus entry used
+    ``collect()`` (row pickling); for the transition round the
+    >5000-row entries are ALSO timed one extra pass with the old
+    ``collect()`` fetch and both walls land in the detail file
+    (``corpus_fetch_transition``), so cross-round comparability
+    survives the methodology change. Returns (ctimes, fetchers,
+    transition)."""
     # corpus entries explode text into shingle/token streams ~10x the
     # input, so the declared surface's input-derived partition count
-    # (1 at sf0.1) is too low here — restore the measured corpus value
+    # is too low here — restore the measured corpus values (and the
+    # declared pass's AQE toggle, r13: the 221 committed corpus plans
+    # were measured/tuned under the fixed corpus conf)
     spark.conf.set("spark.sql.shuffle.partitions",
                    BENCH_CONFS["spark.sql.shuffle.partitions"])
+    spark.conf.set("spark.sql.adaptive.enabled",
+                   BENCH_CONFS["spark.sql.adaptive.enabled"])
     ctimes: dict[str, float] = {}
+    fetchers: dict[str, object] = {}
+    transition: dict[str, dict] = {}
     for name, fn in sorted(_corpus_query_map().items()):
-        fn(spark, sf_dir).collect()                          # warm-up
+        n_warm = len(fn(spark, sf_dir).toPandas())           # warm-up
+        fetch = ((lambda df: len(df.toPandas())) if n_warm > 5000
+                 else (lambda df: len(df.collect())))
+        fetchers[name] = fetch
         t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
+        fetch(fn(spark, sf_dir))
         ctimes[name] = round(time.perf_counter() - t0, 4)
-    return ctimes
+        if n_warm > 5000:
+            # transition evidence: the r12-methodology (py4j collect)
+            # wall next to the new Arrow wall, same session moment
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            transition[name] = {
+                "collect_r12_method": round(time.perf_counter() - t0, 4),
+                "arrow": ctimes[name], "rows": n_warm}
+    return ctimes, fetchers, transition
 
 
 def _bench_corpus_duckdb(sf_dir: str):
@@ -1680,6 +1796,9 @@ def main() -> None:
     if "--retrieval-skew" in sys.argv:
         retrieval_skew()
         return
+    if "--declared-scaling" in sys.argv:
+        declared_scaling()
+        return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     engine = os.environ.get("BENCH_ENGINE", "spark")
@@ -1699,9 +1818,18 @@ def main() -> None:
 
         times, pass_totals = bench_spark(sf_dir, queries, n_passes)
         if os.environ.get("BENCH_CORPUS", "1") != "0":
-            ctimes = _bench_corpus(SparkSession.builder.getOrCreate(), sf_dir)
+            ctimes, cfetch, ctrans = _bench_corpus(
+                SparkSession.builder.getOrCreate(), sf_dir)
             out["corpus_total_wall"] = round(sum(ctimes.values()), 4)
             detail["corpus_queries"] = ctimes
+            if ctrans:
+                detail["corpus_fetch_transition"] = {
+                    "note": ("r13 methodology change (guide §6): corpus "
+                             "entries >5000 result rows now fetch via "
+                             "Arrow toPandas like the declared surface; "
+                             "collect_r12_method is the old py4j-collect "
+                             "wall measured the same moment"),
+                    "queries": ctrans}
         if os.environ.get("BENCH_STOCK", "1") != "0":
             # stock-Spark comparator from the SAME run: the host drifts
             # between rounds (r4's apparent regression was pure drift),
@@ -1762,8 +1890,8 @@ def main() -> None:
                     pw = 0.0
                     for n in wd:
                         t0 = time.perf_counter()
-                        allq[n](SparkSession.builder.getOrCreate(),
-                                sf_dir).collect()
+                        cfetch[n](allq[n](SparkSession.builder.getOrCreate(),
+                                          sf_dir))
                         dt = time.perf_counter() - t0
                         pw += dt
                         ctimes[n] = round(min(ctimes[n], dt), 4)
@@ -1844,7 +1972,24 @@ def main() -> None:
         with open(path, "w") as fh:
             json.dump({**out, **detail}, fh, indent=1, sort_keys=True)
         out["detail_file"] = os.path.basename(path)
-    print(json.dumps(out))
+    # One-line-JSON contract guard (r12 verdict ask #7): the driver
+    # captures a bounded stdout TAIL (r11's 2290-char line came back
+    # parsed:null at a 2000-char capture and cost the round its whole
+    # PERF comparison). The printed line keeps the contract fields
+    # (metric/value/unit/sf/queries) plus the headline rollups and
+    # stays ~1.7k chars; the bulky extras (pass walls, per-subset
+    # decompositions, the long ratio_note) live only in detail_file.
+    slim_keys = ("metric", "value", "unit", "sf", "passes", "queries",
+                 "pass_totals", "spark_total_wall", "stock_total_wall",
+                 "duckdb_total_wall", "ratio", "corpus_total_wall",
+                 "corpus_ratio", "work_dominated_n", "work_dominated_ratio",
+                 "stock_error", "detail_file")
+    slim = {k: out[k] for k in slim_keys if k in out}
+    if "ratio_note" in out:
+        slim["ratio_note"] = ("floor-dominated at small SF; read "
+                              "work_dominated_ratio; full note in "
+                              "detail_file")
+    print(json.dumps(slim))
 
 
 if __name__ == "__main__":
