@@ -70,20 +70,44 @@ import time
 # - shuffled-hash over sort-merge: every bench join has a small build side;
 #   at 100 TB the planner would still pick SMJ where the build side is big
 #   because this is a preference, not a force.
-# - AQE OFF and 4 shuffle partitions here are the CORPUS-pass posture
-#   (221 committed plans measured/tuned under it; at sf0.1 the AQE
-#   re-plan adds fixed per-query latency with nothing to amortize it).
-#   The DECLARED pass overrides both at runtime (bench_spark: AQE
-#   coalescing ON + a data-derived initial partition count — r13,
-#   guide §2.2); engine sessions (session.RUNTIME_CONFS) keep AQE on —
-#   that is the 100 TB posture.
+# - AQE: nominally pinned OFF here since r5, but r13 established that
+#   the pin NEVER took effect at runtime — load_tables() calls
+#   session.configure(), which re-applies RUNTIME_CONFS (adaptive=true)
+#   over the builder-time conf, and every committed plans/r* dump shows
+#   AdaptiveSparkPlan. All bench numbers of every round were measured
+#   with AQE ON; the entry is now "true" so the dict matches the
+#   runtime truth (zero behavior change — verified plan-identical).
+# - 4 shuffle partitions is the CORPUS-pass posture (221 committed
+#   plans measured under it). The DECLARED pass overrides at runtime
+#   with a data-derived initial count AQE then coalesces per stage
+#   (bench_spark, r13 — guide §2.2).
 BENCH_CONFS = {
     "spark.sql.join.preferSortMergeJoin": "false",
-    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.adaptive.enabled": "true",
     "spark.sql.shuffle.partitions": "4",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
     "spark.ui.showConsoleProgress": "false",
 }
+
+
+def declared_pass_confs(sf_dir: str, cpus: int) -> dict[str, str]:
+    """Runtime confs for the DECLARED bench pass (see the comment at
+    the call site in bench_spark). Shared with tools_dump_plans.py so
+    committed plans show exactly what the bench executes. On OSError
+    (missing/renamed parquet) returns {} — the builder-time conf stays,
+    rather than silently degrading a large-SF run to 1 partition
+    (r12 ADVICE)."""
+    from hive_parse_lineage_spark.sources.loader import TABLES
+    try:
+        in_bytes = sum(
+            os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+            for t in TABLES)
+    except OSError:
+        return {}
+    bytes_parts = max(1, -(-in_bytes // (128 << 20)))
+    par_cap = min(cpus, max(1, -(-in_bytes // (4 << 20))))
+    return {"spark.sql.shuffle.partitions": str(max(bytes_parts, par_cap)),
+            "spark.sql.adaptive.enabled": "true"}
 
 
 def infer_sf(sf_dir: str) -> float:
@@ -137,52 +161,36 @@ def bench_spark(sf_dir: str, queries: dict[str, str], n_passes: int,
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)
     if tuned:
-        # Declared-surface shuffle sizing (r13, verdict ask #1): AQE
-        # coalescing ON for this pass — the guide-§2.2 mechanism the
-        # r12 static rule imitated — with the initial partition count
-        # derived from the data: max(ceil(bytes/128MB advisory),
-        # min(cpus, ceil(bytes/4MB))). The first term is the at-scale
-        # sizing (100MB-1GB per partition); the second lets the
-        # reduce stages use the cores whenever the data supports >=4MB
-        # per task, which is what r12's pure-bytes rule lost — its 1
-        # partition at sf0.1 serialized q12's many-to-many full-outer
-        # sort-merge join (+54% driver-measured) and made the 8-vs-32
-        # core probe blind by construction. AQE then right-sizes every
-        # exchange per stage, so the excess initial count is a ceiling,
-        # not a task bill. At sf0.1 (~29 MB): 7; sf1.0 (~185 MB): cpus;
-        # 100 TB: the 128MB advisory term dominates — scale-adaptive
-        # at every point.
+        # Declared-surface shuffle sizing (r13, verdict ask #1): the
+        # INITIAL partition count is derived from the data —
+        # max(ceil(bytes/128MB advisory), min(cpus, ceil(bytes/4MB)))
+        # — and AQE coalescing (on at runtime in every round, see
+        # BENCH_CONFS) right-sizes each exchange downward per stage,
+        # so the initial count is a parallelism ceiling, not a task
+        # bill. The first term is the at-scale sizing (100MB-1GB per
+        # partition, guide §2.2); the second lets reduce stages use
+        # the cores whenever the data supports >=4MB per task — what
+        # r12's pure-bytes rule lost: its 1 initial partition at sf0.1
+        # is a ceiling AQE cannot RAISE, which serialized q12's
+        # many-to-many full-outer join (+54% driver-measured) and made
+        # the 8-vs-32-core probe blind by construction. At sf0.1
+        # (~18 MB): 5; sf1.0 (~185 MB): cpus; 100 TB: the 128MB
+        # advisory term dominates — scale-adaptive at every point.
         # Measured at sf0.1 (3 interleaved cold-JVM rounds, min-of-3
         # passes each, /tmp/ab2_summary.json): q12 0.79 -> 0.60 s,
-        # q17 0.73 -> 0.71 s; the 41 floor-bound queries pay the AQE
-        # replan + range-sampling jobs (+0.03-0.10 s each, total
-        # 9.18 -> 10.52 s). No single conf avoids that trade: every
-        # partitions>1 or AQE variant tested (p2/p4/aqe_p4/aqe_par/
-        # aqe_min4/aqe_min8) costs the floor queries the same or more,
-        # and partitions=1 is what serialized q12 — see
-        # OPTIMIZATION_r13.md for the full A/B matrix.
-        # The corpus surface resets to BENCH_CONFS' values below
-        # (its entries explode text into shingle streams ~10x the
-        # input and their committed plans were tuned under the fixed
-        # corpus conf: 55.9 -> 58.3 s over the first 70 entries at 1
-        # partition).
-        try:
-            in_bytes = sum(
-                os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
-                for t in __import__(
-                    "hive_parse_lineage_spark.sources.loader",
-                    fromlist=["TABLES"]).TABLES)
-        except OSError:
-            # ADVICE r12: a missing/renamed file must not silently
-            # misconfigure a large-SF run into 1-partition shuffles —
-            # leave the builder-time conf (BENCH_CONFS) untouched.
-            in_bytes = None
-        if in_bytes is not None:
-            bytes_parts = max(1, -(-in_bytes // (128 << 20)))
-            par_cap = min(cpus, max(1, -(-in_bytes // (4 << 20))))
-            spark.conf.set("spark.sql.shuffle.partitions",
-                           str(max(bytes_parts, par_cap)))
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # q17 0.73 -> 0.71 s; the 41 floor-bound queries pay the
+        # extra per-stage tasks + range-sampling jobs (+0.03-0.10 s
+        # each, total 9.18 -> 10.52 s). No tested sizing avoids that
+        # trade (p2/p4/aqe_p4/aqe_par/aqe_min4/aqe_min8 all cost the
+        # floor queries the same or more, and 1 partition is what
+        # serialized q12) — see OPTIMIZATION_r13.md for the matrix.
+        # The corpus surface resets to BENCH_CONFS' partition value
+        # below (its entries explode text into shingle streams ~10x
+        # the input and their committed plans were measured under the
+        # fixed corpus conf: 55.9 -> 58.3 s over the first 70 entries
+        # at 1 partition).
+        for k, v in declared_pass_confs(sf_dir, cpus).items():
+            spark.conf.set(k, v)
 
     big: set[str] = set()
 
@@ -1671,13 +1679,11 @@ def _bench_corpus(spark, sf_dir: str):
     transition)."""
     # corpus entries explode text into shingle/token streams ~10x the
     # input, so the declared surface's input-derived partition count
-    # is too low here — restore the measured corpus values (and the
-    # declared pass's AQE toggle, r13: the 221 committed corpus plans
-    # were measured/tuned under the fixed corpus conf)
+    # is too low here — restore the measured corpus value (AQE stays
+    # on: it has been on for every pass of every round, see
+    # BENCH_CONFS)
     spark.conf.set("spark.sql.shuffle.partitions",
                    BENCH_CONFS["spark.sql.shuffle.partitions"])
-    spark.conf.set("spark.sql.adaptive.enabled",
-                   BENCH_CONFS["spark.sql.adaptive.enabled"])
     ctimes: dict[str, float] = {}
     fetchers: dict[str, object] = {}
     transition: dict[str, dict] = {}

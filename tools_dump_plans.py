@@ -35,16 +35,17 @@ from hive_parse_lineage_spark.sources.loader import TABLES, load_tables
 sf_dir = "/root/testdata/sf0.1"
 load_tables(spark, sf_dir)
 
-# declared-surface partition sizing, if this checkout has it
-try:
+# declared-surface pass confs, exactly as this checkout's bench sets
+# them (r13: shared helper; older checkouts fall back to the inline
+# static rule their bench_spark carried)
+if hasattr(B, "declared_pass_confs"):
+    for k, v in B.declared_pass_confs(sf_dir, cpus).items():
+        spark.conf.set(k, v)
+elif "declared_parts" in open(os.path.join(root, "bench.py")).read():
     in_bytes = sum(os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
                    for t in TABLES)
-    declared_parts = max(1, -(-in_bytes // (128 << 20)))
-except OSError:
-    declared_parts = None
-has_sizing = "declared_parts" in open(os.path.join(root, "bench.py")).read()
-if has_sizing and declared_parts:
-    spark.conf.set("spark.sql.shuffle.partitions", str(declared_parts))
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(max(1, -(-in_bytes // (128 << 20)))))
 
 def dump(name, df):
     buf = io.StringIO()
@@ -64,7 +65,8 @@ TOUCHED = [
     "x07_minhash_near_dup", "x08_simhash_near_dup", "x10_lsh_knn",
     "x35_embedding_near_dup", "x46_dup_clusters", "x59_dedup_keep_one",
     "x64_incremental_dedup", "x79_ann_recall", "x119_minhash_calibration",
-    "x122_quantized_recall", "x164_lsh_precision", "x173_dedup_quota",
+    "x51_embedding_quantize", "x122_quantized_recall",
+    "x164_lsh_precision", "x173_dedup_quota",
     "x196_dedup_method_census", "x02_lang_id", "x208_fd_violations",
 ]
 for name in TOUCHED:
