@@ -44,6 +44,14 @@ def quantize_int8(a: Column | str) -> tuple[Column, Column]:
     a = F.col(a) if isinstance(a, str) else a
     d = F.transform(a, lambda x: x.cast("double"))
     scale = F.greatest(F.array_max(F.transform(d, F.abs)), F.lit(1e-30))
-    codes = F.transform(
-        d, lambda x: F.floor(x * F.lit(127.0) / scale).cast("bigint"))
+    # Higher-order lambdas evaluate their body per element with no
+    # common-subexpression elimination, so referencing the O(dim)
+    # `scale` inside the per-element lambda makes the projection
+    # O(dim^2) per row. Bind it once per row instead: a one-element
+    # outer transform evaluates `scale` a single time and exposes it to
+    # the inner lambda as a plain variable.
+    codes = F.flatten(F.transform(
+        F.array(scale),
+        lambda s: F.transform(
+            d, lambda x: F.floor(x * F.lit(127.0) / s).cast("bigint"))))
     return codes, scale

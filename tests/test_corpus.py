@@ -144,6 +144,23 @@ def test_quantize_int8_bounds_and_reconstruction(spark):
             assert abs(x - c * r["s"] / 127.0) <= r["s"] / 127.0 + 1e-12
 
 
+def test_quantize_int8_null_and_empty(spark):
+    # The r13 O(dim) rewrite routes codes through
+    # flatten(transform(array(scale), ...)) — pin the null/empty
+    # semantics that route could plausibly have changed.
+    from hive_parse_lineage_spark.functions.vector import quantize_int8
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.5]), Row(vec_id=1, embedding=[]),
+         Row(vec_id=2, embedding=None)],
+        "vec_id INT, embedding ARRAY<FLOAT>")
+    codes, _ = quantize_int8("embedding")
+    rows = {r["vec_id"]: r["c"] for r in
+            df.select("vec_id", codes.alias("c")).collect()}
+    assert rows[0] == [127]      # floor(0.5 * 127 / 0.5)
+    assert rows[1] == []         # empty vector stays empty
+    assert rows[2] is None       # null vector stays null
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     from hive_parse_lineage_spark.operators.corpus import chunk_documents
     toks = [f"t{i}" for i in range(100)]
