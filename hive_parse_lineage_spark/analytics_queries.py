@@ -723,18 +723,20 @@ def _x152_qq_alignment(spark, tables):
             ranked = df.select(*part_cols, "n_chars", "doc_id",
                                F.row_number().over(w).alias("rn"),
                                F.count("*").over(wn).alias("n"))
-        aggs = [F.max(F.when(F.expr(f"rn = ({d} * n + 9) div 10"),
-                             F.col("n_chars"))).alias(f"d{d}")
+        # r13 build-tail fusion: parsed-SQL aggregates, one py4j call
+        # each (identical expressions after parsing).
+        aggs = [F.expr(f"max(CASE WHEN rn = ({d} * n + 9) div 10 "
+                       f"THEN n_chars END) AS d{d}")
                 for d in range(1, 10)]
         return ranked.groupBy(*part_cols).agg(*aggs)
     gl = deciles(docs, [])
-    gl_long = gl.select(F.explode(F.array(*[
-        F.struct(F.lit(d).alias("decile"), F.col(f"d{d}").alias("global_v"))
-        for d in range(1, 10)])).alias("s")).select("s.*")
+    gl_long = gl.select(F.expr("explode(array(" + ", ".join(
+        f"named_struct('decile', {d}, 'global_v', d{d})"
+        for d in range(1, 10)) + ")) AS s")).select("s.*")
     src = deciles(docs, ["source"])
-    src_long = src.select("source", F.explode(F.array(*[
-        F.struct(F.lit(d).alias("decile"), F.col(f"d{d}").alias("src_v"))
-        for d in range(1, 10)])).alias("s")).select("source", "s.*")
+    src_long = src.select("source", F.expr("explode(array(" + ", ".join(
+        f"named_struct('decile', {d}, 'src_v', d{d})"
+        for d in range(1, 10)) + ")) AS s")).select("source", "s.*")
     return (src_long.join(gl_long, "decile")
             .select("source", "decile", "src_v", "global_v",
                     (F.col("src_v") - F.col("global_v")).alias("gap"))
@@ -2532,12 +2534,15 @@ def _x176_rendezvous_sharding(spark, tables):
     array_position/array_max — first-index tie rule on both engines)
     and two tiny aggregates; zero joins, zero corpus shuffles beyond
     the 16-row load counts."""
-    from hive_parse_lineage_spark.functions.text import portable_hash64
+    from hive_parse_lineage_spark.functions.text import (
+        portable_hash64_spark_sql)
     d = tables["documents"]
-    hs = F.array(*[
-        portable_hash64(F.concat(F.lit(f"hrw{s}#"),
-                                 F.col("doc_id").cast("string")))
-        for s in range(16)])
+    # r13 build-tail fusion: one parsed expression instead of 16
+    # Column trees (~130 py4j round-trips); identical after parsing.
+    hs = F.expr("array(" + ", ".join(
+        portable_hash64_spark_sql(
+            f"concat('hrw{s}#', CAST(doc_id AS STRING))")
+        for s in range(16)) + ")")
     assigned = d.select(
         "doc_id", hs.alias("h16"), F.slice(hs, 1, 15).alias("h15"))
     assigned = assigned.select(

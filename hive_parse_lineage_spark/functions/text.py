@@ -161,6 +161,14 @@ def portable_hash64_sql(expr: str) -> str:
             "(a,b) -> a*16+b)")
 
 
+def portable_hash64_spark_sql(expr: str) -> str:
+    """Spark-SQL spelling of :func:`portable_hash64` — for parsed-
+    expression fusion where a loop would otherwise build one Column
+    tree (4+ py4j calls) per hash (r12 _min_register_aggs pattern).
+    Parses to the exact expression :func:`portable_hash64` builds."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def word_shingles(text: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles (the MinHash/Jaccard unit).
 

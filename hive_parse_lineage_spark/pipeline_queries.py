@@ -2748,19 +2748,22 @@ def _x132_vocab_growth(spark, tables):
     tk = (d.crossJoin(F.broadcast(mx))
           .select(F.expr("doc_id * 10 div (_mx + 1) + 1").alias("bucket"),
                   F.explode(word_shingles("text", 2)).alias("g")))
+    # r13: parsed-SQL spellings — one py4j call per aggregate (and one
+    # for the whole explode) instead of a 4-6 call Column tree each;
+    # identical expressions after parsing (the r12 _min_register_aggs
+    # fusion pattern applied to the build tail).
     per_g = tk.groupBy("g").agg(
-        F.min("bucket").alias("fb"),
-        *[F.sum((F.col("bucket") == i).cast("long")).alias(f"c{i}")
+        F.expr("min(bucket) AS fb"),
+        *[F.expr(f"sum(CAST((bucket = {i}) AS BIGINT)) AS c{i}")
           for i in range(1, 11)])
     row = per_g.agg(
-        *[F.sum((F.col("fb") == i).cast("long")).alias(f"nt{i}")
+        *[F.expr(f"sum(CAST((fb = {i}) AS BIGINT)) AS nt{i}")
           for i in range(1, 11)],
-        *[F.sum(f"c{i}").alias(f"ng{i}") for i in range(1, 11)])
-    long = row.select(F.explode(F.array(*[
-        F.struct(F.lit(i).alias("bucket"),
-                 F.col(f"nt{i}").alias("new_types"),
-                 F.col(f"ng{i}").alias("n_grams"))
-        for i in range(1, 11)])).alias("s")).select("s.*")
+        *[F.expr(f"sum(c{i}) AS ng{i}") for i in range(1, 11)])
+    long = row.select(F.expr("explode(array(" + ", ".join(
+        f"named_struct('bucket', {i}, 'new_types', nt{i}, "
+        f"'n_grams', ng{i})" for i in range(1, 11)) + ")) AS s")
+    ).select("s.*")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (long.filter(F.col("n_grams") > 0)
             .withColumn("cum_types", F.sum("new_types").over(w))
