@@ -385,8 +385,13 @@ def _x62_embedding_centroids(spark, tables):
     e = tables["embeddings"]
     norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
                               lambda acc, x: acc + x.cast("double") * x))
-    unit = F.transform("embedding",
-                       lambda x: x.cast("double") / F.nullif(norm, F.lit(0.0)))
+    # r13: bind the O(dim) norm once per row (one-element outer
+    # transform) — referencing it inside the per-element lambda would
+    # re-run the fold per element, O(dim^2)/row (the x51 bug).
+    unit = F.flatten(F.transform(
+        F.array(F.nullif(norm, F.lit(0.0))),
+        lambda nv: F.transform("embedding",
+                               lambda x: x.cast("double") / nv)))
     return (e.select("label", F.posexplode(unit).alias("dim_idx", "v"))
             .groupBy("label", "dim_idx")
             .agg(F.round(F.avg("v"), 4).alias("centroid"))
