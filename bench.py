@@ -647,6 +647,9 @@ SF1_STICKY_QUERIES = (
     # coverage pulls them in permanently
     "x81_quality_threshold", "x89_importance_weights",
     "x140_token_burstiness", "x147_bag_dedup_lift",
+    # r13 final bench (BENCH_DETAIL_r13, another slow host moment)
+    # timed this twin over 0.2 s too
+    "x224_label_propagation",
 )
 
 # Fixed-size calibration audits (r10 verdict ask #6): x125 audits the
