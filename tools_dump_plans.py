@@ -65,7 +65,9 @@ TOUCHED = [
     "x07_minhash_near_dup", "x08_simhash_near_dup", "x10_lsh_knn",
     "x35_embedding_near_dup", "x46_dup_clusters", "x59_dedup_keep_one",
     "x64_incremental_dedup", "x79_ann_recall", "x119_minhash_calibration",
-    "x51_embedding_quantize", "x122_quantized_recall",
+    "x51_embedding_quantize", "x62_embedding_centroids",
+    "x122_quantized_recall", "x132_vocab_growth", "x152_qq_alignment",
+    "x176_rendezvous_sharding",
     "x164_lsh_precision", "x173_dedup_quota",
     "x196_dedup_method_census", "x02_lang_id", "x208_fd_violations",
 ]
